@@ -1,0 +1,116 @@
+"""Pure-Arrow last-writer-wins merge kernel.
+
+This is the engine's J1/D3 operator (SURVEY.md §2.4/§2.7): apply I/U/D change
+events to a lake partition, last writer (max ``offset``) wins per key, ``D``
+deletes. The reference has no merge — it keeps every record version and relies
+on offset-named idempotent files (sink/.../S3SinkTask.java:249-254); the merge
+is the north-rule extension, built so that:
+
+- ``compact_events`` (keep max-offset row per key) is an associative,
+  commutative reduction — it can run per batch (combiner, before the shuffle),
+  per (part, salt) sub-group (salted skew split), and finally per partition,
+  and the result is identical to a single global pass. This is what bounds
+  shuffle volume by key-cardinality instead of event count at 10^10 scale.
+- ``lww_merge`` is a pure function (Table, Table) -> Table: deterministic
+  given its inputs, which is the exactly-once story — a retried task
+  regenerates byte-identical output (reference rewind IT,
+  sink/src/test/.../S3SinkConnectorIT.java:474-612).
+- additive schema evolution (new payload columns like ``meta``) is handled by
+  Arrow schema unification with null-fill (schema.unify_with_nulls).
+
+All kernels are vectorized (pyarrow.compute / numpy); no per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..schema import DELETE_OP, KEY_COLUMNS, unify_with_nulls
+
+# Columns that belong to provenance / shuffle bookkeeping, never to the lake.
+NON_PAYLOAD = ("partition", "offset", "op", "part", "salt")
+
+
+def last_per_key(sorted_tbl: pa.Table, key_cols: list[str]) -> pa.Table:
+    """Keep the last row of each key run in an already-sorted table.
+
+    Vectorized: a row is kept iff the next row starts a different key. O(n)
+    with no Python loop."""
+    n = len(sorted_tbl)
+    if n <= 1:
+        return sorted_tbl
+    keep = np.zeros(n, dtype=bool)
+    keep[-1] = True
+    diff = np.zeros(n - 1, dtype=bool)
+    for c in key_cols:
+        col = sorted_tbl.column(c).combine_chunks()
+        ne = pc.not_equal(col.slice(0, n - 1), col.slice(1, n - 1))
+        diff |= pc.fill_null(ne, True).to_numpy(zero_copy_only=False)
+    keep[:-1] = diff
+    return sorted_tbl.filter(pa.array(keep))
+
+
+def compact_events(
+    events: pa.Table,
+    key_cols: list[str] = KEY_COLUMNS,
+    order_col: str = "offset",
+) -> pa.Table:
+    """LWW compaction: one row per key — the one with the max ``order_col``.
+
+    Keeps ALL columns (including op: a surviving ``D`` row is a tombstone that
+    must flow to the final merge). Idempotent and associative:
+    compact(compact(a) + compact(b)) == compact(a + b)."""
+    if len(events) <= 1:
+        return events
+    s = events.sort_by([(c, "ascending") for c in [*key_cols, order_col]])
+    return last_per_key(s, key_cols)
+
+
+def lww_merge(
+    lake: pa.Table | None,
+    events: pa.Table,
+    key_cols: list[str] = KEY_COLUMNS,
+    order_col: str = "offset",
+    op_col: str = "op",
+) -> pa.Table:
+    """Merge compacted change events into a lake partition.
+
+    Per key: the event (max offset) replaces the lake row; a ``D`` tombstone
+    removes it; untouched lake rows survive. Output is sorted by ``key_cols``
+    (keys are unique after the merge, so the order — and hence the written
+    file — is fully deterministic; Ray shuffles do not preserve order, every
+    ordering guarantee is re-established here, SURVEY.md §4 'Ordering')."""
+    events = compact_events(events, key_cols, order_col)
+    drop = [c for c in NON_PAYLOAD if c in events.column_names and c not in key_cols]
+    upserts = events.filter(pc.not_equal(events.column(op_col), DELETE_OP)).drop_columns(drop)
+
+    survivors = None
+    if lake is not None and len(lake):
+        if len(events):
+            keys = events.select(key_cols)
+            survivors = lake.join(keys, keys=key_cols, join_type="left anti")
+        else:
+            survivors = lake
+    parts = unify_with_nulls([survivors, upserts])
+    if not parts:
+        return upserts
+    out = pa.concat_tables(parts) if len(parts) > 1 else parts[0]
+    return out.sort_by([(c, "ascending") for c in key_cols])
+
+
+def align_to_schema(tbl: pa.Table, target: pa.Schema) -> pa.Table:
+    """Project ``tbl`` onto ``target``: missing columns null-filled, order and
+    types from ``target``. Used so every partition file of a snapshot shares
+    one schema even when only some partitions saw evolved events."""
+    cols = []
+    for f in target:
+        if f.name in tbl.column_names:
+            col = tbl.column(f.name)
+            if col.type != f.type:
+                col = col.cast(f.type)
+        else:
+            col = pa.nulls(len(tbl), f.type)
+        cols.append(col)
+    return pa.Table.from_arrays(cols, schema=target)
