@@ -1,0 +1,281 @@
+"""The flagship pipeline: changelog tail -> hash-partition shuffle -> per-partition
+LWW merge -> deterministic partition-file commits -> manifest.
+
+Ray translation of the reference sink lifecycle (SURVEY.md §3.1-3.3):
+
+    manifest = Manifest.load(...)                     # cursor/offset recovery (S4)
+    events = read_parquet(changelog,                  # source read (S5/S6)
+                          filter=offset > min_wm)     #   row-group pruning (S7/D1)
+      .map_batches(PrepareEvents)                     # residual watermark filter,
+                                                      #   part/salt assign (M1), and
+                                                      #   per-batch LWW combiner
+      [.groupby(part, salt).map_groups(compact)]      # salted pre-reduce for hot keys
+      .groupby(part).map_groups(MergeCommit)          # S1+S2+S3+J1+D3: merge with the
+                                                      #   lake partition, write
+                                                      #   part=<p>/commit-<wm>.parquet
+    manifest.commit()                                 # cursor written LAST (S3 ordering)
+
+Exactly-once: output file names and bytes are deterministic functions of
+(partition, watermark range, events) — a Ray task retry or a full replay from
+any checkpoint overwrites identical files (reference rewind IT,
+sink/src/test/.../S3SinkConnectorIT.java:474-612). No wall-clock enters data.
+
+Scale notes (100 TB design):
+- the only all-to-all exchange is the groupby("part") shuffle of *compacted*
+  events; the per-batch combiner bounds its volume by touched-key cardinality.
+- the lake itself never shuffles: each merge task reads exactly its partition's
+  current snapshot file(s) and streams one new file out. P is chosen so one
+  partition snapshot fits a worker heap (~<=1 GiB).
+- partitions with no new events are carried forward in the manifest without
+  touching their files (no copy).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+import ray.data
+
+from ..schema import PROVENANCE_COLUMNS, schema_fingerprint, unify_with_nulls
+from ..stages.merge import align_to_schema, compact_events, lww_merge
+from ..stages.partitioner import PART_COLUMN, SALT_COLUMN, PartitionAssigner
+from ..state.manifest import EMPTY_WATERMARK, Manifest
+
+STATS_SCHEMA = pa.schema(
+    [
+        ("part", pa.int32()),
+        ("path", pa.string()),
+        ("high_watermark", pa.int64()),
+        ("num_rows", pa.int64()),
+        ("num_events", pa.int64()),
+        ("merge_seconds", pa.float64()),
+    ]
+)
+
+
+class PrepareEvents:
+    """Stateless map_batches stage (Arrow in/out, zero-copy): assigns
+    ``part``/``salt``, drops events at or below the partition watermark
+    (vectorized np lookup — the reference's record-skip loop,
+    source/.../S3FilesReader.java:306-311, replaced by a filter), and runs the
+    per-batch LWW combiner so the shuffle moves at most one row per touched key
+    per batch."""
+
+    def __init__(self, watermarks: dict[int, int], num_partitions: int,
+                 hot_keys: set[str] | None = None, n_salts: int = 8,
+                 combine: bool = True):
+        self.assigner = PartitionAssigner(num_partitions, hot_keys, n_salts)
+        wm = np.full(num_partitions, EMPTY_WATERMARK, dtype=np.int64)
+        for p, w in watermarks.items():
+            if 0 <= p < num_partitions:
+                wm[p] = w
+        self.wm = wm
+        self.combine = combine
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch
+        batch = self.assigner(batch)
+        part = batch.column(PART_COLUMN).to_numpy(zero_copy_only=False)
+        offs = batch.column("offset").to_numpy(zero_copy_only=False)
+        keep = offs > self.wm[part]
+        if not keep.all():
+            batch = batch.filter(pa.array(keep))
+        if self.combine and len(batch):
+            batch = compact_events(batch)
+        return batch
+
+
+def _salted_compact(group: pa.Table) -> pa.Table:
+    return compact_events(group)
+
+
+class MergeCommit:
+    """Per-partition merge + deterministic file commit, run inside
+    ``groupby("part").map_groups``. One invocation sees ALL (compacted) events
+    of its partition — the co-location the reference gets from Kafka's
+    consumer-group assignment (sink/.../S3SinkConnector.java:36-45), here
+    re-established by the hash shuffle."""
+
+    def __init__(self, out_dir: str, current_files: dict[int, list[str]],
+                 watermarks: dict[int, int], target_schema: pa.Schema,
+                 row_group_size: int = 128 * 1024):
+        self.out_dir = out_dir
+        self.current_files = current_files
+        self.watermarks = watermarks
+        self.target_schema = target_schema
+        self.row_group_size = row_group_size
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return pa.Table.from_arrays([[]] * len(STATS_SCHEMA.names), schema=STATS_SCHEMA)
+        t0 = time.monotonic()
+        p = int(group.column(PART_COLUMN)[0].as_py())
+        n_events = len(group)
+        lake_files = self.current_files.get(p, [])
+        lake_tbl = (
+            pa.concat_tables([pq.read_table(f) for f in lake_files]) if lake_files else None
+        )
+        merged = lww_merge(lake_tbl, group)
+        merged = align_to_schema(merged, self.target_schema)
+        new_wm = max(
+            self.watermarks.get(p, EMPTY_WATERMARK),
+            int(pc.max(group.column("offset")).as_py()),
+        )
+        pdir = os.path.join(self.out_dir, f"part={p}")
+        os.makedirs(pdir, exist_ok=True)
+        path = os.path.join(pdir, f"commit-{new_wm:012d}.parquet")
+        tmp = path + ".inprogress"
+        # Deterministic bytes: fixed writer settings, stable row order (merged
+        # is key-sorted), no wall-clock metadata.
+        pq.write_table(merged, tmp, row_group_size=self.row_group_size,
+                       compression="zstd")
+        os.replace(tmp, path)  # data committed before the manifest (cursor) is
+        return pa.Table.from_arrays(
+            [
+                pa.array([p], pa.int32()),
+                pa.array([path], pa.string()),
+                pa.array([new_wm], pa.int64()),
+                pa.array([len(merged)], pa.int64()),
+                pa.array([n_events], pa.int64()),
+                pa.array([time.monotonic() - t0], pa.float64()),
+            ],
+            schema=STATS_SCHEMA,
+        )
+
+
+def _discover_base_files(lake_dir: str | None, num_partitions: int) -> dict[int, list[str]]:
+    out: dict[int, list[str]] = {}
+    if not lake_dir or not os.path.isdir(lake_dir):
+        return out
+    for p in range(num_partitions):
+        files = sorted(glob.glob(os.path.join(lake_dir, f"part={p}", "*.parquet")))
+        if files:
+            out[p] = files
+    return out
+
+
+def _target_schema(changelog_schema: pa.Schema,
+                   current_files: dict[int, list[str]]) -> pa.Schema:
+    """Union payload schema across the changelog and the current lake so every
+    partition of the new snapshot is written with one schema (additive
+    evolution: new columns null-filled everywhere)."""
+    payload_fields = [f for f in changelog_schema
+                      if f.name not in (*PROVENANCE_COLUMNS, PART_COLUMN, SALT_COLUMN)]
+    tables = [pa.schema(payload_fields).empty_table()]
+    for files in current_files.values():
+        tables.append(pq.read_schema(files[0]).empty_table())
+        break  # snapshots share one schema by construction
+    unified = unify_with_nulls(tables)
+    return unified[0].schema
+
+
+def run_upsert(
+    changelog: str | list[str],
+    out_dir: str,
+    manifest_path: str,
+    lake_dir: str | None = None,
+    num_partitions: int = 16,
+    hot_keys: set[str] | str | None = None,
+    n_salts: int = 8,
+    batch_size: int | None = 64 * 1024,
+    concurrency: int | None = None,
+) -> Manifest:
+    """Run one incremental upsert round. Idempotent and resumable: replaying
+    with the same inputs regenerates identical files; already-applied offsets
+    (<= per-partition watermark) are filtered out."""
+    from ..stages.partitioner import detect_hot_keys
+
+    manifest = Manifest.load(manifest_path)
+    base = _discover_base_files(lake_dir, num_partitions)
+    for p, files in base.items():
+        manifest.init_partition(p, files)
+    current = manifest.current_files()
+    wms = manifest.watermarks(num_partitions)
+    min_wm = manifest.global_min_watermark(num_partitions)
+
+    log_ds = pads.dataset(changelog)
+    read_filter = (pads.field("offset") > min_wm) if min_wm > EMPTY_WATERMARK else None
+    ds = ray.data.read_parquet(changelog, filter=read_filter)
+
+    if hot_keys == "auto":
+        hot_keys = detect_hot_keys(ds, threshold_frac=0.05)
+    hot_keys = set(hot_keys or ())
+
+    prep = PrepareEvents(wms, num_partitions, hot_keys, n_salts)
+    ds = ds.map_batches(prep, batch_format="pyarrow", batch_size=batch_size)
+
+    if hot_keys:
+        # Salted pre-reduce: hot partitions are split into (part, salt)
+        # sub-groups first; the exact LWW compaction makes the two-phase
+        # reduction equal to a single global pass.
+        ds = ds.groupby([PART_COLUMN, SALT_COLUMN]).map_groups(
+            _salted_compact, batch_format="pyarrow"
+        )
+
+    target = _target_schema(log_ds.schema, current)
+    commit = MergeCommit(out_dir, current, wms, target)
+
+    def merge_commit(group: pa.Table, _c=commit) -> pa.Table:
+        return _c(group)
+
+    kwargs = {}
+    if concurrency:
+        kwargs["concurrency"] = concurrency
+    stats = ds.groupby(PART_COLUMN).map_groups(merge_commit, batch_format="pyarrow", **kwargs)
+    entries = stats.take_all()  # P tiny rows — the only driver-side materialization
+
+    t_total = 0.0
+    ev_total = 0
+    for e in entries:
+        manifest.record_commit(
+            int(e["part"]), e["path"], int(e["high_watermark"]),
+            int(e["num_rows"]), int(e["num_events"]), float(e["merge_seconds"]),
+        )
+        t_total += float(e["merge_seconds"])
+        ev_total += int(e["num_events"])
+    manifest.schema_fingerprint = schema_fingerprint(target)
+    manifest.metrics = {
+        "partitions_committed": len(entries),
+        "compacted_events_applied": ev_total,
+        "sum_merge_seconds": round(t_total, 4),
+        "per_partition": {
+            str(e["part"]): {
+                "events": int(e["num_events"]),
+                "rows": int(e["num_rows"]),
+                "seconds": round(float(e["merge_seconds"]), 4),
+            }
+            for e in sorted(entries, key=lambda e: e["part"])
+        },
+    }
+    manifest.commit(manifest_path)  # cursor last
+    return manifest
+
+
+def read_lake(manifest: Manifest | str) -> "ray.data.Dataset":
+    """Current lake snapshot as a streaming Dataset (one file set per
+    partition, from manifest lineage)."""
+    if isinstance(manifest, str):
+        manifest = Manifest.load(manifest)
+    files = [f for fs in manifest.current_files().values() for f in fs]
+    return ray.data.read_parquet(files)
+
+
+def lake_table(manifest: Manifest | str) -> pa.Table:
+    """Small-scale convenience: the full snapshot as one key-sorted Arrow table
+    (tests / oracle comparison only — do not call at 100 TB)."""
+    if isinstance(manifest, str):
+        manifest = Manifest.load(manifest)
+    files = [f for fs in manifest.current_files().values() for f in fs]
+    if not files:
+        return None
+    t = pa.concat_tables([pq.read_table(f) for f in files])
+    return t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
