@@ -1,0 +1,158 @@
+"""Record framing codecs + registry: the reference's pluggable S3RecordFormat
+surface (api/.../S3RecordFormat.java:7-42; registry by alias or class path,
+common/.../Configure.java:125-150).
+
+Two built-ins, mirroring the reference:
+
+- ``TrailingDelimiterCodec`` — value (+ optional key) with per-field delimiter
+  and charset, default UTF-8 + ``\\n`` (common/.../TrailingDelimiterFormat.java:19-68,
+  reader common/.../DelimitedRecordReader.java:41-121).
+- ``ByteLengthCodec`` — 4-byte big-endian length prefix per (optional key and)
+  value (common/.../ByteLengthFormat.java:13-56, reader
+  common/.../BytesRecordReader.java:30-93), raising ``CorruptRecordError`` with
+  the reference's "Corrupt record at ..." shape on truncation.
+
+These are *import-boundary* codecs: a decode stage turns archived byte blocks
+into Arrow ``(key, value, offset)`` batches (offset assignment by position —
+the reference RecordReader's ``offset++``, common/.../RecordReader.java:22-61);
+inside the engine everything is columnar Parquet/Arrow and framing is obsolete.
+Decoding is per-record by the formats' nature (variable-length byte scanning),
+so it is kept off the hot path and parallelized per *file* via
+``read_binary_files`` + ``map_batches`` (see ``decode_blocks``).
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+
+class CorruptRecordError(ValueError):
+    pass
+
+
+RECORD_SCHEMA = pa.schema(
+    [("offset", pa.int64()), ("key", pa.binary()), ("value", pa.binary())]
+)
+
+
+def _records_table(offsets, keys, values) -> pa.Table:
+    return pa.Table.from_arrays(
+        [pa.array(offsets, pa.int64()), pa.array(keys, pa.binary()), pa.array(values, pa.binary())],
+        schema=RECORD_SCHEMA,
+    )
+
+
+@dataclass
+class TrailingDelimiterCodec:
+    """value[+key] framing with trailing delimiters.
+
+    Frame: ``[key key_delimiter]? value value_delimiter``. A record whose value
+    contains the delimiter is the user's problem, exactly as in the reference.
+    """
+
+    value_delimiter: bytes = b"\n"
+    key_delimiter: bytes = b"\t"
+    include_keys: bool = False
+    charset: str = "utf-8"  # informational; keys/values are bytes end-to-end
+
+    name = "text"
+
+    def encode(self, keys: list[bytes | None], values: list[bytes]) -> bytes:
+        out = bytearray()
+        for k, v in zip(keys, values):
+            if self.include_keys:
+                out += (k or b"") + self.key_delimiter
+            out += v + self.value_delimiter
+        return bytes(out)
+
+    def decode(self, data: bytes, start_offset: int = 0) -> pa.Table:
+        if data and not data.endswith(self.value_delimiter):
+            raise CorruptRecordError(
+                f"no trailing delimiter at end of input (len={len(data)})"
+            )
+        keys: list[bytes | None] = []
+        values: list[bytes] = []
+        for rec in data.split(self.value_delimiter)[:-1] if data else []:
+            if self.include_keys:
+                k, _, v = rec.partition(self.key_delimiter)
+                keys.append(k)
+                values.append(v)
+            else:
+                keys.append(None)
+                values.append(rec)
+        offs = np.arange(start_offset, start_offset + len(values), dtype=np.int64)
+        return _records_table(offs, keys, values)
+
+
+@dataclass
+class ByteLengthCodec:
+    """4-byte big-endian length-prefixed framing:
+    ``[len(key)][key]?[len(value)][value]``."""
+
+    include_keys: bool = True
+
+    name = "binary"
+
+    def encode(self, keys: list[bytes | None], values: list[bytes]) -> bytes:
+        out = bytearray()
+        for k, v in zip(keys, values):
+            if self.include_keys:
+                k = k or b""
+                out += struct.pack(">i", len(k)) + k
+            out += struct.pack(">i", len(v)) + v
+        return bytes(out)
+
+    def decode(self, data: bytes, start_offset: int = 0,
+               source: str = "<block>") -> pa.Table:
+        keys: list[bytes | None] = []
+        values: list[bytes] = []
+        pos, n = 0, len(data)
+
+        def read_field() -> bytes:
+            nonlocal pos
+            if pos + 4 > n:
+                raise CorruptRecordError(
+                    f"Corrupt record at {source}:{start_offset + len(values)}"
+                )
+            (length,) = struct.unpack_from(">i", data, pos)
+            pos += 4
+            if length < 0 or pos + length > n:
+                raise CorruptRecordError(
+                    f"Corrupt record at {source}:{start_offset + len(values)}"
+                )
+            field = data[pos : pos + length]
+            pos += length
+            return field
+
+        while pos < n:
+            keys.append(read_field() if self.include_keys else None)
+            values.append(read_field())
+        offs = np.arange(start_offset, start_offset + len(values), dtype=np.int64)
+        return _records_table(offs, keys, values)
+
+
+FORMATS: dict[str, type] = {
+    TrailingDelimiterCodec.name: TrailingDelimiterCodec,
+    ByteLengthCodec.name: ByteLengthCodec,
+}
+
+
+def register_format(name: str, cls: type) -> None:
+    """User-extension hook (reference: ``format=<fqcn>``,
+    common/.../Configure.java:125-150)."""
+    FORMATS[name] = cls
+
+
+def get_format(name: str, **config):
+    if name in FORMATS:
+        return FORMATS[name](**config)
+    if "." in name:  # dotted-path custom class, the <fqcn> escape hatch
+        import importlib
+
+        mod, _, cls = name.rpartition(".")
+        return getattr(importlib.import_module(mod), cls)(**config)
+    raise KeyError(f"unknown format {name!r}; known: {sorted(FORMATS)}")
