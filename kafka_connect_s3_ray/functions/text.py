@@ -1,0 +1,124 @@
+"""Text-analysis stages for large-scale training-data pipelines: token
+counting, quality scoring, language ID, document fingerprinting.
+
+All hot-path work is vectorized (pyarrow.compute string kernels / pandas str
+ops); stages needing compiled state (regexes, stopword tables) are callable
+classes so `map_batches(Cls, concurrency=N)` builds the state once per actor
+(reference analog ST3: per-file reader instances holding buffers,
+common/.../DelimitedRecordReader.java:21-39).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Small per-language stopword profiles for the n-gram/stopword language-ID
+# heuristic. Public knowledge (common function words).
+_LANG_STOPWORDS: dict[str, set[str]] = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for", "with", "as", "was"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "una", "los", "las", "por", "con", "para"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "von", "zu", "den"},
+    "fr": {"le", "la", "les", "de", "des", "et", "un", "une", "est", "que", "pour", "dans"},
+    "it": {"il", "la", "di", "che", "e", "un", "una", "per", "con", "del", "sono", "non"},
+}
+
+TOKEN_REGEX = r"\w+|[^\w\s]"  # BPE-ish: words plus standalone punctuation
+
+
+def add_token_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Vectorized token counting: whitespace tokens (``n_tokens_ws``) and
+    word+punctuation tokens (``n_tokens``) via Arrow regex-count kernels."""
+    text = batch.column(text_col)
+    ws = pc.count_substring_regex(text, r"\S+")
+    bpe = pc.count_substring_regex(text, TOKEN_REGEX)
+    batch = batch.append_column("n_tokens_ws", pc.cast(ws, pa.int64()))
+    return batch.append_column("n_tokens", pc.cast(bpe, pa.int64()))
+
+
+def add_quality_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Quality-scoring features: length, punctuation ratio, digit ratio,
+    uppercase ratio, mean word length, stopword ratio (en) — all Arrow/numpy
+    kernels, no Python per row."""
+    text = batch.column(text_col)
+    n_chars = pc.cast(pc.utf8_length(text), pa.float64())
+    safe_chars = pc.max_element_wise(n_chars, pa.scalar(1.0))
+    n_punct = pc.cast(pc.count_substring_regex(text, r"[^\w\s]"), pa.float64())
+    n_digit = pc.cast(pc.count_substring_regex(text, r"\d"), pa.float64())
+    n_upper = pc.cast(pc.count_substring_regex(text, r"[A-Z]"), pa.float64())
+    n_ws = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.float64())
+    safe_ws = pc.max_element_wise(n_ws, pa.scalar(1.0))
+    stop_pat = r"\b(" + "|".join(sorted(_LANG_STOPWORDS["en"])) + r")\b"
+    n_stop = pc.cast(pc.count_substring_regex(text, stop_pat), pa.float64())
+    batch = batch.append_column("len_chars", pc.cast(n_chars, pa.int64()))
+    batch = batch.append_column("punct_ratio", pc.divide(n_punct, safe_chars))
+    batch = batch.append_column("digit_ratio", pc.divide(n_digit, safe_chars))
+    batch = batch.append_column("upper_ratio", pc.divide(n_upper, safe_chars))
+    batch = batch.append_column(
+        "mean_word_len",
+        pc.divide(pc.subtract(n_chars, pc.subtract(n_ws, pa.scalar(1.0))), safe_ws),
+    )
+    return batch.append_column("stopword_ratio", pc.divide(n_stop, safe_ws))
+
+
+class LanguageId:
+    """Stopword-profile language-ID heuristic as an actor-pool stage: profiles
+    compiled once per actor in ``__init__``, batches scored vectorized via one
+    regex-count per language."""
+
+    def __init__(self, languages: list[str] | None = None):
+        langs = languages or sorted(_LANG_STOPWORDS)
+        self.patterns = {
+            lang: r"\b(" + "|".join(sorted(_LANG_STOPWORDS[lang])) + r")\b"
+            for lang in langs
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = pc.utf8_lower(batch.column("text"))
+        n_ws = pc.max_element_wise(
+            pc.cast(pc.count_substring_regex(text, r"\S+"), pa.float64()), pa.scalar(1.0)
+        ).to_numpy(zero_copy_only=False)
+        scores = np.stack(
+            [
+                pc.cast(pc.count_substring_regex(text, pat), pa.float64())
+                .to_numpy(zero_copy_only=False)
+                for pat in self.patterns.values()
+            ]
+        ) / n_ws
+        langs = np.array(list(self.patterns))
+        best = scores.argmax(axis=0)
+        pred = langs[best].astype(object)
+        pred[scores.max(axis=0) < 0.03] = "und"  # no profile matched
+        return batch.append_column("lang_pred", pa.array(pred, pa.string()))
+
+
+def add_fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Content fingerprint = md5 of the lowercased, whitespace-trimmed text
+    (DuckDB-reproducible for the oracle check; used as the exact-dedup key)."""
+    text = pc.utf8_trim_whitespace(pc.utf8_lower(batch.column(text_col)))
+    vals = text.to_pandas().fillna("")
+    fp = vals.map(lambda s: hashlib.md5(s.encode()).hexdigest())
+    return batch.append_column("fingerprint", pa.array(fp, pa.string()))
+
+
+def rolling_hash_fingerprint(batch: pa.Table, text_col: str = "text",
+                             window: int = 8) -> pa.Table:
+    """Polynomial rolling-hash document fingerprint (numpy-vectorized per doc):
+    min of rolling window hashes over the byte sequence — a cheap shift-robust
+    signature (winnowing-style). Non-SQL; rows-only oracle."""
+    out = np.zeros(len(batch), dtype=np.uint64)
+    texts = batch.column(text_col).to_pylist()
+    B = np.uint64(1000003)
+    powers = B ** np.arange(window, dtype=np.uint64)
+    for i, t in enumerate(texts):
+        b = np.frombuffer((t or "").encode(), dtype=np.uint8).astype(np.uint64)
+        if len(b) < window:
+            out[i] = (b * powers[: len(b)]).sum() if len(b) else 0
+            continue
+        win = np.lib.stride_tricks.sliding_window_view(b, window)
+        out[i] = (win * powers).sum(axis=1).min()
+    return batch.append_column("rolling_fp", pa.array(out, pa.uint64()))

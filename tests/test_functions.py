@@ -1,0 +1,186 @@
+"""Training-data ops: text analysis, dedup (exact + near-dup), similarity
+search, multimodal plumbing — over the driver testdata tables."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from kafka_connect_s3_ray.functions.dedup import (
+    embedding_near_dup,
+    exact_dedup,
+    jaccard_verify,
+    minhash_lsh_candidates,
+    simhash_candidates,
+)
+from kafka_connect_s3_ray.functions.multimodal import (
+    FrameSampler,
+    MediaFeatureExtractor,
+    suggest_batch_size,
+    synth_media,
+)
+from kafka_connect_s3_ray.functions.similarity import brute_force_topk, ivf_topk, kmeans_fit
+from kafka_connect_s3_ray.functions.text import (
+    LanguageId,
+    add_fingerprint,
+    add_quality_stats,
+    add_token_counts,
+    rolling_hash_fingerprint,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return ray.data.read_parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb():
+    return ray.data.read_parquet(f"{SF}/embeddings.parquet")
+
+
+def test_token_counts_and_quality(docs):
+    out = docs.map_batches(add_token_counts, batch_format="pyarrow") \
+              .map_batches(add_quality_stats, batch_format="pyarrow").to_pandas()
+    manual_ws = out["text"].str.split().str.len()
+    assert (out["n_tokens_ws"] == manual_ws).all()
+    assert (out["n_tokens"] >= out["n_tokens_ws"]).all()
+    assert (out["len_chars"] == out["text"].str.len()).all()
+    assert out["punct_ratio"].between(0, 1).all()
+    assert out["stopword_ratio"].between(0, 1.01).all()
+
+
+def test_language_id(docs):
+    out = docs.map_batches(LanguageId, batch_format="pyarrow", concurrency=2).to_pandas()
+    assert set(out["lang_pred"]) <= {"en", "es", "de", "fr", "it", "und"}
+    # texts here are English-ish technical words; majority should be en or und
+    assert (out["lang_pred"].isin(["en", "und"])).mean() > 0.5
+
+
+def test_fingerprints(docs):
+    out = docs.map_batches(add_fingerprint, batch_format="pyarrow") \
+              .map_batches(rolling_hash_fingerprint, batch_format="pyarrow").to_pandas()
+    import hashlib
+
+    row = out.iloc[0]
+    assert row["fingerprint"] == hashlib.md5(row["text"].lower().strip().encode()).hexdigest()
+    # rolling fp deterministic
+    out2 = docs.map_batches(rolling_hash_fingerprint, batch_format="pyarrow").to_pandas()
+    assert (out.set_index("doc_id")["rolling_fp"] == out2.set_index("doc_id")["rolling_fp"]).all()
+
+
+def test_exact_dedup_with_planted_dups(docs):
+    base = docs.to_pandas()
+    dup = base.head(10).copy()
+    dup["doc_id"] = dup["doc_id"] + 10_000  # same text, higher id
+    ds = ray.data.from_pandas(pd.concat([base, dup], ignore_index=True))
+    kept = exact_dedup(ds).to_pandas()
+    assert len(kept) == len(base)
+    assert kept["doc_id"].max() < 10_000  # min-id row won
+
+
+def test_minhash_lsh_finds_planted_near_dups(docs):
+    base = docs.to_pandas()
+    near = base.head(5).copy()
+    near["doc_id"] = near["doc_id"] + 20_000
+    near["text"] = near["text"] + " tail tweak"
+    ds = ray.data.from_pandas(pd.concat([base, near], ignore_index=True))
+    cand = minhash_lsh_candidates(ds).to_pandas()
+    planted = {(i, i + 20_000) for i in range(5)}
+    found = set(zip(cand["left_id"], cand["right_id"]))
+    assert planted <= found
+    verified = jaccard_verify(
+        ray.data.from_pandas(cand), ds, threshold=0.6
+    ).to_pandas()
+    vfound = set(zip(verified["left_id"], verified["right_id"]))
+    assert planted <= vfound
+    assert (verified["jaccard"] >= 0.6).all()
+
+
+def test_simhash_candidates(docs):
+    base = docs.to_pandas().head(100)
+    near = base.head(3).copy()
+    near["doc_id"] = near["doc_id"] + 30_000  # identical text -> hamming 0
+    ds = ray.data.from_pandas(pd.concat([base, near], ignore_index=True))
+    cand = simhash_candidates(ds).to_pandas()
+    found = set(zip(cand["left_id"], cand["right_id"]))
+    assert {(i, i + 30_000) for i in range(3)} <= found
+    assert (cand["hamming"] <= 3).all()
+
+
+def test_embedding_near_dup(emb):
+    base = emb.to_pandas()
+    dup = base.head(4).copy()
+    dup["vec_id"] = dup["vec_id"] + 40_000  # identical vectors -> cosine 1
+    ds = ray.data.from_pandas(pd.concat([base, dup], ignore_index=True))
+    pairs = embedding_near_dup(ds, threshold=0.999).to_pandas()
+    found = set(zip(pairs["left_id"], pairs["right_id"]))
+    assert {(i, i + 40_000) for i in range(4)} <= found
+
+
+def test_brute_force_topk_matches_numpy(emb):
+    pdf = emb.to_pandas()
+    mat = np.stack(pdf["embedding"].to_list()).astype(np.float64)
+    queries = mat[:3]
+    got = brute_force_topk(emb, queries, k=5)
+    mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    sims = mn @ qn.T
+    for qi in range(3):
+        expect_top = pdf["vec_id"].to_numpy()[np.argsort(-sims[:, qi])[:5]]
+        g = got[got["query_id"] == qi]
+        assert list(g["vec_id"]) == list(expect_top)
+        assert g.iloc[0]["score"] >= g.iloc[-1]["score"]
+    # self-match is rank 1 with score ~1
+    assert got[got["query_id"] == 0].iloc[0]["vec_id"] == pdf["vec_id"].iloc[0]
+    assert got[got["query_id"] == 0].iloc[0]["score"] > 0.999
+
+
+def test_ivf_topk_high_recall(emb):
+    pdf = emb.to_pandas()
+    mat = np.stack(pdf["embedding"].to_list()).astype(np.float64)
+    queries = mat[:3]
+    exact = brute_force_topk(emb, queries, k=5)
+    approx = ivf_topk(emb, queries, k=5, n_clusters=8, nprobe=4)
+    recall = len(
+        set(zip(exact["query_id"], exact["vec_id"]))
+        & set(zip(approx["query_id"], approx["vec_id"]))
+    ) / len(exact)
+    assert recall >= 0.6  # nprobe=4 of 8 clusters
+
+
+def test_kmeans_deterministic():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((500, 8))
+    c1 = kmeans_fit(x, 4, seed=42)
+    c2 = kmeans_fit(x, 4, seed=42)
+    assert np.allclose(c1, c2)
+
+
+def test_multimodal_plumbing():
+    media = synth_media(48)
+    ds = ray.data.from_arrow(media)
+    feats = ds.map_batches(
+        MediaFeatureExtractor, batch_format="pyarrow", concurrency=2,
+        batch_size=suggest_batch_size(4096, budget_bytes=64 * 1024),
+    ).to_pandas()
+    assert len(feats) == 48 and "payload" not in feats.columns
+    assert all(len(f) == 40 for f in feats["features"])
+    # determinism
+    feats2 = ds.map_batches(
+        MediaFeatureExtractor, batch_format="pyarrow", concurrency=2
+    ).to_pandas()
+    f1 = feats.sort_values("media_id")["features"].apply(tuple)
+    f2 = feats2.sort_values("media_id")["features"].apply(tuple)
+    assert (f1.values == f2.values).all()
+    # frame sampling expands rows
+    frames = ds.map_batches(FrameSampler(4), batch_format="pyarrow").to_pandas()
+    assert len(frames) == 48 * 4
+    assert set(frames["frame_idx"]) == {0, 1, 2, 3}
+    # real decoder is an explicit stub
+    with pytest.raises(NotImplementedError):
+        MediaFeatureExtractor(decoder="real")
