@@ -55,6 +55,8 @@ def add_quality_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     stop_pat = r"\b(" + "|".join(sorted(_LANG_STOPWORDS["en"])) + r")\b"
     n_stop = pc.cast(pc.count_substring_regex(text, stop_pat), pa.float64())
     batch = batch.append_column("len_chars", pc.cast(n_chars, pa.int64()))
+    batch = batch.append_column("n_punct", pc.cast(n_punct, pa.int64()))
+    batch = batch.append_column("n_digit", pc.cast(n_digit, pa.int64()))
     batch = batch.append_column("punct_ratio", pc.divide(n_punct, safe_chars))
     batch = batch.append_column("digit_ratio", pc.divide(n_digit, safe_chars))
     batch = batch.append_column("upper_ratio", pc.divide(n_upper, safe_chars))
@@ -96,10 +98,13 @@ class LanguageId:
         return batch.append_column("lang_pred", pa.array(pred, pa.string()))
 
 
-def add_fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Content fingerprint = md5 of the lowercased, whitespace-trimmed text
-    (DuckDB-reproducible for the oracle check; used as the exact-dedup key)."""
-    text = pc.utf8_trim_whitespace(pc.utf8_lower(batch.column(text_col)))
+def add_fingerprint(batch: pa.Table, text_col: str = "text", trim: bool = True) -> pa.Table:
+    """Content fingerprint = md5 of the lowercased (optionally
+    whitespace-trimmed) text (DuckDB-reproducible for the oracle check; used as
+    the exact-dedup key)."""
+    text = pc.utf8_lower(batch.column(text_col))
+    if trim:
+        text = pc.utf8_trim_whitespace(text)
     vals = text.to_pandas().fillna("")
     fp = vals.map(lambda s: hashlib.md5(s.encode()).hexdigest())
     return batch.append_column("fingerprint", pa.array(fp, pa.string()))

@@ -1,0 +1,510 @@
+"""Driver-facing query catalog: one callable per operator/pipeline from
+SURVEY.md §2, each taking ``sf_dir`` and returning a Dataset / DataFrame /
+Arrow table, plus the matching DuckDB oracle SQL (``ORACLE_SQL``).
+
+The CDC operators run against the ``events`` table (the driver's stream-shaped
+table) with the mapping: key = user_id, order/offset = event_id, op = 'D' when
+event_type = 'error' else upsert — so the engine's watermark / LWW / merge
+semantics are SQL-checkable. The flagship transcript pipeline additionally runs
+on a deterministic synthetic transcript fixture (BASELINE.json input_hint
+shape) and is rows-only checked (its oracle lives in pytest).
+
+Column names are chosen to match the oracle SQL exactly; computed integer
+columns are int64 to match DuckDB BIGINT.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ..functions.dedup import (
+    embedding_near_dup,
+    minhash_lsh_candidates,
+    simhash_candidates,
+)
+from ..functions.similarity import brute_force_topk, ivf_topk
+from ..functions.text import (
+    LanguageId,
+    add_fingerprint,
+    add_quality_stats,
+    add_token_counts,
+    rolling_hash_fingerprint,
+)
+from ..stages.merge import compact_events
+from ..synth import write_fixture
+from .upsert import lake_table, run_upsert
+
+P_EVENTS = 8  # user_id % 8 partitioning used by the events-table CDC queries
+
+
+def _events(sf_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def _docs(sf_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(sf_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _add_part(batch: pa.Table) -> pa.Table:
+    part = pc.cast(
+        pc.bit_wise_and(batch.column("user_id"), pa.scalar(P_EVENTS - 1)), pa.int64()
+    )
+    return batch.append_column("part", part)
+
+
+# ---------------------------------------------------------------------------
+# CDC operators over the events table (SQL-checkable)
+# ---------------------------------------------------------------------------
+
+def q_watermark_filter(sf_dir: str):
+    """S7/D1/O4: resume filter — drop events at or below the per-partition
+    watermark (wm[part] = part * 50), vectorized, no record-skip loop."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        wm = (uid % P_EVENTS) * 50
+        return batch.filter(pa.array(eid > wm))
+
+    return _events(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def q_partition_watermarks(sf_dir: str):
+    """A2/A3: per-partition high-watermark = groupby-max over offsets."""
+    out = (
+        _events(sf_dir)
+        .map_batches(_add_part, batch_format="pyarrow")
+        .groupby("part")
+        .max("event_id")
+        .to_pandas()
+    )
+    out = out.rename(columns={"max(event_id)": "high_watermark"})
+    return out.sort_values("part").reset_index(drop=True)
+
+
+def q_lww_keep_last(sf_dir: str):
+    """D3: last-writer-wins dedup — keep the max-offset event per key, via the
+    engine's compact kernel inside a hash-partitioned map_groups."""
+
+    def keep_last(g: pa.Table) -> pa.Table:
+        return compact_events(g, key_cols=["user_id", "event_type"], order_col="event_id")
+
+    out = (
+        _events(sf_dir)
+        .groupby(["user_id", "event_type"])
+        .map_groups(keep_last, batch_format="pyarrow")
+    )
+
+    def rename(b: pa.Table) -> pa.Table:
+        b = b.select(["user_id", "event_type", "event_id", "value", "props"])
+        return b.rename_columns(
+            ["user_id", "event_type", "last_event_id", "last_value", "last_props"]
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+def q_cdc_merge_events(sf_dir: str, tmp_root: str = "/tmp/kcs3_ray"):
+    """J1: the full upsert engine on the events table — key = user_id,
+    op = 'D' iff event_type = 'error', LWW by event_id — run INCREMENTALLY
+    (phase 1: events <= WM builds the lake + checkpoint; phase 2: the rest
+    resumes from the manifest), which must equal a single full replay."""
+    ds = _events(sf_dir)
+    wm_split = int(ds.max("event_id")) // 2
+    work = os.path.join(tmp_root, f"merge_events_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(work, ignore_errors=True)
+
+    def to_change(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        op = pc.if_else(
+            pc.equal(batch.column("event_type"), "error"), pa.scalar("D"), pa.scalar("U")
+        )
+        return pa.table(
+            {
+                "offset": pc.cast(batch.column("event_id"), pa.int64()),
+                "op": op,
+                "conv_id": pc.cast(batch.column("user_id"), pa.string()),
+                "turn_idx": pa.array(np.zeros(n, np.int32)),
+                "event_type": batch.column("event_type"),
+                "value": batch.column("value"),
+                "props": batch.column("props"),
+                "ts": batch.column("ts"),
+            }
+        )
+
+    change = ds.map_batches(to_change, batch_format="pyarrow")
+    p1, p2 = os.path.join(work, "phase1"), os.path.join(work, "phase2")
+    change.filter(expr=f"offset <= {wm_split}").write_parquet(p1)
+    change.filter(expr=f"offset > {wm_split}").write_parquet(p2)
+    out_dir = os.path.join(work, "lake_out")
+    mpath = os.path.join(work, "manifest.json")
+    run_upsert(p1, out_dir, mpath, num_partitions=P_EVENTS)
+    m = run_upsert(p2, out_dir, mpath, num_partitions=P_EVENTS)
+    t = lake_table(m)
+    return pa.table(
+        {
+            "user_id": pc.cast(t.column("conv_id"), pa.int64()),
+            "event_type": t.column("event_type"),
+            "value": t.column("value"),
+            "props": t.column("props"),
+            "ts": t.column("ts"),
+        }
+    )
+
+
+def q_archive_roundtrip(sf_dir: str, tmp_root: str = "/tmp/kcs3_ray"):
+    """S1-S7 byte path: events -> framed byte records -> block-gzip archive
+    (offset-named files + chunk indexes) -> replay. Output equals the input
+    stream with dense per-partition offsets."""
+    from ..sources.archive import archive_records, read_archive
+
+    work = os.path.join(tmp_root, f"archive_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(work, ignore_errors=True)
+    ds = _events(sf_dir).map_batches(_add_part, batch_format="pyarrow")
+
+    def to_records(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("event_id", "ascending")])
+        n = len(g)
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        props = g.column("props").to_pylist()
+        return pa.table(
+            {
+                "partition": pc.cast(g.column("part"), pa.int32()),
+                "offset": pa.array(np.arange(n, dtype=np.int64)),
+                "key": pa.array([str(u).encode() for u in uid], pa.binary()),
+                "value": pa.array([p.encode() for p in props], pa.binary()),
+            }
+        )
+
+    records = ds.groupby("part").map_groups(to_records, batch_format="pyarrow")
+    archive_records(records, work, topic="events", date="2024-01-01",
+                    chunk_threshold=64 * 1024)
+    back = read_archive(work, topic="events")
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "partition": pc.cast(b.column("partition"), pa.int64()),
+                "offset": b.column("offset"),
+                "value": pc.cast(b.column("value"), pa.string()),
+            }
+        )
+
+    return back.map_batches(project, batch_format="pyarrow")
+
+
+def q_partition_prune(sf_dir: str):
+    """M10: partition predicate — only partitions {1, 3} survive."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(np.isin(uid % P_EVENTS, (1, 3))))
+
+    return _events(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def q_replay_order(sf_dir: str):
+    """O1: explicit replay ordering — sort by (partition, offset), first 100."""
+    ds = _events(sf_dir).map_batches(_add_part, batch_format="pyarrow")
+    ds = ds.select_columns(["event_id", "user_id", "part"])
+    return ds.sort(["part", "event_id"]).limit(100)
+
+
+def q_topk_events(sf_dir: str):
+    """O2 + sort: top-20 events by value (deterministic event_id tie-break)."""
+    ds = _events(sf_dir).select_columns(["event_id", "user_id", "event_type", "value"])
+    return ds.sort(["value", "event_id"], descending=[True, False]).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# document / text operators
+# ---------------------------------------------------------------------------
+
+def q_exclude_filter(sf_dir: str):
+    """M9: substring exclude-list filter over document text."""
+    pats = ["merge", "shuffle"]
+
+    def f(batch: pa.Table) -> pa.Table:
+        drop = None
+        for p in pats:
+            m = pc.fill_null(pc.match_substring(batch.column("text"), p), False)
+            drop = m if drop is None else pc.or_(drop, m)
+        return batch.filter(pc.invert(drop))
+
+    return _docs(sf_dir).map_batches(f, batch_format="pyarrow").select_columns(
+        ["doc_id", "text", "source"]
+    )
+
+
+def q_token_count(sf_dir: str):
+    out = _docs(sf_dir).map_batches(add_token_counts, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "n_tokens_ws"])
+
+
+def q_quality_stats(sf_dir: str):
+    out = _docs(sf_dir).map_batches(add_quality_stats, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "len_chars", "n_punct", "n_digit", "punct_ratio"])
+
+
+def q_dedup_exact(sf_dir: str):
+    """Exact dedup: min doc_id per md5(lower(text)) content hash."""
+    ds = _docs(sf_dir).map_batches(
+        lambda b: add_fingerprint(b, trim=False), batch_format="pyarrow"
+    )
+
+    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("doc_id", kind="stable").head(1)
+
+    out = ds.groupby("fingerprint").map_groups(keep_min, batch_format="pandas")
+    return out.select_columns(["doc_id", "text"])
+
+
+def q_token_sum_by_lang(sf_dir: str):
+    """Partial-aggregation pattern: per-batch combiner (lang, partial sums)
+    before the groupby — the shuffle moves one row per lang per batch."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = add_token_counts(batch)
+        df = batch.select(["lang", "n_tokens_ws"]).to_pandas()
+        g = df.groupby("lang", as_index=False).agg(
+            partial_tokens=("n_tokens_ws", "sum"), partial_docs=("n_tokens_ws", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = _docs(sf_dir).map_batches(partial, batch_format="pyarrow")
+    out = ds.groupby("lang").aggregate(
+        Sum("partial_tokens", alias_name="total_tokens"),
+        Sum("partial_docs", alias_name="n_docs"),
+    )
+    return out
+
+
+def q_lang_id(sf_dir: str):
+    out = _docs(sf_dir).map_batches(LanguageId, batch_format="pyarrow", concurrency=2)
+    return out.select_columns(["doc_id", "lang_pred"])
+
+
+def q_rolling_fingerprint(sf_dir: str):
+    out = _docs(sf_dir).map_batches(rolling_hash_fingerprint, batch_format="pyarrow")
+
+    def cast(b: pa.Table) -> pa.Table:
+        # uint64 -> int64 bit-reinterpret for portable hashing downstream
+        fp = b.column("rolling_fp").to_numpy(zero_copy_only=False).view(np.int64)
+        return b.drop_columns(["rolling_fp"]).append_column(
+            "rolling_fp", pa.array(fp, pa.int64())
+        )
+
+    return out.map_batches(cast, batch_format="pyarrow").select_columns(
+        ["doc_id", "rolling_fp"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup / similarity over embeddings + documents (rows-only oracles)
+# ---------------------------------------------------------------------------
+
+def q_minhash_near_dup(sf_dir: str):
+    return minhash_lsh_candidates(_docs(sf_dir))
+
+
+def q_simhash_near_dup(sf_dir: str):
+    return simhash_candidates(_docs(sf_dir))
+
+
+def q_embedding_near_dup(sf_dir: str):
+    out = embedding_near_dup(_emb(sf_dir), threshold=0.95).to_pandas()
+    if out.empty:  # keep a stable schema even when no pair clears the bar
+        return pa.table({"left_id": pa.array([], pa.int64()),
+                         "right_id": pa.array([], pa.int64())})
+    return pa.table({"left_id": pa.array(out["left_id"], pa.int64()),
+                     "right_id": pa.array(out["right_id"], pa.int64())})
+
+
+def q_cosine_topk(sf_dir: str):
+    """Brute-force cosine top-10 for the first 3 vectors as queries."""
+    emb = _emb(sf_dir)
+    qdf = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet")).limit(3).to_pandas()
+    queries = np.stack(qdf.sort_values("vec_id")["embedding"].to_list()).astype(np.float64)
+    out = brute_force_topk(emb, queries, k=10)
+    out["score"] = out["score"].round(6)
+    return out[["query_id", "vec_id", "score"]]
+
+
+def q_cosine_topk_ivf(sf_dir: str):
+    emb = _emb(sf_dir)
+    qdf = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet")).limit(3).to_pandas()
+    queries = np.stack(qdf.sort_values("vec_id")["embedding"].to_list()).astype(np.float64)
+    out = ivf_topk(emb, queries, k=10, n_clusters=8, nprobe=6)
+    out["score"] = out["score"].round(6)
+    return out[["query_id", "vec_id", "score"]]
+
+
+# ---------------------------------------------------------------------------
+# flagship transcript CDC pipeline (rows-only; pytest holds its oracle)
+# ---------------------------------------------------------------------------
+
+_SF_SCALE = {  # sf name -> (n_conv, n_events, partitions)
+    "sf0.001": (300, 6_000, 8),
+    "sf0.01": (1_000, 40_000, 16),
+    "sf0.1": (4_000, 400_000, 32),
+}
+
+
+def transcripts_fixture(sf_dir: str, tmp_root: str = "/tmp/kcs3_ray") -> dict:
+    """Deterministic transcript lake + changelog for this sf, cached on disk
+    (seed=42 — regenerating yields identical bytes)."""
+    name = os.path.basename(sf_dir.rstrip("/"))
+    n_conv, n_events, parts = _SF_SCALE.get(name, (1_000, 40_000, 16))
+    root = os.path.join(tmp_root, f"transcripts_{name}")
+    marker = os.path.join(root, ".complete")
+    if not os.path.exists(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        write_fixture(root, n_conv=n_conv, n_events=n_events, num_partitions=parts,
+                      files_per_partition=4)
+        open(marker, "w").write("ok")
+    return {
+        "root": root,
+        "lake_dir": os.path.join(root, "lake"),
+        "changelog_dir": os.path.join(root, "changelog"),
+        "num_partitions": parts,
+    }
+
+
+def q_cdc_transcripts(sf_dir: str, tmp_root: str = "/tmp/kcs3_ray"):
+    """The flagship: transcript changelog -> hash-partitioned LWW upsert into
+    the transcript lake, salted hot keys, manifest checkpoint. Returns the
+    final merged table (stable (conv_id, turn_idx) order)."""
+    fx = transcripts_fixture(sf_dir, tmp_root)
+    out_dir = os.path.join(fx["root"], "lake_out")
+    mpath = os.path.join(fx["root"], "manifest_run.json")
+    for p in (out_dir, mpath):
+        shutil.rmtree(p, ignore_errors=True) if os.path.isdir(p) else (
+            os.remove(p) if os.path.exists(p) else None
+        )
+    m = run_upsert(
+        fx["changelog_dir"], out_dir, mpath, lake_dir=fx["lake_dir"],
+        num_partitions=fx["num_partitions"], hot_keys="auto",
+    )
+    return lake_table(m)
+
+
+# ---------------------------------------------------------------------------
+# catalog
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "watermark_filter": q_watermark_filter,
+    "partition_watermarks": q_partition_watermarks,
+    "lww_keep_last": q_lww_keep_last,
+    "cdc_merge_events": q_cdc_merge_events,
+    "archive_roundtrip": q_archive_roundtrip,
+    "partition_prune": q_partition_prune,
+    "replay_order": q_replay_order,
+    "topk_events": q_topk_events,
+    "exclude_filter": q_exclude_filter,
+    "token_count": q_token_count,
+    "quality_stats": q_quality_stats,
+    "dedup_exact": q_dedup_exact,
+    "token_sum_by_lang": q_token_sum_by_lang,
+    "lang_id": q_lang_id,
+    "rolling_fingerprint": q_rolling_fingerprint,
+    "minhash_near_dup": q_minhash_near_dup,
+    "simhash_near_dup": q_simhash_near_dup,
+    "embedding_near_dup": q_embedding_near_dup,
+    "cosine_topk": q_cosine_topk,
+    "cosine_topk_ivf": q_cosine_topk_ivf,
+    "cdc_transcripts": q_cdc_transcripts,
+}
+
+_TOKENS_WS_SQL = (
+    "CASE WHEN trim(text) = '' THEN 0 "
+    "ELSE array_length(regexp_split_to_array(trim(text), '\\s+')) END"
+)
+
+ORACLE_SQL = {
+    "watermark_filter": (
+        "SELECT event_id, ts, user_id, event_type, value, props FROM events "
+        f"WHERE event_id > (user_id % {P_EVENTS}) * 50"
+    ),
+    "partition_watermarks": (
+        f"SELECT user_id % {P_EVENTS} AS part, max(event_id) AS high_watermark "
+        "FROM events GROUP BY 1 ORDER BY part"
+    ),
+    "lww_keep_last": (
+        "SELECT user_id, event_type, event_id AS last_event_id, value AS last_value, "
+        "props AS last_props FROM (SELECT *, row_number() OVER (PARTITION BY user_id, "
+        "event_type ORDER BY event_id DESC) AS rn FROM events) WHERE rn = 1"
+    ),
+    "cdc_merge_events": (
+        "SELECT CAST(user_id AS BIGINT) AS user_id, event_type, value, props, ts "
+        "FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) "
+        "AS rn FROM events) WHERE rn = 1 AND event_type <> 'error'"
+    ),
+    "archive_roundtrip": (
+        f"SELECT CAST(user_id % {P_EVENTS} AS BIGINT) AS partition, "
+        f"CAST(row_number() OVER (PARTITION BY user_id % {P_EVENTS} ORDER BY event_id) - 1 "
+        "AS BIGINT) AS offset, props AS value FROM events"
+    ),
+    "partition_prune": (
+        "SELECT event_id, ts, user_id, event_type, value, props FROM events "
+        f"WHERE user_id % {P_EVENTS} IN (1, 3)"
+    ),
+    "replay_order": (
+        f"SELECT event_id, user_id, CAST(user_id % {P_EVENTS} AS BIGINT) AS part "
+        "FROM events ORDER BY part, event_id LIMIT 100"
+    ),
+    "topk_events": (
+        "SELECT event_id, user_id, event_type, value FROM events "
+        "ORDER BY value DESC, event_id LIMIT 20"
+    ),
+    "exclude_filter": (
+        "SELECT doc_id, text, source FROM documents "
+        "WHERE text NOT LIKE '%merge%' AND text NOT LIKE '%shuffle%'"
+    ),
+    "token_count": (
+        f"SELECT doc_id, CAST({_TOKENS_WS_SQL} AS BIGINT) AS n_tokens_ws FROM documents"
+    ),
+    "quality_stats": (
+        "SELECT doc_id, CAST(length(text) AS BIGINT) AS len_chars, "
+        "CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS BIGINT) AS n_punct, "
+        "CAST(length(text) - length(regexp_replace(text, '\\d', '', 'g')) AS BIGINT) AS n_digit, "
+        "CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) "
+        "/ greatest(length(text), 1) AS punct_ratio FROM documents"
+    ),
+    "dedup_exact": (
+        "SELECT doc_id, text FROM (SELECT doc_id, text, row_number() OVER "
+        "(PARTITION BY md5(lower(text)) ORDER BY doc_id) AS rn FROM documents) WHERE rn = 1"
+    ),
+    "token_sum_by_lang": (
+        f"SELECT lang, CAST(sum({_TOKENS_WS_SQL}) AS BIGINT) AS total_tokens, "
+        "CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang"
+    ),
+    "cosine_topk": (
+        "WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings "
+        "WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 3)), "
+        "scored AS (SELECT q.query_id, e.vec_id, "
+        "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS score "
+        "FROM q CROSS JOIN embeddings e), "
+        "ranked AS (SELECT query_id, vec_id, score, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn FROM scored) "
+        "SELECT CAST(dense_rank() OVER (ORDER BY query_id) AS INT) - 1 AS query_id, "
+        "vec_id, round(score, 6) AS score FROM ranked WHERE rn <= 10"
+    ),
+    # lang_id / rolling_fingerprint / near-dup / IVF / transcript pipeline:
+    # non-SQL-expressible (heuristic profiles, LSH, engine-internal fixture) —
+    # rows-only checks.
+}

@@ -1,0 +1,118 @@
+"""Local replica of the driver's correctness gate: run each ``queries()``
+entry and its ``oracle_sql()`` side by side on the driver testdata, compare
+row count, column names, and order-insensitive values."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = os.environ.get("KCS3_TEST_SF", "/root/testdata/sf0.001")
+
+
+def _to_pandas(result) -> pd.DataFrame:
+    import pyarrow as pa
+
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        if np.issubdtype(df[c].dtype, np.floating):
+            df[c] = df[c].round(6)
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+def _oracle(sql: str) -> pd.DataFrame:
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ["events", "documents", "embeddings", "lineitem", "orders", "customer"]:
+        path = f"{SF}/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    return con.execute(sql).df()
+
+
+def _queries():
+    import __ray_entry__ as e
+
+    return e.queries(), e.oracle_sql()
+
+
+QUERIES, ORACLES = None, None
+
+
+def _load():
+    global QUERIES, ORACLES
+    if QUERIES is None:
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __ray_entry__ as e
+
+        QUERIES, ORACLES = e.queries(), e.oracle_sql()
+    return QUERIES, ORACLES
+
+
+SQL_CHECKED = [
+    "watermark_filter", "partition_watermarks", "lww_keep_last",
+    "cdc_merge_events", "archive_roundtrip", "partition_prune", "replay_order",
+    "topk_events", "exclude_filter", "token_count", "quality_stats",
+    "dedup_exact", "token_sum_by_lang", "cosine_topk",
+]
+ROWS_ONLY = [
+    "lang_id", "rolling_fingerprint", "minhash_near_dup", "simhash_near_dup",
+    "embedding_near_dup", "cosine_topk_ivf", "cdc_transcripts",
+]
+
+
+@pytest.mark.parametrize("name", SQL_CHECKED)
+def test_query_matches_oracle(name):
+    queries, oracles = _load()
+    got = _canon(_to_pandas(queries[name](SF)))
+    exp = _canon(_oracle(oracles[name]))
+    assert list(got.columns) == list(exp.columns), (
+        f"{name}: columns {list(got.columns)} != {list(exp.columns)}"
+    )
+    assert len(got) == len(exp), f"{name}: {len(got)} rows != {len(exp)}"
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=False,
+                                  rtol=1e-6, atol=1e-9)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(name):
+    queries, _ = _load()
+    got = _to_pandas(queries[name](SF))
+    assert got is not None and len(got.columns) > 0
+    assert len(got) >= 0
+
+
+def test_every_query_has_oracle_or_is_rows_only():
+    queries, oracles = _load()
+    assert set(oracles) <= set(queries)
+    assert set(SQL_CHECKED) == set(oracles)
+    assert set(SQL_CHECKED) | set(ROWS_ONLY) == set(queries)
+
+
+def test_entry_smoke():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+
+    out = _to_pandas(e.entry())
+    assert len(out) > 0
+    assert {"conv_id", "turn_idx", "role", "text", "ts"} <= set(out.columns)
