@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Headline: the flagship transcript CDC upsert (changelog -> hash-partition
+shuffle -> per-partition LWW merge -> committed snapshot) on the deterministic
+synthetic fixture scaled to $GRAFT_SF_DIR, plus a panel of secondary pipelines
+over the driver testdata tables.
+
+Prints ONE JSON line:
+  {"metric": "cdc_upsert_seconds", "value": <headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "events_per_sec": ...}
+
+--scaling: runs the headline twice in fresh processes (num_cpus=8 and 32, or
+$RAY_GRAFT_CPUS_LO/HI) on the same input and reports both throughputs plus
+scaling efficiency = (T_lo/T_hi)/(hi/lo).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _timed(fn, *args, **kw):
+    t0 = time.perf_counter()
+    out = fn(*args, **kw)
+    return time.perf_counter() - t0, out
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from kafka_connect_s3_ray.pipelines import queries as Q
+    from kafka_connect_s3_ray.pipelines.upsert import run_upsert
+
+    # --- headline: transcript CDC upsert ---------------------------------
+    fx = Q.transcripts_fixture(SF_DIR)  # cached synth (untimed)
+    # warm the page cache so we measure compute + shuffle, not first disk read
+    import pyarrow.dataset as pads
+
+    pads.dataset(fx["changelog_dir"]).count_rows()
+    n_events = pads.dataset(fx["changelog_dir"]).count_rows()
+
+    out_dir = os.path.join(fx["root"], f"bench_out_{NUM_CPUS}")
+    mpath = os.path.join(fx["root"], f"bench_manifest_{NUM_CPUS}.json")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    if os.path.exists(mpath):
+        os.remove(mpath)
+    headline_sec, manifest = _timed(
+        run_upsert, fx["changelog_dir"], out_dir, mpath, lake_dir=fx["lake_dir"],
+        num_partitions=fx["num_partitions"], hot_keys={"conv-00000000"},
+    )
+
+    # --- secondary pipelines over driver tables --------------------------
+    timings: dict[str, float] = {"cdc_transcripts": round(headline_sec, 3)}
+
+    def consume(result):
+        import pandas as pd
+        import pyarrow as pa
+
+        import ray.data
+
+        if isinstance(result, ray.data.Dataset):
+            n = 0
+            for b in result.iter_batches(batch_format="pyarrow", batch_size=65536):
+                n += len(b)
+            return n
+        return len(result)
+
+    panel = [
+        "cdc_merge_events", "lww_keep_last", "partition_watermarks",
+        "archive_roundtrip", "dedup_exact", "minhash_near_dup",
+        "token_sum_by_lang", "quality_stats", "lang_id", "cosine_topk",
+        "embedding_near_dup",
+    ]
+    for name in panel:
+        sec, res = _timed(lambda n=name: consume(Q.QUERIES[n](SF_DIR)))
+        timings[name] = round(sec, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "cdc_upsert_seconds",
+        "value": round(headline_sec, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "events": int(n_events),
+        "events_per_sec": round(n_events / headline_sec),
+    }
+
+
+def run_scaling() -> dict:
+    lo = int(os.environ.get("RAY_GRAFT_CPUS_LO", "8"))
+    hi = int(os.environ.get("RAY_GRAFT_CPUS_HI", "32"))
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    run(lo)  # warm-up pass: builds/caches the fixture, warms page cache
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        f"sec_{lo}": t_lo,
+        f"sec_{hi}": t_hi,
+        f"events_per_sec_{lo}": r_lo["events_per_sec"],
+        f"events_per_sec_{hi}": r_hi["events_per_sec"],
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))
