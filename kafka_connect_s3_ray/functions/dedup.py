@@ -41,18 +41,31 @@ def _stable_token_hash(tokens: np.ndarray) -> np.ndarray:
 
 def exact_dedup(ds: "ray.data.Dataset", id_col: str = "doc_id",
                 text_col: str = "text") -> "ray.data.Dataset":
-    """Keep the min-id row per distinct (normalized) text. The groupby on the
-    fingerprint hash-partitions content across the cluster; per group we keep
-    the first row after an in-group sort — no global sort, no driver state."""
+    """Keep the min-id row per distinct (normalized) text.
+
+    Hash-partitions by a COARSE bucket of the content fingerprint (identical
+    texts always co-locate) rather than by the fingerprint itself — grouping by
+    millions of distinct hashes would pay Ray's per-group overhead; grouping by
+    N_COARSE buckets runs one vectorized idxmin per bucket. No global sort, no
+    driver state."""
     from .text import add_fingerprint
 
-    ds = ds.map_batches(add_fingerprint, batch_format="pyarrow")
+    def fp_coarse(t: pa.Table) -> pa.Table:
+        t = add_fingerprint(t)
+        h = pd.util.hash_array(
+            t.column("fingerprint").to_numpy(zero_copy_only=False).astype(object)
+        )
+        return t.append_column(
+            "coarse", pa.array((h % np.uint64(N_COARSE)).astype(np.int32))
+        )
+
+    ds = ds.map_batches(fp_coarse, batch_format="pyarrow")
 
     def keep_min(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col, kind="stable").head(1)
+        keep = g.loc[g.groupby("fingerprint")[id_col].idxmin()]
+        return keep.drop(columns=["fingerprint", "coarse"])
 
-    out = ds.groupby("fingerprint").map_groups(keep_min, batch_format="pandas")
-    return out.drop_columns(["fingerprint"])
+    return ds.groupby("coarse").map_groups(keep_min, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -72,75 +85,133 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
 class MinHasher:
     """Actor-pool stage: doc -> minhash signature -> LSH band rows.
 
-    ``__init__`` draws the (a, b) hash coefficients once per actor from a fixed
-    seed; ``__call__`` emits ``bands`` rows per doc: (doc_id, band, bucket)
-    where bucket is a hash of the band's signature slice. Docs sharing any
-    (band, bucket) are near-dup candidates."""
+    ``__init__`` draws the hash coefficients once per actor from a fixed seed.
+    ``__call__`` is vectorized ACROSS the whole batch: all docs' shingle hashes
+    are concatenated once, permutations applied as multiply-shift hashing
+    (uint64 overflow arithmetic — no modulo) in permutation-chunks bounded to
+    ~tens of MB, and per-doc minima taken with ``np.minimum.reduceat`` over the
+    doc boundaries. Emits ``bands`` rows per doc: (doc_id, band, bucket); docs
+    sharing any (band, bucket) are near-dup candidates."""
 
     def __init__(self, num_perm: int = 64, bands: int = 16, shingle_k: int = 5,
                  seed: int = 42, id_col: str = "doc_id", text_col: str = "text"):
         assert num_perm % bands == 0
         rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
-        self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.a = rng.integers(1, np.iinfo(np.uint64).max, size=num_perm,
+                              dtype=np.uint64) | np.uint64(1)  # odd multipliers
+        self.b = rng.integers(0, np.iinfo(np.uint64).max, size=num_perm,
+                              dtype=np.uint64)
         self.num_perm, self.bands, self.k = num_perm, bands, shingle_k
         self.rows_per_band = num_perm // bands
         self.id_col, self.text_col = id_col, text_col
 
+    def _signatures(self, texts: list[str]) -> np.ndarray:
+        """(num_perm, n_docs) minhash signature matrix, fully vectorized."""
+        sh = [_shingle_hashes(t or "", self.k) for t in texts]
+        lens = np.array([len(s) for s in sh], dtype=np.int64)
+        flat = np.concatenate(sh) if sh else np.empty(0, np.uint64)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        sigs = np.empty((self.num_perm, len(texts)), dtype=np.uint64)
+        chunk = max(1, (16 << 20) // max(1, flat.nbytes))  # ~16 MB per slab
+        with np.errstate(over="ignore"):
+            for p0 in range(0, self.num_perm, chunk):
+                a = self.a[p0 : p0 + chunk, None]
+                b = self.b[p0 : p0 + chunk, None]
+                h = a * flat[None, :] + b  # uint64 wraparound = mod 2^64
+                sigs[p0 : p0 + chunk] = np.minimum.reduceat(h, starts, axis=1)
+        return sigs
+
     def signature(self, text: str) -> np.ndarray:
-        sh = _shingle_hashes(text or "", self.k)
-        # (P, S) permuted hashes -> min per permutation
-        h = (np.outer(self.a, sh) + self.b[:, None]) % _MERSENNE
-        return h.min(axis=1)
+        return self._signatures([text])[:, 0]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch.column(self.id_col).to_pylist()
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
         texts = batch.column(self.text_col).to_pylist()
-        out_id, out_band, out_bucket = [], [], []
-        for i, t in zip(ids, texts):
-            sig = self.signature(t).reshape(self.bands, self.rows_per_band)
-            buckets = pd.util.hash_array(
-                np.ascontiguousarray(sig[:, 0] * np.uint64(31) + sig[:, -1])
-            ).view(np.int64)  # bit-reinterpret: int64 shuffles everywhere
-            out_id.extend([i] * self.bands)
-            out_band.extend(range(self.bands))
-            out_bucket.extend(buckets.tolist())
+        n = len(texts)
+        if n == 0:
+            return pa.table({self.id_col: pa.array([], pa.int64()),
+                             "band": pa.array([], pa.int32()),
+                             "bucket": pa.array([], pa.int64())})
+        sigs = self._signatures(texts).reshape(
+            self.bands, self.rows_per_band, n
+        )
+        band_key = np.zeros((self.bands, n), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for r in range(self.rows_per_band):  # fold ALL rows of the band
+                band_key = band_key * np.uint64(1000003) + sigs[:, r, :]
+        band_key = np.ascontiguousarray(band_key.ravel())
+        buckets = pd.util.hash_array(band_key).view(np.int64)  # (bands*n,)
         return pa.table(
             {
-                self.id_col: pa.array(out_id),
-                "band": pa.array(out_band, pa.int32()),
-                "bucket": pa.array(out_bucket, pa.int64()),
+                self.id_col: pa.array(np.tile(ids, self.bands)),
+                "band": pa.array(np.repeat(np.arange(self.bands, dtype=np.int32), n)),
+                "bucket": pa.array(buckets, pa.int64()),
             }
         )
 
 
-def _bucket_pairs(g: pd.DataFrame, id_col: str, cap: int = 64) -> pd.DataFrame:
-    ids = np.sort(g[id_col].unique())[:cap]  # cap guards pathological buckets
-    if len(ids) < 2:
-        return pd.DataFrame({"left_id": [], "right_id": []})
-    li, ri = np.triu_indices(len(ids), k=1)
-    return pd.DataFrame({"left_id": ids[li], "right_id": ids[ri]})
+def _pairs_by_bucket(g: pd.DataFrame, id_col: str, bucket_col: str,
+                     cap: int = 64) -> pd.DataFrame:
+    """All (left < right) id pairs sharing a bucket value — vectorized
+    (bucket-size filter + self-merge), no per-bucket Python. ``cap`` drops
+    pathological buckets (a bucket of size B emits B^2/2 pairs)."""
+    sizes = g.groupby(bucket_col)[id_col].transform("size")
+    g = g.loc[(sizes > 1) & (sizes <= cap), [bucket_col, id_col]]
+    if g.empty:
+        return pd.DataFrame({"left_id": pd.Series([], dtype=np.int64),
+                             "right_id": pd.Series([], dtype=np.int64)})
+    m = g.merge(g, on=bucket_col, suffixes=("_l", "_r"))
+    m = m[m[f"{id_col}_l"] < m[f"{id_col}_r"]]
+    out = m.rename(columns={f"{id_col}_l": "left_id", f"{id_col}_r": "right_id"})
+    return out[["left_id", "right_id"]].drop_duplicates()
+
+
+N_COARSE = 64  # coarse-bucket count for high-cardinality groupbys
+
+
+def _distinct_pairs(cand: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Distinct (left_id, right_id), exactly, without a high-cardinality
+    groupby: Ray's groupby pays per-group overhead, so grouping by ~10^5
+    individual pairs is pathological. Instead group by a COARSE bucket
+    (pair-hash % N_COARSE — identical pairs always land together) and run one
+    vectorized drop_duplicates per bucket."""
+
+    def add_coarse(t: pa.Table) -> pa.Table:
+        l = t.column("left_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        r = t.column("right_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        coarse = ((l * 1000003 + r) % N_COARSE).astype(np.int32)
+        return t.append_column("coarse", pa.array(coarse))
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["left_id", "right_id"]).drop(columns=["coarse"])
+
+    return (
+        cand.map_batches(add_coarse, batch_format="pyarrow")
+        .groupby("coarse")
+        .map_groups(dedup, batch_format="pandas")
+    )
 
 
 def minhash_lsh_candidates(ds: "ray.data.Dataset", id_col: str = "doc_id",
                            text_col: str = "text", num_perm: int = 64,
                            bands: int = 16, shingle_k: int = 5) -> "ray.data.Dataset":
     """Candidate near-dup pairs via MinHash LSH. Returns distinct
-    (left_id, right_id) with left < right."""
+    (left_id, right_id) with left < right.
+
+    Shuffle layout: band rows (id + two small ints) group by ``band`` — the
+    per-group pair generation is one vectorized pandas self-merge on the
+    bucket hash. At larger scale swap the group key to (band, bucket % B2)
+    for finer task granularity; the pair semantics are unchanged."""
     band_rows = ds.map_batches(
         MinHasher(num_perm, bands, shingle_k, id_col=id_col, text_col=text_col),
         batch_format="pyarrow",
     )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return _bucket_pairs(g, id_col)
+        return _pairs_by_bucket(g, id_col, "bucket")
 
-    cand = band_rows.groupby(["band", "bucket"]).map_groups(pairs, batch_format="pandas")
-
-    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    return cand.groupby(["left_id", "right_id"]).map_groups(dedup_pairs, batch_format="pandas")
+    cand = band_rows.groupby("band").map_groups(pairs, batch_format="pandas")
+    return _distinct_pairs(cand)
 
 
 def jaccard_verify(pairs: "ray.data.Dataset", docs: "ray.data.Dataset",
@@ -186,18 +257,32 @@ class SimHasher:
         self.id_col, self.text_col = id_col, text_col
         self.bits = np.uint64(1) << np.arange(64, dtype=np.uint64)
 
+    def _simhashes(self, texts: list[str]) -> np.ndarray:
+        """Vectorized across the batch: all token hashes concatenated, bit
+        votes summed per doc with np.add.reduceat."""
+        toks = [(t or "").lower().split() for t in texts]
+        lens = np.array([len(t) for t in toks], dtype=np.int64)
+        flat = np.array([w for doc in toks for w in doc], dtype=object)
+        h = _stable_token_hash(flat) if len(flat) else np.empty(0, np.uint64)
+        bits = ((h[:, None] & self.bits) != 0).astype(np.int32)  # (T, 64)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        # reduceat can't take a start == len(h) (trailing empty docs); clip and
+        # rely on the lens==0 overwrite below
+        starts = np.minimum(starts, max(0, len(h) - 1))
+        counts = np.add.reduceat(bits, starts, axis=0) if len(h) else \
+            np.zeros((len(texts), 64), np.int32)  # (n_docs, 64)
+        votes = counts * 2 - lens[:, None]
+        out = ((votes > 0) * self.bits).sum(axis=1, dtype=np.uint64)
+        out[lens == 0] = 0
+        return out
+
     def simhash(self, text: str) -> np.uint64:
-        toks = np.array((text or "").lower().split(), dtype=object)
-        if toks.size == 0:
-            return np.uint64(0)
-        h = _stable_token_hash(toks)
-        votes = ((h[:, None] & self.bits) != 0).sum(axis=0) * 2 - len(h)
-        return np.uint64((self.bits[votes > 0]).sum())
+        return self._simhashes([text])[0]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column(self.id_col).to_pylist()
         texts = batch.column(self.text_col).to_pylist()
-        sh = np.array([self.simhash(t) for t in texts], dtype=np.uint64)
+        sh = self._simhashes(texts)
         tbl = {self.id_col: pa.array(ids), "simhash": pa.array(sh, pa.uint64())}
         for b in range(4):
             tbl[f"band{b}"] = pa.array(
@@ -207,33 +292,85 @@ class SimHasher:
         return pa.table(tbl)
 
 
+_POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    return _POPCOUNT8[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1)
+
+
 def simhash_candidates(ds: "ray.data.Dataset", id_col: str = "doc_id",
                        text_col: str = "text", max_hamming: int = 3) -> "ray.data.Dataset":
-    """Near-dup pairs with Hamming(simhash) <= max_hamming via band grouping."""
-    sigs = ds.map_batches(SimHasher(id_col, text_col), batch_format="pyarrow")
+    """Near-dup pairs with Hamming(simhash) <= max_hamming via 16-bit band
+    grouping (pigeonhole: distance <= 3 over 4 bands shares one exact band).
 
-    frames = []
-    for b in range(4):
-        def pairs(g: pd.DataFrame, _b=b) -> pd.DataFrame:
-            g = g.sort_values(id_col).head(64)
-            ids = g[id_col].to_numpy()
-            hs = g["simhash"].to_numpy(dtype=np.uint64)
-            if len(ids) < 2:
-                return pd.DataFrame({"left_id": [], "right_id": [], "hamming": []})
-            li, ri = np.triu_indices(len(ids), k=1)
-            ham = np.array([bin(int(hs[i]) ^ int(hs[j])).count("1") for i, j in zip(li, ri)])
-            keep = ham <= max_hamming
-            return pd.DataFrame(
-                {"left_id": ids[li][keep], "right_id": ids[ri][keep], "hamming": ham[keep]}
-            )
+    Single-shuffle layout: the signature stage emits LONG-FORM rows — 4 rows
+    per doc, one per band (id, simhash, band, band_val) — grouped once by a
+    coarse bucket of (band, band_val); within each bucket an exact vectorized
+    self-merge on (band, band_val) + popcount-table Hamming yields the pairs.
+    A second coarse groupby dedups pairs (min hamming)."""
+    hasher = SimHasher(id_col, text_col)
 
-        frames.append(sigs.groupby(f"band{b}").map_groups(pairs, batch_format="pandas"))
-    allp = frames[0].union(*frames[1:])
+    def band_rows(batch: pa.Table) -> pa.Table:
+        out = hasher(batch)
+        n = len(out)
+        ids = out.column(id_col).to_numpy(zero_copy_only=False)
+        sh = out.column("simhash").to_numpy(zero_copy_only=False)
+        band_vals = np.concatenate(
+            [out.column(f"band{b}").to_numpy(zero_copy_only=False) for b in range(4)]
+        ).astype(np.int64)
+        bands = np.repeat(np.arange(4, dtype=np.int32), n)
+        coarse = ((bands * 65536 + band_vals) % 509).astype(np.int32)
+        return pa.table(
+            {
+                id_col: pa.array(np.tile(ids, 4)),
+                "simhash": pa.array(np.tile(sh, 4), pa.uint64()),
+                "band": pa.array(bands, pa.int32()),
+                "band_val": pa.array(band_vals, pa.int64()),
+                "coarse": pa.array(coarse, pa.int32()),
+            }
+        )
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby(["band", "band_val"])[id_col].transform("size")
+        g = g[(sizes > 1) & (sizes <= 64)]
+        if g.empty:
+            return pd.DataFrame({"left_id": pd.Series([], dtype=np.int64),
+                                 "right_id": pd.Series([], dtype=np.int64),
+                                 "hamming": pd.Series([], dtype=np.int64)})
+        m = g.merge(g, on=["band", "band_val"], suffixes=("_l", "_r"))
+        m = m[m[f"{id_col}_l"] < m[f"{id_col}_r"]]
+        ham = _popcount64(
+            m["simhash_l"].to_numpy(dtype=np.uint64)
+            ^ m["simhash_r"].to_numpy(dtype=np.uint64)
+        )
+        m = m.assign(hamming=ham)[ham <= max_hamming]
+        return m.rename(
+            columns={f"{id_col}_l": "left_id", f"{id_col}_r": "right_id"}
+        )[["left_id", "right_id", "hamming"]].drop_duplicates(["left_id", "right_id"])
 
-    return allp.groupby(["left_id", "right_id"]).map_groups(first, batch_format="pandas")
+    cand = (
+        ds.map_batches(band_rows, batch_format="pyarrow")
+        .groupby("coarse")
+        .map_groups(pairs, batch_format="pandas")
+    )
+
+    def add_coarse(t: pa.Table) -> pa.Table:
+        l = t.column("left_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        r = t.column("right_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "coarse", pa.array(((l * 1000003 + r) % N_COARSE).astype(np.int32))
+        )
+
+    def dedup_min(g: pd.DataFrame) -> pd.DataFrame:
+        keep = g.loc[g.groupby(["left_id", "right_id"])["hamming"].idxmin()]
+        return keep.drop(columns=["coarse"])
+
+    return (
+        cand.map_batches(add_coarse, batch_format="pyarrow")
+        .groupby("coarse")
+        .map_groups(dedup_min, batch_format="pandas")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -96,14 +96,23 @@ def q_partition_watermarks(sf_dir: str):
 
 def q_lww_keep_last(sf_dir: str):
     """D3: last-writer-wins dedup — keep the max-offset event per key, via the
-    engine's compact kernel inside a hash-partitioned map_groups."""
+    engine's compact kernel. Keys are high-cardinality, so we group by a
+    coarse hash bucket (all rows of a key co-locate) and run the exact
+    vectorized compaction inside each bucket."""
+
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return batch.append_column("coarse", pa.array((uid % 64).astype(np.int32)))
 
     def keep_last(g: pa.Table) -> pa.Table:
-        return compact_events(g, key_cols=["user_id", "event_type"], order_col="event_id")
+        return compact_events(
+            g, key_cols=["user_id", "event_type"], order_col="event_id"
+        ).drop_columns(["coarse"])
 
     out = (
         _events(sf_dir)
-        .groupby(["user_id", "event_type"])
+        .map_batches(add_coarse, batch_format="pyarrow")
+        .groupby("coarse")
         .map_groups(keep_last, batch_format="pyarrow")
     )
 

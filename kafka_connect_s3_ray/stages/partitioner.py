@@ -77,18 +77,40 @@ class PartitionAssigner:
 
 
 def detect_hot_keys(ds, threshold_frac: float = 0.05, sample_frac: float | None = None,
-                    seed: int = 7) -> set[str]:
+                    seed: int = 7, n_coarse: int = 64) -> set[str]:
     """Find conv_ids holding more than ``threshold_frac`` of all events.
 
-    Uses a (optionally sampled) groupby-count — the per-partition count
-    diagnostic the reference lacks. At bench scale pass sample_frac≈0.05; the
-    estimate only has to find the heavy hitters, not exact counts.
+    Two-level count to stay cheap at scale: per-batch partial counts (one row
+    per conv per batch) -> groupby a COARSE hash bucket (bounded group count;
+    a per-conv groupby would pay Ray's per-group overhead on millions of tiny
+    groups) -> exact per-conv sums inside each bucket, filtered to the heavy
+    hitters before anything returns to the driver. Optionally sampled — the
+    estimate only has to find heavy hitters, not exact counts.
     """
+    import pyarrow as pa
+
     if sample_frac is not None and sample_frac < 1.0:
         ds = ds.random_sample(sample_frac, seed=seed)
-    counts = ds.groupby("conv_id").count().to_pandas()
-    total = counts["count()"].sum()
+    total = ds.count()
     if total == 0:
         return set()
-    hot = counts[counts["count()"] >= threshold_frac * total]
+    cutoff = threshold_frac * total
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        conv = batch.column("conv_id").to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(conv, return_counts=True)
+        coarse = (stable_hash(uniq) % np.uint64(n_coarse)).astype(np.int32)
+        return pa.table({"conv_id": pa.array(uniq), "n": pa.array(counts),
+                         "coarse": pa.array(coarse)})
+
+    def hot_in_bucket(g, _cutoff=cutoff):
+        sums = g.groupby("conv_id", as_index=False)["n"].sum()
+        return sums[sums["n"] >= _cutoff][["conv_id"]]
+
+    hot = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("coarse")
+        .map_groups(hot_in_bucket, batch_format="pandas")
+        .to_pandas()
+    )
     return set(hot["conv_id"].tolist())
