@@ -35,6 +35,30 @@ def _timed(fn, *args, **kw):
     return time.perf_counter() - t0, out
 
 
+def _scaling_fixture() -> dict:
+    """Dedicated larger changelog for the scaling criterion: the per-event
+    work must dominate fixed pipeline overheads for a parallelism comparison
+    to measure the ENGINE rather than Ray session constants. Cached; both
+    parallelism levels read the identical input."""
+    import os
+
+    from kafka_connect_s3_ray.synth import write_fixture
+
+    n_events = int(os.environ.get("GRAFT_SCALING_EVENTS", "6000000"))
+    root = f"/tmp/kcs3_ray/scaling_{n_events}"
+    marker = os.path.join(root, ".complete")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        write_fixture(root, n_conv=max(1000, n_events // 100), n_events=n_events,
+                      num_partitions=32, files_per_partition=4)
+        open(marker, "w").write("ok")
+    return {"root": root, "lake_dir": os.path.join(root, "lake"),
+            "changelog_dir": os.path.join(root, "changelog"), "num_partitions": 32}
+
+
 def run_bench() -> dict:
     import ray
 
@@ -48,11 +72,19 @@ def run_bench() -> dict:
     from kafka_connect_s3_ray.pipelines.upsert import run_upsert
 
     # --- headline: transcript CDC upsert ---------------------------------
-    fx = Q.transcripts_fixture(SF_DIR)  # cached synth (untimed)
-    # warm the page cache so we measure compute + shuffle, not first disk read
+    if os.environ.get("BENCH_SCALING_FIXTURE"):
+        fx = _scaling_fixture()
+    else:
+        fx = Q.transcripts_fixture(SF_DIR)  # cached synth (untimed)
+    # warm Ray's worker pool (real clusters run warm; we measure steady-state
+    # throughput, not Python interpreter start) and the page cache
+    import ray.data
+
+    ray.data.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(
+        lambda b: b, batch_size=1
+    ).materialize()
     import pyarrow.dataset as pads
 
-    pads.dataset(fx["changelog_dir"]).count_rows()
     n_events = pads.dataset(fx["changelog_dir"]).count_rows()
 
     out_dir = os.path.join(fx["root"], f"bench_out_{NUM_CPUS}")
@@ -81,11 +113,11 @@ def run_bench() -> dict:
             return n
         return len(result)
 
-    panel = [
+    panel = [] if os.environ.get("BENCH_HEADLINE_ONLY") else [
         "cdc_merge_events", "lww_keep_last", "partition_watermarks",
         "archive_roundtrip", "dedup_exact", "minhash_near_dup",
-        "token_sum_by_lang", "quality_stats", "lang_id", "cosine_topk",
-        "embedding_near_dup",
+        "simhash_near_dup", "token_sum_by_lang", "quality_stats", "lang_id",
+        "cosine_topk", "embedding_near_dup",
     ]
     for name in panel:
         sec, res = _timed(lambda n=name: consume(Q.QUERIES[n](SF_DIR)))
@@ -109,7 +141,8 @@ def run_scaling() -> dict:
     hi = int(os.environ.get("RAY_GRAFT_CPUS_HI", "32"))
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_HEADLINE_ONLY="1",
+                   BENCH_SCALING_FIXTURE="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env,
             capture_output=True, text=True, check=True,

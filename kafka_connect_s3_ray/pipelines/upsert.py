@@ -204,7 +204,23 @@ def run_upsert(
 
     log_ds = pads.dataset(changelog)
     read_filter = (pads.field("offset") > min_wm) if min_wm > EMPTY_WATERMARK else None
-    ds = ray.data.read_parquet(changelog, filter=read_filter)
+    # Bound the block count. Ray's sort-based shuffle (behind groupby/
+    # map_groups) does an all-to-all exchange whose cost grows with
+    # input-blocks x output-partitions; letting the reader emit hundreds of
+    # small blocks makes the shuffle slower at HIGHER cpu counts. Target:
+    # enough blocks to keep every core busy, few enough that the exchange
+    # matrix stays small, and never bigger than ~256 MB per block.
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        ncpu = 8
+    nblk = max(num_partitions, ncpu)
+    try:
+        total_bytes = sum(os.path.getsize(f) for f in log_ds.files)
+        nblk = max(nblk, int(total_bytes // (256 * 1024 * 1024)) + 1)
+    except Exception:
+        pass
+    ds = ray.data.read_parquet(changelog, filter=read_filter, override_num_blocks=nblk)
 
     if hot_keys == "auto":
         hot_keys = detect_hot_keys(ds, threshold_frac=0.05)
