@@ -117,39 +117,108 @@ class MergeCommit:
     def __call__(self, group: pa.Table) -> pa.Table:
         if len(group) == 0:
             return pa.Table.from_arrays([[]] * len(STATS_SCHEMA.names), schema=STATS_SCHEMA)
-        t0 = time.monotonic()
         p = int(group.column(PART_COLUMN)[0].as_py())
-        n_events = len(group)
-        lake_files = self.current_files.get(p, [])
-        lake_tbl = (
-            pa.concat_tables([pq.read_table(f) for f in lake_files]) if lake_files else None
+        return _commit_partition(
+            p, group, self.current_files.get(p, []),
+            self.watermarks.get(p, EMPTY_WATERMARK), self.out_dir,
+            self.target_schema, self.row_group_size,
         )
-        merged = lww_merge(lake_tbl, group)
-        merged = align_to_schema(merged, self.target_schema)
-        new_wm = max(
-            self.watermarks.get(p, EMPTY_WATERMARK),
-            int(pc.max(group.column("offset")).as_py()),
-        )
-        pdir = os.path.join(self.out_dir, f"part={p}")
-        os.makedirs(pdir, exist_ok=True)
-        path = os.path.join(pdir, f"commit-{new_wm:012d}.parquet")
-        tmp = path + ".inprogress"
-        # Deterministic bytes: fixed writer settings, stable row order (merged
-        # is key-sorted), no wall-clock metadata.
-        pq.write_table(merged, tmp, row_group_size=self.row_group_size,
-                       compression="zstd")
-        os.replace(tmp, path)  # data committed before the manifest (cursor) is
-        return pa.Table.from_arrays(
-            [
-                pa.array([p], pa.int32()),
-                pa.array([path], pa.string()),
-                pa.array([new_wm], pa.int64()),
-                pa.array([len(merged)], pa.int64()),
-                pa.array([n_events], pa.int64()),
-                pa.array([time.monotonic() - t0], pa.float64()),
-            ],
-            schema=STATS_SCHEMA,
-        )
+
+
+def _commit_partition(p: int, events: pa.Table, lake_files: list[str], wm: int,
+                      out_dir: str, target_schema: pa.Schema,
+                      row_group_size: int = 128 * 1024) -> pa.Table:
+    """Merge ``events`` (all events of partition ``p`` this round) with the
+    partition's current snapshot and commit one deterministic file."""
+    t0 = time.monotonic()
+    n_events = len(events)
+    lake_tbl = (
+        pa.concat_tables([pq.read_table(f) for f in lake_files]) if lake_files else None
+    )
+    merged = lww_merge(lake_tbl, events)
+    merged = align_to_schema(merged, target_schema)
+    new_wm = max(wm, int(pc.max(events.column("offset")).as_py()))
+    pdir = os.path.join(out_dir, f"part={p}")
+    os.makedirs(pdir, exist_ok=True)
+    path = os.path.join(pdir, f"commit-{new_wm:012d}.parquet")
+    tmp = path + ".inprogress"
+    # Deterministic bytes: fixed writer settings, stable row order (merged is
+    # key-sorted), no wall-clock metadata.
+    pq.write_table(merged, tmp, row_group_size=row_group_size, compression="zstd")
+    os.replace(tmp, path)  # data committed before the manifest (cursor) is
+    return pa.Table.from_arrays(
+        [
+            pa.array([p], pa.int32()),
+            pa.array([path], pa.string()),
+            pa.array([new_wm], pa.int64()),
+            pa.array([len(merged)], pa.int64()),
+            pa.array([n_events], pa.int64()),
+            pa.array([time.monotonic() - t0], pa.float64()),
+        ],
+        schema=STATS_SCHEMA,
+    )
+
+
+def _discover_partition_dirs(changelog) -> dict[int, list[str]] | None:
+    """Detect a pre-partitioned changelog layout (``partition=<p>/`` dirs —
+    the engine's own ingest layout, mirroring Kafka's keyed partitioning).
+    Returns {p: [files]} or None if the layout doesn't apply."""
+    if not isinstance(changelog, str) or not os.path.isdir(changelog):
+        return None
+    out: dict[int, list[str]] = {}
+    for entry in sorted(os.listdir(changelog)):
+        full = os.path.join(changelog, entry)
+        if not (os.path.isdir(full) and entry.startswith("partition=")):
+            return None
+        try:
+            p = int(entry.split("=", 1)[1])
+        except ValueError:
+            return None
+        files = sorted(glob.glob(os.path.join(full, "*.parquet")))
+        if files:
+            out[p] = files
+    return out or None
+
+
+@ray.remote
+def _merge_partition_task(p: int, files: list[str], lake_files: list[str],
+                          wm: int, out_dir: str, target_schema: pa.Schema,
+                          batch_rows: int = 256 * 1024) -> pa.Table:
+    """Co-partitioned merge: one Ray task per partition, ZERO shuffle.
+
+    This is the reference's own execution model — parallelism unit = the
+    partition, with partitioning established at ingest (Kafka consumer-group
+    assignment, sink/.../S3SinkConnector.java:36-45) — so when the changelog
+    already lives in ``partition=<p>/`` directories there is nothing to
+    exchange: each task streams its own files, incrementally LWW-compacts them
+    (compaction is associative, so memory stays bounded by the partition's
+    touched-key cardinality, not its event count), merges with its lake
+    snapshot file, and commits. The hash-shuffle path below remains for
+    unpartitioned input.
+    """
+    import pyarrow.dataset as pads_local
+
+    acc: pa.Table | None = None
+    scanner = pads_local.dataset(files).scanner(
+        filter=(pads_local.field("offset") > wm) if wm > EMPTY_WATERMARK else None,
+        batch_size=batch_rows,
+    )
+    for rb in scanner.to_batches():
+        if rb.num_rows == 0:
+            continue
+        t = pa.Table.from_batches([rb])
+        part_col = t.column("partition")
+        if pc.any(pc.not_equal(part_col, p)).as_py():
+            raise ValueError(
+                f"changelog file in partition={p} contains foreign partition ids "
+                "— co-partitioned layout contract violated; rerun with mode='shuffle'"
+            )
+        t = compact_events(t)
+        acc = t if acc is None else compact_events(pa.concat_tables(
+            unify_with_nulls([acc, t])))
+    if acc is None or len(acc) == 0:
+        return pa.Table.from_arrays([[]] * len(STATS_SCHEMA.names), schema=STATS_SCHEMA)
+    return _commit_partition(p, acc, lake_files, wm, out_dir, target_schema)
 
 
 def _discover_base_files(lake_dir: str | None, num_partitions: int) -> dict[int, list[str]]:
@@ -188,10 +257,18 @@ def run_upsert(
     n_salts: int = 8,
     batch_size: int | None = 64 * 1024,
     concurrency: int | None = None,
+    mode: str = "auto",
 ) -> Manifest:
     """Run one incremental upsert round. Idempotent and resumable: replaying
     with the same inputs regenerates identical files; already-applied offsets
-    (<= per-partition watermark) are filtered out."""
+    (<= per-partition watermark) are filtered out.
+
+    ``mode``:
+      - "auto" (default): use the zero-shuffle co-partitioned path when the
+        changelog is laid out ``partition=<p>/`` (the engine's ingest layout,
+        = Kafka keyed partitioning), else the hash-shuffle path.
+      - "copartitioned" / "shuffle": force one path (tests, foreign layouts).
+    """
     from ..stages.partitioner import detect_hot_keys
 
     manifest = Manifest.load(manifest_path)
@@ -201,6 +278,28 @@ def run_upsert(
     current = manifest.current_files()
     wms = manifest.watermarks(num_partitions)
     min_wm = manifest.global_min_watermark(num_partitions)
+
+    # -- co-partitioned fast path: changelog already laid out partition=<p>/ --
+    part_files = _discover_partition_dirs(changelog) if mode in ("auto", "copartitioned") else None
+    if part_files is not None:
+        target = _target_schema(pq.read_schema(next(iter(part_files.values()))[0]), current)
+        refs = [
+            _merge_partition_task.remote(
+                p, files, current.get(p, []), wms.get(p, EMPTY_WATERMARK),
+                out_dir, target,
+            )
+            for p, files in sorted(part_files.items())
+        ]
+        entries = [
+            dict(zip(STATS_SCHEMA.names, [c[0] for c in t.columns]))
+            for t in ray.get(refs)
+            if len(t)
+        ]
+        entries = [
+            {k: (v.as_py() if hasattr(v, "as_py") else v) for k, v in e.items()}
+            for e in entries
+        ]
+        return _finalize(manifest, manifest_path, entries, target)
 
     log_ds = pads.dataset(changelog)
     read_filter = (pads.field("offset") > min_wm) if min_wm > EMPTY_WATERMARK else None
@@ -248,7 +347,13 @@ def run_upsert(
         kwargs["concurrency"] = concurrency
     stats = ds.groupby(PART_COLUMN).map_groups(merge_commit, batch_format="pyarrow", **kwargs)
     entries = stats.take_all()  # P tiny rows — the only driver-side materialization
+    return _finalize(manifest, manifest_path, entries, target)
 
+
+def _finalize(manifest: Manifest, manifest_path: str, entries: list[dict],
+              target: pa.Schema) -> Manifest:
+    """Record commits + metrics, then write the manifest LAST (cursor-last
+    ordering, sink/.../S3Writer.java:47-67)."""
     t_total = 0.0
     ev_total = 0
     for e in entries:

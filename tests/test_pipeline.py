@@ -103,6 +103,29 @@ def test_incremental_resume_from_checkpoint(fixture):
     assert lake_table(m2).equals(lake_table(m_full))
 
 
+def test_shuffle_and_copartitioned_modes_identical(fixture):
+    """The zero-shuffle co-partitioned path and the hash-shuffle path must
+    produce byte-identical snapshots."""
+    m_co, out_co, _ = _run(fixture, "mode_co", mode="copartitioned")
+    m_sh, out_sh, _ = _run(fixture, "mode_sh", mode="shuffle")
+    assert _file_hashes(out_co) == _file_hashes(out_sh)
+    _assert_matches_oracle(m_sh, fixture["expected"])
+    # foreign partition ids violate the co-partitioned contract loudly
+    import glob as g
+
+    import pyarrow.parquet as pq_
+
+    bad_dir = os.path.join(fixture["root"], "bad_log", "partition=0")
+    os.makedirs(bad_dir, exist_ok=True)
+    src = sorted(g.glob(os.path.join(fixture["changelog_dir"], "partition=1", "*.parquet")))[0]
+    os.link(src, os.path.join(bad_dir, "log-000000000000.parquet"))
+    with pytest.raises(Exception, match="co-partitioned layout contract"):
+        run_upsert(os.path.join(fixture["root"], "bad_log"),
+                   os.path.join(fixture["root"], "bad_out"),
+                   os.path.join(fixture["root"], "bad_m.json"),
+                   num_partitions=P, mode="copartitioned")
+
+
 def test_salted_skew_path_identical_result(fixture):
     m, _, _ = _run(fixture, "salted", hot_keys={HOT_CONV}, n_salts=4)
     _assert_matches_oracle(m, fixture["expected"])
