@@ -181,21 +181,14 @@ def _discover_partition_dirs(changelog) -> dict[int, list[str]] | None:
 
 
 @ray.remote
-def _merge_partition_task(p: int, files: list[str], lake_files: list[str],
-                          wm: int, out_dir: str, target_schema: pa.Schema,
-                          batch_rows: int = 256 * 1024) -> pa.Table:
-    """Co-partitioned merge: one Ray task per partition, ZERO shuffle.
+def _compact_partition_files(p: int, files: list[str], wm: int,
+                             batch_rows: int = 256 * 1024) -> pa.Table:
+    """Stream one partition's changelog files and LWW-compact them.
 
-    This is the reference's own execution model — parallelism unit = the
-    partition, with partitioning established at ingest (Kafka consumer-group
-    assignment, sink/.../S3SinkConnector.java:36-45) — so when the changelog
-    already lives in ``partition=<p>/`` directories there is nothing to
-    exchange: each task streams its own files, incrementally LWW-compacts them
-    (compaction is associative, so memory stays bounded by the partition's
-    touched-key cardinality, not its event count), merges with its lake
-    snapshot file, and commits. The hash-shuffle path below remains for
-    unpartitioned input.
-    """
+    Compaction is associative, so memory stays bounded by the touched-key
+    cardinality, not the event count — and a skewed (hot) partition can split
+    its files across several of these tasks and combine the results exactly
+    (the salted-splits idea without a shuffle)."""
     import pyarrow.dataset as pads_local
 
     acc: pa.Table | None = None
@@ -207,8 +200,7 @@ def _merge_partition_task(p: int, files: list[str], lake_files: list[str],
         if rb.num_rows == 0:
             continue
         t = pa.Table.from_batches([rb])
-        part_col = t.column("partition")
-        if pc.any(pc.not_equal(part_col, p)).as_py():
+        if pc.any(pc.not_equal(t.column("partition"), p)).as_py():
             raise ValueError(
                 f"changelog file in partition={p} contains foreign partition ids "
                 "— co-partitioned layout contract violated; rerun with mode='shuffle'"
@@ -216,9 +208,23 @@ def _merge_partition_task(p: int, files: list[str], lake_files: list[str],
         t = compact_events(t)
         acc = t if acc is None else compact_events(pa.concat_tables(
             unify_with_nulls([acc, t])))
-    if acc is None or len(acc) == 0:
+    if acc is None:
+        return pa.schema([]).empty_table()
+    return acc
+
+
+@ray.remote
+def _commit_compacted_task(p: int, lake_files: list[str], wm: int, out_dir: str,
+                           target_schema: pa.Schema, *compacted: pa.Table) -> pa.Table:
+    """Combine the partition's compacted slices (exact — compaction is
+    associative), merge with its lake snapshot, commit one file."""
+    parts = [t for t in compacted if len(t.schema)]
+    if not parts or sum(len(t) for t in parts) == 0:
         return pa.Table.from_arrays([[]] * len(STATS_SCHEMA.names), schema=STATS_SCHEMA)
-    return _commit_partition(p, acc, lake_files, wm, out_dir, target_schema)
+    events = parts[0] if len(parts) == 1 else compact_events(
+        pa.concat_tables(unify_with_nulls(parts))
+    )
+    return _commit_partition(p, events, lake_files, wm, out_dir, target_schema)
 
 
 def _discover_base_files(lake_dir: str | None, num_partitions: int) -> dict[int, list[str]]:
@@ -280,24 +286,42 @@ def run_upsert(
     min_wm = manifest.global_min_watermark(num_partitions)
 
     # -- co-partitioned fast path: changelog already laid out partition=<p>/ --
+    # The reference's own execution model — parallelism unit = the partition,
+    # partitioning established at ingest (Kafka consumer-group assignment,
+    # sink/.../S3SinkConnector.java:36-45) — so there is nothing to exchange:
+    # zero shuffle. Skewed partitions fan their compaction out over several
+    # sub-tasks (associative LWW reduction) so a hot conversation cannot make
+    # one straggler task bound the wall clock.
     part_files = _discover_partition_dirs(changelog) if mode in ("auto", "copartitioned") else None
     if part_files is not None:
         target = _target_schema(pq.read_schema(next(iter(part_files.values()))[0]), current)
-        refs = [
-            _merge_partition_task.remote(
-                p, files, current.get(p, []), wms.get(p, EMPTY_WATERMARK),
-                out_dir, target,
+        try:
+            ncpu_co = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            ncpu_co = 8
+        sizes = {p: sum(os.path.getsize(f) for f in fs) for p, fs in part_files.items()}
+        total = sum(sizes.values())
+        # target slice size: keep ~2 compaction tasks per core in flight, with
+        # a floor so tiny inputs stay single-task
+        slice_bytes = max(8 * 1024 * 1024, total // max(1, 2 * ncpu_co))
+        refs = []
+        for p, files in sorted(part_files.items()):
+            k = min(len(files), max(1, round(sizes[p] / slice_bytes)))
+            groups = [files[i::k] for i in range(k)] if k > 1 else [files]
+            crefs = [
+                _compact_partition_files.remote(p, g, wms.get(p, EMPTY_WATERMARK))
+                for g in groups
+            ]
+            refs.append(
+                _commit_compacted_task.remote(
+                    p, current.get(p, []), wms.get(p, EMPTY_WATERMARK),
+                    out_dir, target, *crefs,
+                )
             )
-            for p, files in sorted(part_files.items())
-        ]
         entries = [
-            dict(zip(STATS_SCHEMA.names, [c[0] for c in t.columns]))
+            {k: v[0].as_py() for k, v in zip(STATS_SCHEMA.names, t.columns)}
             for t in ray.get(refs)
             if len(t)
-        ]
-        entries = [
-            {k: (v.as_py() if hasattr(v, "as_py") else v) for k, v in e.items()}
-            for e in entries
         ]
         return _finalize(manifest, manifest_path, entries, target)
 
