@@ -44,6 +44,11 @@ ARCHIVE_SCHEMA = pa.schema(
 )
 
 
+def cursor_key(topic: str, partition: int) -> str:
+    """Per-partition cursor object name (sink/.../S3Writer.java:66)."""
+    return f"last_chunk_index.{topic}-{partition:05d}.txt"
+
+
 def archive_records(
     ds: "ray.data.Dataset",
     out_dir: str,
@@ -52,43 +57,136 @@ def archive_records(
     layout: Layout | None = None,
     date: str = "1970-01-01",
     chunk_threshold: int = 64 * 1024 * 1024,
+    file_threshold: int | None = None,
+    flush_interval_us: int | None = None,
+    ts_col: str = "ts",
 ) -> list[dict]:
-    """Archive a Dataset of byte records into block-gzip files, one group of
-    files per partition. Returns per-file commit stats. The date is explicit
-    (never wall-clock; see sources/layout.py docstring)."""
+    """Archive a Dataset of byte records into block-gzip files per partition.
+
+    Flush/rotation policy parity with the sink (sink/.../S3SinkTask.java):
+    - chunk rotation at ``chunk_threshold`` uncompressed bytes (W1,
+      ``compressed_block_size`` default 64 MiB, S3SinkTask.java:47)
+    - new FILE once the current file's raw bytes pass ``file_threshold`` (W2,
+      ``compressed_file_size``, S3SinkTask.java:177-180) — flush AFTER the
+      triggering record
+    - new file BEFORE a record whose ``ts`` is >= ``flush_interval_us`` past
+      the file's first record (W3, event-time tumbling flush,
+      S3SinkTask.java:169-173,308-317) — the triggering record opens the next
+      file
+
+    Commit order per file: data -> index -> cursor, strictly (S3,
+    sink/.../S3Writer.java:47-67): a crash can never leave the cursor ahead of
+    data. The per-partition cursor names the newest index file; offset
+    recovery reads it back (``fetch_next_offset``). The date is explicit —
+    never wall-clock (see sources/layout.py)."""
     fmt = fmt or ByteLengthCodec()
     layout = layout or GroupedByDateLayout()
 
     def write_partition(group: pa.Table) -> pa.Table:
         group = group.sort_by([("offset", "ascending")])
         p = int(group.column("partition")[0].as_py())
-        start = int(group.column("offset")[0].as_py())
-        meta = BlockMetadata(topic=topic, partition=p, start_offset=start, date=date)
-        rel = layout.build(meta, suffix=".gz")
-        path = os.path.join(out_dir, rel)
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        w = BlockGzipWriter(path, start_offset=start, chunk_threshold=chunk_threshold)
         keys = group.column("key").to_pylist()
         values = group.column("value").to_pylist()
-        # encode in bounded slices so one gzip member never buffers the whole
-        # partition uncompressed
-        step = 8192
-        for i in range(0, len(values), step):
-            w.write(fmt.encode(keys[i : i + step], values[i : i + step]),
-                    record_count=len(values[i : i + step]))
-        index = w.close()
+        offsets = group.column("offset").to_pylist()
+        ts = (
+            group.column(ts_col).cast(pa.int64()).to_pylist()  # epoch micros
+            if flush_interval_us and ts_col in group.column_names
+            else [None] * len(group)
+        )
+
+        out_rows: list[dict] = []
+        w = None
+        raw_bytes = 0
+        first_ts = None
+
+        def open_file(start_offset: int):
+            meta = BlockMetadata(topic=topic, partition=p,
+                                 start_offset=start_offset, date=date)
+            path = os.path.join(out_dir, layout.build(meta, suffix=".gz"))
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            return BlockGzipWriter(path, start_offset=start_offset,
+                                   chunk_threshold=chunk_threshold)
+
+        def close_file(writer):
+            index = writer.close()  # data file renamed, then index written
+            first_off = index.chunks[0].first_record_offset if index.chunks else 0
+            # cursor LAST: points at the newest index file
+            cur = os.path.join(out_dir, cursor_key(topic, p))
+            tmp = cur + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(os.path.relpath(writer.path + ".index.json", out_dir))
+            os.replace(tmp, cur)
+            out_rows.append(
+                {
+                    "partition": p,
+                    "path": writer.path,
+                    "num_records": index.last_offset() - first_off,
+                    "last_offset": index.last_offset(),
+                    "num_chunks": len(index.chunks),
+                }
+            )
+
+        if not file_threshold and not flush_interval_us:
+            # fast path: one file, batch-encoded in bounded slices so a gzip
+            # member never buffers the whole partition uncompressed
+            w = open_file(int(offsets[0]))
+            step = 8192
+            for i in range(0, len(values), step):
+                w.write(fmt.encode(keys[i : i + step], values[i : i + step]),
+                        record_count=len(values[i : i + step]))
+            close_file(w)
+            return pa.table(
+                {
+                    "partition": pa.array([p], pa.int32()),
+                    "path": pa.array([out_rows[0]["path"]]),
+                    "num_records": pa.array([len(group)], pa.int64()),
+                    "last_offset": pa.array([out_rows[0]["last_offset"]], pa.int64()),
+                    "num_chunks": pa.array([out_rows[0]["num_chunks"]], pa.int64()),
+                }
+            )
+
+        for k, v, off, tv in zip(keys, values, offsets, ts):
+            if w is not None and flush_interval_us and tv is not None \
+                    and first_ts is not None and tv - first_ts >= flush_interval_us:
+                close_file(w)  # W3: the triggering record goes to the NEXT file
+                w, raw_bytes, first_ts = None, 0, None
+            if w is None:
+                w = open_file(off)
+                first_ts = tv
+            framed = fmt.encode([k], [v])
+            w.write(framed)
+            raw_bytes += len(framed)
+            if file_threshold and raw_bytes >= file_threshold:
+                close_file(w)  # W2: flush AFTER the triggering record
+                w, raw_bytes, first_ts = None, 0, None
+        if w is not None:
+            close_file(w)
+
         return pa.table(
             {
-                "partition": pa.array([p], pa.int32()),
-                "path": [path],
-                "num_records": pa.array([len(group)], pa.int64()),
-                "last_offset": pa.array([index.last_offset()], pa.int64()),
-                "num_chunks": pa.array([len(index.chunks)], pa.int64()),
+                "partition": pa.array([r["partition"] for r in out_rows], pa.int32()),
+                "path": pa.array([r["path"] for r in out_rows]),
+                "num_records": pa.array([r["num_records"] for r in out_rows], pa.int64()),
+                "last_offset": pa.array([r["last_offset"] for r in out_rows], pa.int64()),
+                "num_chunks": pa.array([r["num_chunks"] for r in out_rows], pa.int64()),
             }
         )
 
     stats = ds.groupby("partition").map_groups(write_partition, batch_format="pyarrow")
     return stats.take_all()
+
+
+def fetch_next_offset(archive_dir: str, topic: str, partition: int) -> int:
+    """Sink-side offset recovery (S4): cursor -> newest index -> next offset =
+    last chunk\'s ``first_record_offset + num_records``
+    (sink/.../S3Writer.java:69-96). Returns 0 with no cursor (the
+    NoSuchKeyException cold-start path, S3Writer.java:76-78)."""
+    cur = os.path.join(archive_dir, cursor_key(topic, partition))
+    if not os.path.exists(cur):
+        return 0
+    index_rel = open(cur).read().strip()
+    index = ChunksIndex.from_json(open(os.path.join(archive_dir, index_rel)).read())
+    return index.last_offset()
 
 
 class _DecodeBlocks:
