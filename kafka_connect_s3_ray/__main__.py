@@ -1,0 +1,120 @@
+"""CLI entry points — run locally or via ``ray job submit``:
+
+    python -m kafka_connect_s3_ray upsert --changelog DIR --out DIR --manifest F
+        [--lake DIR] [--partitions N] [--hot-keys auto|k1,k2] [--mode auto]
+    python -m kafka_connect_s3_ray tail --changelog DIR --out DIR --manifest F
+        [--rounds N] [--poll-interval S]
+    python -m kafka_connect_s3_ray synth --root DIR [--conv N] [--events N]
+    python -m kafka_connect_s3_ray metrics --manifest F
+
+The CLI owns the Ray session (``ray.init`` guarded / ``ray.shutdown``); library
+code never initialises Ray itself (driver contract).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _init_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="kafka_connect_s3_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    up = sub.add_parser("upsert", help="one incremental changelog->lake upsert round")
+    up.add_argument("--changelog", required=True)
+    up.add_argument("--out", required=True)
+    up.add_argument("--manifest", required=True)
+    up.add_argument("--lake", default=None)
+    up.add_argument("--partitions", type=int, default=16)
+    up.add_argument("--hot-keys", default=None,
+                    help="'auto' or comma-separated conv_ids to salt")
+    up.add_argument("--salts", type=int, default=8)
+    up.add_argument("--mode", default="auto",
+                    choices=["auto", "copartitioned", "shuffle"])
+
+    tl = sub.add_parser("tail", help="continuous changelog tailing")
+    tl.add_argument("--changelog", required=True)
+    tl.add_argument("--out", required=True)
+    tl.add_argument("--manifest", required=True)
+    tl.add_argument("--lake", default=None)
+    tl.add_argument("--partitions", type=int, default=16)
+    tl.add_argument("--rounds", type=int, default=None)
+    tl.add_argument("--poll-interval", type=float, default=10.0)
+
+    sy = sub.add_parser("synth", help="write a deterministic transcript fixture")
+    sy.add_argument("--root", required=True)
+    sy.add_argument("--conv", type=int, default=1000)
+    sy.add_argument("--events", type=int, default=40000)
+    sy.add_argument("--partitions", type=int, default=16)
+    sy.add_argument("--seed", type=int, default=42)
+
+    me = sub.add_parser("metrics", help="print engine metrics from a manifest")
+    me.add_argument("--manifest", required=True)
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "synth":
+        from kafka_connect_s3_ray.synth import write_fixture
+
+        fx = write_fixture(args.root, n_conv=args.conv, n_events=args.events,
+                           num_partitions=args.partitions, seed=args.seed)
+        print(json.dumps({"lake_dir": fx["lake_dir"], "changelog_dir": fx["changelog_dir"],
+                          "events": len(fx["events"]), "lake_rows": len(fx["lake"])}))
+        return 0
+
+    if args.cmd == "metrics":
+        from kafka_connect_s3_ray.state.manifest import Manifest
+        from kafka_connect_s3_ray.state.metrics import engine_metrics_from_manifest
+
+        m = Manifest.load(args.manifest)
+        print(json.dumps(engine_metrics_from_manifest(m).snapshot(), indent=1))
+        return 0
+
+    _init_ray()
+    import ray
+
+    try:
+        if args.cmd == "upsert":
+            from kafka_connect_s3_ray.pipelines.upsert import run_upsert
+            from kafka_connect_s3_ray.state.metrics import engine_metrics_from_manifest
+
+            hot = args.hot_keys
+            if hot and hot != "auto":
+                hot = set(hot.split(","))
+            t0 = time.perf_counter()
+            m = run_upsert(args.changelog, args.out, args.manifest,
+                           lake_dir=args.lake, num_partitions=args.partitions,
+                           hot_keys=hot, n_salts=args.salts, mode=args.mode)
+            wall = time.perf_counter() - t0
+            print(json.dumps(engine_metrics_from_manifest(m, wall_seconds=wall).snapshot()))
+            return 0
+        if args.cmd == "tail":
+            from kafka_connect_s3_ray.pipelines.tail import tail_changelog
+
+            m = tail_changelog(args.changelog, args.out, args.manifest,
+                               lake_dir=args.lake, num_partitions=args.partitions,
+                               poll_interval_s=args.poll_interval,
+                               max_rounds=args.rounds)
+            print(json.dumps({"watermarks": {str(p): m.watermark(p)
+                                             for p in sorted(m.partitions)}}))
+            return 0
+    finally:
+        ray.shutdown()
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -127,7 +127,8 @@ class MergeCommit:
 
 def _commit_partition(p: int, events: pa.Table, lake_files: list[str], wm: int,
                       out_dir: str, target_schema: pa.Schema,
-                      row_group_size: int = 128 * 1024) -> pa.Table:
+                      row_group_size: int = 128 * 1024,
+                      max_file_rows: int = 4_000_000) -> pa.Table:
     """Merge ``events`` (all events of partition ``p`` this round) with the
     partition's current snapshot and commit one deterministic file."""
     t0 = time.monotonic()
@@ -140,16 +141,26 @@ def _commit_partition(p: int, events: pa.Table, lake_files: list[str], wm: int,
     new_wm = max(wm, int(pc.max(events.column("offset")).as_py()))
     pdir = os.path.join(out_dir, f"part={p}")
     os.makedirs(pdir, exist_ok=True)
-    path = os.path.join(pdir, f"commit-{new_wm:012d}.parquet")
-    tmp = path + ".inprogress"
-    # Deterministic bytes: fixed writer settings, stable row order (merged is
-    # key-sorted), no wall-clock metadata.
-    pq.write_table(merged, tmp, row_group_size=row_group_size, compression="zstd")
-    os.replace(tmp, path)  # data committed before the manifest (cursor) is
+    # Rotate into bounded files (never one giant file — resumable output, and
+    # the analog of the sink's file-size flush W2): deterministic names
+    # commit-<wm>[-<seq>].parquet, deterministic split points (row count).
+    n_files = max(1, -(-len(merged) // max_file_rows))
+    paths = []
+    rows_per = -(-len(merged) // n_files) if n_files else len(merged)
+    for seq in range(n_files):
+        piece = merged.slice(seq * rows_per, rows_per)
+        suffix = f"-{seq:04d}" if n_files > 1 else ""
+        path = os.path.join(pdir, f"commit-{new_wm:012d}{suffix}.parquet")
+        tmp = path + ".inprogress"
+        # Deterministic bytes: fixed writer settings, stable row order (merged
+        # is key-sorted), no wall-clock metadata.
+        pq.write_table(piece, tmp, row_group_size=row_group_size, compression="zstd")
+        os.replace(tmp, path)  # data committed before the manifest (cursor) is
+        paths.append(path)
     return pa.Table.from_arrays(
         [
             pa.array([p], pa.int32()),
-            pa.array([path], pa.string()),
+            pa.array([";".join(paths)], pa.string()),
             pa.array([new_wm], pa.int64()),
             pa.array([len(merged)], pa.int64()),
             pa.array([n_events], pa.int64()),

@@ -61,16 +61,19 @@ class Manifest:
             p, {"high_watermark": EMPTY_WATERMARK, "current": list(base_files), "files": []}
         )
 
-    def record_commit(self, p: int, path: str, high_watermark: int, num_rows: int,
-                      num_events: int, seconds: float) -> None:
+    def record_commit(self, p: int, path: str | list[str], high_watermark: int,
+                      num_rows: int, num_events: int, seconds: float) -> None:
+        # ``path`` may be one file or several (";"-joined or a list) when the
+        # commit rotated into bounded files
+        paths = path.split(";") if isinstance(path, str) else list(path)
         st = self.partitions.setdefault(
             p, {"high_watermark": EMPTY_WATERMARK, "current": [], "files": []}
         )
         st["high_watermark"] = int(high_watermark)
-        st["current"] = [path]
+        st["current"] = paths
         st["files"].append(
             {
-                "path": path,
+                "path": ";".join(paths),
                 "high_watermark": int(high_watermark),
                 "num_rows": int(num_rows),
                 "num_events": int(num_events),
