@@ -238,6 +238,173 @@ def q_topk_events(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# windows + joins over events
+# ---------------------------------------------------------------------------
+
+def q_tumbling_window(sf_dir: str):
+    """Tumbling event-time window (1 h): per (user_id, window) count + sum."""
+    from ..stages.windows import tumbling_window_agg
+
+    out = tumbling_window_agg(_events(sf_dir), key="user_id", ts="ts",
+                              window_us=3_600_000_000, value="value")
+
+    def fix(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "window": pc.cast(t.column("window"), pa.int64()),
+                "n_events": pc.cast(t.column("n_events"), pa.int64()),
+                # input values have 2 decimals; rounding to 4 makes the float
+                # sum comparable bit-for-bit with the SQL oracle's
+                "total_value": pc.round(t.column("total_value"), 4),
+            }
+        )
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
+def q_session_windows(sf_dir: str):
+    """Session windows: new session when the gap to the user's previous event
+    exceeds 30 min; per user session + event counts."""
+    from ..stages.windows import session_windows
+
+    out = session_windows(_events(sf_dir), key="user_id", ts="ts",
+                          gap_us=30 * 60 * 1_000_000, order_col=None)
+
+    def fix(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "n_sessions": pc.cast(t.column("n_sessions"), pa.int64()),
+                "n_events": pc.cast(t.column("n_events"), pa.int64()),
+            }
+        )
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
+def q_broadcast_join(sf_dir: str):
+    """Broadcast (small-side) join: events x customer dimension, revenue by
+    nation — the dimension ships once via ray.put, no shuffle."""
+    import duckdb
+
+    from ..stages.joins import broadcast_join
+
+    cust = duckdb.sql(
+        f"SELECT c_custkey, c_nationkey FROM '{sf_dir}/customer.parquet'"
+    ).df()
+    joined = broadcast_join(_events(sf_dir), cust, on="user_id",
+                            right_on="c_custkey", how="inner")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("c_nationkey", as_index=False).agg(
+            partial_n=("value", "size"), partial_v=("value", "sum")
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("c_nationkey")
+        .aggregate(Sum("partial_n", alias_name="n_events"),
+                   Sum("partial_v", alias_name="total_value"))
+    )
+
+    def fix(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_nationkey": pc.cast(t.column("c_nationkey"), pa.int64()),
+                "n_events": pc.cast(t.column("n_events"), pa.int64()),
+                "total_value": pc.round(t.column("total_value"), 4),
+            }
+        )
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
+def q_asof_join(sf_dir: str):
+    """As-of join: each purchase matched to the same user's most recent
+    prior-or-equal click (coarse-bucket + merge_asof, one shuffle)."""
+    from ..stages.joins import asof_join
+
+    ev = _events(sf_dir)
+    purchases = ev.filter(expr="event_type == 'purchase'").select_columns(
+        ["event_id", "user_id", "ts"]
+    )
+    clicks = ev.filter(expr="event_type == 'click'").map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "ts": t.column("ts"),
+                "click_event_id": t.column("event_id"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = asof_join(purchases, clicks, key="user_id", ts="ts",
+                    right_cols=["click_event_id"])
+
+    def matched(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=["click_event_id"])  # inner as-of semantics
+        b["click_event_id"] = b["click_event_id"].astype("int64")
+        return b[["event_id", "user_id", "click_event_id"]]
+
+    return out.map_batches(matched, batch_format="pandas")
+
+
+def q_hash_join(sf_dir: str):
+    """Both-sides-large hash join (Ray native, hash-partitioned): orders x
+    customer, order count + revenue per market segment."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import hash_join
+
+    orders = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                   columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = ray.data.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                                 columns=["c_custkey", "c_mktsegment"])
+    joined = hash_join(orders, cust, on="o_custkey", right_on=("c_custkey",),
+                       join_type="inner", num_partitions=8)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("c_mktsegment", as_index=False).agg(
+            partial_n=("o_orderkey", "size"), partial_v=("o_totalprice", "sum")
+        )
+
+    out = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("partial_n", alias_name="n_orders"),
+                   Sum("partial_v", alias_name="total_price"))
+    )
+
+    def fix(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": t.column("c_mktsegment"),
+                "n_orders": pc.cast(t.column("n_orders"), pa.int64()),
+                "total_price": pc.round(t.column("total_price"), 4),
+            }
+        )
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
+def q_semi_join(sf_dir: str):
+    """Anti join via broadcast key set: events from users absent from the
+    customer dimension (the key set ships once; the join is a filter)."""
+    import duckdb
+
+    from ..stages.joins import semi_join
+
+    keys = duckdb.sql(
+        f"SELECT c_custkey FROM '{sf_dir}/customer.parquet' WHERE c_custkey % 3 != 0"
+    ).df()["c_custkey"].to_numpy()
+    out = semi_join(_events(sf_dir), keys, on="user_id", anti=True)
+    return out.select_columns(["event_id", "user_id", "event_type"])
+
+
+# ---------------------------------------------------------------------------
 # document / text operators
 # ---------------------------------------------------------------------------
 
@@ -424,6 +591,12 @@ QUERIES = {
     "partition_prune": q_partition_prune,
     "replay_order": q_replay_order,
     "topk_events": q_topk_events,
+    "tumbling_window": q_tumbling_window,
+    "session_windows": q_session_windows,
+    "broadcast_join": q_broadcast_join,
+    "asof_join": q_asof_join,
+    "hash_join": q_hash_join,
+    "anti_join": q_semi_join,
     "exclude_filter": q_exclude_filter,
     "token_count": q_token_count,
     "quality_stats": q_quality_stats,
@@ -479,6 +652,38 @@ ORACLE_SQL = {
     "topk_events": (
         "SELECT event_id, user_id, event_type, value FROM events "
         "ORDER BY value DESC, event_id LIMIT 20"
+    ),
+    "tumbling_window": (
+        "SELECT user_id, epoch_us(ts) // 3600000000 AS window, "
+        "CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 4) AS total_value "
+        "FROM events GROUP BY 1, 2"
+    ),
+    "session_windows": (
+        "WITH d AS (SELECT user_id, CASE WHEN lag(ts) OVER w IS NULL OR "
+        "epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_s "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+        "SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, "
+        "CAST(count(*) AS BIGINT) AS n_events FROM d GROUP BY user_id"
+    ),
+    "broadcast_join": (
+        "SELECT CAST(c.c_nationkey AS BIGINT) AS c_nationkey, "
+        "CAST(count(*) AS BIGINT) AS n_events, round(sum(e.value), 4) AS total_value "
+        "FROM events e JOIN customer c ON e.user_id = c.c_custkey GROUP BY 1"
+    ),
+    "asof_join": (
+        "SELECT p.event_id, p.user_id, c.event_id AS click_event_id "
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
+        "ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c "
+        "ON p.user_id = c.user_id AND p.ts >= c.ts"
+    ),
+    "hash_join": (
+        "SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders, "
+        "round(sum(o.o_totalprice), 4) AS total_price "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY 1"
+    ),
+    "anti_join": (
+        "SELECT event_id, user_id, event_type FROM events WHERE user_id NOT IN "
+        "(SELECT c_custkey FROM customer WHERE c_custkey % 3 != 0)"
     ),
     "exclude_filter": (
         "SELECT doc_id, text, source FROM documents "

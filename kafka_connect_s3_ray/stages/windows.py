@@ -1,0 +1,105 @@
+"""Windowed aggregation over an ordered, partitioned event stream.
+
+Ray Data is a batch engine with no event-time runtime; windows are computed
+from the data itself (the reference's only window is the event-time flush,
+sink/.../S3SinkTask.java:169-173 — window assignment = the file split; here it
+becomes an explicit column). Ordering contract: per key, events are ordered by
+``order_col`` — the same per-partition ordering assumption as the changelog
+(SURVEY.md §2.9 W5).
+
+- ``tumbling_window_agg``: window id = floor(ts / size). Pre-aggregates per
+  batch (combiner: one row per (key, window) per batch) before the groupby —
+  the shuffle moves partial sums, not events.
+- ``session_windows``: sessions split where the gap to the previous event of
+  the same key exceeds ``gap``; computed per coarse key-bucket with one
+  vectorized pandas pass (sort + diff + cumsum), bounded group count.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+N_COARSE = 64
+
+
+def tumbling_window_agg(
+    ds: "ray.data.Dataset",
+    key: str,
+    ts: str,
+    window_us: int,
+    value: str,
+) -> "ray.data.Dataset":
+    """Per (key, window): count + sum(value), window = floor(ts / window_us).
+    Returns columns (key, window, n_events, total_value)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t_us = batch.column(ts).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        win = t_us // window_us
+        df = pd.DataFrame(
+            {
+                key: batch.column(key).to_numpy(zero_copy_only=False),
+                "window": win,
+                "_v": batch.column(value).to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby([key, "window"], as_index=False).agg(
+            partial_n=("_v", "size"), partial_sum=("_v", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        [key, "window"]
+    ).aggregate(
+        Sum("partial_n", alias_name="n_events"),
+        Sum("partial_sum", alias_name="total_value"),
+    )
+    return out
+
+
+def session_windows(
+    ds: "ray.data.Dataset",
+    key: str,
+    ts: str,
+    gap_us: int,
+    order_col: str | None = None,
+    n_coarse: int = N_COARSE,
+) -> "ray.data.Dataset":
+    """Per key: number of sessions, where a new session starts when the gap to
+    the previous event exceeds ``gap_us``. Returns (key, n_sessions,
+    n_events). Exact: all rows of a key share a coarse bucket."""
+
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        k = batch.column(key).to_numpy(zero_copy_only=False)
+        if k.dtype.kind not in ("i", "u"):
+            k = k.astype(object)
+        coarse = (pd.util.hash_array(np.ascontiguousarray(k)) %
+                  np.uint64(n_coarse)).astype(np.int32)
+        cols = [key, ts] + ([order_col] if order_col and order_col not in (key, ts) else [])
+        t = batch.select(cols)
+        return t.append_column("_coarse", pa.array(coarse))
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        sort_cols = [key, ts] + ([order_col] if order_col else [])
+        g = g.sort_values(sort_cols, kind="stable")
+        vals = g[ts].to_numpy()
+        if np.issubdtype(vals.dtype, np.datetime64):
+            vals = vals.astype("datetime64[us]").astype("int64")
+        tsv = pd.Series(vals, index=g.index)
+        new_key = g[key] != g[key].shift()
+        gap = tsv - tsv.shift()
+        new_session = new_key | (gap > gap_us)
+        out = g.assign(_new=new_session.astype(int)).groupby(key, as_index=False).agg(
+            n_sessions=("_new", "sum"), n_events=("_new", "size")
+        )
+        return out
+
+    return (
+        ds.map_batches(add_coarse, batch_format="pyarrow")
+        .groupby("_coarse")
+        .map_groups(sessions, batch_format="pandas")
+    )

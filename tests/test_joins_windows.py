@@ -1,0 +1,88 @@
+"""Unit tests for join strategies and windowed aggregation."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from kafka_connect_s3_ray.stages.joins import asof_join, broadcast_join, hash_join, semi_join
+from kafka_connect_s3_ray.stages.windows import session_windows, tumbling_window_agg
+
+
+def _events_tbl():
+    return pa.table(
+        {
+            "event_id": pa.array(range(8), pa.int64()),
+            "user_id": pa.array([1, 1, 1, 2, 2, 3, 3, 3], pa.int64()),
+            "ts": pa.array([0, 10, 20, 5, 50, 1, 2, 100], pa.int64()),
+            "value": pa.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0]),
+        }
+    )
+
+
+def test_broadcast_join_basic():
+    ds = ray.data.from_arrow(_events_tbl())
+    dim = pd.DataFrame({"user_id": [1, 2], "segment": ["a", "b"]})
+    out = broadcast_join(ds, dim, on="user_id").to_pandas()
+    assert len(out) == 5  # user 3 dropped (inner)
+    assert set(out[out["user_id"] == 1]["segment"]) == {"a"}
+
+
+def test_semi_and_anti_join():
+    ds = ray.data.from_arrow(_events_tbl())
+    semi = semi_join(ds, [1, 3], on="user_id").to_pandas()
+    assert set(semi["user_id"]) == {1, 3}
+    anti = semi_join(ds, [1, 3], on="user_id", anti=True).to_pandas()
+    assert set(anti["user_id"]) == {2}
+
+
+def test_hash_join_native():
+    left = ray.data.from_arrow(_events_tbl())
+    right = ray.data.from_arrow(
+        pa.table({"uid": pa.array([1, 2], pa.int64()),
+                  "name": ["alice", "bo"]})
+    )
+    out = hash_join(left, right, on="user_id", right_on=("uid",),
+                    num_partitions=2).to_pandas()
+    assert len(out) == 5
+    assert set(out["name"]) == {"alice", "bo"}
+
+
+def test_asof_join_semantics():
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 1, 2], pa.int64()),
+                  "t": pa.array([15, 4, 7], pa.int64()),
+                  "lv": ["x", "y", "z"]})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 1, 2, 2], pa.int64()),
+                  "t": pa.array([5, 10, 7, 8], pa.int64()),
+                  "rv": pa.array([100, 200, 300, 400], pa.int64())})
+    )
+    out = asof_join(left, right, key="k", ts="t", right_cols=["rv"]).to_pandas()
+    m = out.set_index(["k", "t"])["rv"]
+    assert m.loc[(1, 15)] == 200  # most recent at-or-before 15 is t=10
+    assert np.isnan(m.loc[(1, 4)])  # nothing at-or-before 4
+    assert m.loc[(2, 7)] == 300  # inclusive boundary
+
+
+def test_tumbling_window_agg():
+    ds = ray.data.from_arrow(_events_tbl())
+    out = tumbling_window_agg(ds, key="user_id", ts="ts", window_us=10,
+                              value="value").to_pandas()
+    u1 = out[out["user_id"] == 1].set_index("window")
+    assert list(u1.index) == [0, 1, 2] and (u1["n_events"] == 1).all()
+    assert u1.loc[1, "total_value"] == 2.0
+    u2 = out[out["user_id"] == 2].set_index("window")
+    assert u2.loc[0, "n_events"] == 1 and u2.loc[5, "n_events"] == 1
+
+
+def test_session_windows():
+    ds = ray.data.from_arrow(_events_tbl())
+    out = session_windows(ds, key="user_id", ts="ts", gap_us=15).to_pandas()
+    s = out.set_index("user_id")
+    assert s.loc[1, "n_sessions"] == 1  # gaps 10, 10 <= 15
+    assert s.loc[2, "n_sessions"] == 2  # gap 45 > 15
+    assert s.loc[3, "n_sessions"] == 2  # 1,2 then 100
+    assert s.loc[3, "n_events"] == 3

@@ -72,6 +72,8 @@ SQL_CHECKED = [
     "cdc_merge_events", "archive_roundtrip", "partition_prune", "replay_order",
     "topk_events", "exclude_filter", "token_count", "quality_stats",
     "dedup_exact", "token_sum_by_lang", "cosine_topk",
+    "tumbling_window", "session_windows", "broadcast_join", "asof_join",
+    "hash_join", "anti_join",
 ]
 ROWS_ONLY = [
     "lang_id", "rolling_fingerprint", "minhash_near_dup", "simhash_near_dup",
