@@ -123,7 +123,8 @@ def run_bench() -> dict:
         "cdc_merge_events", "lww_keep_last", "partition_watermarks",
         "archive_roundtrip", "dedup_exact", "minhash_near_dup",
         "simhash_near_dup", "token_sum_by_lang", "quality_stats", "lang_id",
-        "cosine_topk", "embedding_near_dup",
+        "cosine_topk", "embedding_near_dup", "tumbling_window",
+        "session_windows", "broadcast_join", "asof_join", "hash_join",
     ]
     for name in panel:
         sec, res = _timed(lambda n=name: consume(Q.QUERIES[n](SF_DIR)))

@@ -116,11 +116,11 @@ def ivf_topk(ds: "ray.data.Dataset", queries: np.ndarray, k: int = 10,
 
     pruned = ds.map_batches(AssignFilter, batch_format="pyarrow", concurrency=2)
     q_ref = ray.put(q)
+    # candidates come from the UNION of all queries' probed clusters; a
+    # per-query cluster filter would only tighten recall further
     cand = pruned.map_batches(
         _BatchTopK(q_ref, k, id_col, vec_col), batch_format="pyarrow"
     ).to_pandas()
-    # keep only candidates from clusters this query actually probes
-    probe_sets = {qi: set(probe[qi].tolist()) for qi in range(len(q))}
     cand = cand.sort_values(["query_id", "score", id_col],
                             ascending=[True, False, True], kind="stable")
     return cand.groupby("query_id", sort=True).head(k).reset_index(drop=True)

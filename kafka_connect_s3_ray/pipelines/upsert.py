@@ -141,6 +141,8 @@ def _commit_partition(p: int, events: pa.Table, lake_files: list[str], wm: int,
     new_wm = max(wm, int(pc.max(events.column("offset")).as_py()))
     pdir = os.path.join(out_dir, f"part={p}")
     os.makedirs(pdir, exist_ok=True)
+    for stale in glob.glob(os.path.join(pdir, "*.inprogress")):
+        os.remove(stale)  # leftovers of a crashed commit — never referenced
     # Rotate into bounded files (never one giant file — resumable output, and
     # the analog of the sink's file-size flush W2): deterministic names
     # commit-<wm>[-<seq>].parquet, deterministic split points (row count).
@@ -295,6 +297,33 @@ def run_upsert(
     current = manifest.current_files()
     wms = manifest.watermarks(num_partitions)
     min_wm = manifest.global_min_watermark(num_partitions)
+
+    # -- Dataset input (e.g. a decoded byte-archive changelog): shuffle path --
+    if isinstance(changelog, ray.data.Dataset):
+        ds = changelog
+        if hot_keys == "auto":
+            from ..stages.partitioner import detect_hot_keys as _dhk
+
+            hot_keys = _dhk(ds, threshold_frac=0.05)
+        hot_keys = set(hot_keys or ())
+        prep = PrepareEvents(wms, num_partitions, hot_keys, n_salts)
+        ds = ds.map_batches(prep, batch_format="pyarrow", batch_size=batch_size)
+        if hot_keys:
+            ds = ds.groupby([PART_COLUMN, SALT_COLUMN]).map_groups(
+                _salted_compact, batch_format="pyarrow"
+            )
+        ds_schema = pa.schema(
+            [pa.field(n, t) for n, t in zip(changelog.schema().names,
+                                            changelog.schema().types)]
+        )
+        target = _target_schema(ds_schema, current)
+        commit = MergeCommit(out_dir, current, wms, target)
+
+        def merge_commit_ds(group: pa.Table, _c=commit) -> pa.Table:
+            return _c(group)
+
+        stats = ds.groupby(PART_COLUMN).map_groups(merge_commit_ds, batch_format="pyarrow")
+        return _finalize(manifest, manifest_path, stats.take_all(), target)
 
     # -- co-partitioned fast path: changelog already laid out partition=<p>/ --
     # The reference's own execution model — parallelism unit = the partition,
