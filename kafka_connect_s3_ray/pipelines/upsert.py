@@ -291,6 +291,7 @@ def run_upsert(
     from ..stages.partitioner import detect_hot_keys
 
     manifest = Manifest.load(manifest_path)
+    manifest.pin_partitions(num_partitions)
     base = _discover_base_files(lake_dir, num_partitions)
     for p, files in base.items():
         manifest.init_partition(p, files)

@@ -32,9 +32,23 @@ class Manifest:
         self.path = path
         self.version = 1
         self.schema_fingerprint: str | None = None
+        # The lake's partition count is part of its identity: hash(key) % P
+        # routes keys, so P can never silently change between runs (a
+        # repartition is an explicit rebuild). Pinned at first commit.
+        self.num_partitions: int | None = None
         # partition -> {"high_watermark": int, "current": [paths], "files": [...]}
         self.partitions: dict[int, dict[str, Any]] = {}
         self.metrics: dict[str, Any] = {}
+
+    def pin_partitions(self, num_partitions: int) -> None:
+        if self.num_partitions is None:
+            self.num_partitions = int(num_partitions)
+        elif self.num_partitions != num_partitions:
+            raise ValueError(
+                f"lake was committed with num_partitions={self.num_partitions}; "
+                f"got {num_partitions} — changing P reroutes hash(key) % P and "
+                "requires an explicit lake rebuild/repartition"
+            )
 
     # -- queries ---------------------------------------------------------
     def watermark(self, p: int) -> int:
@@ -90,6 +104,7 @@ class Manifest:
                 doc = json.load(f)
             m.version = doc.get("version", 1)
             m.schema_fingerprint = doc.get("schema_fingerprint")
+            m.num_partitions = doc.get("num_partitions")
             m.partitions = {int(k): v for k, v in doc.get("partitions", {}).items()}
             m.metrics = doc.get("metrics", {})
         return m
@@ -101,6 +116,7 @@ class Manifest:
         doc = {
             "version": self.version,
             "schema_fingerprint": self.schema_fingerprint,
+            "num_partitions": self.num_partitions,
             "partitions": {str(k): v for k, v in sorted(self.partitions.items())},
             "metrics": self.metrics,
         }
