@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -64,7 +65,19 @@ def main(argv: list[str] | None = None) -> int:
     me = sub.add_parser("metrics", help="print engine metrics from a manifest")
     me.add_argument("--manifest", required=True)
 
+    va = sub.add_parser("validate", help="check lake invariants from a manifest")
+    va.add_argument("--manifest", required=True)
+
+    vc = sub.add_parser("vacuum", help="GC old partition-file generations")
+    vc.add_argument("--manifest", required=True)
+    vc.add_argument("--keep", type=int, default=1)
+    vc.add_argument("--dry-run", action="store_true")
+
     args = ap.parse_args(argv)
+
+    if getattr(args, "changelog", None) and not os.path.exists(args.changelog):
+        print(f"error: changelog path does not exist: {args.changelog}", file=sys.stderr)
+        return 2
 
     if args.cmd == "synth":
         from kafka_connect_s3_ray.synth import write_fixture
@@ -83,10 +96,23 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(engine_metrics_from_manifest(m).snapshot(), indent=1))
         return 0
 
+    if args.cmd == "vacuum":
+        from kafka_connect_s3_ray.pipelines.maintenance import vacuum
+
+        deleted = vacuum(args.manifest, keep_generations=args.keep,
+                         dry_run=args.dry_run)
+        print(json.dumps({"deleted" if not args.dry_run else "would_delete": deleted}))
+        return 0
+
     _init_ray()
     import ray
 
     try:
+        if args.cmd == "validate":
+            from kafka_connect_s3_ray.pipelines.maintenance import validate_lake
+
+            print(json.dumps(validate_lake(args.manifest)))
+            return 0
         if args.cmd == "upsert":
             from kafka_connect_s3_ray.pipelines.upsert import run_upsert
             from kafka_connect_s3_ray.state.metrics import engine_metrics_from_manifest

@@ -1,0 +1,108 @@
+"""Lake maintenance: lineage GC and invariant validation.
+
+Reference analog: the reference leans on S3 lifecycle rules for old objects
+and on its IT suite for invariants (delete-bucket + rewind,
+sink/src/test/.../S3SinkConnectorIT.java:474-612); here both are first-class
+ops on the manifest.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data
+
+from ..schema import KEY_COLUMNS
+from ..state.manifest import Manifest
+
+
+def vacuum(manifest: Manifest | str, keep_generations: int = 1,
+           dry_run: bool = False) -> list[str]:
+    """Delete partition files older than the last ``keep_generations`` commits
+    of each partition. The CURRENT fileset is never deleted; with
+    keep_generations > 1, older snapshots stay replayable from their
+    checkpoints. Returns the deleted (or would-delete) paths."""
+    if isinstance(manifest, str):
+        manifest = Manifest.load(manifest)
+    doomed: list[str] = []
+    for p, st in manifest.partitions.items():
+        files = st.get("files", [])
+        keep = files[-keep_generations:] if keep_generations else []
+        keep_paths = {path for e in keep for path in e["path"].split(";")}
+        keep_paths.update(st.get("current", []))
+        for e in files[:-keep_generations] if keep_generations else files:
+            for path in e["path"].split(";"):
+                if path not in keep_paths and os.path.exists(path):
+                    doomed.append(path)
+                    if not dry_run:
+                        os.remove(path)
+        if not dry_run:
+            st["files"] = files[-keep_generations:]
+    if not dry_run and manifest.path:
+        manifest.commit()
+    return doomed
+
+
+def validate_lake(manifest: Manifest | str,
+                  key_cols: list[str] = KEY_COLUMNS) -> dict:
+    """Check lake invariants, distributed:
+
+    - key uniqueness across the whole snapshot (hash-grouped count)
+    - per-file key-sorted order (the determinism contract)
+    - manifest/file agreement (row counts, files exist)
+
+    Returns a report dict; raises AssertionError on violation."""
+    if isinstance(manifest, str):
+        manifest = Manifest.load(manifest)
+    report = {"partitions": {}, "total_rows": 0, "duplicate_keys": 0}
+    all_files: list[str] = []
+    for p, st in sorted(manifest.partitions.items()):
+        rows = 0
+        for path in st.get("current", []):
+            assert os.path.exists(path), f"manifest references missing file {path}"
+            md = pq.read_metadata(path)
+            rows += md.num_rows
+            tbl = pq.read_table(path, columns=key_cols)
+            srt = tbl.sort_by([(c, "ascending") for c in key_cols])
+            assert tbl.equals(srt), f"{path} is not key-sorted"
+            all_files.append(path)
+        last = st.get("files", [])[-1:] if st.get("files") else []
+        if last:
+            assert last[0]["num_rows"] == rows, (
+                f"partition {p}: manifest says {last[0]['num_rows']} rows, files have {rows}"
+            )
+        report["partitions"][p] = {"rows": rows, "files": len(st.get("current", []))}
+        report["total_rows"] += rows
+    if all_files:
+        ds = ray.data.read_parquet(all_files, columns=key_cols)
+
+        def dup_count(batch: pa.Table) -> pa.Table:
+            import numpy as np
+            import pandas as pd
+
+            h = pd.util.hash_pandas_object(
+                batch.select(key_cols).to_pandas(), index=False
+            ).to_numpy()
+            coarse = (h % np.uint64(64)).astype(np.int32)
+            t = batch.append_column("_h", pa.array(h.view(np.int64)))
+            return t.append_column("_coarse", pa.array(coarse))
+
+        def dups(g, _k=tuple(key_cols)):
+            d = int(g.duplicated(list(_k)).sum())
+            import pandas as pd
+
+            return pd.DataFrame({"dups": [d]})
+
+        total_dups = int(
+            ds.map_batches(dup_count, batch_format="pyarrow")
+            .groupby("_coarse")
+            .map_groups(dups, batch_format="pandas")
+            .to_pandas()["dups"].sum()
+        )
+        report["duplicate_keys"] = total_dups
+        assert total_dups == 0, f"{total_dups} duplicate keys in the lake"
+    return report

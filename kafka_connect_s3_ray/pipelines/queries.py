@@ -408,6 +408,72 @@ def q_semi_join(sf_dir: str):
 # document / text operators
 # ---------------------------------------------------------------------------
 
+def q_pricing_summary(sf_dir: str):
+    """Classic analytics over lineitem (TPC-H Q1 shape): grouped aggregates
+    with per-batch partial pre-aggregation before the shuffle."""
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b["disc_price"] = b["l_extendedprice"] * (1 - b["l_discount"])
+        return b.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            p_qty=("l_quantity", "sum"), p_price=("l_extendedprice", "sum"),
+            p_disc=("disc_price", "sum"), p_n=("l_quantity", "size"),
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("p_qty", alias_name="sum_qty"),
+            Sum("p_price", alias_name="sum_base_price"),
+            Sum("p_disc", alias_name="sum_disc_price"),
+            Sum("p_n", alias_name="count_order"),
+        )
+    )
+
+    def fix(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "sum_qty": pc.round(t.column("sum_qty"), 2),
+                "sum_base_price": pc.round(t.column("sum_base_price"), 2),
+                "sum_disc_price": pc.round(t.column("sum_disc_price"), 2),
+                "count_order": pc.cast(t.column("count_order"), pa.int64()),
+            }
+        )
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
+def q_topk_per_group(sf_dir: str):
+    """Top-2 events by value per user (grouped top-k via coarse buckets +
+    vectorized within-bucket rank — no per-key groups, no global sort)."""
+
+    def add_coarse(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        t = t.select(["event_id", "user_id", "value"])
+        return t.append_column("coarse", pa.array((uid % 64).astype(np.int32)))
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "value", "event_id"],
+                          ascending=[True, False, True], kind="stable")
+        return g.groupby("user_id").head(2)[["event_id", "user_id", "value"]]
+
+    return (
+        _events(sf_dir)
+        .map_batches(add_coarse, batch_format="pyarrow")
+        .groupby("coarse")
+        .map_groups(topk, batch_format="pandas")
+    )
+
+
 def q_exclude_filter(sf_dir: str):
     """M9: substring exclude-list filter over document text."""
     pats = ["merge", "shuffle"]
@@ -597,6 +663,8 @@ QUERIES = {
     "asof_join": q_asof_join,
     "hash_join": q_hash_join,
     "anti_join": q_semi_join,
+    "pricing_summary": q_pricing_summary,
+    "topk_per_group": q_topk_per_group,
     "exclude_filter": q_exclude_filter,
     "token_count": q_token_count,
     "quality_stats": q_quality_stats,
@@ -684,6 +752,18 @@ ORACLE_SQL = {
     "anti_join": (
         "SELECT event_id, user_id, event_type FROM events WHERE user_id NOT IN "
         "(SELECT c_custkey FROM customer WHERE c_custkey % 3 != 0)"
+    ),
+    "pricing_summary": (
+        "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
+        "round(sum(l_extendedprice), 2) AS sum_base_price, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+        "CAST(count(*) AS BIGINT) AS count_order "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    ),
+    "topk_per_group": (
+        "SELECT event_id, user_id, value FROM (SELECT event_id, user_id, value, "
+        "row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn "
+        "FROM events) WHERE rn <= 2"
     ),
     "exclude_filter": (
         "SELECT doc_id, text, source FROM documents "

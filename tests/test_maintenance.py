@@ -1,0 +1,78 @@
+"""Lake maintenance: vacuum lineage GC + invariant validation."""
+
+import os
+
+import pytest
+
+from kafka_connect_s3_ray.pipelines.maintenance import validate_lake, vacuum
+from kafka_connect_s3_ray.pipelines.upsert import run_upsert
+from kafka_connect_s3_ray.state.manifest import Manifest
+from kafka_connect_s3_ray.synth import write_fixture
+
+P = 4
+
+
+@pytest.fixture()
+def two_generations(tmp_path):
+    root = str(tmp_path)
+    fx = write_fixture(root, n_conv=60, n_events=800, num_partitions=P,
+                       files_per_partition=2)
+    import glob
+
+    out = os.path.join(root, "out")
+    mpath = os.path.join(root, "m.json")
+    firsts = [sorted(glob.glob(os.path.join(fx["changelog_dir"], f"partition={p}", "*.parquet")))[0]
+              for p in range(P)]
+    run_upsert(firsts, out, mpath, lake_dir=fx["lake_dir"], num_partitions=P)
+    run_upsert(fx["changelog_dir"], out, mpath, num_partitions=P)
+    return {"mpath": mpath, "out": out}
+
+
+def test_validate_ok_then_vacuum(two_generations):
+    mpath = two_generations["mpath"]
+    report = validate_lake(mpath)
+    assert report["total_rows"] > 0 and report["duplicate_keys"] == 0
+    m = Manifest.load(mpath)
+    assert all(len(st["files"]) == 2 for st in m.partitions.values())
+    # dry run deletes nothing
+    would = vacuum(mpath, keep_generations=1, dry_run=True)
+    assert would and all(os.path.exists(p) for p in would)
+    deleted = vacuum(mpath, keep_generations=1)
+    assert sorted(deleted) == sorted(would)
+    assert all(not os.path.exists(p) for p in deleted)
+    # current snapshot untouched and still valid
+    report2 = validate_lake(mpath)
+    assert report2["total_rows"] == report["total_rows"]
+    m2 = Manifest.load(mpath)
+    assert all(len(st["files"]) == 1 for st in m2.partitions.values())
+
+
+def test_validate_catches_duplicates(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "part=0"
+    d.mkdir()
+    t = pa.table({"conv_id": ["a", "a"], "turn_idx": pa.array([0, 0], pa.int32()),
+                  "text": ["x", "y"]})
+    pq.write_table(t, str(d / "commit-000000000001.parquet"))
+    m = Manifest(str(tmp_path / "m.json"))
+    m.record_commit(0, str(d / "commit-000000000001.parquet"), 1, 2, 2, 0.0)
+    m.commit()
+    with pytest.raises(AssertionError, match="duplicate keys"):
+        validate_lake(m)
+
+
+def test_validate_catches_unsorted(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "part=0"
+    d.mkdir()
+    t = pa.table({"conv_id": ["b", "a"], "turn_idx": pa.array([0, 0], pa.int32()),
+                  "text": ["x", "y"]})
+    pq.write_table(t, str(d / "commit-000000000001.parquet"))
+    m = Manifest(str(tmp_path / "m.json"))
+    m.record_commit(0, str(d / "commit-000000000001.parquet"), 1, 2, 2, 0.0)
+    with pytest.raises(AssertionError, match="not key-sorted"):
+        validate_lake(m)

@@ -73,7 +73,7 @@ SQL_CHECKED = [
     "topk_events", "exclude_filter", "token_count", "quality_stats",
     "dedup_exact", "token_sum_by_lang", "cosine_topk",
     "tumbling_window", "session_windows", "broadcast_join", "asof_join",
-    "hash_join", "anti_join",
+    "hash_join", "anti_join", "pricing_summary", "topk_per_group",
 ]
 ROWS_ONLY = [
     "lang_id", "rolling_fingerprint", "minhash_near_dup", "simhash_near_dup",
