@@ -45,12 +45,15 @@ from .upsert import lake_table, run_upsert
 P_EVENTS = 8  # user_id % 8 partitioning used by the events-table CDC queries
 
 
-def _events(sf_dir: str) -> "ray.data.Dataset":
-    return ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+def _events(sf_dir: str, columns: list[str] | None = None) -> "ray.data.Dataset":
+    # columns= prunes at the read: only the needed columns leave storage
+    return ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                 columns=columns)
 
 
-def _docs(sf_dir: str) -> "ray.data.Dataset":
-    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+def _docs(sf_dir: str, columns: list[str] | None = None) -> "ray.data.Dataset":
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=columns)
 
 
 def _emb(sf_dir: str) -> "ray.data.Dataset":
@@ -84,7 +87,7 @@ def q_watermark_filter(sf_dir: str):
 def q_partition_watermarks(sf_dir: str):
     """A2/A3: per-partition high-watermark = groupby-max over offsets."""
     out = (
-        _events(sf_dir)
+        _events(sf_dir, ["user_id", "event_id"])
         .map_batches(_add_part, batch_format="pyarrow")
         .groupby("part")
         .max("event_id")
@@ -226,14 +229,13 @@ def q_partition_prune(sf_dir: str):
 
 def q_replay_order(sf_dir: str):
     """O1: explicit replay ordering — sort by (partition, offset), first 100."""
-    ds = _events(sf_dir).map_batches(_add_part, batch_format="pyarrow")
-    ds = ds.select_columns(["event_id", "user_id", "part"])
+    ds = _events(sf_dir, ["event_id", "user_id"]).map_batches(_add_part, batch_format="pyarrow")
     return ds.sort(["part", "event_id"]).limit(100)
 
 
 def q_topk_events(sf_dir: str):
     """O2 + sort: top-20 events by value (deterministic event_id tie-break)."""
-    ds = _events(sf_dir).select_columns(["event_id", "user_id", "event_type", "value"])
+    ds = _events(sf_dir, ["event_id", "user_id", "event_type", "value"])
     return ds.sort(["value", "event_id"], descending=[True, False]).limit(20)
 
 
@@ -245,7 +247,7 @@ def q_tumbling_window(sf_dir: str):
     """Tumbling event-time window (1 h): per (user_id, window) count + sum."""
     from ..stages.windows import tumbling_window_agg
 
-    out = tumbling_window_agg(_events(sf_dir), key="user_id", ts="ts",
+    out = tumbling_window_agg(_events(sf_dir, ["user_id", "ts", "value"]), key="user_id", ts="ts",
                               window_us=3_600_000_000, value="value")
 
     def fix(t: pa.Table) -> pa.Table:
@@ -268,7 +270,7 @@ def q_session_windows(sf_dir: str):
     exceeds 30 min; per user session + event counts."""
     from ..stages.windows import session_windows
 
-    out = session_windows(_events(sf_dir), key="user_id", ts="ts",
+    out = session_windows(_events(sf_dir, ["user_id", "ts"]), key="user_id", ts="ts",
                           gap_us=30 * 60 * 1_000_000, order_col=None)
 
     def fix(t: pa.Table) -> pa.Table:
@@ -293,7 +295,7 @@ def q_broadcast_join(sf_dir: str):
     cust = duckdb.sql(
         f"SELECT c_custkey, c_nationkey FROM '{sf_dir}/customer.parquet'"
     ).df()
-    joined = broadcast_join(_events(sf_dir), cust, on="user_id",
+    joined = broadcast_join(_events(sf_dir, ["user_id", "value"]), cust, on="user_id",
                             right_on="c_custkey", how="inner")
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -400,7 +402,7 @@ def q_semi_join(sf_dir: str):
     keys = duckdb.sql(
         f"SELECT c_custkey FROM '{sf_dir}/customer.parquet' WHERE c_custkey % 3 != 0"
     ).df()["c_custkey"].to_numpy()
-    out = semi_join(_events(sf_dir), keys, on="user_id", anti=True)
+    out = semi_join(_events(sf_dir, ["event_id", "user_id", "event_type"]), keys, on="user_id", anti=True)
     return out.select_columns(["event_id", "user_id", "event_type"])
 
 
@@ -467,7 +469,7 @@ def q_topk_per_group(sf_dir: str):
         return g.groupby("user_id").head(2)[["event_id", "user_id", "value"]]
 
     return (
-        _events(sf_dir)
+        _events(sf_dir, ["event_id", "user_id", "value"])
         .map_batches(add_coarse, batch_format="pyarrow")
         .groupby("coarse")
         .map_groups(topk, batch_format="pandas")
