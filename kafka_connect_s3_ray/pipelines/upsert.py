@@ -193,16 +193,31 @@ def _discover_partition_dirs(changelog) -> dict[int, list[str]] | None:
     return out or None
 
 
-@ray.remote
+# Task retry budget mirrors the reference's S3-put retries (5 attempts,
+# sink/.../S3Writer.java:119-136): transient worker/IO failures retry; the
+# commits are idempotent (same names, same bytes), so a retried task can never
+# duplicate or diverge output.
+@ray.remote(max_retries=4, retry_exceptions=True)
 def _compact_partition_files(p: int, files: list[str], wm: int,
-                             batch_rows: int = 256 * 1024) -> pa.Table:
+                             batch_rows: int = 256 * 1024,
+                             fault_inject_dir: str | None = None) -> pa.Table:
     """Stream one partition's changelog files and LWW-compact them.
 
     Compaction is associative, so memory stays bounded by the touched-key
     cardinality, not the event count — and a skewed (hot) partition can split
     its files across several of these tasks and combine the results exactly
-    (the salted-splits idea without a shuffle)."""
+    (the salted-splits idea without a shuffle).
+
+    ``fault_inject_dir`` is a testing hook: the first attempt per partition
+    raises after dropping a marker file, proving convergence under Ray task
+    retries (reference analog: the rewind/restart IT matrix)."""
     import pyarrow.dataset as pads_local
+
+    if fault_inject_dir:
+        marker = os.path.join(fault_inject_dir, f"fault-fired-{p}")
+        if not os.path.exists(marker):
+            open(marker, "w").close()
+            raise RuntimeError(f"injected transient fault for partition {p}")
 
     acc: pa.Table | None = None
     scanner = pads_local.dataset(files).scanner(
@@ -226,7 +241,7 @@ def _compact_partition_files(p: int, files: list[str], wm: int,
     return acc
 
 
-@ray.remote
+@ray.remote(max_retries=4, retry_exceptions=True)
 def _commit_compacted_task(p: int, lake_files: list[str], wm: int, out_dir: str,
                            target_schema: pa.Schema, *compacted: pa.Table) -> pa.Table:
     """Combine the partition's compacted slices (exact — compaction is
@@ -277,6 +292,7 @@ def run_upsert(
     batch_size: int | None = 64 * 1024,
     concurrency: int | None = None,
     mode: str = "auto",
+    _fault_inject_dir: str | None = None,
 ) -> Manifest:
     """Run one incremental upsert round. Idempotent and resumable: replaying
     with the same inputs regenerates identical files; already-applied offsets
@@ -350,7 +366,10 @@ def run_upsert(
             k = min(len(files), max(1, round(sizes[p] / slice_bytes)))
             groups = [files[i::k] for i in range(k)] if k > 1 else [files]
             crefs = [
-                _compact_partition_files.remote(p, g, wms.get(p, EMPTY_WATERMARK))
+                _compact_partition_files.remote(
+                    p, g, wms.get(p, EMPTY_WATERMARK),
+                    fault_inject_dir=_fault_inject_dir,
+                )
                 for g in groups
             ]
             refs.append(
