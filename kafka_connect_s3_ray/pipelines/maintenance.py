@@ -47,6 +47,76 @@ def vacuum(manifest: Manifest | str, keep_generations: int = 1,
     return doomed
 
 
+def lookup(manifest: Manifest | str, conv_id: str,
+           turn_idx: int | None = None) -> pa.Table:
+    """Point read: fetch one conversation (or one turn) from the lake.
+
+    Routes by ``hash(conv_id) % P`` to exactly one partition's current files,
+    then lets Parquet row-group statistics prune within them (files are
+    key-sorted, so conv_id min/max stats skip non-matching row groups). Reads
+    one partition's worth of metadata, never the lake."""
+    from ..stages.partitioner import assign_partitions
+
+    if isinstance(manifest, str):
+        manifest = Manifest.load(manifest)
+    assert manifest.num_partitions, "manifest has no pinned partition count"
+    p = int(assign_partitions([conv_id], manifest.num_partitions)[0])
+    files = manifest.partitions.get(p, {}).get("current", [])
+    flt = pc.field("conv_id") == conv_id
+    if turn_idx is not None:
+        flt = flt & (pc.field("turn_idx") == turn_idx)
+    tables = []
+    for f in files:
+        import pyarrow.dataset as pads
+
+        tables.append(pads.dataset(f).to_table(filter=flt))
+    if not tables:
+        return None
+    out = pa.concat_tables(tables)
+    return out.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+
+
+def repartition_lake(manifest: Manifest | str, out_lake_dir: str,
+                     new_partitions: int) -> dict:
+    """Explicit lake re-shard: re-bucket the CURRENT snapshot into
+    ``part=<p'>/`` base files under ``out_lake_dir`` with ``hash(key) %
+    new_partitions``.
+
+    This is the sanctioned way to change P (run_upsert refuses a silent
+    change). The output is a fresh BASE lake for a new changelog epoch: the
+    old manifest's watermarks describe the old changelog partitioning and do
+    not carry over — point the pipeline at the new lake_dir with a fresh
+    manifest and a changelog whose offsets restart (or whose already-applied
+    prefix is trimmed). Distribution: one groupby shuffle keyed on the new
+    partition id; each group writes one key-sorted base file."""
+    import ray.data
+
+    from ..stages.partitioner import PartitionAssigner
+
+    if isinstance(manifest, str):
+        manifest = Manifest.load(manifest)
+    files = [f for fs in manifest.current_files().values() for f in fs]
+    ds = ray.data.read_parquet(files)
+    ds = ds.map_batches(PartitionAssigner(new_partitions), batch_format="pyarrow")
+
+    def write_part(g: pa.Table) -> pa.Table:
+        p = int(g.column("part")[0].as_py())
+        g = g.drop_columns([c for c in ("part", "salt") if c in g.column_names])
+        g = g.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+        pdir = os.path.join(out_lake_dir, f"part={p}")
+        os.makedirs(pdir, exist_ok=True)
+        path = os.path.join(pdir, "base-000000000000.parquet")
+        tmp = path + ".inprogress"
+        pq.write_table(g, tmp, compression="zstd")
+        os.replace(tmp, path)
+        return pa.table({"part": pa.array([p], pa.int32()),
+                         "rows": pa.array([len(g)], pa.int64())})
+
+    stats = ds.groupby("part").map_groups(write_part, batch_format="pyarrow").take_all()
+    return {"partitions": len(stats), "rows": int(sum(s["rows"] for s in stats)),
+            "lake_dir": out_lake_dir}
+
+
 def validate_lake(manifest: Manifest | str,
                   key_cols: list[str] = KEY_COLUMNS) -> dict:
     """Check lake invariants, distributed:

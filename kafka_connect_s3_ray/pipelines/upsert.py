@@ -128,11 +128,24 @@ class MergeCommit:
 def _commit_partition(p: int, events: pa.Table, lake_files: list[str], wm: int,
                       out_dir: str, target_schema: pa.Schema,
                       row_group_size: int = 128 * 1024,
-                      max_file_rows: int = 4_000_000) -> pa.Table:
+                      max_file_rows: int = 4_000_000,
+                      streaming_threshold_rows: int = 2_000_000) -> pa.Table:
     """Merge ``events`` (all events of partition ``p`` this round) with the
-    partition's current snapshot and commit one deterministic file."""
+    partition's current snapshot and commit one deterministic file.
+
+    Small partitions merge in memory (fastest); a partition whose snapshot
+    exceeds ``streaming_threshold_rows`` switches to the streaming merge-join
+    (``merge_sorted_stream``), which never holds more than one lake row-group
+    plus the compacted change set — the path that keeps per-task memory
+    bounded no matter how big a partition grows."""
     t0 = time.monotonic()
     n_events = len(events)
+    lake_rows = sum(pq.read_metadata(f).num_rows for f in lake_files) if lake_files else 0
+    if lake_rows > streaming_threshold_rows:
+        return _commit_partition_streaming(
+            p, events, lake_files, wm, out_dir, target_schema,
+            row_group_size, max_file_rows, t0,
+        )
     lake_tbl = (
         pa.concat_tables([pq.read_table(f) for f in lake_files]) if lake_files else None
     )
@@ -165,6 +178,74 @@ def _commit_partition(p: int, events: pa.Table, lake_files: list[str], wm: int,
             pa.array([";".join(paths)], pa.string()),
             pa.array([new_wm], pa.int64()),
             pa.array([len(merged)], pa.int64()),
+            pa.array([n_events], pa.int64()),
+            pa.array([time.monotonic() - t0], pa.float64()),
+        ],
+        schema=STATS_SCHEMA,
+    )
+
+
+def _commit_partition_streaming(p: int, events: pa.Table, lake_files: list[str],
+                                wm: int, out_dir: str, target_schema: pa.Schema,
+                                row_group_size: int, max_file_rows: int,
+                                t0: float) -> pa.Table:
+    """Streaming merge-join commit: iterate the key-sorted snapshot row-group
+    by row-group, merge each piece with its slice of the (compacted) change
+    set, and write through a rolling ParquetWriter with deterministic file
+    rotation. Memory: O(row_group + compacted events)."""
+    from ..stages.merge import merge_sorted_stream
+
+    n_events = len(events)
+    pdir = os.path.join(out_dir, f"part={p}")
+    os.makedirs(pdir, exist_ok=True)
+    for stale in glob.glob(os.path.join(pdir, "*.inprogress")):
+        os.remove(stale)
+    new_wm = max(wm, int(pc.max(events.column("offset")).as_py()))
+
+    def lake_batches():
+        for f in lake_files:
+            pf = pq.ParquetFile(f)
+            for rb in pf.iter_batches(batch_size=row_group_size):
+                yield pa.Table.from_batches([rb])
+
+    paths: list[str] = []
+    writer = None
+    tmp = None
+    rows_in_file = 0
+    total_rows = 0
+
+    def roll():
+        nonlocal writer, tmp, rows_in_file
+        if writer is not None:
+            writer.close()
+            final = tmp[: -len(".inprogress")]
+            os.replace(tmp, final)
+            paths.append(final)
+        suffix = f"-{len(paths):04d}"
+        final = os.path.join(pdir, f"commit-{new_wm:012d}{suffix}.parquet")
+        tmp = final + ".inprogress"
+        writer = pq.ParquetWriter(tmp, target_schema, compression="zstd")
+        rows_in_file = 0
+
+    roll()
+    for piece in merge_sorted_stream(lake_batches(), events):
+        piece = align_to_schema(piece, target_schema)
+        if rows_in_file and rows_in_file + len(piece) > max_file_rows:
+            roll()
+        writer.write_table(piece, row_group_size=row_group_size)
+        rows_in_file += len(piece)
+        total_rows += len(piece)
+    writer.close()
+    final = tmp[: -len(".inprogress")]
+    os.replace(tmp, final)
+    paths.append(final)
+
+    return pa.Table.from_arrays(
+        [
+            pa.array([p], pa.int32()),
+            pa.array([";".join(paths)], pa.string()),
+            pa.array([new_wm], pa.int64()),
+            pa.array([total_rows], pa.int64()),
             pa.array([n_events], pa.int64()),
             pa.array([time.monotonic() - t0], pa.float64()),
         ],

@@ -100,6 +100,59 @@ def lww_merge(
     return out.sort_by([(c, "ascending") for c in key_cols])
 
 
+def merge_sorted_stream(
+    lake_batches,
+    events: pa.Table,
+    key_cols: list[str] = KEY_COLUMNS,
+    order_col: str = "offset",
+):
+    """Streaming merge-join: yield key-sorted merged pieces without ever
+    holding the whole lake partition.
+
+    ``lake_batches`` is an iterator of KEY-SORTED Arrow tables covering the
+    partition in key order (the engine's write invariant); ``events`` is this
+    round's change set (compacted here; memory = touched keys only). Each
+    lake piece is merged with exactly the events whose key falls at or below
+    the piece's last key — keys are unique in the lake, so no key spans
+    pieces — and leftover events (keys beyond the lake) flush at the end.
+    Memory: O(piece + compacted events)."""
+    events = compact_events(events, key_cols, order_col)
+    ev_sorted = events.sort_by([(c, "ascending") for c in key_cols])
+    n_ev = len(ev_sorted)
+    pos = 0
+    # boundary search is a binary search over the sorted event keys (two-level
+    # searchsorted for the (conv_id, turn_idx) pair), never a row loop
+    key_arrays = [
+        ev_sorted.column(c).to_numpy(zero_copy_only=False) for c in key_cols
+    ]
+
+    def _upper_bound(bmax: tuple) -> int:
+        lo, hi = 0, n_ev
+        for depth, bval in enumerate(bmax):
+            arr = key_arrays[depth]
+            if depth == len(bmax) - 1:
+                return lo + int(np.searchsorted(arr[lo:hi], bval, side="right"))
+            new_lo = lo + int(np.searchsorted(arr[lo:hi], bval, side="left"))
+            hi = lo + int(np.searchsorted(arr[lo:hi], bval, side="right"))
+            lo = new_lo
+        return hi
+
+    def _key_tuple(tbl: pa.Table, i: int):
+        return tuple(tbl.column(c)[i].as_py() for c in key_cols)
+
+    for piece in lake_batches:
+        if len(piece) == 0:
+            continue
+        bmax = _key_tuple(piece, len(piece) - 1)
+        hi = _upper_bound(bmax)
+        evs = ev_sorted.slice(pos, hi - pos)
+        pos = hi
+        yield lww_merge(piece, evs, key_cols, order_col)
+    if pos < n_ev:
+        rest = ev_sorted.slice(pos)
+        yield lww_merge(None, rest, key_cols, order_col)
+
+
 def align_to_schema(tbl: pa.Table, target: pa.Schema) -> pa.Table:
     """Project ``tbl`` onto ``target``: missing columns null-filled, order and
     types from ``target``. Used so every partition file of a snapshot shares
