@@ -373,6 +373,7 @@ def run_upsert(
     batch_size: int | None = 64 * 1024,
     concurrency: int | None = None,
     mode: str = "auto",
+    task_num_cpus: int | float | str = "auto",
     _fault_inject_dir: str | None = None,
 ) -> Manifest:
     """Run one incremental upsert round. Idempotent and resumable: replaying
@@ -437,6 +438,22 @@ def run_upsert(
             ncpu_co = int(ray.cluster_resources().get("CPU", 8))
         except Exception:
             ncpu_co = 8
+        # Merge tasks are memory-streaming (parquet decode, sorts, zstd): on
+        # hosts where logical CPUs outnumber memory-bandwidth lanes (SMT),
+        # running one task per logical CPU *degrades* wall time. "auto"
+        # reserves extra CPUs per task beyond 16-way concurrency so in-flight
+        # tasks stay within real hardware lanes; tune per deployment.
+        if task_num_cpus == "auto":
+            task_num_cpus = max(1, round(ncpu_co / 16))
+        task_opts = {"num_cpus": task_num_cpus} if task_num_cpus != 1 else {}
+        compact_task = (
+            _compact_partition_files.options(**task_opts) if task_opts
+            else _compact_partition_files
+        )
+        commit_task = (
+            _commit_compacted_task.options(**task_opts) if task_opts
+            else _commit_compacted_task
+        )
         sizes = {p: sum(os.path.getsize(f) for f in fs) for p, fs in part_files.items()}
         total = sum(sizes.values())
         # target slice size: keep ~2 compaction tasks per core in flight, with
@@ -447,14 +464,14 @@ def run_upsert(
             k = min(len(files), max(1, round(sizes[p] / slice_bytes)))
             groups = [files[i::k] for i in range(k)] if k > 1 else [files]
             crefs = [
-                _compact_partition_files.remote(
+                compact_task.remote(
                     p, g, wms.get(p, EMPTY_WATERMARK),
                     fault_inject_dir=_fault_inject_dir,
                 )
                 for g in groups
             ]
             refs.append(
-                _commit_compacted_task.remote(
+                commit_task.remote(
                     p, current.get(p, []), wms.get(p, EMPTY_WATERMARK),
                     out_dir, target, *crefs,
                 )
