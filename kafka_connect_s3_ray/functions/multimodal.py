@@ -116,6 +116,41 @@ class FrameSampler:
         )
 
 
+class Resizer:
+    """Image-resize stub: real decode+resize (PIL/torchvision) is the
+    ``decoder="real"`` seam; the fake path deterministically subsamples the
+    payload bytes to a target 'resolution' and rewrites width/height metadata,
+    so the batch plumbing (binary in -> smaller binary out, metadata update)
+    is real and tested."""
+
+    def __init__(self, target_w: int = 64, target_h: int = 64, decoder: str = "fake"):
+        if decoder == "real":
+            raise NotImplementedError(
+                "real image resize needs PIL — not present in this environment"
+            )
+        self.target_w, self.target_h = target_w, target_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_out = self.target_w * self.target_h // 8  # fake byte budget
+        out = []
+        for p in batch.column("payload").to_pylist():
+            step = max(1, len(p) // n_out)
+            out.append(p[::step][:n_out])
+        batch = batch.set_column(
+            batch.schema.get_field_index("payload"), "payload",
+            pa.array(out, pa.binary()),
+        )
+        n = len(batch)
+        batch = batch.set_column(
+            batch.schema.get_field_index("width"), "width",
+            pa.array(np.full(n, self.target_w, np.int32)),
+        )
+        return batch.set_column(
+            batch.schema.get_field_index("height"), "height",
+            pa.array(np.full(n, self.target_h, np.int32)),
+        )
+
+
 def suggest_batch_size(avg_payload_bytes: int, budget_bytes: int = 64 * 1024 * 1024) -> int:
     """Rows per batch so one batch stays under ``budget_bytes`` of payload —
     large binary rows need small row counts (bytes-based sizing)."""

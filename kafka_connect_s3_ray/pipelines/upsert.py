@@ -125,6 +125,19 @@ class MergeCommit:
         )
 
 
+
+def _auto_task_cpus(task_num_cpus) -> dict:
+    """Memory-heavy stage sizing (see the co-partitioned path note): reserve
+    extra CPUs per task on SMT-oversubscribed hosts."""
+    if task_num_cpus == "auto":
+        try:
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            ncpu = 8
+        task_num_cpus = max(1, round(ncpu / 16))
+    return {"num_cpus": task_num_cpus} if task_num_cpus != 1 else {}
+
+
 def _commit_partition(p: int, events: pa.Table, lake_files: list[str], wm: int,
                       out_dir: str, target_schema: pa.Schema,
                       row_group_size: int = 128 * 1024,
@@ -421,7 +434,9 @@ def run_upsert(
         def merge_commit_ds(group: pa.Table, _c=commit) -> pa.Table:
             return _c(group)
 
-        stats = ds.groupby(PART_COLUMN).map_groups(merge_commit_ds, batch_format="pyarrow")
+        stats = ds.groupby(PART_COLUMN).map_groups(
+            merge_commit_ds, batch_format="pyarrow", **_auto_task_cpus(task_num_cpus)
+        )
         return _finalize(manifest, manifest_path, stats.take_all(), target)
 
     # -- co-partitioned fast path: changelog already laid out partition=<p>/ --
@@ -443,9 +458,7 @@ def run_upsert(
         # running one task per logical CPU *degrades* wall time. "auto"
         # reserves extra CPUs per task beyond 16-way concurrency so in-flight
         # tasks stay within real hardware lanes; tune per deployment.
-        if task_num_cpus == "auto":
-            task_num_cpus = max(1, round(ncpu_co / 16))
-        task_opts = {"num_cpus": task_num_cpus} if task_num_cpus != 1 else {}
+        task_opts = _auto_task_cpus(task_num_cpus)
         compact_task = (
             _compact_partition_files.options(**task_opts) if task_opts
             else _compact_partition_files
@@ -524,7 +537,7 @@ def run_upsert(
     def merge_commit(group: pa.Table, _c=commit) -> pa.Table:
         return _c(group)
 
-    kwargs = {}
+    kwargs = _auto_task_cpus(task_num_cpus)
     if concurrency:
         kwargs["concurrency"] = concurrency
     stats = ds.groupby(PART_COLUMN).map_groups(merge_commit, batch_format="pyarrow", **kwargs)

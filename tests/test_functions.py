@@ -181,6 +181,17 @@ def test_multimodal_plumbing():
     frames = ds.map_batches(FrameSampler(4), batch_format="pyarrow").to_pandas()
     assert len(frames) == 48 * 4
     assert set(frames["frame_idx"]) == {0, 1, 2, 3}
+    # resize stage rewrites payload + metadata
+    from kafka_connect_s3_ray.functions.multimodal import Resizer
+
+    resized = ds.map_batches(Resizer(32, 32), batch_format="pyarrow",
+                             concurrency=2).to_pandas()
+    assert (resized["width"] == 32).all() and (resized["height"] == 32).all()
+    orig_sizes = media.to_pandas()["payload"].str.len()
+    assert (resized.sort_values("media_id")["payload"].str.len().to_numpy()
+            <= orig_sizes.to_numpy()).all()
     # real decoder is an explicit stub
     with pytest.raises(NotImplementedError):
         MediaFeatureExtractor(decoder="real")
+    with pytest.raises(NotImplementedError):
+        Resizer(decoder="real")
