@@ -52,14 +52,38 @@ class TrailingDelimiterCodec:
 
     Frame: ``[key key_delimiter]? value value_delimiter``. A record whose value
     contains the delimiter is the user's problem, exactly as in the reference.
-    """
+
+    ``charset`` converts between user-facing *strings* and the framed bytes
+    (``encode_strings``/``decode_strings`` — the reference's per-field charset
+    support incl. UTF-16BE, common/.../TrailingDelimiterFormat.java:43-48);
+    the core ``encode``/``decode`` stay bytes end-to-end."""
 
     value_delimiter: bytes = b"\n"
     key_delimiter: bytes = b"\t"
     include_keys: bool = False
-    charset: str = "utf-8"  # informational; keys/values are bytes end-to-end
+    charset: str = "utf-8"
 
     name = "text"
+
+    def encode_strings(self, keys: list[str | None], values: list[str]) -> bytes:
+        enc = self.charset
+        return self.encode(
+            [None if k is None else k.encode(enc) for k in keys],
+            [v.encode(enc) for v in values],
+        )
+
+    def decode_strings(self, data: bytes, start_offset: int = 0) -> pa.Table:
+        tbl = self.decode(data, start_offset)
+        enc = self.charset
+        keys = [None if k is None else k.decode(enc) for k in tbl.column("key").to_pylist()]
+        values = [v.decode(enc) for v in tbl.column("value").to_pylist()]
+        return pa.table(
+            {
+                "offset": tbl.column("offset"),
+                "key": pa.array(keys, pa.string()),
+                "value": pa.array(values, pa.string()),
+            }
+        )
 
     def encode(self, keys: list[bytes | None], values: list[bytes]) -> bytes:
         out = bytearray()

@@ -66,6 +66,40 @@ def test_delimited_missing_trailing_delimiter():
         TrailingDelimiterCodec().decode(b"abc\ndef")  # no delimiter at EOF
 
 
+@pytest.mark.parametrize("charset", ["utf-8", "utf-16-be"])
+def test_delimited_string_round_trip_charsets(charset):
+    """FormatTests multi-charset parity (common/src/test/.../FormatTests.java:19-73):
+    string records survive framing in any charset, keys optional."""
+    codec = TrailingDelimiterCodec(include_keys=True, charset=charset,
+                                   value_delimiter=" ".encode(charset),
+                                   key_delimiter=" ".encode(charset))
+    keys = ["k1", "clé", "键"]
+    vals = ["hello", "héllo wörld", "多字节 값"]
+    blob = codec.encode_strings(keys, vals)
+    out = codec.decode_strings(blob, start_offset=7)
+    assert out.column("value").to_pylist() == vals
+    assert out.column("key").to_pylist() == keys
+    assert out.column("offset").to_pylist() == [7, 8, 9]
+
+
+def test_manifest_crash_atomicity(tmp_path):
+    """A crash mid-commit leaves a .tmp the loader ignores; the committed
+    manifest stays intact (write-then-rename)."""
+    from kafka_connect_s3_ray.state.manifest import Manifest
+
+    p = str(tmp_path / "m.json")
+    m = Manifest(p)
+    m.record_commit(0, "a.parquet", 5, 10, 3, 0.1)
+    m.commit()
+    # simulate a crashed second commit: partial tmp garbage on disk
+    open(p + ".tmp", "w").write('{"version": 1, "partitions": {TRUNC')
+    m2 = Manifest.load(p)
+    assert m2.watermark(0) == 5  # loader reads the committed file only
+    m2.record_commit(0, "b.parquet", 9, 12, 2, 0.1)
+    m2.commit()  # replaces cleanly despite the stale tmp
+    assert Manifest.load(p).watermark(0) == 9
+
+
 def test_format_registry():
     assert isinstance(get_format("text"), TrailingDelimiterCodec)
     assert isinstance(get_format("binary", include_keys=False), ByteLengthCodec)
