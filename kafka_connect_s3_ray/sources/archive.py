@@ -192,15 +192,49 @@ def fetch_next_offset(archive_dir: str, topic: str, partition: int) -> int:
 class _DecodeBlocks:
     """map_batches stage over ``read_binary_files(include_paths=True)`` rows:
     gunzip (the pluggable InputFilter.GUNZIP, source/.../S3FilesReader.java:222-225),
-    frame-decode, assign positional offsets from the filename's start offset."""
+    frame-decode, assign positional offsets from the filename's start offset.
+
+    Corrupt-record policy (reference: hard DataException,
+    common/.../BytesRecordReader.java:30-93): ``on_corrupt='raise'`` mirrors it;
+    ``'quarantine'`` keeps the file's decodable prefix, drops a JSON quarantine
+    record naming (file, first bad offset), and streaming continues — the
+    dead-letter path a 100 TB replay needs instead of dying on one bad byte."""
 
     def __init__(self, fmt_name: str, fmt_config: dict, layout_name: str,
-                 resume: dict[int, int]):
+                 resume: dict[int, int], on_corrupt: str = "raise",
+                 quarantine_dir: str | None = None):
         from .layout import get_layout
 
         self.fmt = get_format(fmt_name, **fmt_config)
         self.layout = get_layout(layout_name)
         self.resume = resume or {}
+        self.on_corrupt = on_corrupt
+        self.quarantine_dir = quarantine_dir
+
+    def _decode(self, raw: bytes, meta, path: str) -> pa.Table:
+        from .codecs import CorruptRecordError
+
+        try:
+            return self.fmt.decode(raw, start_offset=meta.start_offset)
+        except CorruptRecordError as e:
+            if self.on_corrupt != "quarantine":
+                raise
+            ok, _err = self.fmt.decode_prefix(raw, start_offset=meta.start_offset)
+            if self.quarantine_dir:
+                import json as _json
+
+                os.makedirs(self.quarantine_dir, exist_ok=True)
+                qpath = os.path.join(
+                    self.quarantine_dir,
+                    os.path.basename(path) + ".quarantine.json",
+                )
+                with open(qpath, "w") as f:
+                    _json.dump(
+                        {"file": path, "error": str(e),
+                         "decoded_records": len(ok),
+                         "first_bad_offset": meta.start_offset + len(ok)}, f,
+                    )
+            return ok
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = []
@@ -210,7 +244,7 @@ class _DecodeBlocks:
             if meta is None:
                 continue
             raw = read_bytes_multimember(data)
-            tbl = self.fmt.decode(raw, start_offset=meta.start_offset)
+            tbl = self._decode(raw, meta, path)
             tbl = tbl.add_column(0, "partition",
                                  pa.array([meta.partition] * len(tbl), pa.int32()))
             tbl = tbl.add_column(0, "topic", pa.array([meta.topic] * len(tbl)))
@@ -239,6 +273,8 @@ def read_archive(
     resume_offsets: dict[int, int] | None = None,
     exclude_key_substrings: list[str] | None = None,
     target_topic: dict[str, str] | None = None,
+    on_corrupt: str = "raise",
+    quarantine_dir: str | None = None,
 ) -> "ray.data.Dataset":
     """Replay an archive directory as a Dataset of byte records.
 
@@ -278,7 +314,8 @@ def read_archive(
         files, include_paths=True, arrow_open_stream_args={"compression": None}
     )
     ds = ds.map_batches(
-        _DecodeBlocks(fmt_name, fmt_config or {}, layout_name, resume_offsets),
+        _DecodeBlocks(fmt_name, fmt_config or {}, layout_name, resume_offsets,
+                      on_corrupt=on_corrupt, quarantine_dir=quarantine_dir),
         batch_format="pyarrow",
     )
     if exclude_key_substrings:

@@ -111,6 +111,21 @@ class TrailingDelimiterCodec:
         offs = np.arange(start_offset, start_offset + len(values), dtype=np.int64)
         return _records_table(offs, keys, values)
 
+    def decode_prefix(self, data: bytes, start_offset: int = 0,
+                      source: str = "<block>"):
+        """Decode up to the last complete delimiter; never raises on a
+        truncated tail. -> (table, error_message | None)."""
+        try:
+            return self.decode(data, start_offset), None
+        except CorruptRecordError as e:
+            cut = data.rfind(self.value_delimiter)
+            if cut < 0:
+                return _records_table(
+                    np.empty(0, np.int64), [], []
+                ), str(e)
+            return self.decode(data[: cut + len(self.value_delimiter)],
+                               start_offset), str(e)
+
 
 @dataclass
 class ByteLengthCodec:
@@ -157,6 +172,41 @@ class ByteLengthCodec:
             values.append(read_field())
         offs = np.arange(start_offset, start_offset + len(values), dtype=np.int64)
         return _records_table(offs, keys, values)
+
+    def decode_prefix(self, data: bytes, start_offset: int = 0,
+                      source: str = "<block>"):
+        """Decode as many whole records as possible; on corruption return the
+        good prefix instead of raising. -> (table, error_message | None)."""
+        try:
+            return self.decode(data, start_offset, source), None
+        except CorruptRecordError as e:
+            # replay record-by-record up to the failure point
+            keys, values = [], []
+            pos, n = 0, len(data)
+            while pos < n:
+                try:
+                    fields = []
+                    p2 = pos
+                    for _ in range(2 if self.include_keys else 1):
+                        if p2 + 4 > n:
+                            raise CorruptRecordError("truncated")
+                        (length,) = struct.unpack_from(">i", data, p2)
+                        p2 += 4
+                        if length < 0 or p2 + length > n:
+                            raise CorruptRecordError("truncated")
+                        fields.append(data[p2 : p2 + length])
+                        p2 += length
+                    pos = p2
+                    if self.include_keys:
+                        keys.append(fields[0])
+                        values.append(fields[1])
+                    else:
+                        keys.append(None)
+                        values.append(fields[0])
+                except CorruptRecordError:
+                    break
+            offs = np.arange(start_offset, start_offset + len(values), dtype=np.int64)
+            return _records_table(offs, keys, values), str(e)
 
 
 FORMATS: dict[str, type] = {

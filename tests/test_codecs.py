@@ -243,3 +243,52 @@ def test_archive_fully_consumed_files_skipped(tmp_path):
     archive_records(ray.data.from_arrow(rows), out, topic="t")
     ds = read_archive(out, resume_offsets={0: 9})
     assert ds.count() == 0
+
+
+def test_decode_prefix_recovers_good_records():
+    codec = ByteLengthCodec(include_keys=False)
+    blob = codec.encode([None] * 3, [b"aaa", b"bbbb", b"cc"])
+    tbl, err = codec.decode_prefix(blob[:-3], start_offset=5)  # truncate last
+    assert err is not None
+    assert tbl.column("value").to_pylist() == [b"aaa", b"bbbb"]
+    assert tbl.column("offset").to_pylist() == [5, 6]
+    d = TrailingDelimiterCodec()
+    tbl2, err2 = d.decode_prefix(b"one\ntwo\nthr", start_offset=0)
+    assert err2 is not None and tbl2.column("value").to_pylist() == [b"one", b"two"]
+
+
+def test_archive_quarantine_on_corruption(tmp_path):
+    """A corrupted block file routes to the dead-letter path: decodable prefix
+    kept, quarantine JSON written, replay continues (on_corrupt='raise'
+    mirrors the reference's hard DataException)."""
+    import glob as g
+    import json
+
+    rows = pa.table(
+        {
+            "partition": pa.array([0] * 20 + [1] * 20, pa.int32()),
+            "offset": pa.array(list(range(20)) * 2, pa.int64()),
+            "key": pa.array([b"k"] * 40, pa.binary()),
+            "value": pa.array([f"val-{i:03d}".encode() for i in range(40)], pa.binary()),
+        }
+    )
+    out = str(tmp_path / "arc")
+    archive_records(ray.data.from_arrow(rows), out, topic="t", chunk_threshold=10**9)
+    victim = sorted(g.glob(os.path.join(out, "**", "*-00001-*.gz"), recursive=True))[0]
+    blob = open(victim, "rb").read()
+    # corrupt: truncate the gzip member mid-stream is messy; instead re-gzip a
+    # truncated framing payload so the gzip layer stays valid
+    import gzip as gz
+
+    raw = gz.decompress(blob)
+    open(victim, "wb").write(gz.compress(raw[:-5], mtime=0))
+
+    with pytest.raises(Exception):
+        read_archive(out).to_pandas()
+    qdir = str(tmp_path / "quarantine")
+    ok = read_archive(out, on_corrupt="quarantine", quarantine_dir=qdir).to_pandas()
+    assert len(ok) < 40 and len(ok[ok["partition"] == 0]) == 20
+    qfiles = os.listdir(qdir)
+    assert len(qfiles) == 1
+    q = json.load(open(os.path.join(qdir, qfiles[0])))
+    assert q["first_bad_offset"] == q["decoded_records"]  # partition 1 starts at 0
