@@ -192,8 +192,89 @@ def run_scaling() -> dict:
     }
 
 
+def run_sustained() -> dict:
+    """Sustained-tail mode: the scaling changelog arrives in rounds (one file
+    per partition per tick, like a live log); each tick runs one incremental
+    upsert. Reports per-round wall time, events/sec and end-of-round lag
+    (max staged offset - committed watermark; 0 = fully caught up)."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import glob
+
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from kafka_connect_s3_ray.pipelines.upsert import run_upsert
+
+    fx = _scaling_fixture()
+    rd.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(
+        lambda b: b, batch_size=1
+    ).materialize()
+    live = "/dev/shm/kcs3_sustained_live"
+    out = "/dev/shm/kcs3_sustained_out"
+    mpath = "/dev/shm/kcs3_sustained_m.json"
+    for p in (live, out):
+        shutil.rmtree(p, ignore_errors=True)
+    if os.path.exists(mpath):
+        os.remove(mpath)
+    per_part = {}
+    n_rounds = 0
+    for pdir in sorted(glob.glob(os.path.join(fx["changelog_dir"], "partition=*"))):
+        files = sorted(glob.glob(os.path.join(pdir, "*.parquet")))
+        per_part[os.path.basename(pdir)] = files
+        n_rounds = max(n_rounds, len(files))
+    rounds = []
+    for i in range(n_rounds):
+        staged_max = {}
+        for pname, files in per_part.items():
+            if i < len(files):
+                d = os.path.join(live, pname)
+                os.makedirs(d, exist_ok=True)
+                os.symlink(files[i], os.path.join(d, os.path.basename(files[i])))
+            last = files[min(i, len(files) - 1)]
+            staged_max[int(pname.split("=")[1])] = int(
+                pq.read_metadata(last).num_rows
+                + int(os.path.basename(last).split("-")[1].split(".")[0]) - 1
+            )
+        sec, m = _timed(
+            run_upsert, live, out, mpath, lake_dir=fx["lake_dir"],
+            num_partitions=fx["num_partitions"],
+        )
+        applied = m.metrics.get("compacted_events_applied", 0)
+        lag = max(staged_max[p] - m.watermark(p) for p in staged_max)
+        raw_events = sum(
+            pq.read_metadata(files[i]).num_rows
+            for files in per_part.values() if i < len(files)
+        )
+        rounds.append({"round": i, "sec": round(sec, 3),
+                       "events": raw_events,
+                       "events_per_sec": round(raw_events / sec),
+                       "end_lag": int(lag)})
+    shutil.rmtree(live, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    ray.shutdown()
+    total_ev = sum(r["events"] for r in rounds)
+    total_sec = sum(r["sec"] for r in rounds)
+    return {
+        "metric": "sustained_events_per_sec",
+        "value": round(total_ev / total_sec),
+        "unit": "events/sec",
+        "rounds": rounds,
+        "num_cpus": NUM_CPUS,
+        "sf": SF_DIR,
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--sustained" in sys.argv:
+        print(json.dumps(run_sustained()))
     else:
         print(json.dumps(run_bench()))
