@@ -245,6 +245,7 @@ def run_sustained() -> dict:
         sec, m = _timed(
             run_upsert, live, out, mpath, lake_dir=fx["lake_dir"],
             num_partitions=fx["num_partitions"],
+            commit_mode=os.environ.get("BENCH_COMMIT_MODE", "rewrite"),
         )
         applied = m.metrics.get("compacted_events_applied", 0)
         lag = max(staged_max[p] - m.watermark(p) for p in staged_max)

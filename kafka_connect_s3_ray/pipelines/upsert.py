@@ -44,6 +44,7 @@ import pyarrow.parquet as pq
 
 import ray.data
 
+from ..schema import KEY_COLUMNS as KEY_COLUMNS_DEFAULT
 from ..schema import PROVENANCE_COLUMNS, schema_fingerprint, unify_with_nulls
 from ..stages.merge import align_to_schema, compact_events, lww_merge
 from ..stages.partitioner import PART_COLUMN, SALT_COLUMN, PartitionAssigner
@@ -57,8 +58,46 @@ STATS_SCHEMA = pa.schema(
         ("num_rows", pa.int64()),
         ("num_events", pa.int64()),
         ("merge_seconds", pa.float64()),
+        ("mode", pa.string()),  # "rewrite" | "delta"
     ]
 )
+
+
+def _stats_row(p, paths, wm, rows, events, sec, mode):
+    return pa.Table.from_arrays(
+        [
+            pa.array([p], pa.int32()),
+            pa.array([";".join(paths)], pa.string()),
+            pa.array([wm], pa.int64()),
+            pa.array([rows], pa.int64()),
+            pa.array([events], pa.int64()),
+            pa.array([sec], pa.float64()),
+            pa.array([mode], pa.string()),
+        ],
+        schema=STATS_SCHEMA,
+    )
+
+
+def _commit_delta(p: int, events: pa.Table, wm: int, out_dir: str,
+                  t0: float) -> pa.Table:
+    """Merge-on-read commit: write ONLY the compacted change slice as
+    ``delta-<wm>.parquet`` (op + offset + payload, key-sorted). The snapshot
+    is resolved at read time by the same LWW kernel (lake_table/read_lake
+    call lww_merge(base, concat(deltas))); ``compact_partitions`` folds deltas
+    back into the base. This is the LSM tradeoff the rewrite mode's write
+    amplification motivates: O(delta) writes per round instead of O(partition)."""
+    drop = [c for c in ("partition", "part", "salt") if c in events.column_names]
+    delta = events.drop_columns(drop) if drop else events
+    delta = delta.sort_by([(c, "ascending") for c in KEY_COLUMNS_DEFAULT])
+    new_wm = max(wm, int(pc.max(events.column("offset")).as_py()))
+    pdir = os.path.join(out_dir, f"part={p}")
+    os.makedirs(pdir, exist_ok=True)
+    path = os.path.join(pdir, f"delta-{new_wm:012d}.parquet")
+    tmp = path + ".inprogress"
+    pq.write_table(delta, tmp, compression="zstd")
+    os.replace(tmp, path)
+    return _stats_row(p, [path], new_wm, len(delta), len(events),
+                      time.monotonic() - t0, "delta")
 
 
 class PrepareEvents:
@@ -107,12 +146,13 @@ class MergeCommit:
 
     def __init__(self, out_dir: str, current_files: dict[int, list[str]],
                  watermarks: dict[int, int], target_schema: pa.Schema,
-                 row_group_size: int = 128 * 1024):
+                 row_group_size: int = 128 * 1024, commit_mode: str = "rewrite"):
         self.out_dir = out_dir
         self.current_files = current_files
         self.watermarks = watermarks
         self.target_schema = target_schema
         self.row_group_size = row_group_size
+        self.commit_mode = commit_mode
 
     def __call__(self, group: pa.Table) -> pa.Table:
         if len(group) == 0:
@@ -122,6 +162,7 @@ class MergeCommit:
             p, group, self.current_files.get(p, []),
             self.watermarks.get(p, EMPTY_WATERMARK), self.out_dir,
             self.target_schema, self.row_group_size,
+            commit_mode=self.commit_mode,
         )
 
 
@@ -142,7 +183,8 @@ def _commit_partition(p: int, events: pa.Table, lake_files: list[str], wm: int,
                       out_dir: str, target_schema: pa.Schema,
                       row_group_size: int = 128 * 1024,
                       max_file_rows: int = 4_000_000,
-                      streaming_threshold_rows: int = 2_000_000) -> pa.Table:
+                      streaming_threshold_rows: int = 2_000_000,
+                      commit_mode: str = "rewrite") -> pa.Table:
     """Merge ``events`` (all events of partition ``p`` this round) with the
     partition's current snapshot and commit one deterministic file.
 
@@ -152,6 +194,8 @@ def _commit_partition(p: int, events: pa.Table, lake_files: list[str], wm: int,
     plus the compacted change set — the path that keeps per-task memory
     bounded no matter how big a partition grows."""
     t0 = time.monotonic()
+    if commit_mode == "delta":
+        return _commit_delta(p, events, wm, out_dir, t0)
     n_events = len(events)
     lake_rows = sum(pq.read_metadata(f).num_rows for f in lake_files) if lake_files else 0
     if lake_rows > streaming_threshold_rows:
@@ -185,17 +229,8 @@ def _commit_partition(p: int, events: pa.Table, lake_files: list[str], wm: int,
         pq.write_table(piece, tmp, row_group_size=row_group_size, compression="zstd")
         os.replace(tmp, path)  # data committed before the manifest (cursor) is
         paths.append(path)
-    return pa.Table.from_arrays(
-        [
-            pa.array([p], pa.int32()),
-            pa.array([";".join(paths)], pa.string()),
-            pa.array([new_wm], pa.int64()),
-            pa.array([len(merged)], pa.int64()),
-            pa.array([n_events], pa.int64()),
-            pa.array([time.monotonic() - t0], pa.float64()),
-        ],
-        schema=STATS_SCHEMA,
-    )
+    return _stats_row(p, paths, new_wm, len(merged), n_events,
+                      time.monotonic() - t0, "rewrite")
 
 
 def _commit_partition_streaming(p: int, events: pa.Table, lake_files: list[str],
@@ -253,17 +288,8 @@ def _commit_partition_streaming(p: int, events: pa.Table, lake_files: list[str],
     os.replace(tmp, final)
     paths.append(final)
 
-    return pa.Table.from_arrays(
-        [
-            pa.array([p], pa.int32()),
-            pa.array([";".join(paths)], pa.string()),
-            pa.array([new_wm], pa.int64()),
-            pa.array([total_rows], pa.int64()),
-            pa.array([n_events], pa.int64()),
-            pa.array([time.monotonic() - t0], pa.float64()),
-        ],
-        schema=STATS_SCHEMA,
-    )
+    return _stats_row(p, paths, new_wm, total_rows, n_events,
+                      time.monotonic() - t0, "rewrite")
 
 
 def _discover_partition_dirs(changelog) -> dict[int, list[str]] | None:
@@ -337,7 +363,8 @@ def _compact_partition_files(p: int, files: list[str], wm: int,
 
 @ray.remote(max_retries=4, retry_exceptions=True)
 def _commit_compacted_task(p: int, lake_files: list[str], wm: int, out_dir: str,
-                           target_schema: pa.Schema, *compacted: pa.Table) -> pa.Table:
+                           target_schema: pa.Schema, commit_mode: str,
+                           *compacted: pa.Table) -> pa.Table:
     """Combine the partition's compacted slices (exact — compaction is
     associative), merge with its lake snapshot, commit one file."""
     parts = [t for t in compacted if len(t.schema)]
@@ -346,7 +373,8 @@ def _commit_compacted_task(p: int, lake_files: list[str], wm: int, out_dir: str,
     events = parts[0] if len(parts) == 1 else compact_events(
         pa.concat_tables(unify_with_nulls(parts))
     )
-    return _commit_partition(p, events, lake_files, wm, out_dir, target_schema)
+    return _commit_partition(p, events, lake_files, wm, out_dir, target_schema,
+                             commit_mode=commit_mode)
 
 
 def _discover_base_files(lake_dir: str | None, num_partitions: int) -> dict[int, list[str]]:
@@ -386,6 +414,7 @@ def run_upsert(
     batch_size: int | None = 64 * 1024,
     concurrency: int | None = None,
     mode: str = "auto",
+    commit_mode: str = "rewrite",
     task_num_cpus: int | float | str = "auto",
     _fault_inject_dir: str | None = None,
 ) -> Manifest:
@@ -429,7 +458,7 @@ def run_upsert(
                                             changelog.schema().types)]
         )
         target = _target_schema(ds_schema, current)
-        commit = MergeCommit(out_dir, current, wms, target)
+        commit = MergeCommit(out_dir, current, wms, target, commit_mode=commit_mode)
 
         def merge_commit_ds(group: pa.Table, _c=commit) -> pa.Table:
             return _c(group)
@@ -486,7 +515,7 @@ def run_upsert(
             refs.append(
                 commit_task.remote(
                     p, current.get(p, []), wms.get(p, EMPTY_WATERMARK),
-                    out_dir, target, *crefs,
+                    out_dir, target, commit_mode, *crefs,
                 )
             )
         entries = [
@@ -532,7 +561,7 @@ def run_upsert(
         )
 
     target = _target_schema(log_ds.schema, current)
-    commit = MergeCommit(out_dir, current, wms, target)
+    commit = MergeCommit(out_dir, current, wms, target, commit_mode=commit_mode)
 
     def merge_commit(group: pa.Table, _c=commit) -> pa.Table:
         return _c(group)
@@ -552,7 +581,9 @@ def _finalize(manifest: Manifest, manifest_path: str, entries: list[dict],
     t_total = 0.0
     ev_total = 0
     for e in entries:
-        manifest.record_commit(
+        rec = (manifest.record_delta if e.get("mode") == "delta"
+               else manifest.record_commit)
+        rec(
             int(e["part"]), e["path"], int(e["high_watermark"]),
             int(e["num_rows"]), int(e["num_events"]), float(e["merge_seconds"]),
         )
@@ -576,13 +607,42 @@ def _finalize(manifest: Manifest, manifest_path: str, entries: list[dict],
     return manifest
 
 
+def _is_delta(path: str) -> bool:
+    return os.path.basename(path).startswith("delta-")
+
+
+def _resolve_partition(files: list[str]) -> pa.Table:
+    """Merge-on-read: resolve one partition's current fileset (base files +
+    delta files) into its snapshot table. Deltas ARE compacted change slices
+    (op + offset + payload), so resolution is exactly the LWW kernel."""
+    bases = [f for f in files if not _is_delta(f)]
+    deltas = [f for f in files if _is_delta(f)]
+    base_tbl = pa.concat_tables([pq.read_table(f) for f in bases]) if bases else None
+    if not deltas:
+        return base_tbl
+    delta_tbl = pa.concat_tables(
+        unify_with_nulls([pq.read_table(f) for f in deltas])
+    )
+    return lww_merge(base_tbl, delta_tbl)
+
+
+@ray.remote
+def _resolve_partition_task(files: list[str]) -> pa.Table:
+    return _resolve_partition(files)
+
+
 def read_lake(manifest: Manifest | str) -> "ray.data.Dataset":
-    """Current lake snapshot as a streaming Dataset (one file set per
-    partition, from manifest lineage)."""
+    """Current lake snapshot as a streaming Dataset. With rewrite commits this
+    is a plain parquet read; with pending deltas each partition resolves
+    merge-on-read in its own Ray task first."""
     if isinstance(manifest, str):
         manifest = Manifest.load(manifest)
-    files = [f for fs in manifest.current_files().values() for f in fs]
-    return ray.data.read_parquet(files)
+    current = manifest.current_files()
+    if not any(_is_delta(f) for fs in current.values() for f in fs):
+        files = [f for fs in current.values() for f in fs]
+        return ray.data.read_parquet(files)
+    refs = [_resolve_partition_task.remote(fs) for fs in current.values() if fs]
+    return ray.data.from_arrow_refs(refs)
 
 
 def lake_table(manifest: Manifest | str) -> pa.Table:
@@ -590,8 +650,50 @@ def lake_table(manifest: Manifest | str) -> pa.Table:
     (tests / oracle comparison only — do not call at 100 TB)."""
     if isinstance(manifest, str):
         manifest = Manifest.load(manifest)
-    files = [f for fs in manifest.current_files().values() for f in fs]
-    if not files:
+    current = manifest.current_files()
+    tables = [t for t in (_resolve_partition(fs) for fs in current.values() if fs)
+              if t is not None]
+    if not tables:
         return None
-    t = pa.concat_tables([pq.read_table(f) for f in files])
+    t = pa.concat_tables(unify_with_nulls(tables))
     return t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+
+
+def compact_partitions(manifest_path: str, out_dir: str,
+                       min_deltas: int = 1,
+                       task_num_cpus: int | float | str = "auto") -> Manifest:
+    """Minor compaction: fold each partition's pending deltas into a fresh
+    base commit (the rewrite path), replacing base+deltas in the manifest.
+    Old files stay in lineage for ``vacuum``. Partitions with fewer than
+    ``min_deltas`` pending deltas are left alone."""
+    manifest = Manifest.load(manifest_path)
+    task_opts = _auto_task_cpus(task_num_cpus)
+    commit_task = (
+        _commit_compacted_task.options(**task_opts) if task_opts
+        else _commit_compacted_task
+    )
+    refs = []
+    for p, files in sorted(manifest.current_files().items()):
+        deltas = [f for f in files if _is_delta(f)]
+        if len(deltas) < min_deltas:
+            continue
+        bases = [f for f in files if not _is_delta(f)]
+        delta_tbl = pa.concat_tables(
+            unify_with_nulls([pq.read_table(f) for f in deltas])
+        )
+        target = _target_schema(
+            pa.schema([f for f in delta_tbl.schema
+                       if f.name not in (*PROVENANCE_COLUMNS, PART_COLUMN, SALT_COLUMN)]),
+            {p: bases} if bases else {},
+        )
+        refs.append(commit_task.remote(
+            p, bases, manifest.watermark(p), out_dir, target, "rewrite", delta_tbl,
+        ))
+    entries = [
+        {k: v[0].as_py() for k, v in zip(STATS_SCHEMA.names, t.columns)}
+        for t in ray.get(refs)
+        if len(t)
+    ]
+    return _finalize(manifest, manifest_path, entries,
+                     pq.read_schema(entries[0]["path"].split(";")[0])
+                     if entries else pa.schema([]))

@@ -95,6 +95,39 @@ class Manifest:
             }
         )
 
+    def record_delta(self, p: int, path: str | list[str], high_watermark: int,
+                     num_rows: int, num_events: int, seconds: float) -> None:
+        """Merge-on-read commit: the delta file APPENDS to the partition's
+        current fileset (base + prior deltas) instead of replacing it; reads
+        resolve LWW across the set, and compaction folds it back into a base."""
+        paths = path.split(";") if isinstance(path, str) else list(path)
+        st = self.partitions.setdefault(
+            p, {"high_watermark": EMPTY_WATERMARK, "current": [], "files": []}
+        )
+        st["high_watermark"] = int(high_watermark)
+        st["current"] = list(st.get("current", [])) + paths
+        st["files"].append(
+            {
+                "path": ";".join(paths),
+                "high_watermark": int(high_watermark),
+                "num_rows": int(num_rows),
+                "num_events": int(num_events),
+                "merge_seconds": round(float(seconds), 4),
+                "delta": True,
+            }
+        )
+
+    def delta_counts(self) -> dict[int, int]:
+        """Per partition: how many of the CURRENT files are deltas (named
+        ``delta-<wm>.parquet``)."""
+        out = {}
+        for p, st in self.partitions.items():
+            out[p] = sum(
+                1 for f in st.get("current", [])
+                if os.path.basename(f).startswith("delta-")
+            )
+        return out
+
     # -- persistence -----------------------------------------------------
     @classmethod
     def load(cls, path: str) -> "Manifest":
