@@ -45,6 +45,8 @@ def main(argv: list[str] | None = None) -> int:
     up.add_argument("--salts", type=int, default=8)
     up.add_argument("--mode", default="auto",
                     choices=["auto", "copartitioned", "shuffle"])
+    up.add_argument("--commit-mode", default="rewrite",
+                    choices=["rewrite", "delta"])
 
     tl = sub.add_parser("tail", help="continuous changelog tailing")
     tl.add_argument("--changelog", required=True)
@@ -54,6 +56,14 @@ def main(argv: list[str] | None = None) -> int:
     tl.add_argument("--partitions", type=int, default=16)
     tl.add_argument("--rounds", type=int, default=None)
     tl.add_argument("--poll-interval", type=float, default=10.0)
+    tl.add_argument("--commit-mode", default="rewrite",
+                    choices=["rewrite", "delta"])
+    tl.add_argument("--compact-every", type=int, default=None,
+                    help="with delta commits: fold deltas into the base every N rounds")
+
+    cp = sub.add_parser("compact", help="fold pending delta commits into base files")
+    cp.add_argument("--manifest", required=True)
+    cp.add_argument("--out", required=True)
 
     sy = sub.add_parser("synth", help="write a deterministic transcript fixture")
     sy.add_argument("--root", required=True)
@@ -108,6 +118,13 @@ def main(argv: list[str] | None = None) -> int:
     import ray
 
     try:
+        if args.cmd == "compact":
+            from kafka_connect_s3_ray.pipelines.upsert import compact_partitions
+
+            m = compact_partitions(args.manifest, args.out)
+            print(json.dumps({"delta_counts": {str(k): v for k, v in
+                                               m.delta_counts().items()}}))
+            return 0
         if args.cmd == "validate":
             from kafka_connect_s3_ray.pipelines.maintenance import validate_lake
 
@@ -123,7 +140,8 @@ def main(argv: list[str] | None = None) -> int:
             t0 = time.perf_counter()
             m = run_upsert(args.changelog, args.out, args.manifest,
                            lake_dir=args.lake, num_partitions=args.partitions,
-                           hot_keys=hot, n_salts=args.salts, mode=args.mode)
+                           hot_keys=hot, n_salts=args.salts, mode=args.mode,
+                           commit_mode=args.commit_mode)
             wall = time.perf_counter() - t0
             print(json.dumps(engine_metrics_from_manifest(m, wall_seconds=wall).snapshot()))
             return 0
@@ -133,7 +151,9 @@ def main(argv: list[str] | None = None) -> int:
             m = tail_changelog(args.changelog, args.out, args.manifest,
                                lake_dir=args.lake, num_partitions=args.partitions,
                                poll_interval_s=args.poll_interval,
-                               max_rounds=args.rounds)
+                               max_rounds=args.rounds,
+                               commit_mode=args.commit_mode,
+                               compact_every=args.compact_every)
             print(json.dumps({"watermarks": {str(p): m.watermark(p)
                                              for p in sorted(m.partitions)}}))
             return 0

@@ -34,6 +34,8 @@ def tail_changelog(
     max_rounds: int | None = None,
     sleep: Callable[[float], None] = time.sleep,
     on_round: Callable[[int, Manifest], None] | None = None,
+    commit_mode: str = "rewrite",
+    compact_every: int | None = None,
     **upsert_kw,
 ) -> Manifest:
     """Repeatedly apply new changelog data until ``max_rounds`` ticks (None =
@@ -50,8 +52,14 @@ def tail_changelog(
                 manifest_path,
                 lake_dir=lake_dir,
                 num_partitions=num_partitions,
+                commit_mode=commit_mode,
                 **upsert_kw,
             )
+            if (compact_every and commit_mode == "delta"
+                    and (rounds + 1) % compact_every == 0):
+                from .upsert import compact_partitions
+
+                manifest = compact_partitions(manifest_path, out_dir)
         except (OSError, RuntimeError):
             sleep(error_backoff_s)
             continue
