@@ -227,13 +227,20 @@ def jaccard_verify(pairs: "ray.data.Dataset", docs: "ray.data.Dataset",
     class Verify:
         def __init__(self):
             self.lookup = ray.get(lookup_ref)
+            self.shingle_cache: dict = {}
+
+        def _shingles(self, doc_id):
+            s = self.shingle_cache.get(doc_id)
+            if s is None:
+                s = _shingle_hashes(self.lookup.get(doc_id, ""), shingle_k)
+                self.shingle_cache[doc_id] = s  # docs repeat across many pairs
+            return s
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             sims = []
             for l, r in zip(batch.column("left_id").to_pylist(),
                             batch.column("right_id").to_pylist()):
-                a = _shingle_hashes(self.lookup.get(l, ""), shingle_k)
-                b = _shingle_hashes(self.lookup.get(r, ""), shingle_k)
+                a, b = self._shingles(l), self._shingles(r)
                 inter = np.intersect1d(a, b, assume_unique=True).size
                 union = a.size + b.size - inter
                 sims.append(inter / union if union else 0.0)

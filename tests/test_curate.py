@@ -45,6 +45,7 @@ def test_quality_filter_drops_junk():
 
 def test_drop_near_duplicates_keeps_lower_id():
     df = _docs_with_noise()
+    df = pd.concat([df.head(150), df[df["doc_id"] >= 90_000]], ignore_index=True)
     out = drop_near_duplicates(ray.data.from_pandas(df)).to_pandas()
     ids = set(out["doc_id"])
     assert 90_200 not in ids and 90_201 not in ids  # near-dups dropped
