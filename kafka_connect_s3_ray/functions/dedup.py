@@ -220,9 +220,9 @@ def jaccard_verify(pairs: "ray.data.Dataset", docs: "ray.data.Dataset",
     """Exact k-shingle Jaccard over candidate pairs. The doc texts are
     broadcast once via ray.put (small-side lookup: candidates << corpus); at
     larger candidate sets swap this for a partitioned hash join on id."""
-    lookup_ref = ray.put(dict(zip(
-        docs.to_pandas()[id_col].tolist(), docs.to_pandas()[text_col].tolist()
-    )))
+    _docs_df = docs.to_pandas()
+    lookup_ref = ray.put(dict(zip(_docs_df[id_col].tolist(),
+                                  _docs_df[text_col].tolist())))
 
     class Verify:
         def __init__(self):
@@ -394,7 +394,6 @@ def embedding_near_dup(ds: "ray.data.Dataset", threshold: float = 0.95,
 
     class Bucket:
         def __init__(self):
-            rng = np.random.default_rng(seed)
             self.planes = None
 
         def __call__(self, batch: pa.Table) -> pa.Table:
@@ -420,7 +419,6 @@ def embedding_near_dup(ds: "ray.data.Dataset", threshold: float = 0.95,
         sim = mat @ mat.T
         li, ri = np.triu_indices(len(ids), k=1)
         keep = sim[li, ri] >= threshold
-        order = np.argsort(ids)  # determinism under shuffle
         return pd.DataFrame(
             {"left_id": ids[li][keep], "right_id": ids[ri][keep],
              "cosine": sim[li, ri][keep]}

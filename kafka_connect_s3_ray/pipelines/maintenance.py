@@ -31,17 +31,20 @@ def vacuum(manifest: Manifest | str, keep_generations: int = 1,
     doomed: list[str] = []
     for p, st in manifest.partitions.items():
         files = st.get("files", [])
-        keep = files[-keep_generations:] if keep_generations else []
+        keep = files[-keep_generations:] if keep_generations > 0 else []
+        drop = files[:-keep_generations] if keep_generations > 0 else files
         keep_paths = {path for e in keep for path in e["path"].split(";")}
         keep_paths.update(st.get("current", []))
-        for e in files[:-keep_generations] if keep_generations else files:
+        for e in drop:
             for path in e["path"].split(";"):
                 if path not in keep_paths and os.path.exists(path):
                     doomed.append(path)
                     if not dry_run:
                         os.remove(path)
         if not dry_run:
-            st["files"] = files[-keep_generations:]
+            # lineage keeps only the retained generations (plus current refs)
+            st["files"] = [e for e in files
+                           if e in keep or set(e["path"].split(";")) & set(st.get("current", []))]
     if not dry_run and manifest.path:
         manifest.commit()
     return doomed
@@ -60,19 +63,31 @@ def lookup(manifest: Manifest | str, conv_id: str,
     if isinstance(manifest, str):
         manifest = Manifest.load(manifest)
     assert manifest.num_partitions, "manifest has no pinned partition count"
+    from .upsert import _is_delta
+
+    from ..schema import unify_with_nulls
+    from ..stages.merge import lww_merge
+
     p = int(assign_partitions([conv_id], manifest.num_partitions)[0])
     files = manifest.partitions.get(p, {}).get("current", [])
     flt = pc.field("conv_id") == conv_id
     if turn_idx is not None:
         flt = flt & (pc.field("turn_idx") == turn_idx)
-    tables = []
-    for f in files:
-        import pyarrow.dataset as pads
+    import pyarrow.dataset as pads
 
-        tables.append(pads.dataset(f).to_table(filter=flt))
-    if not tables:
+    base_tbls, delta_tbls = [], []
+    for f in files:
+        t = pads.dataset(f).to_table(filter=flt)  # row-group stats prune
+        (delta_tbls if _is_delta(f) else base_tbls).append(t)
+    if not base_tbls and not delta_tbls:
         return None
-    out = pa.concat_tables(tables)
+    base = pa.concat_tables(base_tbls) if base_tbls else None
+    if delta_tbls:
+        # merge-on-read: the key's pending deltas (tiny after the filter)
+        # resolve through the same LWW kernel as full reads
+        out = lww_merge(base, pa.concat_tables(unify_with_nulls(delta_tbls)))
+    else:
+        out = base
     return out.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
 
 
@@ -93,10 +108,11 @@ def repartition_lake(manifest: Manifest | str, out_lake_dir: str,
 
     from ..stages.partitioner import PartitionAssigner
 
+    from .upsert import read_lake
+
     if isinstance(manifest, str):
         manifest = Manifest.load(manifest)
-    files = [f for fs in manifest.current_files().values() for f in fs]
-    ds = ray.data.read_parquet(files)
+    ds = read_lake(manifest)  # resolves merge-on-read deltas
     ds = ds.map_batches(PartitionAssigner(new_partitions), batch_format="pyarrow")
 
     def write_part(g: pa.Table) -> pa.Table:

@@ -43,6 +43,8 @@ def tail_changelog(
     ``s3.error.backoff``); each successful round commits the manifest, so the
     loop can be killed and restarted at any point and converges."""
     rounds = 0
+    consecutive_errors = 0
+    max_consecutive_errors = 10
     manifest = Manifest.load(manifest_path)
     while max_rounds is None or rounds < max_rounds:
         try:
@@ -60,9 +62,16 @@ def tail_changelog(
                 from .upsert import compact_partitions
 
                 manifest = compact_partitions(manifest_path, out_dir)
-        except (OSError, RuntimeError):
+        except (OSError, RuntimeError) as e:
+            consecutive_errors += 1
+            if consecutive_errors >= max_consecutive_errors:
+                raise RuntimeError(
+                    f"tail aborted after {consecutive_errors} consecutive "
+                    f"failed ticks (last: {e})"
+                ) from e
             sleep(error_backoff_s)
             continue
+        consecutive_errors = 0
         rounds += 1
         if on_round is not None:
             on_round(rounds, manifest)

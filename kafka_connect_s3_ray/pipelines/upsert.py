@@ -197,15 +197,16 @@ def _commit_partition(p: int, events: pa.Table, lake_files: list[str], wm: int,
     if commit_mode == "delta":
         return _commit_delta(p, events, wm, out_dir, t0)
     n_events = len(events)
+    has_delta = any(_is_delta(f) for f in lake_files)
     lake_rows = sum(pq.read_metadata(f).num_rows for f in lake_files) if lake_files else 0
-    if lake_rows > streaming_threshold_rows:
+    if lake_rows > streaming_threshold_rows and not has_delta:
         return _commit_partition_streaming(
             p, events, lake_files, wm, out_dir, target_schema,
             row_group_size, max_file_rows, t0,
         )
-    lake_tbl = (
-        pa.concat_tables([pq.read_table(f) for f in lake_files]) if lake_files else None
-    )
+    # pending merge-on-read deltas must be RESOLVED before a rewrite (they
+    # carry op/offset and override base rows); at scale, compact first
+    lake_tbl = _resolve_partition(lake_files) if lake_files else None
     merged = lww_merge(lake_tbl, events)
     merged = align_to_schema(merged, target_schema)
     new_wm = max(wm, int(pc.max(events.column("offset")).as_py()))
@@ -397,7 +398,14 @@ def _target_schema(changelog_schema: pa.Schema,
                       if f.name not in (*PROVENANCE_COLUMNS, PART_COLUMN, SALT_COLUMN)]
     tables = [pa.schema(payload_fields).empty_table()]
     for files in current_files.values():
-        tables.append(pq.read_schema(files[0]).empty_table())
+        # prefer a base file; a delta file's schema is filtered of provenance
+        pick = next((f for f in files if not _is_delta(f)), files[0] if files else None)
+        if pick is None:
+            continue
+        sch = pq.read_schema(pick)
+        sch = pa.schema([f for f in sch
+                         if f.name not in (*PROVENANCE_COLUMNS, PART_COLUMN, SALT_COLUMN)])
+        tables.append(sch.empty_table())
         break  # snapshots share one schema by construction
     unified = unify_with_nulls(tables)
     return unified[0].schema

@@ -201,12 +201,13 @@ class _DecodeBlocks:
     dead-letter path a 100 TB replay needs instead of dying on one bad byte."""
 
     def __init__(self, fmt_name: str, fmt_config: dict, layout_name: str,
-                 resume: dict[int, int], on_corrupt: str = "raise",
+                 resume: dict[int, int], root: str, on_corrupt: str = "raise",
                  quarantine_dir: str | None = None):
         from .layout import get_layout
 
         self.fmt = get_format(fmt_name, **fmt_config)
         self.layout = get_layout(layout_name)
+        self.root = root
         self.resume = resume or {}
         self.on_corrupt = on_corrupt
         self.quarantine_dir = quarantine_dir
@@ -240,7 +241,7 @@ class _DecodeBlocks:
         out = []
         for path, data in zip(batch.column("path").to_pylist(),
                               batch.column("bytes").to_pylist()):
-            meta = self.layout.parse(_rel_key(path))
+            meta = self.layout.parse(_rel_key(path, self.root))
             if meta is None:
                 continue
             raw = read_bytes_multimember(data)
@@ -257,10 +258,11 @@ class _DecodeBlocks:
         return pa.concat_tables(out)
 
 
-def _rel_key(path: str) -> str:
-    # layout keys are the last two path components (prefix/file)
-    parts = path.replace("\\", "/").split("/")
-    return "/".join(parts[-2:])
+def _rel_key(path: str, root: str) -> str:
+    """Layout key = the path relative to the archive root (layouts may have
+    2 components (grouped_by_date) or 3 (grouped_by_topic))."""
+    rel = os.path.relpath(path, root)
+    return rel.replace("\\", "/")
 
 
 def read_archive(
@@ -290,7 +292,7 @@ def read_archive(
     resume_offsets = dict(resume_offsets or {})
     files = []
     for path in sorted(glob.glob(os.path.join(archive_dir, "**", "*.gz"), recursive=True)):
-        meta = layout.parse(_rel_key(path))
+        meta = layout.parse(_rel_key(path, archive_dir))
         if meta is None:
             continue
         if topic is not None and meta.topic != topic:
@@ -315,7 +317,8 @@ def read_archive(
     )
     ds = ds.map_batches(
         _DecodeBlocks(fmt_name, fmt_config or {}, layout_name, resume_offsets,
-                      on_corrupt=on_corrupt, quarantine_dir=quarantine_dir),
+                      root=archive_dir, on_corrupt=on_corrupt,
+                      quarantine_dir=quarantine_dir),
         batch_format="pyarrow",
     )
     if exclude_key_substrings:
@@ -324,7 +327,7 @@ def read_archive(
         def exclude(t: pa.Table) -> pa.Table:
             if len(t) == 0:
                 return t
-            keys = pc.cast(t.column("key"), pa.string())
+            keys = t.column("key")  # binary: arbitrary key bytes stay legal
             drop = None
             for p in pats:
                 m = pc.fill_null(pc.match_substring(keys, p), False)

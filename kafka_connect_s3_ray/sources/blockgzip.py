@@ -131,8 +131,10 @@ class BlockGzipWriter:
         self._file.close()
         os.replace(self.path + ".tmp", self.path)  # atomic, idempotent overwrite
         index = ChunksIndex(self.chunks)
-        with open(self.path + ".index.json", "w") as f:
+        idx_tmp = self.path + ".index.json.tmp"
+        with open(idx_tmp, "w") as f:
             f.write(index.to_json())
+        os.replace(idx_tmp, self.path + ".index.json")  # atomic, like the cursor
         return index
 
 

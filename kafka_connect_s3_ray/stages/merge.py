@@ -65,7 +65,7 @@ def compact_events(
 
     Hot-path implementation: keys are factorized to int codes (exact — codes
     are unique per distinct value, unlike hashes) and the argmax-per-group is
-    found with an integer ``np.lexsort`` — ~3x cheaper than a lexicographic
+    found with a multi-key integer ``np.lexsort`` — ~3x cheaper than a lexicographic
     string sort of the full table. Output rows keep input order (the merge
     establishes its own final order); a selected row set is a deterministic
     function of the input."""
@@ -74,24 +74,24 @@ def compact_events(
     import pandas as pd
 
     n = len(events)
-    combined = np.zeros(n, dtype=np.int64)
+    code_arrays = []
     for c in key_cols:
         vals = events.column(c).to_numpy(zero_copy_only=False)
-        if vals.dtype.kind in ("i", "u") and n and int(vals.min()) >= 0 \
-                and int(vals.max()) < (1 << 20):
+        if vals.dtype.kind in ("i", "u"):
             codes = vals.astype(np.int64)
-            uniq_n = int(vals.max()) + 1
-        else:  # strings, sparse/huge/negative ints: dense-factorize
-            codes, uniq = pd.factorize(vals)
+        else:  # strings etc.: dense-factorize to exact int codes
+            codes, _ = pd.factorize(vals)
             codes = codes.astype(np.int64)
-            uniq_n = len(uniq)
-        assert combined.max(initial=0) < (1 << 62) // max(1, uniq_n), \
-            "combined key-code overflow — factorize path needed"
-        combined = combined * np.int64(max(1, uniq_n)) + codes
+        code_arrays.append(codes)
     order = events.column(order_col).to_numpy(zero_copy_only=False)
-    idx = np.lexsort((order, combined))
+    # multi-key integer lexsort: last key in the tuple is primary
+    idx = np.lexsort((order, *reversed(code_arrays)))
+    diff = np.zeros(n - 1, dtype=bool)
+    for codes in code_arrays:
+        srt = codes[idx]
+        diff |= srt[1:] != srt[:-1]
     last_of_group = np.ones(n, dtype=bool)
-    last_of_group[:-1] = combined[idx][1:] != combined[idx][:-1]
+    last_of_group[:-1] = diff
     keep = np.sort(idx[last_of_group])  # input order, deterministic
     return events.take(pa.array(keep))
 
