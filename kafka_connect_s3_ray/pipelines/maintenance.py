@@ -31,8 +31,17 @@ def vacuum(manifest: Manifest | str, keep_generations: int = 1,
     doomed: list[str] = []
     for p, st in manifest.partitions.items():
         files = st.get("files", [])
-        keep = files[-keep_generations:] if keep_generations > 0 else []
-        drop = files[:-keep_generations] if keep_generations > 0 else files
+        # A "generation" is a full snapshot: a REWRITE entry plus any deltas
+        # after it. Deltas depend on their preceding base, so the cut point is
+        # the K-th-newest rewrite entry; everything from it onward stays.
+        if keep_generations > 0:
+            rewrite_idx = [i for i, e in enumerate(files) if not e.get("delta")]
+            cut = rewrite_idx[-keep_generations] if len(rewrite_idx) >= keep_generations \
+                else 0
+            keep = files[cut:]
+            drop = files[:cut]
+        else:
+            keep, drop = [], files
         keep_paths = {path for e in keep for path in e["path"].split(";")}
         keep_paths.update(st.get("current", []))
         for e in drop:
@@ -51,8 +60,11 @@ def vacuum(manifest: Manifest | str, keep_generations: int = 1,
 
 
 def lookup(manifest: Manifest | str, conv_id: str,
-           turn_idx: int | None = None) -> pa.Table:
+           turn_idx: int | None = None) -> pa.Table | None:
     """Point read: fetch one conversation (or one turn) from the lake.
+    Returns None when the routed partition has never been committed (its
+    schema is unknown); an existing partition with no matching key returns an
+    EMPTY table.
 
     Routes by ``hash(conv_id) % P`` to exactly one partition's current files,
     then lets Parquet row-group statistics prune within them (files are
@@ -178,12 +190,12 @@ def validate_lake(manifest: Manifest | str,
             import numpy as np
             import pandas as pd
 
+            batch = batch.select(key_cols)  # only keys cross the shuffle
             h = pd.util.hash_pandas_object(
-                batch.select(key_cols).to_pandas(), index=False
+                batch.to_pandas(), index=False
             ).to_numpy()
             coarse = (h % np.uint64(64)).astype(np.int32)
-            t = batch.append_column("_h", pa.array(h.view(np.int64)))
-            return t.append_column("_coarse", pa.array(coarse))
+            return batch.append_column("_coarse", pa.array(coarse))
 
         def dups(g, _k=tuple(key_cols)):
             d = int(g.duplicated(list(_k)).sum())

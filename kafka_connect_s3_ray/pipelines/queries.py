@@ -579,18 +579,28 @@ def q_embedding_near_dup(sf_dir: str):
 
 def q_cosine_topk(sf_dir: str):
     """Brute-force cosine top-10 for the first 3 vectors as queries."""
+    import duckdb
+
     emb = _emb(sf_dir)
-    qdf = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet")).limit(3).to_pandas()
-    queries = np.stack(qdf.sort_values("vec_id")["embedding"].to_list()).astype(np.float64)
+    # the 3 SMALLEST vec_ids, not the file's first 3 rows (storage order is
+    # not a contract) — matches the oracle's ORDER BY vec_id LIMIT 3
+    qdf = duckdb.sql(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id LIMIT 3"
+    ).df()
+    queries = np.stack(qdf["embedding"].to_list()).astype(np.float64)
     out = brute_force_topk(emb, queries, k=10)
     out["score"] = out["score"].round(6)
     return out[["query_id", "vec_id", "score"]]
 
 
 def q_cosine_topk_ivf(sf_dir: str):
+    import duckdb
+
     emb = _emb(sf_dir)
-    qdf = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet")).limit(3).to_pandas()
-    queries = np.stack(qdf.sort_values("vec_id")["embedding"].to_list()).astype(np.float64)
+    qdf = duckdb.sql(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id LIMIT 3"
+    ).df()
+    queries = np.stack(qdf["embedding"].to_list()).astype(np.float64)
     out = ivf_topk(emb, queries, k=10, n_clusters=8, nprobe=6)
     out["score"] = out["score"].round(6)
     return out[["query_id", "vec_id", "score"]]

@@ -19,6 +19,8 @@ from __future__ import annotations
 import time
 from typing import Callable
 
+from ray.exceptions import RayError as _RayError
+
 from ..state.manifest import Manifest
 from .upsert import run_upsert
 
@@ -62,7 +64,7 @@ def tail_changelog(
                 from .upsert import compact_partitions
 
                 manifest = compact_partitions(manifest_path, out_dir)
-        except (OSError, RuntimeError) as e:
+        except (OSError, RuntimeError, _RayError) as e:
             consecutive_errors += 1
             if consecutive_errors >= max_consecutive_errors:
                 raise RuntimeError(

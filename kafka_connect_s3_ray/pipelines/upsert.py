@@ -86,6 +86,7 @@ def _commit_delta(p: int, events: pa.Table, wm: int, out_dir: str,
     call lww_merge(base, concat(deltas))); ``compact_partitions`` folds deltas
     back into the base. This is the LSM tradeoff the rewrite mode's write
     amplification motivates: O(delta) writes per round instead of O(partition)."""
+    events = compact_events(events)  # one row per key -> deterministic bytes
     drop = [c for c in ("partition", "part", "salt") if c in events.column_names]
     delta = events.drop_columns(drop) if drop else events
     delta = delta.sort_by([(c, "ascending") for c in KEY_COLUMNS_DEFAULT])
@@ -124,6 +125,21 @@ class PrepareEvents:
             return batch
         batch = self.assigner(batch)
         part = batch.column(PART_COLUMN).to_numpy(zero_copy_only=False)
+        if "partition" in batch.column_names:
+            # Ingest contract: changelog partition assignment must equal
+            # hash(conv_id) % P — offsets are dense per changelog partition,
+            # so the per-lake-partition watermark filter is only sound when
+            # the two partitionings coincide. A foreign partitioning must be
+            # re-bucketed (or fed without a partition column, with globally
+            # monotone offsets) — fail loudly instead of silently dropping.
+            src = batch.column("partition").to_numpy(zero_copy_only=False)
+            if not (src == part).all():
+                raise ValueError(
+                    "changelog 'partition' column disagrees with hash(conv_id) % "
+                    f"{len(self.wm)} — re-bucket the changelog (repartition_lake / "
+                    "re-ingest) or drop the partition column if offsets are a "
+                    "single global sequence"
+                )
         offs = batch.column("offset").to_numpy(zero_copy_only=False)
         keep = offs > self.wm[part]
         if not keep.all():
@@ -167,15 +183,18 @@ class MergeCommit:
 
 
 
+def _ncpu(default: int = 8) -> int:
+    try:
+        return int(ray.cluster_resources().get("CPU", default))
+    except Exception:
+        return default
+
+
 def _auto_task_cpus(task_num_cpus) -> dict:
     """Memory-heavy stage sizing (see the co-partitioned path note): reserve
     extra CPUs per task on SMT-oversubscribed hosts."""
     if task_num_cpus == "auto":
-        try:
-            ncpu = int(ray.cluster_resources().get("CPU", 8))
-        except Exception:
-            ncpu = 8
-        task_num_cpus = max(1, round(ncpu / 16))
+        task_num_cpus = max(1, round(_ncpu() / 16))
     return {"num_cpus": task_num_cpus} if task_num_cpus != 1 else {}
 
 
@@ -199,7 +218,8 @@ def _commit_partition(p: int, events: pa.Table, lake_files: list[str], wm: int,
     n_events = len(events)
     has_delta = any(_is_delta(f) for f in lake_files)
     lake_rows = sum(pq.read_metadata(f).num_rows for f in lake_files) if lake_files else 0
-    if lake_rows > streaming_threshold_rows and not has_delta:
+    if (lake_rows > streaming_threshold_rows and not has_delta
+            and _files_globally_key_sorted(lake_files)):
         return _commit_partition_streaming(
             p, events, lake_files, wm, out_dir, target_schema,
             row_group_size, max_file_rows, t0,
@@ -232,6 +252,26 @@ def _commit_partition(p: int, events: pa.Table, lake_files: list[str], wm: int,
         paths.append(path)
     return _stats_row(p, paths, new_wm, len(merged), n_events,
                       time.monotonic() - t0, "rewrite")
+
+
+def _files_globally_key_sorted(files: list[str]) -> bool:
+    """The streaming merge-join needs the partition's files to cover DISJOINT,
+    ascending key ranges (true for engine-written commits; an imported base
+    may not satisfy it). Checked from each file's first/last key only."""
+    prev_last = None
+    for f in files:
+        pf = pq.ParquetFile(f)
+        if pf.metadata.num_rows == 0:
+            continue
+        head = next(pf.iter_batches(batch_size=1, columns=["conv_id", "turn_idx"]))
+        first = (head.column(0)[0].as_py(), head.column(1)[0].as_py())
+        lastrg = pf.read_row_group(pf.num_row_groups - 1,
+                                   columns=["conv_id", "turn_idx"])
+        last = (lastrg.column(0)[-1].as_py(), lastrg.column(1)[-1].as_py())
+        if prev_last is not None and first <= prev_last:
+            return False
+        prev_last = last
+    return True
 
 
 def _commit_partition_streaming(p: int, events: pa.Table, lake_files: list[str],
@@ -486,10 +526,6 @@ def run_upsert(
     part_files = _discover_partition_dirs(changelog) if mode in ("auto", "copartitioned") else None
     if part_files is not None:
         target = _target_schema(pq.read_schema(next(iter(part_files.values()))[0]), current)
-        try:
-            ncpu_co = int(ray.cluster_resources().get("CPU", 8))
-        except Exception:
-            ncpu_co = 8
         # Merge tasks are memory-streaming (parquet decode, sorts, zstd): on
         # hosts where logical CPUs outnumber memory-bandwidth lanes (SMT),
         # running one task per logical CPU *degrades* wall time. "auto"
@@ -508,7 +544,7 @@ def run_upsert(
         total = sum(sizes.values())
         # target slice size: keep ~2 compaction tasks per core in flight, with
         # a floor so tiny inputs stay single-task
-        slice_bytes = max(8 * 1024 * 1024, total // max(1, 2 * ncpu_co))
+        slice_bytes = max(8 * 1024 * 1024, total // max(1, 2 * _ncpu()))
         refs = []
         for p, files in sorted(part_files.items()):
             k = min(len(files), max(1, round(sizes[p] / slice_bytes)))
@@ -541,11 +577,7 @@ def run_upsert(
     # small blocks makes the shuffle slower at HIGHER cpu counts. Target:
     # enough blocks to keep every core busy, few enough that the exchange
     # matrix stays small, and never bigger than ~256 MB per block.
-    try:
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        ncpu = 8
-    nblk = max(num_partitions, ncpu)
+    nblk = max(num_partitions, _ncpu())
     try:
         total_bytes = sum(os.path.getsize(f) for f in log_ds.files)
         nblk = max(nblk, int(total_bytes // (256 * 1024 * 1024)) + 1)
@@ -653,9 +685,10 @@ def read_lake(manifest: Manifest | str) -> "ray.data.Dataset":
     return ray.data.from_arrow_refs(refs)
 
 
-def lake_table(manifest: Manifest | str) -> pa.Table:
+def lake_table(manifest: Manifest | str) -> pa.Table | None:
     """Small-scale convenience: the full snapshot as one key-sorted Arrow table
-    (tests / oracle comparison only — do not call at 100 TB)."""
+    (tests / oracle comparison only — do not call at 100 TB). None when the
+    manifest has no committed files."""
     if isinstance(manifest, str):
         manifest = Manifest.load(manifest)
     current = manifest.current_files()
@@ -697,11 +730,14 @@ def compact_partitions(manifest_path: str, out_dir: str,
         refs.append(commit_task.remote(
             p, bases, manifest.watermark(p), out_dir, target, "rewrite", delta_tbl,
         ))
+    if not refs:
+        return manifest  # nothing to fold — leave manifest untouched
     entries = [
         {k: v[0].as_py() for k, v in zip(STATS_SCHEMA.names, t.columns)}
         for t in ray.get(refs)
         if len(t)
     ]
+    if not entries:
+        return manifest
     return _finalize(manifest, manifest_path, entries,
-                     pq.read_schema(entries[0]["path"].split(";")[0])
-                     if entries else pa.schema([]))
+                     pq.read_schema(entries[0]["path"].split(";")[0]))
