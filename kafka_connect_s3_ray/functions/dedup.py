@@ -129,7 +129,8 @@ class MinHasher:
         texts = batch.column(self.text_col).to_pylist()
         n = len(texts)
         if n == 0:
-            return pa.table({self.id_col: pa.array([], pa.int64()),
+            id_type = batch.schema.field(self.id_col).type
+            return pa.table({self.id_col: pa.array([], id_type),
                              "band": pa.array([], pa.int32()),
                              "bucket": pa.array([], pa.int64())})
         sigs = self._signatures(texts).reshape(
@@ -158,8 +159,9 @@ def _pairs_by_bucket(g: pd.DataFrame, id_col: str, bucket_col: str,
     sizes = g.groupby(bucket_col)[id_col].transform("size")
     g = g.loc[(sizes > 1) & (sizes <= cap), [bucket_col, id_col]]
     if g.empty:
-        return pd.DataFrame({"left_id": pd.Series([], dtype=np.int64),
-                             "right_id": pd.Series([], dtype=np.int64)})
+        id_dtype = g[id_col].dtype
+        return pd.DataFrame({"left_id": pd.Series([], dtype=id_dtype),
+                             "right_id": pd.Series([], dtype=id_dtype)})
     m = g.merge(g, on=bucket_col, suffixes=("_l", "_r"))
     m = m[m[f"{id_col}_l"] < m[f"{id_col}_r"]]
     out = m.rename(columns={f"{id_col}_l": "left_id", f"{id_col}_r": "right_id"})
@@ -220,9 +222,21 @@ def jaccard_verify(pairs: "ray.data.Dataset", docs: "ray.data.Dataset",
     """Exact k-shingle Jaccard over candidate pairs. The doc texts are
     broadcast once via ray.put (small-side lookup: candidates << corpus); at
     larger candidate sets swap this for a partitioned hash join on id."""
-    _docs_df = docs.to_pandas()
-    lookup_ref = ray.put(dict(zip(_docs_df[id_col].tolist(),
-                                  _docs_df[text_col].tolist())))
+    cand_df = pairs.to_pandas()  # candidate pairs are small by construction
+    cand_ids = np.unique(np.concatenate([cand_df["left_id"].to_numpy(),
+                                         cand_df["right_id"].to_numpy()])) \
+        if len(cand_df) else np.array([])
+    from ..stages.joins import semi_join
+
+    if len(cand_ids):
+        cand_docs = semi_join(docs, cand_ids, on=id_col).to_pandas()
+    else:
+        cand_docs = pd.DataFrame({id_col: [], text_col: []})
+    lookup_ref = ray.put(dict(zip(cand_docs[id_col].tolist(),
+                                  cand_docs[text_col].tolist())))
+    import ray.data as _rd
+
+    pairs = _rd.from_pandas(cand_df) if len(cand_df) else pairs
 
     class Verify:
         def __init__(self):
@@ -397,6 +411,10 @@ def embedding_near_dup(ds: "ray.data.Dataset", threshold: float = 0.95,
             self.planes = None
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if len(batch) == 0:
+                return pa.table({id_col: pa.array([], batch.schema.field(id_col).type),
+                                 "bucket": pa.array([], pa.int64()),
+                                 "normed": pa.array([], pa.list_(pa.float64()))})
             vecs = np.stack(batch.column(vec_col).to_pylist()).astype(np.float64)
             if self.planes is None:
                 rng = np.random.default_rng(seed)

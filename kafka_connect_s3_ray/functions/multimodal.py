@@ -57,6 +57,8 @@ def synth_media(n: int = 64, seed: int = 42) -> pa.Table:
 
 def _fake_features(payload: bytes) -> np.ndarray:
     b = np.frombuffer(payload, dtype=np.uint8)
+    if len(b) == 0:
+        return np.zeros(FEATURE_DIM, dtype=np.float32)
     hist = np.bincount(b >> 3, minlength=32).astype(np.float32)
     hist /= max(1, len(b))
     moments = np.array(

@@ -30,12 +30,21 @@ class _BatchTopK:
     matrix; returns the batch-local top-k candidate rows per query."""
 
     def __init__(self, queries_ref, k: int, id_col: str, vec_col: str):
-        q = ray.get(queries_ref)
-        self.q = _normalize(np.asarray(q, dtype=np.float64))  # (Q, D)
+        # instances are constructed on the driver and pickled into tasks;
+        # defer the ray.get so the broadcast object ships by REFERENCE and is
+        # fetched once per worker at first batch, not inside the closure
+        self.queries_ref = queries_ref
+        self.q = None
         self.k = k
         self.id_col, self.vec_col = id_col, vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.q is None:
+            self.q = _normalize(np.asarray(ray.get(self.queries_ref), dtype=np.float64))
+        if len(batch) == 0:
+            return pa.table({"query_id": pa.array([], pa.int32()),
+                             self.id_col: pa.array([], batch.schema.field(self.id_col).type),
+                             "score": pa.array([], pa.float64())})
         ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
         mat = _normalize(np.stack(batch.column(self.vec_col).to_pylist()).astype(np.float64))
         sims = mat @ self.q.T  # (N, Q)

@@ -248,8 +248,10 @@ class _DecodeBlocks:
             tbl = self._decode(raw, meta, path)
             tbl = tbl.add_column(0, "partition",
                                  pa.array([meta.partition] * len(tbl), pa.int32()))
-            tbl = tbl.add_column(0, "topic", pa.array([meta.topic] * len(tbl)))
-            wm = self.resume.get(meta.partition)
+            tbl = tbl.add_column(0, "topic",
+                                 pa.array([meta.topic] * len(tbl), pa.string()))
+            wm = self.resume.get((meta.topic, meta.partition),
+                                 self.resume.get(meta.partition))
             if wm is not None:
                 tbl = tbl.filter(pc.greater(tbl.column("offset"), wm))
             out.append(tbl)
@@ -285,11 +287,24 @@ def read_archive(
     whose *entire* offset range is consumed per the index sidecar (D1,
     source/.../S3FilesReader.java:177-184). Record-level residual filtering,
     key-exclude (M9) and topic remap (M11) run vectorized in the decode stage.
+
+    ``resume_offsets`` keys are ``(topic, partition)`` tuples (the reference's
+    S3Partition identity, source/.../S3Partition.java:7-82); bare ``int``
+    partition keys are accepted only when a single ``topic`` filter is given —
+    in a multi-topic archive they would bleed one topic's checkpoint into
+    another's.
     """
     from .layout import get_layout
 
     layout = get_layout(layout_name)
     resume_offsets = dict(resume_offsets or {})
+    if resume_offsets and topic is None and any(
+        not isinstance(k, tuple) for k in resume_offsets
+    ):
+        raise ValueError(
+            "int-keyed resume_offsets are ambiguous without a topic filter; "
+            "key them by (topic, partition) for multi-topic archives"
+        )
     files = []
     for path in sorted(glob.glob(os.path.join(archive_dir, "**", "*.gz"), recursive=True)):
         meta = layout.parse(_rel_key(path, archive_dir))
@@ -299,7 +314,8 @@ def read_archive(
             continue
         if partitions is not None and meta.partition not in partitions:
             continue
-        wm = resume_offsets.get(meta.partition)
+        wm = resume_offsets.get((meta.topic, meta.partition),
+                                resume_offsets.get(meta.partition))
         if wm is not None:
             idx_path = path + ".index.json"
             if os.path.exists(idx_path):

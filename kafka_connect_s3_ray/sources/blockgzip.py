@@ -140,17 +140,8 @@ class BlockGzipWriter:
 
 def read_block(path: str) -> bytes:
     """Decompress a whole block file (valid as a single multi-member stream)."""
-    out = []
     with open(path, "rb") as f:
-        data = f.read()
-    pos = 0
-    while pos < len(data):
-        d = zlib.decompressobj(wbits=31)
-        out.append(d.decompress(data[pos:]))
-        pos = len(data) - len(d.unused_data)
-        if not d.eof:
-            break
-    return b"".join(out)
+        return read_bytes_multimember(f.read())
 
 
 def read_block_from_offset(path: str, index: ChunksIndex, offset: int) -> tuple[bytes, int]:

@@ -58,12 +58,21 @@ class TrailingDelimiterCodec:
     support incl. UTF-16BE, common/.../TrailingDelimiterFormat.java:43-48);
     the core ``encode``/``decode`` stay bytes end-to-end."""
 
-    value_delimiter: bytes = b"\n"
-    key_delimiter: bytes = b"\t"
+    value_delimiter: bytes | str = "\n"
+    key_delimiter: bytes | str = "\t"
     include_keys: bool = False
     charset: str = "utf-8"
 
     name = "text"
+
+    def __post_init__(self):
+        # str delimiters are encoded in the configured charset — the
+        # reference's '\n'.getBytes(encoding) semantics (UTF-16BE newline is
+        # 0x00 0x0A, not a bare 0x0A); bytes pass through verbatim.
+        if isinstance(self.value_delimiter, str):
+            self.value_delimiter = self.value_delimiter.encode(self.charset)
+        if isinstance(self.key_delimiter, str):
+            self.key_delimiter = self.key_delimiter.encode(self.charset)
 
     def encode_strings(self, keys: list[str | None], values: list[str]) -> bytes:
         enc = self.charset

@@ -134,18 +134,16 @@ def asof_join(
     rt = right.map_batches(tag("r"), batch_format="pyarrow")
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g["_side"] == "l"].drop(columns=["_side", "_coarse"] + right_only)
+        # the union frame already carries right_only columns null-filled with
+        # the right dtypes (tag() builds them via pa.nulls(col_types)), so the
+        # empty branches can keep them as-is — no dtype divergence across
+        # buckets
+        l_full = g[g["_side"] == "l"].drop(columns=["_side", "_coarse"])
         r = g[g["_side"] == "r"][[key, ts] + right_only]
-        if l.empty:
-            return l.assign(**{c: pd.Series(dtype="object") for c in right_only}) \
-                if right_only else l
-        l = l.sort_values([ts, key], kind="stable")
+        if l_full.empty or r.empty:
+            return l_full
+        l = l_full.drop(columns=right_only).sort_values([ts, key], kind="stable")
         r = r.sort_values([ts, key], kind="stable")
-        if r.empty:
-            out = l.copy()
-            for c in right_only:
-                out[c] = None
-            return out
         return pd.merge_asof(l, r, on=ts, by=key, direction=direction)
 
     both = lt.union(rt)

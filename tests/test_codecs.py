@@ -214,7 +214,7 @@ def test_archive_round_trip_and_resume(tmp_path):
 
     # resume offsets (S7/D1): skip everything <= wm per partition
     wm = {0: 10, 1: 5}
-    resumed = read_archive(out, resume_offsets=wm).to_pandas()
+    resumed = read_archive(out, topic="conv", resume_offsets=wm).to_pandas()
     for p, g in resumed.groupby("partition"):
         assert g["offset"].min() > wm.get(p, -1)
 
@@ -241,7 +241,7 @@ def test_archive_fully_consumed_files_skipped(tmp_path):
     )
     out = str(tmp_path / "arc")
     archive_records(ray.data.from_arrow(rows), out, topic="t")
-    ds = read_archive(out, resume_offsets={0: 9})
+    ds = read_archive(out, topic="t", resume_offsets={0: 9})
     assert ds.count() == 0
 
 

@@ -170,3 +170,62 @@ def test_compact_events_huge_key_cardinality():
     )
     out = compact_events(t)
     assert len(out) == n  # all keys distinct -> nothing dropped
+
+
+def test_multi_topic_resume_offsets_do_not_bleed(tmp_path):
+    """Review-3 finding: resume offsets are keyed by (topic, partition); a
+    topic-A checkpoint must not skip topic-B files."""
+    import ray.data as rd
+
+    rows = pa.table(
+        {
+            "partition": pa.array([0] * 10, pa.int32()),
+            "offset": pa.array(range(10), pa.int64()),
+            "key": pa.array([b"k"] * 10, pa.binary()),
+            "value": pa.array([b"v"] * 10, pa.binary()),
+        }
+    )
+    out = str(tmp_path / "arc")
+    archive_records(rd.from_arrow(rows), out, topic="topicA")
+    archive_records(rd.from_arrow(rows), out, topic="topicB")
+    # tuple keys: only topicA skips
+    back = read_archive(out, resume_offsets={("topicA", 0): 9}).to_pandas()
+    assert set(back["topic"]) == {"topicB"} and len(back) == 10
+    # int keys without a topic filter are rejected as ambiguous
+    with pytest.raises(ValueError, match="ambiguous"):
+        read_archive(out, resume_offsets={0: 9})
+
+
+def test_utf16_delimiters_with_embedded_0a_byte():
+    """Review-3 finding: charset-encoded delimiters (UTF-16BE newline =
+    0x00 0x0A) must not split on characters whose low byte is 0x0A."""
+    from kafka_connect_s3_ray.sources.codecs import TrailingDelimiterCodec
+
+    codec = TrailingDelimiterCodec(include_keys=False, charset="utf-16-be")
+    vals = ["aĊb", "plain", "̊"]  # U+010A / U+030A low byte = 0x0A
+    out = codec.decode_strings(codec.encode_strings([None] * 3, vals))
+    assert out.column("value").to_pylist() == vals
+
+
+def test_quarantine_first_record_corrupt(tmp_path):
+    """Review-3 finding: a file corrupt at record 0 decodes to an empty typed
+    table and the rest of the batch still concats."""
+    import gzip as gz
+
+    import ray.data as rd
+
+    rows = pa.table(
+        {
+            "partition": pa.array([0] * 5 + [1] * 5, pa.int32()),
+            "offset": pa.array(list(range(5)) * 2, pa.int64()),
+            "key": pa.array([b"k"] * 10, pa.binary()),
+            "value": pa.array([b"v" * 20] * 10, pa.binary()),
+        }
+    )
+    out = str(tmp_path / "arc")
+    archive_records(rd.from_arrow(rows), out, topic="t")
+    victim = sorted(glob.glob(os.path.join(out, "**", "*-00000-*.gz"), recursive=True))[0]
+    open(victim, "wb").write(gz.compress(b"\xff\xff\xff\xff", mtime=0))  # garbage framing
+    ok = read_archive(out, on_corrupt="quarantine",
+                      quarantine_dir=str(tmp_path / "q")).to_pandas()
+    assert len(ok) == 5 and set(ok["partition"]) == {1}
