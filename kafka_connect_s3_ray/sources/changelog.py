@@ -86,6 +86,63 @@ def _decode_change_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def export_lake_to_archive(
+    manifest,
+    out_dir: str,
+    topic: str = "lake_export",
+    fmt=None,
+    date: str = "1970-01-01",
+    num_partitions: int | None = None,
+    **archive_kw,
+) -> list[dict]:
+    """Inverse bridge: snapshot the CURRENT lake into a reference-format
+    block-gzip archive (JSON values framed by the byte codec, offset-named
+    files + chunk indexes + cursors) that the original connector's source —
+    or ``changelog_from_archive`` — can replay. Every row exports as an "I"
+    event with positional per-partition offsets."""
+    from ..stages.partitioner import assign_partitions
+    from ..state.manifest import Manifest
+    from .archive import archive_records
+    from ..pipelines.upsert import read_lake
+
+    if isinstance(manifest, str):
+        manifest = Manifest.load(manifest)
+    P = num_partitions or manifest.num_partitions or 16
+    ds = read_lake(manifest)
+
+    def to_events(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        part = assign_partitions(
+            batch.column("conv_id").to_numpy(zero_copy_only=False), P
+        )
+        cols = {
+            "partition": pa.array(part, pa.int32()),
+            "offset": pa.array([0] * n, pa.int64()),  # assigned per partition below
+            "op": pa.array(["I"] * n, pa.string()),
+        }
+        for name in batch.column_names:
+            cols[name] = batch.column(name)
+        return pa.table(cols)
+
+    def assign_offsets(g: pa.Table) -> pa.Table:
+        import numpy as np
+
+        g = g.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+        return g.set_column(
+            g.schema.get_field_index("offset"), "offset",
+            pa.array(np.arange(len(g), dtype=np.int64)),
+        )
+
+    events = (
+        ds.map_batches(to_events, batch_format="pyarrow")
+        .groupby("partition")
+        .map_groups(assign_offsets, batch_format="pyarrow")
+    )
+    records = events.map_batches(encode_change_payload, batch_format="pyarrow")
+    return archive_records(records, out_dir, topic=topic, fmt=fmt, date=date,
+                           **archive_kw)
+
+
 def changelog_from_archive(
     archive_dir: str,
     topic: str | None = None,
