@@ -80,3 +80,17 @@ def test_tail_mode_incremental(tmp_path):
     assert all(ticks[1][p] >= ticks[0][p] for p in range(P))
     assert any(ticks[1][p] > ticks[0][p] for p in range(P))
     assert ticks[2] == ticks[1]
+
+
+def test_empty_changelog_tick_is_noop(tmp_path):
+    """A tail tick before any changelog file exists (dirs created, no data)
+    commits an empty manifest round instead of crashing."""
+    import os
+
+    from kafka_connect_s3_ray.pipelines.upsert import run_upsert
+
+    os.makedirs(tmp_path / "log" / "partition=0")
+    m = run_upsert(str(tmp_path / "log"), str(tmp_path / "out"),
+                   str(tmp_path / "m.json"), num_partitions=2)
+    assert m.watermark(0) == EMPTY_WATERMARK
+    assert m.current_files() == {}
