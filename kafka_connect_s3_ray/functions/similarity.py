@@ -29,7 +29,8 @@ class _BatchTopK:
     """map_batches stage: cosine of batch vectors vs the broadcast query
     matrix; returns the batch-local top-k candidate rows per query."""
 
-    def __init__(self, queries_ref, k: int, id_col: str, vec_col: str):
+    def __init__(self, queries_ref, k: int, id_col: str, vec_col: str,
+                 probe_mask: np.ndarray | None = None):
         # instances are constructed on the driver and pickled into tasks;
         # defer the ray.get so the broadcast object ships by REFERENCE and is
         # fetched once per worker at first batch, not inside the closure
@@ -37,6 +38,9 @@ class _BatchTopK:
         self.q = None
         self.k = k
         self.id_col, self.vec_col = id_col, vec_col
+        # (n_clusters, Q) bool: query q scans cluster c — standard IVF
+        # semantics; rows from unprobed clusters are masked out per query
+        self.probe_mask = probe_mask
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.q is None:
@@ -48,6 +52,9 @@ class _BatchTopK:
         ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
         mat = _normalize(np.stack(batch.column(self.vec_col).to_pylist()).astype(np.float64))
         sims = mat @ self.q.T  # (N, Q)
+        if self.probe_mask is not None and "cluster" in batch.column_names:
+            clusters = batch.column("cluster").to_numpy(zero_copy_only=False)
+            sims = np.where(self.probe_mask[clusters], sims, -np.inf)
         k = min(self.k, len(ids))
         out_q, out_id, out_s = [], [], []
         for qi in range(self.q.shape[0]):
@@ -125,11 +132,16 @@ def ivf_topk(ds: "ray.data.Dataset", queries: np.ndarray, k: int = 10,
 
     pruned = ds.map_batches(AssignFilter, batch_format="pyarrow", concurrency=2)
     q_ref = ray.put(q)
-    # candidates come from the UNION of all queries' probed clusters; a
-    # per-query cluster filter would only tighten recall further
+    # per-query cluster masking: query q only scores vectors from ITS nprobe
+    # clusters (standard IVF), not the union of all queries' clusters
+    probe_mask = np.zeros((len(cents), len(q)), dtype=bool)
+    for qi in range(len(q)):
+        probe_mask[probe[qi], qi] = True
     cand = pruned.map_batches(
-        _BatchTopK(q_ref, k, id_col, vec_col), batch_format="pyarrow"
+        _BatchTopK(q_ref, k, id_col, vec_col, probe_mask=probe_mask),
+        batch_format="pyarrow",
     ).to_pandas()
+    cand = cand[np.isfinite(cand["score"])]
     cand = cand.sort_values(["query_id", "score", id_col],
                             ascending=[True, False, True], kind="stable")
     return cand.groupby("query_id", sort=True).head(k).reset_index(drop=True)

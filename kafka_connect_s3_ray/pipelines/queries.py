@@ -265,6 +265,29 @@ def q_tumbling_window(sf_dir: str):
     return out.map_batches(fix, batch_format="pyarrow")
 
 
+def q_sliding_window(sf_dir: str):
+    """Sliding window (1 h window, 30 min hop): per (user_id, window_start)
+    count + sum. Each event lands in exactly 2 windows."""
+    from ..stages.windows import sliding_window_agg
+
+    out = sliding_window_agg(_events(sf_dir, ["user_id", "ts", "value"]),
+                             key="user_id", ts="ts",
+                             window_us=3_600_000_000, hop_us=1_800_000_000,
+                             value="value")
+
+    def fix(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "window_start": pc.cast(t.column("window_start"), pa.int64()),
+                "n_events": pc.cast(t.column("n_events"), pa.int64()),
+                "total_value": pc.round(t.column("total_value"), 4),
+            }
+        )
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
 def q_session_windows(sf_dir: str):
     """Session windows: new session when the gap to the user's previous event
     exceeds 30 min; per user session + event counts."""
@@ -670,6 +693,7 @@ QUERIES = {
     "replay_order": q_replay_order,
     "topk_events": q_topk_events,
     "tumbling_window": q_tumbling_window,
+    "sliding_window": q_sliding_window,
     "session_windows": q_session_windows,
     "broadcast_join": q_broadcast_join,
     "asof_join": q_asof_join,
@@ -737,6 +761,16 @@ ORACLE_SQL = {
         "SELECT user_id, epoch_us(ts) // 3600000000 AS window, "
         "CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 4) AS total_value "
         "FROM events GROUP BY 1, 2"
+    ),
+    "sliding_window": (
+        # window k covers [k*hop, k*hop+window); with window = 2*hop each event
+        # is in windows floor(ts/hop) and floor(ts/hop)-1
+        "SELECT user_id, window_start, CAST(count(*) AS BIGINT) AS n_events, "
+        "round(sum(value), 4) AS total_value FROM ("
+        "  SELECT user_id, value, epoch_us(ts) // 1800000000 AS window_start FROM events"
+        "  UNION ALL"
+        "  SELECT user_id, value, epoch_us(ts) // 1800000000 - 1 AS window_start FROM events"
+        ") GROUP BY user_id, window_start"
     ),
     "session_windows": (
         "WITH d AS (SELECT user_id, CASE WHEN lag(ts) OVER w IS NULL OR "

@@ -61,6 +61,51 @@ def tumbling_window_agg(
     return out
 
 
+def sliding_window_agg(
+    ds: "ray.data.Dataset",
+    key: str,
+    ts: str,
+    window_us: int,
+    hop_us: int,
+    value: str,
+) -> "ray.data.Dataset":
+    """Sliding (hopping) windows: window k covers [k*hop, k*hop + window).
+    Each event replicates into its ``window/hop`` covering windows inside the
+    per-batch combiner (vectorized repeat), partial-aggregated, then one small
+    groupby — the replication never crosses the shuffle unaggregated.
+    Returns (key, window_start, n_events, total_value); window_start in units
+    of ``hop_us``."""
+    assert window_us % hop_us == 0, "window must be a multiple of hop"
+    fanout = window_us // hop_us
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t_us = batch.column(ts).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keys = batch.column(key).to_numpy(zero_copy_only=False)
+        vals = batch.column(value).to_numpy(zero_copy_only=False)
+        base = t_us // hop_us  # newest window containing the event
+        # windows k in (base - fanout, base] contain ts
+        ks = np.repeat(base, fanout) - np.tile(np.arange(fanout), len(base))
+        df = pd.DataFrame(
+            {
+                key: np.repeat(keys, fanout),
+                "window_start": ks,
+                "_v": np.repeat(vals, fanout),
+            }
+        )
+        g = df.groupby([key, "window_start"], as_index=False).agg(
+            partial_n=("_v", "size"), partial_sum=("_v", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+        [key, "window_start"]
+    ).aggregate(
+        Sum("partial_n", alias_name="n_events"),
+        Sum("partial_sum", alias_name="total_value"),
+    )
+
+
 def session_windows(
     ds: "ray.data.Dataset",
     key: str,

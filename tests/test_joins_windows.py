@@ -86,3 +86,16 @@ def test_session_windows():
     assert s.loc[2, "n_sessions"] == 2  # gap 45 > 15
     assert s.loc[3, "n_sessions"] == 2  # 1,2 then 100
     assert s.loc[3, "n_events"] == 3
+
+
+def test_sliding_window_agg():
+    from kafka_connect_s3_ray.stages.windows import sliding_window_agg
+
+    ds = ray.data.from_arrow(_events_tbl())
+    out = sliding_window_agg(ds, key="user_id", ts="ts", window_us=20, hop_us=10,
+                             value="value").to_pandas()
+    # user 1 events at ts 0,10,20; window [0,20) has ts 0,10; [10,30) has 10,20
+    u1 = out[out["user_id"] == 1].set_index("window_start")
+    assert u1.loc[0, "n_events"] == 2 and u1.loc[0, "total_value"] == 3.0
+    assert u1.loc[1, "n_events"] == 2 and u1.loc[1, "total_value"] == 5.0
+    assert u1.loc[-1, "n_events"] == 1  # window [-10,10) holds ts 0

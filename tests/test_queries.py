@@ -72,7 +72,7 @@ SQL_CHECKED = [
     "cdc_merge_events", "archive_roundtrip", "partition_prune", "replay_order",
     "topk_events", "exclude_filter", "token_count", "quality_stats",
     "dedup_exact", "token_sum_by_lang", "cosine_topk",
-    "tumbling_window", "session_windows", "broadcast_join", "asof_join",
+    "tumbling_window", "sliding_window", "session_windows", "broadcast_join", "asof_join",
     "hash_join", "anti_join", "pricing_summary", "topk_per_group",
 ]
 ROWS_ONLY = [
