@@ -1,0 +1,172 @@
+"""Mergeable sketches for aggregation at scale.
+
+The scalable aggregate pattern: emit ONE serialized sketch per batch inside
+``map_batches`` (the combiner), then merge the handful of sketches in a tiny
+final stage — the shuffle moves sketches, never rows. Two classic public
+algorithms, implemented numpy-vectorized:
+
+- ``HllSketch`` — HyperLogLog distinct counting (Flajolet et al.): 2^p
+  registers of leading-zero ranks over a stable 64-bit hash; merge = register
+  max. Standard error ~1.04/sqrt(2^p).
+- ``QuantileSketch`` — bounded sorted-sample sketch: keep k evenly-spaced
+  order statistics (with weights) per batch; merge = weighted merge +
+  re-thin. Rank error ~1/k per merge level; deterministic (no randomness),
+  so replays produce identical results.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+class HllSketch:
+    def __init__(self, p: int = 12, registers: np.ndarray | None = None):
+        self.p = p
+        self.m = 1 << p
+        self.registers = (registers if registers is not None
+                          else np.zeros(self.m, dtype=np.uint8))
+
+    def add(self, values) -> "HllSketch":
+        h = pd.util.hash_array(np.asarray(values, dtype=object)
+                               if np.asarray(values).dtype.kind not in ("i", "u")
+                               else np.asarray(values), categorize=False)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = h << np.uint64(self.p)
+        # rank = leading zeros of the remaining bits + 1 (capped)
+        ranks = np.ones(len(h), dtype=np.uint8)
+        mask = np.uint64(1) << np.uint64(63)
+        work = rest.copy()
+        live = work < mask  # leading bit is 0
+        while live.any() and ranks.max() < 64 - self.p:
+            ranks[live] += 1
+            work[live] = work[live] << np.uint64(1)
+            live = live & (work < mask)
+        np.maximum.at(self.registers, idx, ranks)
+        return self
+
+    def merge(self, other: "HllSketch") -> "HllSketch":
+        assert self.p == other.p
+        return HllSketch(self.p, np.maximum(self.registers, other.registers))
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / np.sum(2.0 ** -self.registers.astype(np.float64))
+        zeros = int((self.registers == 0).sum())
+        if est <= 2.5 * m and zeros:
+            est = m * np.log(m / zeros)  # small-range correction
+        return float(est)
+
+    def serialize(self) -> bytes:
+        return bytes([self.p]) + self.registers.tobytes()
+
+    @classmethod
+    def deserialize(cls, blob: bytes) -> "HllSketch":
+        p = blob[0]
+        return cls(p, np.frombuffer(blob[1:], dtype=np.uint8).copy())
+
+
+# ---------------------------------------------------------------------------
+# quantile sketch (deterministic evenly-spaced order statistics)
+# ---------------------------------------------------------------------------
+
+class QuantileSketch:
+    def __init__(self, k: int = 1024, values: np.ndarray | None = None,
+                 weights: np.ndarray | None = None):
+        self.k = k
+        self.values = values if values is not None else np.empty(0)
+        self.weights = weights if weights is not None else np.empty(0)
+
+    def _thin(self) -> "QuantileSketch":
+        if len(self.values) <= self.k:
+            return self
+        order = np.argsort(self.values, kind="stable")
+        v, w = self.values[order], self.weights[order]
+        cum = np.cumsum(w)
+        total = cum[-1]
+        # k evenly spaced target ranks; each kept point carries its span weight
+        targets = (np.arange(self.k) + 0.5) * total / self.k
+        idx = np.searchsorted(cum, targets, side="left")
+        idx = np.minimum(idx, len(v) - 1)
+        keep_v = v[idx]
+        keep_w = np.full(self.k, total / self.k)
+        return QuantileSketch(self.k, keep_v, keep_w)
+
+    def add(self, values) -> "QuantileSketch":
+        arr = np.asarray(values, dtype=np.float64)
+        arr = arr[~np.isnan(arr)]
+        s = QuantileSketch(
+            self.k,
+            np.concatenate([self.values, arr]),
+            np.concatenate([self.weights, np.ones(len(arr))]),
+        )
+        return s._thin()
+
+    def merge(self, other: "QuantileSketch") -> "QuantileSketch":
+        return QuantileSketch(
+            self.k,
+            np.concatenate([self.values, other.values]),
+            np.concatenate([self.weights, other.weights]),
+        )._thin()
+
+    def quantile(self, q: float | list[float]):
+        if len(self.values) == 0:
+            return None
+        order = np.argsort(self.values, kind="stable")
+        v, w = self.values[order], self.weights[order]
+        cum = np.cumsum(w) - w / 2
+        cum = cum / np.sum(w)
+        return np.interp(q, cum, v)
+
+    def serialize(self) -> bytes:
+        import pickle
+
+        return pickle.dumps((self.k, self.values, self.weights))
+
+    @classmethod
+    def deserialize(cls, blob: bytes) -> "QuantileSketch":
+        import pickle
+
+        k, v, w = pickle.loads(blob)
+        return cls(k, v, w)
+
+
+# ---------------------------------------------------------------------------
+# distributed drivers
+# ---------------------------------------------------------------------------
+
+def approx_distinct(ds: "ray.data.Dataset", col: str, p: int = 12) -> float:
+    """Distributed HLL distinct count: one sketch per batch, merged small."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        s = HllSketch(p).add(batch.column(col).to_numpy(zero_copy_only=False))
+        return pa.table({"sketch": pa.array([s.serialize()], pa.binary())})
+
+    blobs = ds.map_batches(per_batch, batch_format="pyarrow").to_pandas()["sketch"]
+    acc = HllSketch(p)
+    for b in blobs:  # tiny: one register array per batch
+        acc = acc.merge(HllSketch.deserialize(b))
+    return acc.estimate()
+
+
+def approx_quantiles(ds: "ray.data.Dataset", col: str, qs: list[float],
+                     k: int = 1024) -> np.ndarray:
+    """Distributed quantiles: per-batch sketch -> merge -> interpolate."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        s = QuantileSketch(k).add(batch.column(col).to_numpy(zero_copy_only=False))
+        return pa.table({"sketch": pa.array([s.serialize()], pa.binary())})
+
+    blobs = ds.map_batches(per_batch, batch_format="pyarrow").to_pandas()["sketch"]
+    acc = QuantileSketch(k)
+    for b in blobs:
+        acc = acc.merge(QuantileSketch.deserialize(b))
+    return acc.quantile(qs)

@@ -600,6 +600,24 @@ def q_embedding_near_dup(sf_dir: str):
                      "right_id": pa.array(out["right_id"], pa.int64())})
 
 
+def q_approx_distinct(sf_dir: str):
+    """HLL sketch distinct count (mergeable, one sketch per batch crosses the
+    shuffle). Approximate -> rows-only check; accuracy tested in pytest."""
+    from ..functions.sketch import approx_distinct
+
+    est = approx_distinct(_events(sf_dir, ["user_id"]), "user_id", p=12)
+    return pa.table({"approx_distinct_users": pa.array([float(round(est, 1))])})
+
+
+def q_approx_quantiles(sf_dir: str):
+    """Mergeable quantile-sketch aggregate over event values."""
+    from ..functions.sketch import approx_quantiles
+
+    qs = approx_quantiles(_events(sf_dir, ["value"]), "value", [0.5, 0.9, 0.99])
+    return pa.table({"q": pa.array([0.5, 0.9, 0.99]),
+                     "value_quantile": pa.array(np.asarray(qs, dtype=np.float64))})
+
+
 def q_cosine_topk(sf_dir: str):
     """Brute-force cosine top-10 for the first 3 vectors as queries."""
     import duckdb
@@ -711,6 +729,8 @@ QUERIES = {
     "minhash_near_dup": q_minhash_near_dup,
     "simhash_near_dup": q_simhash_near_dup,
     "embedding_near_dup": q_embedding_near_dup,
+    "approx_distinct": q_approx_distinct,
+    "approx_quantiles": q_approx_quantiles,
     "cosine_topk": q_cosine_topk,
     "cosine_topk_ivf": q_cosine_topk_ivf,
     "cdc_transcripts": q_cdc_transcripts,

@@ -78,6 +78,7 @@ SQL_CHECKED = [
 ROWS_ONLY = [
     "lang_id", "rolling_fingerprint", "minhash_near_dup", "simhash_near_dup",
     "embedding_near_dup", "cosine_topk_ivf", "cdc_transcripts",
+    "approx_distinct", "approx_quantiles",
 ]
 
 

@@ -1,0 +1,60 @@
+"""Mergeable sketches: accuracy vs exact, mergeability, determinism."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from kafka_connect_s3_ray.functions.sketch import (
+    HllSketch,
+    QuantileSketch,
+    approx_distinct,
+    approx_quantiles,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hll_accuracy_and_merge():
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, 50_000, 200_000)
+    b = rng.integers(25_000, 75_000, 200_000)
+    exact = len(np.union1d(np.unique(a), np.unique(b)))
+    merged = HllSketch(12).add(a).merge(HllSketch(12).add(b))
+    est = merged.estimate()
+    assert abs(est - exact) / exact < 0.05  # ~1.6% expected at p=12
+    # serialize round trip
+    assert HllSketch.deserialize(merged.serialize()).estimate() == est
+    # merge == single pass
+    single = HllSketch(12).add(np.concatenate([a, b]))
+    assert single.estimate() == est
+
+
+def test_quantile_sketch_accuracy_and_merge():
+    rng = np.random.default_rng(1)
+    x = rng.lognormal(0, 1, 300_000)
+    chunks = np.array_split(x, 7)
+    acc = QuantileSketch(1024)
+    for c in chunks:
+        acc = acc.merge(QuantileSketch(1024).add(c))
+    qs = [0.1, 0.5, 0.9, 0.99]
+    got = np.asarray(acc.quantile(qs))
+    exact = np.quantile(x, qs)
+    rel = np.abs(got - exact) / exact
+    assert (rel < 0.05).all(), rel
+    # deterministic: same input -> same sketch values
+    acc2 = QuantileSketch(1024)
+    for c in chunks:
+        acc2 = acc2.merge(QuantileSketch(1024).add(c))
+    assert np.array_equal(np.asarray(acc2.quantile(qs)), got)
+
+
+def test_distributed_sketches_over_events():
+    ds = ray.data.read_parquet(f"{SF}/events.parquet")
+    exact_users = ds.to_pandas()["user_id"].nunique()
+    est = approx_distinct(ds, "user_id", p=12)
+    assert abs(est - exact_users) / max(1, exact_users) < 0.1
+    vals = ds.to_pandas()["value"]
+    got = approx_quantiles(ds, "value", [0.5, 0.9])
+    exact = np.quantile(vals, [0.5, 0.9])
+    assert (np.abs(np.asarray(got) - exact) / exact < 0.05).all()
