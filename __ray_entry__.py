@@ -31,6 +31,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from kafka_connect_s3_ray.pipelines.queries import ORACLE_SQL
+    from kafka_connect_s3_ray.pipelines.queries import ORACLE_SQL, transcripts_fixture
 
+    # The cdc_transcripts oracle reads the deterministic transcripts fixture
+    # from /tmp; build it up-front (pure pyarrow/numpy, seed=42 — no Ray
+    # involvement) so the SQL is runnable regardless of query/oracle order.
+    transcripts_fixture("/root/testdata/sf0.01")
     return dict(ORACLE_SQL)

@@ -216,13 +216,72 @@ def minhash_lsh_candidates(ds: "ray.data.Dataset", id_col: str = "doc_id",
     return _distinct_pairs(cand)
 
 
+def _batch_jaccard(left_sets: list[np.ndarray], right_sets: list[np.ndarray]) -> np.ndarray:
+    """Jaccard similarity for a BATCH of (left, right) shingle-set pairs in one
+    concatenated lexsort pass — no per-pair Python work.
+
+    Each set is a unique-sorted uint64 array; within a pair each side is
+    duplicate-free, so after sorting all (pair_id, hash) rows, an adjacent
+    equal pair can only be a cross-side match — counting them per pair_id via
+    bincount yields the intersection sizes."""
+    npairs = len(left_sets)
+    if npairs == 0:
+        return np.empty(0, np.float64)
+    llen = np.fromiter((len(a) for a in left_sets), np.int64, npairs)
+    rlen = np.fromiter((len(a) for a in right_sets), np.int64, npairs)
+    pid = np.concatenate([np.repeat(np.arange(npairs), llen),
+                          np.repeat(np.arange(npairs), rlen)])
+    h = np.concatenate(
+        [np.concatenate(left_sets) if llen.sum() else np.empty(0, np.uint64),
+         np.concatenate(right_sets) if rlen.sum() else np.empty(0, np.uint64)]
+    )
+    order = np.lexsort((h, pid))
+    ph, hh = pid[order], h[order]
+    dup = (ph[1:] == ph[:-1]) & (hh[1:] == hh[:-1])
+    inter = np.bincount(ph[1:][dup], minlength=npairs)
+    union = llen + rlen - inter
+    return np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+
+
+class ShingleSets:
+    """map_batches stage: doc -> unique-sorted shingle-hash set as a
+    ``list<uint64>`` column (the partitioned-join verify path ships these
+    instead of broadcasting texts)."""
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text",
+                 shingle_k: int = 5):
+        self.id_col, self.text_col, self.k = id_col, text_col, shingle_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        sets = [_shingle_hashes(t or "", self.k) for t in texts]
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "shingles": pa.array(sets, pa.list_(pa.uint64())),
+            }
+        )
+
+
 def jaccard_verify(pairs: "ray.data.Dataset", docs: "ray.data.Dataset",
                    threshold: float = 0.6, id_col: str = "doc_id",
-                   text_col: str = "text", shingle_k: int = 5) -> "ray.data.Dataset":
-    """Exact k-shingle Jaccard over candidate pairs. The doc texts are
-    broadcast once via ray.put (small-side lookup: candidates << corpus); at
-    larger candidate sets swap this for a partitioned hash join on id."""
-    cand_df = pairs.to_pandas()  # candidate pairs are small by construction
+                   text_col: str = "text", shingle_k: int = 5,
+                   broadcast_threshold: int = 200_000) -> "ray.data.Dataset":
+    """Exact k-shingle Jaccard over candidate pairs, batch-vectorized
+    (``_batch_jaccard``: one lexsort per batch, no per-pair loop).
+
+    Distribution: when the candidate set is small (<= ``broadcast_threshold``
+    pairs — the common case: candidates << corpus), the candidate doc texts are
+    broadcast once via ray.put and shingled per actor with a cache. Larger
+    candidate sets switch to the partitioned path: docs are shingled once, the
+    pair table is hash-joined (coarse-bucket join, stages/joins.py) to the
+    shingle sets on each side, and the verify kernel runs over the joined
+    batches — shuffle volume = candidate shingle sets, never driver state."""
+    n_pairs = pairs.count()
+    if n_pairs > broadcast_threshold:
+        return _jaccard_verify_joined(pairs, docs, threshold, id_col, text_col,
+                                      shingle_k)
+    cand_df = pairs.to_pandas()
     cand_ids = np.unique(np.concatenate([cand_df["left_id"].to_numpy(),
                                          cand_df["right_id"].to_numpy()])) \
         if len(cand_df) else np.array([])
@@ -251,17 +310,43 @@ def jaccard_verify(pairs: "ray.data.Dataset", docs: "ray.data.Dataset",
             return s
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            sims = []
-            for l, r in zip(batch.column("left_id").to_pylist(),
-                            batch.column("right_id").to_pylist()):
-                a, b = self._shingles(l), self._shingles(r)
-                inter = np.intersect1d(a, b, assume_unique=True).size
-                union = a.size + b.size - inter
-                sims.append(inter / union if union else 0.0)
+            lsets = [self._shingles(i) for i in batch.column("left_id").to_pylist()]
+            rsets = [self._shingles(i) for i in batch.column("right_id").to_pylist()]
+            sims = _batch_jaccard(lsets, rsets)
             batch = batch.append_column("jaccard", pa.array(sims, pa.float64()))
             return batch.filter(pa.compute.greater_equal(batch.column("jaccard"), threshold))
 
     return pairs.map_batches(Verify, batch_format="pyarrow", concurrency=2)
+
+
+def _jaccard_verify_joined(pairs: "ray.data.Dataset", docs: "ray.data.Dataset",
+                           threshold: float, id_col: str, text_col: str,
+                           shingle_k: int) -> "ray.data.Dataset":
+    """Partitioned verify path: pairs ⨝ shingle-sets (left) ⨝ shingle-sets
+    (right) via the coarse-bucket hash join, then the vectorized kernel."""
+    from ..stages.joins import hash_join
+
+    sh = docs.map_batches(ShingleSets(id_col, text_col, shingle_k),
+                          batch_format="pyarrow")
+    j = hash_join(pairs, sh, on="left_id", right_on=id_col)
+    j = j.map_batches(
+        lambda t: t.rename_columns(
+            ["l_shingles" if c == "shingles" else c for c in t.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    j = hash_join(j, sh, on="right_id", right_on=id_col)
+
+    def verify(t: pa.Table) -> pa.Table:
+        lsets = [np.asarray(s, np.uint64) for s in t.column("l_shingles").to_pylist()]
+        rsets = [np.asarray(s, np.uint64) for s in t.column("shingles").to_pylist()]
+        sims = _batch_jaccard(lsets, rsets)
+        out = t.select(["left_id", "right_id"]).append_column(
+            "jaccard", pa.array(sims, pa.float64())
+        )
+        return out.filter(pa.compute.greater_equal(out.column("jaccard"), threshold))
+
+    return j.map_batches(verify, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -398,13 +483,64 @@ def simhash_candidates(ds: "ray.data.Dataset", id_col: str = "doc_id",
 # embedding near-dup
 # ---------------------------------------------------------------------------
 
+def _block_pairs(ids: np.ndarray, mat: np.ndarray, threshold: float,
+                 chunk_elems: int = 8_000_000) -> pd.DataFrame:
+    """All (left < right by id) cosine pairs >= threshold within one vector
+    set, computed in ROW CHUNKS so peak memory is O(chunk x n), never the full
+    n x n similarity matrix (the dense-bucket memory fix)."""
+    order = np.argsort(ids, kind="stable")
+    ids, mat = ids[order], mat[order]
+    n = len(ids)
+    out_l, out_r, out_s = [], [], []
+    chunk = max(1, chunk_elems // max(n, 1))
+    col_idx = np.arange(n)
+    for s in range(0, n, chunk):
+        block = mat[s : s + chunk] @ mat.T  # (c, n)
+        row_idx = np.arange(s, s + block.shape[0])
+        keep = (block >= threshold) & (col_idx[None, :] > row_idx[:, None])
+        li, ri = np.nonzero(keep)
+        if len(li):
+            out_l.append(ids[row_idx[li]])
+            out_r.append(ids[ri])
+            out_s.append(block[li, ri])
+    if not out_l:
+        return pd.DataFrame({"left_id": pd.Series([], dtype=ids.dtype),
+                             "right_id": pd.Series([], dtype=ids.dtype),
+                             "cosine": pd.Series([], dtype=np.float64)})
+    return pd.DataFrame(
+        {"left_id": np.concatenate(out_l), "right_id": np.concatenate(out_r),
+         "cosine": np.concatenate(out_s)}
+    ).sort_values(["left_id", "right_id"], kind="stable")
+
+
 def embedding_near_dup(ds: "ray.data.Dataset", threshold: float = 0.95,
                        id_col: str = "vec_id", vec_col: str = "embedding",
-                       n_planes: int = 8, seed: int = 42) -> "ray.data.Dataset":
-    """Cosine near-duplicate pairs over an embedding column: random-hyperplane
-    LSH bucket (one sign-pattern int per vector, computed by a batched matmul)
-    -> within-bucket exact cosine. Vectors in different buckets are never
-    compared (the scale path); raise n_planes to shrink buckets."""
+                       n_planes: int = 8, seed: int = 42,
+                       method: str = "auto", exact_max_rows: int = 100_000,
+                       bucket_cap: int = 4096,
+                       max_extra_rounds: int = 4) -> "ray.data.Dataset":
+    """Cosine near-duplicate pairs over an embedding column.
+
+    Two paths:
+    - ``exact`` (default for corpora <= ``exact_max_rows``): EXACT all-pairs,
+      distributed — the normalized corpus matrix is broadcast once via
+      ``ray.put`` (e.g. 100k x 64 float64 = 51 MB) and every Dataset batch
+      does a chunked matmul against it, emitting only its own rows' pairs
+      (row id < col id, so each unordered pair is produced exactly once,
+      no dedup shuffle). Matches a SQL cross-join oracle bit-for-bit.
+    - ``lsh`` (the 100 TB path): random-hyperplane bucket (one sign-pattern
+      int per vector) -> within-bucket pairs. Vectors in different buckets
+      are never compared. Dense buckets (common in real embedding corpora)
+      are handled two ways: a bucket over ``bucket_cap`` is recursively
+      RE-SPLIT with extra seeded hyperplanes (up to ``max_extra_rounds``),
+      and any residual dense bucket (e.g. thousands of near-identical
+      vectors whose signs never diverge) falls back to the CHUNKED matmul —
+      bounded memory, still exact within the bucket.
+    """
+    if method == "auto":
+        method = "exact" if ds.count() <= exact_max_rows else "lsh"
+    if method == "exact":
+        return _embedding_near_dup_exact(ds, threshold, id_col, vec_col)
 
     class Bucket:
         def __init__(self):
@@ -431,16 +567,73 @@ def embedding_near_dup(ds: "ray.data.Dataset", threshold: float = 0.95,
                 }
             )
 
+    def pairs_recursive(ids: np.ndarray, mat: np.ndarray, depth: int) -> pd.DataFrame:
+        if len(ids) <= bucket_cap or depth >= max_extra_rounds:
+            return _block_pairs(ids, mat, threshold)
+        rng = np.random.default_rng(seed + 7919 * (depth + 1))
+        planes = rng.standard_normal((mat.shape[1], 4))
+        sub = (((mat @ planes) > 0) * (1 << np.arange(4))).sum(axis=1)
+        uniq = np.unique(sub)
+        if len(uniq) == 1:  # signs never diverge — chunked exact fallback
+            return _block_pairs(ids, mat, threshold)
+        frames = [pairs_recursive(ids[sub == b], mat[sub == b], depth + 1)
+                  for b in uniq]
+        return pd.concat(frames, ignore_index=True)
+
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = g[id_col].to_numpy()
         mat = np.stack(g["normed"].to_list())
-        sim = mat @ mat.T
-        li, ri = np.triu_indices(len(ids), k=1)
-        keep = sim[li, ri] >= threshold
-        return pd.DataFrame(
-            {"left_id": ids[li][keep], "right_id": ids[ri][keep],
-             "cosine": sim[li, ri][keep]}
-        ).sort_values(["left_id", "right_id"], kind="stable")
+        return pairs_recursive(ids, mat, 0)
 
     bucketed = ds.map_batches(Bucket, batch_format="pyarrow", concurrency=2)
     return bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")
+
+
+def _embedding_near_dup_exact(ds: "ray.data.Dataset", threshold: float,
+                              id_col: str, vec_col: str) -> "ray.data.Dataset":
+    """Exact distributed all-pairs: broadcast the normalized corpus once,
+    chunked matmul per batch. O(n^2) compute spread over the cluster with
+    O(batch x chunk) memory per task — the brute-force baseline the LSH path
+    is measured against."""
+    corpus = ds.select_columns([id_col, vec_col]).to_pandas()
+    ids_all = corpus[id_col].to_numpy()
+    mat_all = np.stack(corpus[vec_col].to_list()).astype(np.float64)
+    mat_all /= np.maximum(np.linalg.norm(mat_all, axis=1, keepdims=True), 1e-12)
+    ref = ray.put((ids_all, mat_all))
+
+    class PairsVsCorpus:
+        def __init__(self):
+            self.ids, self.mat = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            id_type = batch.schema.field(id_col).type
+            empty = pa.table({"left_id": pa.array([], id_type),
+                              "right_id": pa.array([], id_type),
+                              "cosine": pa.array([], pa.float64())})
+            if len(batch) == 0:
+                return empty
+            bids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            bmat = np.stack(batch.column(vec_col).to_pylist()).astype(np.float64)
+            bmat /= np.maximum(np.linalg.norm(bmat, axis=1, keepdims=True), 1e-12)
+            out_l, out_r, out_s = [], [], []
+            chunk = max(1, 8_000_000 // max(len(self.ids), 1))
+            for s in range(0, len(bids), chunk):
+                block = bmat[s : s + chunk] @ self.mat.T  # (c, n_corpus)
+                keep = (block >= threshold) & (self.ids[None, :] > bids[s : s + chunk, None])
+                li, ri = np.nonzero(keep)
+                if len(li):
+                    out_l.append(bids[s + li])
+                    out_r.append(self.ids[ri])
+                    out_s.append(block[li, ri])
+            if not out_l:
+                return empty
+            return pa.table(
+                {
+                    "left_id": pa.array(np.concatenate(out_l)),
+                    "right_id": pa.array(np.concatenate(out_r)),
+                    "cosine": pa.array(np.concatenate(out_s), pa.float64()),
+                }
+            )
+
+    return ds.map_batches(PairsVsCorpus, batch_format="pyarrow", concurrency=2,
+                          batch_size=8 * 1024)

@@ -71,13 +71,14 @@ SQL_CHECKED = [
     "watermark_filter", "partition_watermarks", "lww_keep_last",
     "cdc_merge_events", "archive_roundtrip", "partition_prune", "replay_order",
     "topk_events", "exclude_filter", "token_count", "quality_stats",
-    "dedup_exact", "token_sum_by_lang", "cosine_topk",
+    "dedup_exact", "token_sum_by_lang", "cosine_topk", "embedding_near_dup",
     "tumbling_window", "sliding_window", "session_windows", "broadcast_join", "asof_join",
     "hash_join", "anti_join", "pricing_summary", "topk_per_group",
+    "cdc_transcripts",
 ]
 ROWS_ONLY = [
     "lang_id", "rolling_fingerprint", "minhash_near_dup", "simhash_near_dup",
-    "embedding_near_dup", "cosine_topk_ivf", "cdc_transcripts",
+    "cosine_topk_ivf",
     "approx_distinct", "approx_quantiles",
 ]
 
@@ -85,7 +86,10 @@ ROWS_ONLY = [
 @pytest.mark.parametrize("name", SQL_CHECKED)
 def test_query_matches_oracle(name):
     queries, oracles = _load()
-    got = _canon(_to_pandas(queries[name](SF)))
+    # the cdc_transcripts oracle reads the deterministic sf0.01 fixture from
+    # /tmp (the scale the driver gate runs at) — compare both sides there
+    sf = "/root/testdata/sf0.01" if name == "cdc_transcripts" else SF
+    got = _canon(_to_pandas(queries[name](sf)))
     exp = _canon(_oracle(oracles[name]))
     assert list(got.columns) == list(exp.columns), (
         f"{name}: columns {list(got.columns)} != {list(exp.columns)}"
