@@ -321,32 +321,110 @@ def jaccard_verify(pairs: "ray.data.Dataset", docs: "ray.data.Dataset",
 
 def _jaccard_verify_joined(pairs: "ray.data.Dataset", docs: "ray.data.Dataset",
                            threshold: float, id_col: str, text_col: str,
-                           shingle_k: int) -> "ray.data.Dataset":
-    """Partitioned verify path: pairs ⨝ shingle-sets (left) ⨝ shingle-sets
-    (right) via the coarse-bucket hash join, then the vectorized kernel."""
-    from ..stages.joins import hash_join
+                           shingle_k: int, n_coarse: int = 64) -> "ray.data.Dataset":
+    """Partitioned verify path for large candidate sets — a double-sided
+    repartition join expressed as ONE union + two sequential coarse-bucket
+    shuffles (two chained hash_joins would nest union-inside-union, which this
+    Ray release's executor cannot schedule):
 
+    1. each pair emits two rows keyed by its left / right doc id; shingle
+       rows key by doc id; union -> groupby coarse(doc id) attaches the
+       shingle set to each pair side (vectorized searchsorted lookup).
+    2. groupby coarse(pair) reunites a pair's two sides; the batched
+       ``_batch_jaccard`` kernel scores each bucket.
+
+    Shuffle volume = 2 id-rows per pair + one shingle set per doc side —
+    never texts, never driver state."""
+    sh_type = pa.list_(pa.uint64())
     sh = docs.map_batches(ShingleSets(id_col, text_col, shingle_k),
                           batch_format="pyarrow")
-    j = hash_join(pairs, sh, on="left_id", right_on=id_col)
-    j = j.map_batches(
-        lambda t: t.rename_columns(
-            ["l_shingles" if c == "shingles" else c for c in t.column_names]
-        ),
-        batch_format="pyarrow",
-    )
-    j = hash_join(j, sh, on="right_id", right_on=id_col)
 
-    def verify(t: pa.Table) -> pa.Table:
-        lsets = [np.asarray(s, np.uint64) for s in t.column("l_shingles").to_pylist()]
-        rsets = [np.asarray(s, np.uint64) for s in t.column("shingles").to_pylist()]
-        sims = _batch_jaccard(lsets, rsets)
-        out = t.select(["left_id", "right_id"]).append_column(
-            "jaccard", pa.array(sims, pa.float64())
+    def pair_rows(t: pa.Table) -> pa.Table:
+        l = t.column("left_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        r = t.column("right_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        jid = np.concatenate([l, r])
+        return pa.table(
+            {
+                "join_id": pa.array(jid, pa.int64()),
+                "left_id": pa.array(np.concatenate([l, l]), pa.int64()),
+                "right_id": pa.array(np.concatenate([r, r]), pa.int64()),
+                "side": pa.array(["L"] * len(l) + ["R"] * len(r)),
+                "shingles": pa.nulls(2 * len(l), sh_type),
+                "coarse": pa.array((jid % n_coarse).astype(np.int32)),
+            }
         )
-        return out.filter(pa.compute.greater_equal(out.column("jaccard"), threshold))
 
-    return j.map_batches(verify, batch_format="pyarrow")
+    def shingle_rows(t: pa.Table) -> pa.Table:
+        d = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "join_id": pa.array(d, pa.int64()),
+                "left_id": pa.nulls(len(t), pa.int64()),
+                "right_id": pa.nulls(len(t), pa.int64()),
+                "side": pa.array(["S"] * len(t)),
+                "shingles": t.column("shingles").cast(sh_type),
+                "coarse": pa.array((d % n_coarse).astype(np.int32)),
+            }
+        )
+
+    both = pairs.map_batches(pair_rows, batch_format="pyarrow").union(
+        sh.map_batches(shingle_rows, batch_format="pyarrow")
+    )
+
+    ATTACHED = pa.schema([("left_id", pa.int64()), ("right_id", pa.int64()),
+                          ("side", pa.string()), ("shingles", sh_type),
+                          ("coarse2", pa.int32())])
+
+    def attach(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        side = g.column("side")
+        s = g.filter(pc.equal(side, "S"))
+        p = g.filter(pc.not_equal(side, "S"))
+        if len(p) == 0 or len(s) == 0:
+            return ATTACHED.empty_table()
+        sid = s.column("join_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(sid, kind="stable")
+        sid_sorted = sid[order]
+        jid = p.column("join_id").to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(sid_sorted, jid), 0, len(sid_sorted) - 1)
+        valid = sid_sorted[pos] == jid  # pairs citing unknown docs drop out
+        p = p.filter(pa.array(valid))
+        attached = s.column("shingles").take(pa.array(order[pos[valid]]))
+        l = p.column("left_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        r = p.column("right_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_arrays(
+            [p.column("left_id"), p.column("right_id"), p.column("side"),
+             attached.combine_chunks() if isinstance(attached, pa.ChunkedArray) else attached,
+             pa.array(((l * 1000003 + r) % n_coarse).astype(np.int32))],
+            schema=ATTACHED,
+        )
+
+    attached = both.groupby("coarse").map_groups(attach, batch_format="pyarrow")
+
+    OUT = pa.schema([("left_id", pa.int64()), ("right_id", pa.int64()),
+                     ("jaccard", pa.float64())])
+
+    def combine(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        df_l = g.filter(pc.equal(g.column("side"), "L")).to_pandas()
+        df_r = g.filter(pc.equal(g.column("side"), "R")).to_pandas()
+        m = df_l.merge(df_r, on=["left_id", "right_id"], suffixes=("_l", "_r"))
+        if m.empty:
+            return OUT.empty_table()
+        lsets = [np.asarray(x, np.uint64) for x in m["shingles_l"]]
+        rsets = [np.asarray(x, np.uint64) for x in m["shingles_r"]]
+        sims = _batch_jaccard(lsets, rsets)
+        keep = sims >= threshold
+        return pa.Table.from_arrays(
+            [pa.array(m["left_id"].to_numpy()[keep], pa.int64()),
+             pa.array(m["right_id"].to_numpy()[keep], pa.int64()),
+             pa.array(sims[keep], pa.float64())],
+            schema=OUT,
+        )
+
+    return attached.groupby("coarse2").map_groups(combine, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

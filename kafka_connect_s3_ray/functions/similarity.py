@@ -124,6 +124,8 @@ def ivf_topk(ds: "ray.data.Dataset", queries: np.ndarray, k: int = 10,
             self.cents = ray.get(cents_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if len(batch) == 0:  # np.stack raises on zero-row batches
+                return batch.append_column("cluster", pa.array([], pa.int32()))
             mat = _normalize(np.stack(batch.column(vec_col).to_pylist()).astype(np.float64))
             assign = (mat @ self.cents.T).argmax(axis=1)
             keep = np.isin(assign, list(probed_clusters))

@@ -25,6 +25,44 @@ from ..state.manifest import Manifest
 from .upsert import run_upsert
 
 
+def _grace_flush(
+    manifest: Manifest,
+    manifest_path: str,
+    out_dir: str,
+    now_round: int,
+    saw_events: set[int],
+    first_pending_round: dict[int, int],
+    last_event_round: dict[int, int],
+    flush_interval_rounds: int,
+    grace_rounds: int,
+) -> Manifest:
+    """The W4 preCommit check with ticks as the clock: fold pending deltas for
+    partitions whose first buffered state is past interval+grace and that have
+    received nothing for more than grace ticks."""
+    from .upsert import _is_delta, compact_partitions
+
+    for p in saw_events:
+        last_event_round[p] = now_round
+    pending = {p for p, files in manifest.current_files().items()
+               if any(_is_delta(f) for f in files)}
+    for p in pending:
+        first_pending_round.setdefault(p, now_round)
+    for p in list(first_pending_round):
+        if p not in pending:  # compacted elsewhere (compact_every) — reset
+            del first_pending_round[p]
+    due = {
+        p for p in pending
+        if now_round - first_pending_round[p] >= flush_interval_rounds + grace_rounds
+        and now_round - last_event_round.get(p, first_pending_round[p]) > grace_rounds
+    }
+    if not due:
+        return manifest
+    manifest = compact_partitions(manifest_path, out_dir, partitions=due)
+    for p in due:
+        first_pending_round.pop(p, None)
+    return manifest
+
+
 def tail_changelog(
     changelog_dir: str,
     out_dir: str,
@@ -38,16 +76,32 @@ def tail_changelog(
     on_round: Callable[[int, Manifest], None] | None = None,
     commit_mode: str = "rewrite",
     compact_every: int | None = None,
+    flush_interval_rounds: int | None = None,
+    grace_rounds: int | None = None,
     **upsert_kw,
 ) -> Manifest:
     """Repeatedly apply new changelog data until ``max_rounds`` ticks (None =
     forever). Transient errors back off and retry (reference
     ``s3.error.backoff``); each successful round commits the manifest, so the
-    loop can be killed and restarted at any point and converges."""
+    loop can be killed and restarted at any point and converges.
+
+    W4 parity (wall-time flush + grace, sink/.../S3SinkTask.java:84-92,278-299):
+    in delta mode, a partition whose OLDEST pending delta is
+    ``flush_interval_rounds + grace_rounds`` ticks old AND that has been idle
+    (no new events) for more than ``grace_rounds`` ticks gets its deltas
+    folded into a fresh base commit — so an idle or lagging partition's
+    buffered state flushes without waiting for the global ``compact_every``
+    cadence, exactly the reference's preCommit grace check with rounds as the
+    (deterministic) clock. ``grace_rounds`` defaults to half the interval,
+    like the reference's ``flush.interval.ms``-derived grace."""
     rounds = 0
     consecutive_errors = 0
     max_consecutive_errors = 10
     manifest = Manifest.load(manifest_path)
+    if flush_interval_rounds and grace_rounds is None:
+        grace_rounds = max(1, flush_interval_rounds // 2)
+    first_pending_round: dict[int, int] = {}
+    last_event_round: dict[int, int] = {}
     while max_rounds is None or rounds < max_rounds:
         try:
             manifest = run_upsert(
@@ -59,11 +113,22 @@ def tail_changelog(
                 commit_mode=commit_mode,
                 **upsert_kw,
             )
+            saw_events = {
+                int(p) for p, m in
+                (manifest.metrics or {}).get("per_partition", {}).items()
+                if int(m.get("events", 0)) > 0
+            }
             if (compact_every and commit_mode == "delta"
                     and (rounds + 1) % compact_every == 0):
                 from .upsert import compact_partitions
 
                 manifest = compact_partitions(manifest_path, out_dir)
+            if flush_interval_rounds and commit_mode == "delta":
+                manifest = _grace_flush(
+                    manifest, manifest_path, out_dir, rounds + 1, saw_events,
+                    first_pending_round, last_event_round,
+                    flush_interval_rounds, grace_rounds,
+                )
         except (OSError, RuntimeError, _RayError) as e:
             consecutive_errors += 1
             if consecutive_errors >= max_consecutive_errors:

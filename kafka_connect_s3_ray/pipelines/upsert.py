@@ -216,16 +216,27 @@ def _commit_partition(p: int, events: pa.Table, lake_files: list[str], wm: int,
     if commit_mode == "delta":
         return _commit_delta(p, events, wm, out_dir, t0)
     n_events = len(events)
-    has_delta = any(_is_delta(f) for f in lake_files)
-    lake_rows = sum(pq.read_metadata(f).num_rows for f in lake_files) if lake_files else 0
-    if (lake_rows > streaming_threshold_rows and not has_delta
-            and _files_globally_key_sorted(lake_files)):
+    bases = [f for f in lake_files if not _is_delta(f)]
+    deltas = [f for f in lake_files if _is_delta(f)]
+    base_rows = sum(pq.read_metadata(f).num_rows for f in bases) if bases else 0
+    if base_rows > streaming_threshold_rows and _files_globally_key_sorted(bases):
+        # Delta-aware streaming: pending merge-on-read deltas ARE compacted
+        # change slices (op + offset + payload), so they fold into this
+        # round's change set — LWW by offset resolves base-vs-delta-vs-event
+        # exactly — and the bounded-memory merge-join path stays available in
+        # delta mode (memory: O(row_group + compacted deltas + events)).
+        if deltas:
+            delta_tbl = pa.concat_tables(
+                unify_with_nulls([pq.read_table(f) for f in deltas])
+            )
+            events = compact_events(pa.concat_tables(
+                unify_with_nulls([delta_tbl, events])
+            ))
         return _commit_partition_streaming(
-            p, events, lake_files, wm, out_dir, target_schema,
+            p, events, bases, wm, out_dir, target_schema,
             row_group_size, max_file_rows, t0,
         )
-    # pending merge-on-read deltas must be RESOLVED before a rewrite (they
-    # carry op/offset and override base rows); at scale, compact first
+    # small partition: resolve deltas + merge fully in memory (fastest)
     lake_tbl = _resolve_partition(lake_files) if lake_files else None
     merged = lww_merge(lake_tbl, events)
     merged = align_to_schema(merged, target_schema)
@@ -400,6 +411,19 @@ def _compact_partition_files(p: int, files: list[str], wm: int,
     if acc is None:
         return pa.schema([]).empty_table()
     return acc
+
+
+@ray.remote(max_retries=4, retry_exceptions=True)
+def _fold_deltas_task(p: int, bases: list[str], delta_files: list[str], wm: int,
+                      out_dir: str, target_schema: pa.Schema) -> pa.Table:
+    """Compaction worker: read the partition's pending delta files HERE (never
+    on the driver — deltas accumulate between compactions and must not ship as
+    task args), fold them into a fresh base commit."""
+    delta_tbl = pa.concat_tables(
+        unify_with_nulls([pq.read_table(f) for f in delta_files])
+    )
+    return _commit_partition(p, delta_tbl, bases, wm, out_dir, target_schema,
+                             commit_mode="rewrite")
 
 
 @ray.remote(max_retries=4, retry_exceptions=True)
@@ -702,33 +726,40 @@ def lake_table(manifest: Manifest | str) -> pa.Table | None:
 
 def compact_partitions(manifest_path: str, out_dir: str,
                        min_deltas: int = 1,
+                       partitions: "set[int] | None" = None,
                        task_num_cpus: int | float | str = "auto") -> Manifest:
     """Minor compaction: fold each partition's pending deltas into a fresh
     base commit (the rewrite path), replacing base+deltas in the manifest.
     Old files stay in lineage for ``vacuum``. Partitions with fewer than
-    ``min_deltas`` pending deltas are left alone."""
+    ``min_deltas`` pending deltas are left alone; ``partitions`` restricts the
+    fold to a subset (the tail's per-partition grace flush uses this).
+
+    The driver only reads file METADATA (pq.read_schema); delta contents are
+    read inside the fold tasks — deltas accumulate between compactions and
+    must never ship through driver memory."""
     manifest = Manifest.load(manifest_path)
     task_opts = _auto_task_cpus(task_num_cpus)
-    commit_task = (
-        _commit_compacted_task.options(**task_opts) if task_opts
-        else _commit_compacted_task
+    fold_task = (
+        _fold_deltas_task.options(**task_opts) if task_opts
+        else _fold_deltas_task
     )
     refs = []
     for p, files in sorted(manifest.current_files().items()):
+        if partitions is not None and p not in partitions:
+            continue
         deltas = [f for f in files if _is_delta(f)]
         if len(deltas) < min_deltas:
             continue
         bases = [f for f in files if not _is_delta(f)]
-        delta_tbl = pa.concat_tables(
-            unify_with_nulls([pq.read_table(f) for f in deltas])
-        )
-        target = _target_schema(
-            pa.schema([f for f in delta_tbl.schema
-                       if f.name not in (*PROVENANCE_COLUMNS, PART_COLUMN, SALT_COLUMN)]),
-            {p: bases} if bases else {},
-        )
-        refs.append(commit_task.remote(
-            p, bases, manifest.watermark(p), out_dir, target, "rewrite", delta_tbl,
+        delta_schemas = [
+            pa.schema([f for f in pq.read_schema(d)
+                       if f.name not in (*PROVENANCE_COLUMNS, PART_COLUMN, SALT_COLUMN)])
+            for d in deltas
+        ]
+        unified = unify_with_nulls([s.empty_table() for s in delta_schemas])
+        target = _target_schema(unified[0].schema, {p: bases} if bases else {})
+        refs.append(fold_task.remote(
+            p, bases, deltas, manifest.watermark(p), out_dir, target,
         ))
     if not refs:
         return manifest  # nothing to fold — leave manifest untouched

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -29,26 +30,35 @@ from ..schema import CHANGE_SCHEMA
 from .archive import read_archive
 
 
+_CONTRACT_KEYS = ("op", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+_PROVENANCE = ("partition", "offset")
+
+
 def encode_change_payload(events: pa.Table) -> pa.Table:
     """Inverse direction (for tests / export): change events -> byte records
-    with JSON values, key = conv_id bytes."""
+    with JSON values, key = conv_id bytes. Payload columns beyond the fixed
+    contract (additive schema evolution, e.g. ``meta``) are serialized too —
+    the archive bridge must not silently drop evolved columns."""
     df = events.to_pandas()
+    extra_cols = [c for c in df.columns
+                  if c not in _CONTRACT_KEYS and c not in _PROVENANCE]
     values = []
     for r in df.itertuples(index=False):
         ts = getattr(r, "ts", None)
         ts_us = None if pd.isna(ts) else int(pd.Timestamp(ts).value // 1000)
-        values.append(json.dumps(
-            {
-                "op": r.op,
-                "conv_id": r.conv_id,
-                "turn_idx": int(r.turn_idx),
-                "role": None if pd.isna(r.role) else r.role,
-                "text": None if pd.isna(r.text) else r.text,
-                "tool": None if (not hasattr(r, "tool") or pd.isna(r.tool)) else r.tool,
-                "ts_us": ts_us,
-            },
-            sort_keys=True,
-        ).encode())
+        obj = {
+            "op": r.op,
+            "conv_id": r.conv_id,
+            "turn_idx": int(r.turn_idx),
+            "role": None if pd.isna(r.role) else r.role,
+            "text": None if pd.isna(r.text) else r.text,
+            "tool": None if (not hasattr(r, "tool") or pd.isna(r.tool)) else r.tool,
+            "ts_us": ts_us,
+        }
+        for c in extra_cols:
+            v = getattr(r, c)
+            obj[c] = None if (v is None or (np.isscalar(v) and pd.isna(v))) else v
+        values.append(json.dumps(obj, sort_keys=True, default=str).encode())
     return pa.table(
         {
             "partition": events.column("partition"),
@@ -65,25 +75,38 @@ def _decode_change_batch(batch: pa.Table) -> pa.Table:
         return CHANGE_SCHEMA.empty_table()
     payloads = [json.loads(v) for v in batch.column("value").to_pylist()]
     df = pd.DataFrame(payloads)
+
+    def opt(col: str) -> pd.Series:
+        # third-party archives may OMIT optional keys entirely (not just null
+        # them) — pa.array(None) raises, so fall back to a null-filled series
+        s = df.get(col)
+        return s if s is not None else pd.Series([None] * len(df), dtype=object)
+
     ts = pd.array(
-        [None if pd.isna(v) else int(v)
-         for v in df.get("ts_us", pd.Series([None] * len(df)))],
+        [None if pd.isna(v) else int(v) for v in opt("ts_us")],
         dtype="Int64",
     )
-    return pa.Table.from_arrays(
+    out = pa.Table.from_arrays(
         [
             batch.column("partition").cast(pa.int32()),
             batch.column("offset").cast(pa.int64()),
             pa.array(df["op"], pa.string()),
             pa.array(df["conv_id"], pa.string()),
             pa.array(df["turn_idx"], pa.int32()),
-            pa.array(df.get("role"), pa.string()),
-            pa.array(df.get("text"), pa.string()),
-            pa.array(df.get("tool"), pa.string()),
+            pa.array(opt("role"), pa.string()),
+            pa.array(opt("text"), pa.string()),
+            pa.array(opt("tool"), pa.string()),
             pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
         ],
         schema=CHANGE_SCHEMA,
     )
+    # evolved payload keys beyond the fixed contract ride along as extra
+    # columns (the merge handles additive evolution via schema unification)
+    known = set(CHANGE_SCHEMA.names) | {"ts_us"}
+    for c in df.columns:
+        if c not in known:
+            out = out.append_column(c, pa.array(df[c]))
+    return out
 
 
 def export_lake_to_archive(

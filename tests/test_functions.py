@@ -147,12 +147,19 @@ def test_ivf_topk_high_recall(emb):
     mat = np.stack(pdf["embedding"].to_list()).astype(np.float64)
     queries = mat[:3]
     exact = brute_force_topk(emb, queries, k=5)
-    approx = ivf_topk(emb, queries, k=5, n_clusters=8, nprobe=4)
-    recall = len(
-        set(zip(exact["query_id"], exact["vec_id"]))
-        & set(zip(approx["query_id"], approx["vec_id"]))
-    ) / len(exact)
-    assert recall >= 0.6  # nprobe=4 of 8 clusters
+
+    def recall(nprobe):
+        approx = ivf_topk(emb, queries, k=5, n_clusters=8, nprobe=nprobe)
+        return len(
+            set(zip(exact["query_id"], exact["vec_id"]))
+            & set(zip(approx["query_id"], approx["vec_id"]))
+        ) / len(exact)
+
+    # quality gate: the catalog query runs nprobe=6/8 — regressions below 0.9
+    # recall@5 must fail here (measured 0.93 on this fixture)
+    assert recall(6) >= 0.9
+    # probing every cluster = exhaustive scan; must equal brute force exactly
+    assert recall(8) == 1.0
 
 
 def test_kmeans_deterministic():

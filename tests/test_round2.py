@@ -1,0 +1,377 @@
+"""Round-2 hardening: delta-aware streaming merge, task-side compaction reads,
+W4 grace flush in tail mode, coarse-bucket hash join, exact/dense-bucket
+embedding near-dup, vectorized + partitioned jaccard verify, archive bridge
+schema-evolution robustness, IVF empty-block guard."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data
+
+from kafka_connect_s3_ray.pipelines.upsert import (
+    _commit_partition,
+    compact_partitions,
+    lake_table,
+    run_upsert,
+)
+from kafka_connect_s3_ray.synth import oracle_apply, synth_changelog, synth_lake, write_fixture
+
+P = 4
+
+
+# ---------------------------------------------------------------------------
+# delta-aware streaming merge (bounded memory stays available in delta mode)
+# ---------------------------------------------------------------------------
+
+def _sorted_lake(n_conv=150, seed=7):
+    return synth_lake(n_conv, seed=seed).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+
+
+def test_streaming_commit_with_pending_deltas(tmp_path):
+    lake = _sorted_lake()
+    events = synth_changelog(150, 2400, seed=7, num_partitions=1)
+    half = len(events) // 2
+    ev1, ev2 = events.slice(0, half), events.slice(half)
+    wm1 = int(pa.compute.max(ev1.column("offset")).as_py())
+    lf = str(tmp_path / "lake.parquet")
+    pq.write_table(lake, lf)
+    target = lake.schema
+
+    # round 1: merge-on-read delta commit -> pending delta file
+    d = _commit_partition(0, ev1, [lf], -1, str(tmp_path / "out"), target,
+                          commit_mode="delta")
+    delta_path = d.column("path")[0].as_py()
+    assert os.path.basename(delta_path).startswith("delta-")
+    files = [lf, delta_path]
+
+    # round 2 rewrite with pending deltas: in-memory vs streaming paths agree
+    mem = _commit_partition(0, ev2, files, wm1, str(tmp_path / "mem"), target,
+                            streaming_threshold_rows=10**9)
+    stream = _commit_partition(0, ev2, files, wm1, str(tmp_path / "stream"), target,
+                               streaming_threshold_rows=0)
+    # the streaming writer always names files with a -NNNN sequence suffix —
+    # proof the bounded-memory path actually ran despite the pending delta
+    assert "-0000.parquet" in stream.column("path")[0].as_py()
+    t_mem = pq.read_table(mem.column("path")[0].as_py().split(";")[0])
+    t_str = pa.concat_tables(
+        [pq.read_table(f) for f in stream.column("path")[0].as_py().split(";")]
+    )
+    assert t_mem.equals(t_str)
+    # and both equal the naive oracle over lake + all events
+    exp = oracle_apply(lake, events)
+    got = t_str.to_pandas()[exp.columns].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp.reset_index(drop=True), check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# compaction: subset fold + delta reads inside the task (not on the driver)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def delta_rounds(tmp_path):
+    root = str(tmp_path)
+    fx = write_fixture(root, n_conv=60, n_events=1200, num_partitions=P,
+                       files_per_partition=2)
+    per_part = {
+        p: sorted(glob.glob(os.path.join(fx["changelog_dir"], f"partition={p}", "*.parquet")))
+        for p in range(P)
+    }
+    out, mpath = os.path.join(root, "out"), os.path.join(root, "m.json")
+    for i in range(2):
+        files = [fs[i] for fs in per_part.values() if i < len(fs)]
+        m = run_upsert(files, out, mpath, lake_dir=fx["lake_dir"],
+                       num_partitions=P, commit_mode="delta")
+    return {"root": root, "out": out, "mpath": mpath, "m": m, **fx}
+
+
+def test_compact_partitions_subset(delta_rounds):
+    m = delta_rounds["m"]
+    assert max(m.delta_counts().values()) == 2
+    before = lake_table(m)
+    m2 = compact_partitions(delta_rounds["mpath"], delta_rounds["out"],
+                            partitions={0, 1})
+    counts = m2.delta_counts()
+    assert counts.get(0, 0) == 0 and counts.get(1, 0) == 0
+    assert counts.get(2, 0) == 2 and counts.get(3, 0) == 2
+    assert lake_table(m2).equals(before)  # fold changes layout, not content
+    m3 = compact_partitions(delta_rounds["mpath"], delta_rounds["out"])
+    assert max(m3.delta_counts().values(), default=0) == 0
+    assert lake_table(m3).equals(before)
+
+
+def test_compact_partitions_driver_reads_metadata_only(delta_rounds, monkeypatch):
+    """The driver loop must never read delta CONTENTS (pq.read_table) — only
+    schemas; the fold task reads the files on the worker."""
+    import kafka_connect_s3_ray.pipelines.upsert as up
+
+    calls = []
+    real = pq.read_table
+    monkeypatch.setattr(up.pq, "read_table",
+                        lambda *a, **k: (calls.append(a), real(*a, **k))[1])
+    compact_partitions(delta_rounds["mpath"], delta_rounds["out"])
+    # monkeypatch only affects the driver process; worker tasks import the
+    # real module — zero driver-side content reads proves the move
+    assert calls == []
+
+
+# ---------------------------------------------------------------------------
+# W4: wall-time flush + grace for idle partitions in tail mode
+# ---------------------------------------------------------------------------
+
+def test_tail_grace_flush_idle_partition(tmp_path):
+    from kafka_connect_s3_ray.pipelines.tail import tail_changelog
+
+    root = str(tmp_path)
+    fx = write_fixture(root, n_conv=60, n_events=1200, num_partitions=P)
+    out, mpath = os.path.join(root, "out"), os.path.join(root, "m.json")
+    seen = []
+
+    def on_round(i, m):
+        seen.append({p: c for p, c in m.delta_counts().items() if c})
+
+    m = tail_changelog(
+        fx["changelog_dir"], out, mpath, lake_dir=fx["lake_dir"],
+        num_partitions=P, commit_mode="delta", max_rounds=4,
+        poll_interval_s=0.0, sleep=lambda s: None, on_round=on_round,
+        flush_interval_rounds=2, grace_rounds=1,
+    )
+    # round 1 buffered deltas; rounds 2-3 are idle no-ops (still pending);
+    # round 4 (= 1 + interval + grace) grace-flushes every idle partition
+    assert seen[0] and max(seen[0].values()) == 1
+    assert seen[2]  # still pending before the grace deadline
+    assert not seen[3], f"deltas survived the grace flush: {seen[3]}"
+    exp = oracle_apply(fx["lake"], fx["events"])
+    got = lake_table(m).to_pandas()[exp.columns].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp.reset_index(drop=True), check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# coarse-bucket hash join
+# ---------------------------------------------------------------------------
+
+def test_hash_join_shared_keys_and_left():
+    from kafka_connect_s3_ray.stages.joins import hash_join
+
+    left = pa.table({"user_id": pa.array([1, 1, 2, 3], pa.int64()),
+                     "v": pa.array([10.0, 11.0, 20.0, 30.0])})
+    right = pa.table({"user_id": pa.array([1, 2, 4], pa.int64()),
+                      "seg": ["a", "b", "c"]})
+    lds, rds = ray.data.from_arrow(left), ray.data.from_arrow(right)
+    inner = hash_join(lds, rds, on="user_id", num_partitions=3).to_pandas()
+    exp = left.to_pandas().merge(right.to_pandas(), on="user_id")
+    pd.testing.assert_frame_equal(
+        inner.sort_values(["user_id", "v"]).reset_index(drop=True),
+        exp.sort_values(["user_id", "v"]).reset_index(drop=True),
+    )
+    assert inner["user_id"].dtype == np.int64  # null-fill must not degrade ints
+    lj = hash_join(lds, rds, on="user_id", join_type="left",
+                   num_partitions=3).to_pandas()
+    assert len(lj) == 4 and lj[lj["user_id"] == 3]["seg"].isna().all()
+
+
+def test_hash_join_string_keys_and_collision_rename():
+    from kafka_connect_s3_ray.stages.joins import hash_join
+
+    left = pa.table({"k": ["a", "b", "c", "a"], "v": pa.array([1, 2, 3, 4], pa.int64())})
+    right = pa.table({"kk": ["a", "c"], "v": pa.array([100, 300], pa.int64())})
+    out = hash_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                    on="k", right_on="kk", num_partitions=2).to_pandas()
+    assert set(out.columns) == {"k", "v", "kk", "v_right"}
+    assert len(out) == 3
+    assert set(zip(out["k"], out["v_right"])) == {("a", 100), ("c", 300)}
+    assert out["v"].dtype == np.int64 and out["v_right"].dtype == np.int64
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup: exact path + dense-bucket LSH
+# ---------------------------------------------------------------------------
+
+def _emb_ds(n=300, dim=16, seed=5):
+    rng = np.random.default_rng(seed)
+    mat = rng.standard_normal((n, dim))
+    return pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                         "embedding": list(mat)})
+
+
+def test_embedding_exact_matches_numpy():
+    from kafka_connect_s3_ray.functions.dedup import embedding_near_dup
+
+    pdf = _emb_ds()
+    ds = ray.data.from_pandas(pdf)
+    got = embedding_near_dup(ds, threshold=0.5, method="exact").to_pandas()
+    mat = np.stack(pdf["embedding"].to_list())
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sim = mat @ mat.T
+    li, ri = np.triu_indices(len(mat), k=1)
+    keep = sim[li, ri] >= 0.5
+    exp = set(zip(li[keep], ri[keep]))
+    assert set(zip(got["left_id"], got["right_id"])) == exp
+    assert len(got) == len(exp) > 0
+
+
+def test_embedding_lsh_dense_bucket_bounded():
+    """A degenerate cluster (hundreds of near-identical vectors: signs never
+    diverge, so re-splitting can't help) must still finish with ALL its pairs
+    via the chunked-matmul fallback — bounded memory, exact within-bucket."""
+    from kafka_connect_s3_ray.functions.dedup import embedding_near_dup
+
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal(16)
+    dense = base + rng.standard_normal((400, 16)) * 1e-4  # near-identical
+    other = rng.standard_normal((100, 16))
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(500, dtype=np.int64),
+        "embedding": list(np.vstack([dense, other])),
+    })
+    ds = ray.data.from_pandas(pdf)
+    got = embedding_near_dup(ds, threshold=0.999, method="lsh",
+                             bucket_cap=64).to_pandas()
+    found = set(zip(got["left_id"], got["right_id"]))
+    expect = {(i, j) for i in range(400) for j in range(i + 1, 400)}
+    assert expect <= found  # every within-cluster pair survives the cap
+
+
+def test_embedding_lsh_recursive_split_keeps_separable_pairs():
+    """Distinct planted duplicate groups must survive the recursive re-split
+    of an over-cap bucket (the groups' signs diverge on extra planes)."""
+    from kafka_connect_s3_ray.functions.dedup import embedding_near_dup
+
+    rng = np.random.default_rng(11)
+    groups = []
+    ids = []
+    for g in range(30):
+        v = rng.standard_normal(16)
+        groups.append(np.vstack([v, v * 1.0000001]))  # one dup pair per group
+        ids.extend([2 * g, 2 * g + 1])
+    pdf = pd.DataFrame({"vec_id": np.array(ids, np.int64),
+                        "embedding": list(np.vstack(groups))})
+    # n_planes=0 -> every vector in ONE bucket, far over cap -> must re-split
+    ds = ray.data.from_pandas(pdf)
+    got = embedding_near_dup(ds, threshold=0.999, method="lsh", n_planes=0,
+                             bucket_cap=8).to_pandas()
+    found = set(zip(got["left_id"], got["right_id"]))
+    planted = {(2 * g, 2 * g + 1) for g in range(30)}
+    assert planted <= found
+
+
+# ---------------------------------------------------------------------------
+# jaccard verify: vectorized kernel + partitioned-join path
+# ---------------------------------------------------------------------------
+
+def test_batch_jaccard_kernel_matches_reference():
+    from kafka_connect_s3_ray.functions.dedup import _batch_jaccard
+
+    rng = np.random.default_rng(3)
+    lsets, rsets, exp = [], [], []
+    for _ in range(50):
+        a = np.unique(rng.integers(0, 200, rng.integers(0, 40)).astype(np.uint64))
+        b = np.unique(rng.integers(0, 200, rng.integers(0, 40)).astype(np.uint64))
+        lsets.append(a)
+        rsets.append(b)
+        inter = np.intersect1d(a, b, assume_unique=True).size
+        union = a.size + b.size - inter
+        exp.append(inter / union if union else 0.0)
+    got = _batch_jaccard(lsets, rsets)
+    assert np.allclose(got, exp)
+
+
+def test_jaccard_joined_path_matches_broadcast():
+    from kafka_connect_s3_ray.functions.dedup import (
+        jaccard_verify,
+        minhash_lsh_candidates,
+    )
+
+    docs = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    base = docs.to_pandas().head(120)
+    near = base.head(6).copy()
+    near["doc_id"] = near["doc_id"] + 50_000
+    near["text"] = near["text"] + " x"
+    ds = ray.data.from_pandas(pd.concat([base, near], ignore_index=True))
+    cand = minhash_lsh_candidates(ds)
+    bro = jaccard_verify(cand, ds, threshold=0.6).to_pandas()
+    joined = jaccard_verify(cand, ds, threshold=0.6,
+                            broadcast_threshold=0).to_pandas()
+
+    def canon(df):
+        return (df[["left_id", "right_id", "jaccard"]]
+                .sort_values(["left_id", "right_id"]).reset_index(drop=True))
+
+    pd.testing.assert_frame_equal(canon(bro), canon(joined))
+    assert len(bro) >= 6  # the planted near-dups verified
+
+
+# ---------------------------------------------------------------------------
+# archive bridge: schema evolution + third-party payload robustness
+# ---------------------------------------------------------------------------
+
+def test_encode_decode_preserves_extra_payload_columns():
+    from kafka_connect_s3_ray.sources.changelog import (
+        _decode_change_batch,
+        encode_change_payload,
+    )
+
+    events = pa.table({
+        "partition": pa.array([0, 0], pa.int32()),
+        "offset": pa.array([0, 1], pa.int64()),
+        "op": ["I", "U"],
+        "conv_id": ["c1", "c2"],
+        "turn_idx": pa.array([0, 1], pa.int32()),
+        "role": ["user", None],
+        "text": ["hello", "world"],
+        "tool": [None, "search"],
+        "ts": pa.array([1_700_000_000_000_000, None], pa.timestamp("us")),
+        "meta": ["m1", None],  # evolved column beyond the fixed contract
+    })
+    recs = encode_change_payload(events)
+    assert b"meta" in recs.column("value")[0].as_py()
+    back = _decode_change_batch(recs)
+    assert "meta" in back.column_names
+    assert back.column("meta").to_pylist() == ["m1", None]
+    assert back.column("text").to_pylist() == ["hello", "world"]
+
+
+def test_decode_payloads_with_omitted_optional_keys():
+    """Third-party archives may omit optional keys entirely rather than null
+    them — decode must null-fill, not crash."""
+    from kafka_connect_s3_ray.sources.changelog import _decode_change_batch
+
+    vals = [json.dumps({"op": "I", "conv_id": "c", "turn_idx": i}).encode()
+            for i in range(3)]
+    batch = pa.table({
+        "partition": pa.array([0, 0, 0], pa.int32()),
+        "offset": pa.array([0, 1, 2], pa.int64()),
+        "key": pa.array([b"c"] * 3, pa.binary()),
+        "value": pa.array(vals, pa.binary()),
+    })
+    out = _decode_change_batch(batch)
+    assert out.column("role").null_count == 3
+    assert out.column("text").null_count == 3
+    assert out.column("tool").null_count == 3
+    assert out.column("ts").null_count == 3
+    assert out.column("conv_id").to_pylist() == ["c"] * 3
+
+
+# ---------------------------------------------------------------------------
+# IVF: empty input block must not crash the assignment stage
+# ---------------------------------------------------------------------------
+
+def test_ivf_topk_with_empty_block():
+    from kafka_connect_s3_ray.functions.similarity import ivf_topk
+
+    rng = np.random.default_rng(2)
+    pdf = pd.DataFrame({"vec_id": np.arange(64, dtype=np.int64),
+                        "embedding": list(rng.standard_normal((64, 8)))})
+    empty = pdf.head(0)
+    ds = ray.data.from_pandas([pdf, empty])  # second block is zero-row
+    out = ivf_topk(ds, np.stack(pdf["embedding"].head(2).to_list()), k=3,
+                   n_clusters=4, nprobe=4)
+    assert len(out) == 6
