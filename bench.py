@@ -137,8 +137,7 @@ def run_bench() -> dict:
         sec, res = _timed(lambda n=name: consume(Q.QUERIES[n](SF_DIR)))
         timings[name] = round(sec, 3)
 
-    ray.shutdown()
-    return {
+    out = {
         "metric": "cdc_upsert_seconds",
         "value": round(headline_sec, 3),
         "unit": "sec",
@@ -148,6 +147,18 @@ def run_bench() -> dict:
         "events": int(n_events),
         "events_per_sec": round(n_events / headline_sec),
     }
+    if panel:
+        # IVF quality figure: recall@10 of the approximate panel entry vs the
+        # exact brute-force result on the same queries (see VERDICT item 9)
+        exact = Q.QUERIES["cosine_topk"](SF_DIR)
+        sec, approx = _timed(Q.QUERIES["cosine_topk_ivf"], SF_DIR)
+        timings["cosine_topk_ivf"] = round(sec, 3)
+        hits = set(zip(exact["query_id"], exact["vec_id"])) & set(
+            zip(approx["query_id"], approx["vec_id"])
+        )
+        out["ivf_recall_at_10"] = round(len(hits) / max(1, len(exact)), 3)
+    ray.shutdown()
+    return out
 
 
 def run_scaling() -> dict:

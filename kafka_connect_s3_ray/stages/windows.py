@@ -26,6 +26,36 @@ import ray.data
 N_COARSE = 64
 
 
+def _final_sum(part_ds: "ray.data.Dataset", group_cols: list[str],
+               n_coarse: int = N_COARSE) -> "ray.data.Dataset":
+    """Final combine for (partial_n, partial_sum) rows WITHOUT a per-group
+    Ray aggregate: (key, window) cardinality grows with the data (~100k groups
+    at sf0.1) and Ray's Aggregate pays per-group overhead (~30us/group
+    measured). Group by a COARSE hash bucket instead — all rows of a group
+    co-locate — and run one vectorized pandas groupby per bucket."""
+
+    def add_coarse(t: pa.Table) -> pa.Table:
+        h = np.zeros(len(t), np.uint64)
+        for c in group_cols:
+            v = t.column(c).to_numpy(zero_copy_only=False)
+            v = v.astype(np.int64) if v.dtype.kind in "iu" else v.astype(object)
+            h = h * np.uint64(1000003) + pd.util.hash_array(np.ascontiguousarray(v))
+        return t.append_column(
+            "_coarse", pa.array((h % np.uint64(n_coarse)).astype(np.int32))
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(group_cols, as_index=False).agg(
+            n_events=("partial_n", "sum"), total_value=("partial_sum", "sum")
+        )
+
+    return (
+        part_ds.map_batches(add_coarse, batch_format="pyarrow")
+        .groupby("_coarse")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
 def tumbling_window_agg(
     ds: "ray.data.Dataset",
     key: str,
@@ -35,7 +65,6 @@ def tumbling_window_agg(
 ) -> "ray.data.Dataset":
     """Per (key, window): count + sum(value), window = floor(ts / window_us).
     Returns columns (key, window, n_events, total_value)."""
-    from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
         t_us = batch.column(ts).cast(pa.int64()).to_numpy(zero_copy_only=False)
@@ -52,13 +81,9 @@ def tumbling_window_agg(
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    out = ds.map_batches(partial, batch_format="pyarrow").groupby(
-        [key, "window"]
-    ).aggregate(
-        Sum("partial_n", alias_name="n_events"),
-        Sum("partial_sum", alias_name="total_value"),
+    return _final_sum(
+        ds.map_batches(partial, batch_format="pyarrow"), [key, "window"]
     )
-    return out
 
 
 def sliding_window_agg(
@@ -77,7 +102,6 @@ def sliding_window_agg(
     of ``hop_us``."""
     assert window_us % hop_us == 0, "window must be a multiple of hop"
     fanout = window_us // hop_us
-    from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
         t_us = batch.column(ts).cast(pa.int64()).to_numpy(zero_copy_only=False)
@@ -98,11 +122,8 @@ def sliding_window_agg(
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    return ds.map_batches(partial, batch_format="pyarrow").groupby(
-        [key, "window_start"]
-    ).aggregate(
-        Sum("partial_n", alias_name="n_events"),
-        Sum("partial_sum", alias_name="total_value"),
+    return _final_sum(
+        ds.map_batches(partial, batch_format="pyarrow"), [key, "window_start"]
     )
 
 

@@ -71,7 +71,7 @@ def test_tumbling_window_agg():
     ds = ray.data.from_arrow(_events_tbl())
     out = tumbling_window_agg(ds, key="user_id", ts="ts", window_us=10,
                               value="value").to_pandas()
-    u1 = out[out["user_id"] == 1].set_index("window")
+    u1 = out[out["user_id"] == 1].sort_values("window").set_index("window")
     assert list(u1.index) == [0, 1, 2] and (u1["n_events"] == 1).all()
     assert u1.loc[1, "total_value"] == 2.0
     u2 = out[out["user_id"] == 2].set_index("window")
