@@ -773,6 +773,35 @@ _TOKENS_WS_SQL = (
     "ELSE array_length(regexp_split_to_array(trim(text), '\\s+')) END"
 )
 
+
+def _lang_id_sql() -> str:
+    """The LanguageId heuristic in SQL, generated from the SAME stopword
+    tables and pattern-construction code path as the engine (functions/text):
+    per-language regex-match count / whitespace-token count, argmax with
+    first-wins ties over sorted language keys, 'und' below 0.03. Both engines
+    run RE2, so the counts are identical."""
+    from ..functions.text import _LANG_STOPWORDS
+
+    langs = sorted(_LANG_STOPWORDS)
+    score_cols = ", ".join(
+        "CAST(len(regexp_extract_all(lower(text), "
+        f"'\\b({'|'.join(sorted(_LANG_STOPWORDS[lang]))})\\b')) AS DOUBLE) / "
+        "greatest(len(regexp_extract_all(text, '\\S+')), 1) AS "
+        f"s_{lang}"
+        for lang in langs
+    )
+    all_scores = ", ".join(f"s_{lang}" for lang in langs)
+    cases = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"s_{lang} >= s_{o}" for o in langs[i + 1:])
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    return (
+        f"WITH s AS (SELECT doc_id, {score_cols} FROM documents) "
+        f"SELECT doc_id, CASE WHEN greatest({all_scores}) < 0.03 THEN 'und' "
+        + " ".join(cases)
+        + f" ELSE '{langs[-1]}' END AS lang_pred FROM s"
+    )
+
 ORACLE_SQL = {
     "watermark_filter": (
         "SELECT event_id, ts, user_id, event_type, value, props FROM events "
@@ -932,7 +961,8 @@ ORACLE_SQL = {
         "SELECT conv_id, turn_idx, role, text, tool, ts FROM r "
         "WHERE rn = 1 AND op <> 'D'"
     ),
-    # lang_id / rolling_fingerprint / minhash / simhash / IVF / sketches:
-    # non-SQL-expressible (heuristic profiles, seeded LSH, mergeable sketches)
+    "lang_id": _lang_id_sql(),
+    # rolling_fingerprint / minhash / simhash / IVF / sketches:
+    # non-SQL-expressible (seeded LSH, mergeable sketches, rolling hashes)
     # — rows-only checks; accuracy/recall evidence lives in pytest.
 }

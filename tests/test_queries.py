@@ -71,13 +71,13 @@ SQL_CHECKED = [
     "watermark_filter", "partition_watermarks", "lww_keep_last",
     "cdc_merge_events", "archive_roundtrip", "partition_prune", "replay_order",
     "topk_events", "exclude_filter", "token_count", "quality_stats",
-    "dedup_exact", "token_sum_by_lang", "cosine_topk", "embedding_near_dup",
+    "dedup_exact", "token_sum_by_lang", "cosine_topk", "embedding_near_dup", "lang_id",
     "tumbling_window", "sliding_window", "session_windows", "broadcast_join", "asof_join",
     "hash_join", "anti_join", "pricing_summary", "topk_per_group",
     "cdc_transcripts",
 ]
 ROWS_ONLY = [
-    "lang_id", "rolling_fingerprint", "minhash_near_dup", "simhash_near_dup",
+    "rolling_fingerprint", "minhash_near_dup", "simhash_near_dup",
     "cosine_topk_ivf",
     "approx_distinct", "approx_quantiles",
 ]
