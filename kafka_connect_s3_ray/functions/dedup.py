@@ -75,14 +75,50 @@ def exact_dedup(ds: "ray.data.Dataset", id_col: str = "doc_id",
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Hashes of character k-shingles of a lowercased text (numpy rolling)."""
-    b = np.frombuffer(text.lower().encode("utf-8", "ignore"), dtype=np.uint8)
-    if len(b) < k:
-        b = np.pad(b, (0, k - len(b)))
-    win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+def _shingle_sets_batch(texts: list[str], k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Unique-sorted k-shingle hash sets for a WHOLE batch in one vectorized
+    pass: all docs' bytes are concatenated, the polynomial window hash is
+    computed with k shifted multiply-adds over the flat array (uint64
+    wraparound; no (N, k) temp), windows crossing doc boundaries are masked
+    out, and per-doc dedup is one lexsort + adjacent-diff. Returns
+    (flat_hashes, counts_per_doc) — exactly the layout ``np.minimum.reduceat``
+    wants. Replaces a per-doc Python loop that dominated the minhash stage."""
+    n = len(texts)
+    if n == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    bufs = []
+    for t in texts:
+        b = (t or "").lower().encode("utf-8", "ignore")
+        if len(b) < k:
+            b = b + b"\x00" * (k - len(b))
+        bufs.append(b)
+    lens = np.fromiter((len(b) for b in bufs), np.int64, n)
+    flat = np.frombuffer(b"".join(bufs), dtype=np.uint8).astype(np.uint64)
+    nwin = len(flat) - k + 1
     coef = np.uint64(257) ** np.arange(k, dtype=np.uint64)
-    return np.unique((win * coef).sum(axis=1))
+    with np.errstate(over="ignore"):
+        h = np.zeros(nwin, np.uint64)
+        for j in range(k):  # k passes over the flat array, not a (N, k) temp
+            h += flat[j : j + nwin] * coef[j]
+    starts = np.cumsum(lens) - lens
+    win_doc = np.repeat(np.arange(n), lens)[:nwin]
+    valid = np.arange(nwin) - starts[win_doc] <= lens[win_doc] - k
+    h, d = h[valid], win_doc[valid]
+    order = np.lexsort((h, d))
+    hs, ds = h[order], d[order]
+    keep = np.ones(len(hs), bool)
+    if len(hs) > 1:
+        keep[1:] = (ds[1:] != ds[:-1]) | (hs[1:] != hs[:-1])
+    hs, ds = hs[keep], ds[keep]
+    return hs, np.bincount(ds, minlength=n).astype(np.int64)
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Single-doc convenience over ``_shingle_sets_batch`` (one source of
+    truth: the broadcast and partitioned verify paths must produce identical
+    sets)."""
+    flat, _ = _shingle_sets_batch([text], k)
+    return flat
 
 
 class MinHasher:
@@ -109,10 +145,9 @@ class MinHasher:
         self.id_col, self.text_col = id_col, text_col
 
     def _signatures(self, texts: list[str]) -> np.ndarray:
-        """(num_perm, n_docs) minhash signature matrix, fully vectorized."""
-        sh = [_shingle_hashes(t or "", self.k) for t in texts]
-        lens = np.array([len(s) for s in sh], dtype=np.int64)
-        flat = np.concatenate(sh) if sh else np.empty(0, np.uint64)
+        """(num_perm, n_docs) minhash signature matrix, fully vectorized —
+        including shingle extraction (one batch pass, no per-doc loop)."""
+        flat, lens = _shingle_sets_batch(texts, self.k)
         starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
         sigs = np.empty((self.num_perm, len(texts)), dtype=np.uint64)
         chunk = max(1, (16 << 20) // max(1, flat.nbytes))  # ~16 MB per slab
@@ -257,13 +292,12 @@ class ShingleSets:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_pylist()
-        sets = [_shingle_hashes(t or "", self.k) for t in texts]
-        return pa.table(
-            {
-                self.id_col: batch.column(self.id_col),
-                "shingles": pa.array(sets, pa.list_(pa.uint64())),
-            }
-        )
+        flat, counts = _shingle_sets_batch(texts, self.k)
+        offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+        sets = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                        pa.array(flat, pa.uint64()))
+        return pa.table({self.id_col: batch.column(self.id_col),
+                         "shingles": sets})
 
 
 def jaccard_verify(pairs: "ray.data.Dataset", docs: "ray.data.Dataset",
