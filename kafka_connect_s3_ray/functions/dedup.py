@@ -189,18 +189,19 @@ class MinHasher:
         )
 
 
-def _pairs_by_bucket(g: pd.DataFrame, id_col: str, bucket_col: str,
+def _pairs_by_bucket(g: pd.DataFrame, id_col: str, bucket_cols: "str | list[str]",
                      cap: int = 64) -> pd.DataFrame:
     """All (left < right) id pairs sharing a bucket value — vectorized
     (bucket-size filter + self-merge), no per-bucket Python. ``cap`` drops
     pathological buckets (a bucket of size B emits B^2/2 pairs)."""
-    sizes = g.groupby(bucket_col)[id_col].transform("size")
-    g = g.loc[(sizes > 1) & (sizes <= cap), [bucket_col, id_col]]
+    bucket_cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    sizes = g.groupby(bucket_cols)[id_col].transform("size")
+    g = g.loc[(sizes > 1) & (sizes <= cap), bucket_cols + [id_col]]
     if g.empty:
         id_dtype = g[id_col].dtype
         return pd.DataFrame({"left_id": pd.Series([], dtype=id_dtype),
                              "right_id": pd.Series([], dtype=id_dtype)})
-    m = g.merge(g, on=bucket_col, suffixes=("_l", "_r"))
+    m = g.merge(g, on=bucket_cols, suffixes=("_l", "_r"))
     m = m[m[f"{id_col}_l"] < m[f"{id_col}_r"]]
     out = m.rename(columns={f"{id_col}_l": "left_id", f"{id_col}_r": "right_id"})
     return out[["left_id", "right_id"]].drop_duplicates()
@@ -238,19 +239,31 @@ def minhash_lsh_candidates(ds: "ray.data.Dataset", id_col: str = "doc_id",
     """Candidate near-dup pairs via MinHash LSH. Returns distinct
     (left_id, right_id) with left < right.
 
-    Shuffle layout: band rows (id + two small ints) group by ``band`` — the
-    per-group pair generation is one vectorized pandas self-merge on the
-    bucket hash. At larger scale swap the group key to (band, bucket % B2)
-    for finer task granularity; the pair semantics are unchanged."""
+    Shuffle layout: band rows (id + two small ints) group by a COARSE hash of
+    (band, bucket) — EXACT (candidate pairs require equal (band, bucket),
+    which always co-locates) and, unlike grouping by ``band`` alone, task
+    granularity stays bounded at corpus scale: one band's rows are the whole
+    corpus, one coarse bucket's rows are ~1/509 of it. Per-group pair
+    generation is one vectorized pandas self-merge."""
     band_rows = ds.map_batches(
         MinHasher(num_perm, bands, shingle_k, id_col=id_col, text_col=text_col),
         batch_format="pyarrow",
     )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return _pairs_by_bucket(g, id_col, "bucket")
+    def add_coarse(t: pa.Table) -> pa.Table:
+        band = t.column("band").to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = t.column("bucket").to_numpy(zero_copy_only=False)
+        coarse = (((band * 1000003) ^ bucket) % 509).astype(np.int32)
+        return t.append_column("coarse", pa.array(coarse))
 
-    cand = band_rows.groupby("band").map_groups(pairs, batch_format="pandas")
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return _pairs_by_bucket(g, id_col, ["band", "bucket"])
+
+    cand = (
+        band_rows.map_batches(add_coarse, batch_format="pyarrow")
+        .groupby("coarse")
+        .map_groups(pairs, batch_format="pandas")
+    )
     return _distinct_pairs(cand)
 
 

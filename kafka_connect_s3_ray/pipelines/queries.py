@@ -632,6 +632,37 @@ def q_embedding_near_dup(sf_dir: str):
                      "right_id": pa.array(out["right_id"], pa.int64())})
 
 
+def q_near_dup_verified(sf_dir: str):
+    """The full near-dup chain: MinHash-LSH candidates -> exact k-shingle
+    Jaccard verify at 0.6 (broadcast path at this scale; the partitioned-join
+    path engages above ``broadcast_threshold`` pairs). Non-SQL (seeded LSH) —
+    rows-only check; planted-pair recovery is asserted in pytest."""
+    from ..functions.dedup import jaccard_verify
+
+    docs = _docs(sf_dir)
+    out = jaccard_verify(minhash_lsh_candidates(docs), docs,
+                         threshold=0.6).to_pandas()
+    if out.empty:
+        return pa.table({"left_id": pa.array([], pa.int64()),
+                         "right_id": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+    return pa.table({"left_id": pa.array(out["left_id"], pa.int64()),
+                     "right_id": pa.array(out["right_id"], pa.int64()),
+                     "jaccard": pa.array(out["jaccard"].round(6), pa.float64())})
+
+
+def q_curation_chain(sf_dir: str):
+    """End-to-end curation (quality gates -> exact dedup -> verified near-dup
+    removal -> token counting) over documents; returns the per-stage survivor
+    report as a small table. Deterministic given the fixture; rows-only."""
+    from ..functions.curate import curate
+
+    _, report = curate(_docs(sf_dir))
+    stages = list(report)
+    return pa.table({"stage": pa.array(stages, pa.string()),
+                     "n": pa.array([int(report[s]) for s in stages], pa.int64())})
+
+
 def q_approx_distinct(sf_dir: str):
     """HLL sketch distinct count (mergeable, one sketch per batch crosses the
     shuffle). Approximate -> rows-only check; accuracy tested in pytest."""
@@ -761,6 +792,8 @@ QUERIES = {
     "minhash_near_dup": q_minhash_near_dup,
     "simhash_near_dup": q_simhash_near_dup,
     "embedding_near_dup": q_embedding_near_dup,
+    "near_dup_verified": q_near_dup_verified,
+    "curation_chain": q_curation_chain,
     "approx_distinct": q_approx_distinct,
     "approx_quantiles": q_approx_quantiles,
     "cosine_topk": q_cosine_topk,
