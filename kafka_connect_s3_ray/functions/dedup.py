@@ -235,7 +235,8 @@ def _distinct_pairs(cand: "ray.data.Dataset") -> "ray.data.Dataset":
 
 def minhash_lsh_candidates(ds: "ray.data.Dataset", id_col: str = "doc_id",
                            text_col: str = "text", num_perm: int = 64,
-                           bands: int = 16, shingle_k: int = 5) -> "ray.data.Dataset":
+                           bands: int = 16, shingle_k: int = 5,
+                           n_coarse: int = 509) -> "ray.data.Dataset":
     """Candidate near-dup pairs via MinHash LSH. Returns distinct
     (left_id, right_id) with left < right.
 
@@ -243,8 +244,9 @@ def minhash_lsh_candidates(ds: "ray.data.Dataset", id_col: str = "doc_id",
     (band, bucket) — EXACT (candidate pairs require equal (band, bucket),
     which always co-locates) and, unlike grouping by ``band`` alone, task
     granularity stays bounded at corpus scale: one band's rows are the whole
-    corpus, one coarse bucket's rows are ~1/509 of it. Per-group pair
-    generation is one vectorized pandas self-merge."""
+    corpus, one coarse bucket's rows are ~1/``n_coarse`` of it (raise
+    ``n_coarse`` for bigger corpora; each group costs a ~2 ms task constant).
+    Per-group pair generation is one vectorized pandas self-merge."""
     band_rows = ds.map_batches(
         MinHasher(num_perm, bands, shingle_k, id_col=id_col, text_col=text_col),
         batch_format="pyarrow",
@@ -253,7 +255,7 @@ def minhash_lsh_candidates(ds: "ray.data.Dataset", id_col: str = "doc_id",
     def add_coarse(t: pa.Table) -> pa.Table:
         band = t.column("band").to_numpy(zero_copy_only=False).astype(np.int64)
         bucket = t.column("bucket").to_numpy(zero_copy_only=False)
-        coarse = (((band * 1000003) ^ bucket) % 509).astype(np.int32)
+        coarse = (((band * 1000003) ^ bucket) % n_coarse).astype(np.int32)
         return t.append_column("coarse", pa.array(coarse))
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:

@@ -156,12 +156,30 @@ def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     rt = right.map_batches(tag("r", [rmap[c] for c in ron_t]), batch_format="pyarrow")
     ron_out = [rmap[c] for c in ron_t]
 
+    # A left join introduces nulls into right columns for unmatched rows —
+    # but only in SOME buckets, which would give integer right columns
+    # float64 blocks in unmatched buckets and int64 blocks elsewhere (the
+    # divergent-schema problem the native join suffered). Cast right-side
+    # value columns to pandas NULLABLE dtypes in every bucket so all blocks
+    # agree; Arrow maps Int64 back to int64-with-nulls.
+    _NULLABLE = {pa.int64(): "Int64", pa.int32(): "Int32", pa.int16(): "Int16",
+                 pa.bool_(): "boolean"}
+    # shared-name keys come from the left side (never null) and must keep the
+    # exact merge dtype; differently-named right keys DO null on unmatched
+    left_nullable = (
+        {c: _NULLABLE[col_types[c]] for c in right_cols
+         if not (shared_keys and c in ron_out) and col_types[c] in _NULLABLE}
+        if join_type == "left" else {}
+    )
+
     def merge_bucket(t: pa.Table) -> pd.DataFrame:
         # sides are separated IN ARROW before to_pandas so the other side's
         # null-fill can't degrade int columns to float
         side = t.column("_side")
         ldf = t.filter(pc.equal(side, "l")).select(left_cols).to_pandas()
         rdf = t.filter(pc.equal(side, "r")).select(right_cols).to_pandas()
+        if left_nullable:
+            rdf = rdf.astype(left_nullable)
         if shared_keys:
             return ldf.merge(rdf, on=on_t, how=join_type)
         return ldf.merge(rdf, left_on=on_t, right_on=ron_out, how=join_type)

@@ -375,3 +375,22 @@ def test_ivf_topk_with_empty_block():
     out = ivf_topk(ds, np.stack(pdf["embedding"].head(2).to_list()), k=3,
                    n_clusters=4, nprobe=4)
     assert len(out) == 6
+
+
+def test_hash_join_left_consistent_block_dtypes():
+    """Left-join nulls must not give integer right columns float64 blocks in
+    unmatched buckets and int64 blocks elsewhere — every non-empty output
+    block carries the same Arrow schema (int64 with nulls)."""
+    from kafka_connect_s3_ray.stages.joins import hash_join
+
+    left = pa.table({"k": pa.array(range(1, 9), pa.int64())})
+    right = pa.table({"k": pa.array([1, 2], pa.int64()),
+                      "rv": pa.array([10, 20], pa.int64())})
+    out = hash_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                    on="k", join_type="left", num_partitions=4)
+    blocks = [b for b in out.iter_batches(batch_format="pyarrow") if len(b)]
+    assert blocks
+    for b in blocks:
+        assert b.schema.field("rv").type == pa.int64(), b.schema
+    merged = pa.concat_tables(blocks)
+    assert merged.column("rv").null_count == 6
