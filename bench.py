@@ -133,9 +133,13 @@ def run_bench() -> dict:
         "cosine_topk", "embedding_near_dup", "tumbling_window",
         "session_windows", "broadcast_join", "asof_join", "hash_join",
     ]
+    panel_results: dict = {}
     for name in panel:
-        sec, res = _timed(lambda n=name: consume(Q.QUERIES[n](SF_DIR)))
-        timings[name] = round(sec, 3)
+        sec, res = _timed(lambda n=name: Q.QUERIES[n](SF_DIR))
+        sec2, _ = _timed(consume, res)
+        timings[name] = round(sec + sec2, 3)
+        if name == "cosine_topk":
+            panel_results[name] = res  # reused by the recall figure below
 
     out = {
         "metric": "cdc_upsert_seconds",
@@ -149,8 +153,11 @@ def run_bench() -> dict:
     }
     if panel:
         # IVF quality figure: recall@10 of the approximate panel entry vs the
-        # exact brute-force result on the same queries (see VERDICT item 9)
-        exact = Q.QUERIES["cosine_topk"](SF_DIR)
+        # exact brute-force result on the same queries (see VERDICT item 9);
+        # the exact side reuses the panel loop's result — no second run
+        exact = panel_results.get("cosine_topk")
+        if exact is None:
+            exact = Q.QUERIES["cosine_topk"](SF_DIR)
         sec, approx = _timed(Q.QUERIES["cosine_topk_ivf"], SF_DIR)
         timings["cosine_topk_ivf"] = round(sec, 3)
         hits = set(zip(exact["query_id"], exact["vec_id"])) & set(

@@ -329,6 +329,10 @@ def jaccard_verify(pairs: "ray.data.Dataset", docs: "ray.data.Dataset",
     pair table is hash-joined (coarse-bucket join, stages/joins.py) to the
     shingle sets on each side, and the verify kernel runs over the joined
     batches — shuffle volume = candidate shingle sets, never driver state."""
+    # materialize once: count() would otherwise re-execute the whole lazy
+    # candidate pipeline (LSH is the expensive stage) a second time when the
+    # chosen path consumes `pairs` again; pair rows are just two ids each
+    pairs = pairs.materialize()
     n_pairs = pairs.count()
     if n_pairs > broadcast_threshold:
         return _jaccard_verify_joined(pairs, docs, threshold, id_col, text_col,
@@ -400,7 +404,7 @@ def _jaccard_verify_joined(pairs: "ray.data.Dataset", docs: "ray.data.Dataset",
                 "join_id": pa.array(jid, pa.int64()),
                 "left_id": pa.array(np.concatenate([l, l]), pa.int64()),
                 "right_id": pa.array(np.concatenate([r, r]), pa.int64()),
-                "side": pa.array(["L"] * len(l) + ["R"] * len(r)),
+                "side": pa.array(["L"] * len(l) + ["R"] * len(r), pa.string()),
                 "shingles": pa.nulls(2 * len(l), sh_type),
                 "coarse": pa.array((jid % n_coarse).astype(np.int32)),
             }
@@ -413,7 +417,7 @@ def _jaccard_verify_joined(pairs: "ray.data.Dataset", docs: "ray.data.Dataset",
                 "join_id": pa.array(d, pa.int64()),
                 "left_id": pa.nulls(len(t), pa.int64()),
                 "right_id": pa.nulls(len(t), pa.int64()),
-                "side": pa.array(["S"] * len(t)),
+                "side": pa.array(["S"] * len(t), pa.string()),
                 "shingles": t.column("shingles").cast(sh_type),
                 "coarse": pa.array((d % n_coarse).astype(np.int32)),
             }
@@ -668,6 +672,7 @@ def embedding_near_dup(ds: "ray.data.Dataset", threshold: float = 0.95,
       bounded memory, still exact within the bucket.
     """
     if method == "auto":
+        # for a plain parquet read this count() is file-metadata only
         method = "exact" if ds.count() <= exact_max_rows else "lsh"
     if method == "exact":
         return _embedding_near_dup_exact(ds, threshold, id_col, vec_col)
@@ -724,12 +729,19 @@ def _embedding_near_dup_exact(ds: "ray.data.Dataset", threshold: float,
     """Exact distributed all-pairs: broadcast the normalized corpus once,
     chunked matmul per batch. O(n^2) compute spread over the cluster with
     O(batch x chunk) memory per task — the brute-force baseline the LSH path
-    is measured against."""
+    is measured against. The input is read ONCE (the corpus pull); the
+    scoring fan-out re-distributes the pulled chunks rather than re-reading
+    the source."""
     corpus = ds.select_columns([id_col, vec_col]).to_pandas()
     ids_all = corpus[id_col].to_numpy()
     mat_all = np.stack(corpus[vec_col].to_list()).astype(np.float64)
     mat_all /= np.maximum(np.linalg.norm(mat_all, axis=1, keepdims=True), 1e-12)
     ref = ray.put((ids_all, mat_all))
+    chunk_rows = 8 * 1024
+    ds = ray.data.from_pandas(
+        [corpus.iloc[i : i + chunk_rows] for i in range(0, len(corpus), chunk_rows)]
+        or [corpus]
+    )
 
     class PairsVsCorpus:
         def __init__(self):

@@ -95,6 +95,11 @@ class LanguageId:
         best = scores.argmax(axis=0)
         pred = langs[best].astype(object)
         pred[scores.max(axis=0) < 0.03] = "und"  # no profile matched
+        # null text -> 'und' explicitly (NaN scores would otherwise argmax to
+        # index 0); mirrored by the generated oracle SQL
+        null_mask = pc.is_null(batch.column("text")).to_numpy(zero_copy_only=False)
+        if null_mask.any():
+            pred[null_mask] = "und"
         return batch.append_column("lang_pred", pa.array(pred, pa.string()))
 
 

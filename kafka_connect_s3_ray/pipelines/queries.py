@@ -829,8 +829,10 @@ def _lang_id_sql() -> str:
         conds = " AND ".join(f"s_{lang} >= s_{o}" for o in langs[i + 1:])
         cases.append(f"WHEN {conds} THEN '{lang}'")
     return (
-        f"WITH s AS (SELECT doc_id, {score_cols} FROM documents) "
-        f"SELECT doc_id, CASE WHEN greatest({all_scores}) < 0.03 THEN 'und' "
+        f"WITH s AS (SELECT doc_id, text IS NULL AS no_text, {score_cols} "
+        "FROM documents) "
+        "SELECT doc_id, CASE WHEN no_text THEN 'und' "
+        f"WHEN greatest({all_scores}) < 0.03 THEN 'und' "
         + " ".join(cases)
         + f" ELSE '{langs[-1]}' END AS lang_pred FROM s"
     )

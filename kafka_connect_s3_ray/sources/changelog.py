@@ -57,7 +57,11 @@ def encode_change_payload(events: pa.Table) -> pa.Table:
         }
         for c in extra_cols:
             v = getattr(r, c)
-            obj[c] = None if (v is None or (np.isscalar(v) and pd.isna(v))) else v
+            try:  # pd.isna covers None/NaN/NaT/pd.NA; raises on array-likes
+                null = bool(pd.isna(v))
+            except (TypeError, ValueError):
+                null = False
+            obj[c] = None if null else v
         values.append(json.dumps(obj, sort_keys=True, default=str).encode())
     return pa.table(
         {

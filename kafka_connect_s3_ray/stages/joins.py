@@ -147,7 +147,7 @@ def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
                 for c in all_cols
             ]
             t = pa.table(dict(zip(all_cols, cols)))
-            t = t.append_column("_side", pa.array([_s] * len(t)))
+            t = t.append_column("_side", pa.array([_s] * len(t), pa.string()))
             return t.append_column("_coarse", pa.array(coarse))
 
         return fn
@@ -163,6 +163,8 @@ def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     # value columns to pandas NULLABLE dtypes in every bucket so all blocks
     # agree; Arrow maps Int64 back to int64-with-nulls.
     _NULLABLE = {pa.int64(): "Int64", pa.int32(): "Int32", pa.int16(): "Int16",
+                 pa.int8(): "Int8", pa.uint64(): "UInt64", pa.uint32(): "UInt32",
+                 pa.uint16(): "UInt16", pa.uint8(): "UInt8",
                  pa.bool_(): "boolean"}
     # shared-name keys come from the left side (never null) and must keep the
     # exact merge dtype; differently-named right keys DO null on unmatched
@@ -172,12 +174,28 @@ def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
         if join_type == "left" else {}
     )
 
+    def _side_frame(t: pa.Table, cols: list[str]) -> pd.DataFrame:
+        # Select the side's own columns and CAST back to the declared Arrow
+        # types: if Ray materialized an intermediate block as pandas (e.g. a
+        # zero-row pandas input block forces pandas consolidation in the
+        # sort), the other side's null-fill degrades ints to float64 — the
+        # cast restores them before the merge, so output dtypes never depend
+        # on block-format accidents.
+        t = t.select(cols)
+        arrs = []
+        for c in cols:
+            col = t.column(c)
+            if col.type != col_types[c]:
+                col = pc.cast(col, col_types[c])
+            arrs.append(col)
+        return pa.table(dict(zip(cols, arrs))).to_pandas()
+
     def merge_bucket(t: pa.Table) -> pd.DataFrame:
         # sides are separated IN ARROW before to_pandas so the other side's
         # null-fill can't degrade int columns to float
         side = t.column("_side")
-        ldf = t.filter(pc.equal(side, "l")).select(left_cols).to_pandas()
-        rdf = t.filter(pc.equal(side, "r")).select(right_cols).to_pandas()
+        ldf = _side_frame(t.filter(pc.equal(side, "l")), left_cols)
+        rdf = _side_frame(t.filter(pc.equal(side, "r")), right_cols)
         if left_nullable:
             rdf = rdf.astype(left_nullable)
         if shared_keys:
@@ -237,7 +255,7 @@ def asof_join(
                 k = k.astype(object)
             coarse = (pd.util.hash_array(np.ascontiguousarray(k)) %
                       np.uint64(n_coarse)).astype(np.int32)
-            t = t.append_column("_side", pa.array([_s] * len(t)))
+            t = t.append_column("_side", pa.array([_s] * len(t), pa.string()))
             return t.append_column("_coarse", pa.array(coarse))
 
         return fn

@@ -34,15 +34,11 @@ def _final_sum(part_ds: "ray.data.Dataset", group_cols: list[str],
     measured). Group by a COARSE hash bucket instead — all rows of a group
     co-locate — and run one vectorized pandas groupby per bucket."""
 
+    from .joins import _coarse_of  # one implementation of the bucket hash
+
     def add_coarse(t: pa.Table) -> pa.Table:
-        h = np.zeros(len(t), np.uint64)
-        for c in group_cols:
-            v = t.column(c).to_numpy(zero_copy_only=False)
-            v = v.astype(np.int64) if v.dtype.kind in "iu" else v.astype(object)
-            h = h * np.uint64(1000003) + pd.util.hash_array(np.ascontiguousarray(v))
-        return t.append_column(
-            "_coarse", pa.array((h % np.uint64(n_coarse)).astype(np.int32))
-        )
+        cols = [t.column(c).to_numpy(zero_copy_only=False) for c in group_cols]
+        return t.append_column("_coarse", pa.array(_coarse_of(cols, n_coarse)))
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby(group_cols, as_index=False).agg(

@@ -394,3 +394,56 @@ def test_hash_join_left_consistent_block_dtypes():
         assert b.schema.field("rv").type == pa.int64(), b.schema
     merged = pa.concat_tables(blocks)
     assert merged.column("rv").null_count == 6
+
+
+def test_hash_join_with_empty_input_block_keeps_dtypes():
+    """An empty input block must not inject a null-typed _side column and
+    degrade integer columns to float64 (review finding: untyped literal
+    arrays are null-typed for zero-row batches)."""
+    from kafka_connect_s3_ray.stages.joins import hash_join
+
+    ldf = pd.DataFrame({"k": np.arange(6, dtype=np.int64)})
+    rdf = pd.DataFrame({"k": np.array([1, 2], np.int64),
+                        "rv": np.array([10, 20], np.int64)})
+    lds = ray.data.from_pandas([ldf, ldf.head(0)])  # second block zero-row
+    out = hash_join(lds, ray.data.from_pandas(rdf), on="k",
+                    num_partitions=3).to_pandas()
+    assert out["rv"].dtype == np.int64
+    assert set(zip(out["k"], out["rv"])) == {(1, 10), (2, 20)}
+
+
+def test_encode_payload_null_timestamp_in_evolved_column():
+    """pd.NaT / pd.NA in an evolved payload column must serialize as JSON
+    null, not the strings 'NaT'/'<NA>'."""
+    from kafka_connect_s3_ray.sources.changelog import (
+        _decode_change_batch,
+        encode_change_payload,
+    )
+
+    events = pa.table({
+        "partition": pa.array([0, 0], pa.int32()),
+        "offset": pa.array([0, 1], pa.int64()),
+        "op": ["I", "I"],
+        "conv_id": ["a", "b"],
+        "turn_idx": pa.array([0, 0], pa.int32()),
+        "role": ["user", "user"],
+        "text": ["x", "y"],
+        "tool": [None, None],
+        "ts": pa.array([1_700_000_000_000_000] * 2, pa.timestamp("us")),
+        "evolved_ts": pa.array([None, 1_700_000_000_000_000], pa.timestamp("us")),
+        "evolved_n": pa.array([None, 7], pa.int64()),
+    })
+    recs = encode_change_payload(events)
+    v0 = json.loads(recs.column("value")[0].as_py())
+    assert v0["evolved_ts"] is None and v0["evolved_n"] is None
+    back = _decode_change_batch(recs)
+    assert back.column("evolved_n").to_pylist() == [None, 7]
+
+
+def test_lang_id_null_text_is_und():
+    from kafka_connect_s3_ray.functions.text import LanguageId
+
+    batch = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                      "text": pa.array(["the and of to in is that", None])})
+    out = LanguageId()(batch)
+    assert out.column("lang_pred").to_pylist() == ["en", "und"]
