@@ -147,3 +147,98 @@ def ivf_topk(ds: "ray.data.Dataset", queries: np.ndarray, k: int = 10,
     cand = cand.sort_values(["query_id", "score", id_col],
                             ascending=[True, False, True], kind="stable")
     return cand.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# persisted IVF index: build once, query many (the amortized scale path)
+# ---------------------------------------------------------------------------
+
+def build_ivf_index(ds: "ray.data.Dataset", index_dir: str,
+                    n_clusters: int = 16, sample_size: int = 2048,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    seed: int = 42) -> np.ndarray:
+    """Materialize a cluster-partitioned copy of the corpus: fit coarse
+    centroids on a sample (driver, seeded), assign every vector in one
+    ``map_batches`` pass, and write ``cluster=<c>/part-0.parquet`` files plus
+    ``centroids.npy``. Queries then read ONLY their nprobe clusters' files —
+    the assignment pass ``ivf_topk`` repeats per call is paid once here and
+    amortized over every subsequent query (partition pruning at the read, the
+    same trick the lake uses for ``part=<p>/``). Deterministic: same input +
+    seed => identical files."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    sample = ds.limit(sample_size).to_pandas()[vec_col]
+    cents = kmeans_fit(np.stack(sample.to_list()), n_clusters, seed=seed)
+    cents_ref = ray.put(cents)
+
+    class Assign:
+        def __init__(self):
+            self.cents = ray.get(cents_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if len(batch) == 0:
+                return batch.append_column("cluster", pa.array([], pa.int32()))
+            mat = _normalize(np.stack(batch.column(vec_col).to_pylist()).astype(np.float64))
+            assign = (mat @ self.cents.T).argmax(axis=1).astype(np.int32)
+            return batch.append_column("cluster", pa.array(assign))
+
+    assigned = ds.map_batches(Assign, batch_format="pyarrow", concurrency=2)
+
+    def write_cluster(g: pa.Table) -> pa.Table:
+        c = int(g.column("cluster")[0].as_py())
+        g = g.sort_by([(id_col, "ascending")])  # deterministic bytes
+        cdir = os.path.join(index_dir, f"cluster={c}")
+        os.makedirs(cdir, exist_ok=True)
+        path = os.path.join(cdir, "part-0.parquet")
+        tmp = path + ".inprogress"
+        pq.write_table(g, tmp, compression="zstd")
+        os.replace(tmp, path)
+        return pa.table({"cluster": pa.array([c], pa.int32()),
+                         "n": pa.array([len(g)], pa.int64())})
+
+    assigned.groupby("cluster").map_groups(
+        write_cluster, batch_format="pyarrow"
+    ).materialize()
+    os.makedirs(index_dir, exist_ok=True)
+    tmp = os.path.join(index_dir, "centroids.npy.inprogress")
+    with open(tmp, "wb") as f:
+        np.save(f, cents)
+    os.replace(tmp, os.path.join(index_dir, "centroids.npy"))
+    return cents
+
+
+def ivf_topk_indexed(index_dir: str, queries: np.ndarray, k: int = 10,
+                     nprobe: int = 4, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> pd.DataFrame:
+    """Approximate top-k against a ``build_ivf_index`` directory: only the
+    union of the queries' nprobe nearest clusters is READ (file-level
+    pruning); per-query cluster masking keeps standard IVF semantics. I/O per
+    query batch is O(nprobe/n_clusters) of the corpus instead of a full
+    scan."""
+    import glob as _glob
+    import os
+
+    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    nprobe = min(nprobe, len(cents))
+    probe = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    probed = sorted(set(np.unique(probe).tolist()))
+    files = [f for c in probed
+             for f in _glob.glob(os.path.join(index_dir, f"cluster={c}", "*.parquet"))]
+    if not files:
+        return pd.DataFrame({"query_id": [], id_col: [], "score": []})
+    ds = ray.data.read_parquet(files)  # pruned: unprobed clusters never leave disk
+    probe_mask = np.zeros((len(cents), len(q)), dtype=bool)
+    for qi in range(len(q)):
+        probe_mask[probe[qi], qi] = True
+    q_ref = ray.put(q)
+    cand = ds.map_batches(
+        _BatchTopK(q_ref, k, id_col, vec_col, probe_mask=probe_mask),
+        batch_format="pyarrow",
+    ).to_pandas()
+    cand = cand[np.isfinite(cand["score"])]
+    cand = cand.sort_values(["query_id", "score", id_col],
+                            ascending=[True, False, True], kind="stable")
+    return cand.groupby("query_id", sort=True).head(k).reset_index(drop=True)

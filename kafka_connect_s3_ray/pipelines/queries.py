@@ -710,6 +710,28 @@ def q_cosine_topk_ivf(sf_dir: str):
     return out[["query_id", "vec_id", "score"]]
 
 
+def q_cosine_topk_ivf_indexed(sf_dir: str, tmp_root: str = "/tmp/kcs3_ray"):
+    """IVF against a PERSISTED cluster-partitioned index (built+cached once
+    per sf): queries read only their nprobe clusters' files — the amortized
+    scale path for repeated ANN queries. Same centroids/seed as the live IVF,
+    so results match it; rows-only check (approximate op)."""
+    import duckdb
+
+    from ..functions.similarity import build_ivf_index, ivf_topk_indexed
+
+    name = os.path.basename(sf_dir.rstrip("/"))
+    idx = os.path.join(tmp_root, f"ivf_index_{name}")
+    if not os.path.exists(os.path.join(idx, "centroids.npy")):
+        build_ivf_index(_emb(sf_dir), idx, n_clusters=8)
+    qdf = duckdb.sql(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id LIMIT 3"
+    ).df()
+    queries = np.stack(qdf["embedding"].to_list()).astype(np.float64)
+    out = ivf_topk_indexed(idx, queries, k=10, nprobe=6)
+    out["score"] = out["score"].round(6)
+    return out[["query_id", "vec_id", "score"]]
+
+
 # ---------------------------------------------------------------------------
 # flagship transcript CDC pipeline (rows-only; pytest holds its oracle)
 # ---------------------------------------------------------------------------
@@ -798,6 +820,7 @@ QUERIES = {
     "approx_quantiles": q_approx_quantiles,
     "cosine_topk": q_cosine_topk,
     "cosine_topk_ivf": q_cosine_topk_ivf,
+    "cosine_topk_ivf_indexed": q_cosine_topk_ivf_indexed,
     "cdc_transcripts": q_cdc_transcripts,
 }
 

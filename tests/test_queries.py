@@ -78,7 +78,7 @@ SQL_CHECKED = [
 ]
 ROWS_ONLY = [
     "rolling_fingerprint", "minhash_near_dup", "simhash_near_dup",
-    "cosine_topk_ivf", "near_dup_verified", "curation_chain",
+    "cosine_topk_ivf", "cosine_topk_ivf_indexed", "near_dup_verified", "curation_chain",
     "approx_distinct", "approx_quantiles",
 ]
 

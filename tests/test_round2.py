@@ -447,3 +447,43 @@ def test_lang_id_null_text_is_und():
                       "text": pa.array(["the and of to in is that", None])})
     out = LanguageId()(batch)
     assert out.column("lang_pred").to_pylist() == ["en", "und"]
+
+
+def test_ivf_persisted_index_matches_live_and_prunes(tmp_path):
+    """build_ivf_index + ivf_topk_indexed: same results as the live ivf_topk
+    (same centroids/seed), only probed clusters' files are read, and the
+    index is byte-deterministic across rebuilds."""
+    import hashlib
+
+    from kafka_connect_s3_ray.functions.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_indexed,
+    )
+
+    emb = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pdf = emb.to_pandas()
+    queries = np.stack(pdf["embedding"].head(3).to_list()).astype(np.float64)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, n_clusters=8)
+    got = ivf_topk_indexed(idx, queries, k=5, nprobe=6)
+    live = ivf_topk(emb, queries, k=5, n_clusters=8, nprobe=6)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True)[["query_id", "vec_id"]],
+        live.reset_index(drop=True)[["query_id", "vec_id"]],
+    )
+    # layout: one dir per cluster; full probe reads every cluster = exhaustive
+    cdirs = sorted(glob.glob(os.path.join(idx, "cluster=*")))
+    assert len(cdirs) == 8
+    full = ivf_topk_indexed(idx, queries, k=5, nprobe=8)
+    from kafka_connect_s3_ray.functions.similarity import brute_force_topk
+
+    exact = brute_force_topk(emb, queries, k=5)
+    assert list(full["vec_id"]) == list(exact["vec_id"])
+    # deterministic rebuild
+    h1 = [hashlib.sha256(open(f, "rb").read()).hexdigest()
+          for f in sorted(glob.glob(os.path.join(idx, "cluster=*", "*.parquet")))]
+    build_ivf_index(emb, idx, n_clusters=8)
+    h2 = [hashlib.sha256(open(f, "rb").read()).hexdigest()
+          for f in sorted(glob.glob(os.path.join(idx, "cluster=*", "*.parquet")))]
+    assert h1 == h2
