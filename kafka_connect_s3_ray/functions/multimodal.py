@@ -7,17 +7,26 @@ the (real) codec or model loads once per actor in ``__init__``; ``__call__``
 processes one Arrow batch. Batch sizes must be small for large payloads — size
 by bytes, not rows (see ``suggest_batch_size``).
 
-The actual image/audio codecs are NOT available in this environment, so the
-decode step is STUBBED two ways:
+Decode support in this environment, three tiers:
 
-- ``decoder="real"`` raises ``NotImplementedError`` with the dependency name —
-  the seam where PIL/librosa/av would plug in.
-- ``decoder="fake"`` (default in tests) derives a deterministic feature vector
-  from the raw bytes (byte histogram + moments) so the Ray-side plumbing —
-  schema, actor signature, batch sizing, output layout — is real and tested.
+- **Real, dependency-free codecs** for uncompressed formats: PCM WAV audio
+  (stdlib ``wave``) and binary PPM (P6) images (pure numpy header parse) —
+  decode, feature extraction, and image resize are genuinely executed on the
+  bytes (``decode_wav`` / ``decode_ppm`` / ``encode_*`` below).
+- ``decoder="real"`` for COMPRESSED formats (JPEG/PNG/MP3/H.264) raises
+  ``NotImplementedError`` naming the dependency — the seam where
+  PIL/librosa/av would plug in; not installable in this container.
+- ``decoder="fake"`` derives a deterministic feature vector from the raw
+  bytes (byte histogram + moments) so plumbing tests never need codecs.
+
+``decoder="auto"`` (default) sniffs magic bytes: RIFF/WAVE -> real WAV path,
+``P6`` -> real PPM path, anything else -> fake features.
 """
 
 from __future__ import annotations
+
+import io
+import wave
 
 import numpy as np
 import pyarrow as pa
@@ -34,6 +43,102 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 FEATURE_DIM = 40  # 32-bin byte histogram + 8 moments
+
+
+# ---------------------------------------------------------------------------
+# real dependency-free codecs: PCM WAV (stdlib wave) and binary PPM (numpy)
+# ---------------------------------------------------------------------------
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
+    """int16 mono PCM samples -> WAV bytes (stdlib wave — a real encoder)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes -> (int16 mono samples, sample_rate). Multi-channel input is
+    averaged to mono; only 16-bit PCM is supported (the uncompressed case)."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise NotImplementedError(
+                f"only 16-bit PCM WAV supported, got sampwidth={w.getsampwidth()}"
+            )
+        rate = w.getframerate()
+        nch = w.getnchannels()
+        raw = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+    if nch > 1:
+        raw = raw.reshape(-1, nch).mean(axis=1).astype(np.int16)
+    return raw, rate
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 array -> binary PPM (P6) bytes."""
+    h, w, _ = img.shape
+    return f"P6\n{w} {h}\n255\n".encode() + np.ascontiguousarray(img, np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) bytes -> (h, w, 3) uint8 array. Pure numpy header
+    parse — a real image decode with no external codec."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    # header = magic, width, height, maxval, then one whitespace byte
+    parts, pos = [], 2
+    while len(parts) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment line
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        parts.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = parts
+    if maxval != 255:
+        raise NotImplementedError("only 8-bit PPM supported")
+    return np.frombuffer(payload, np.uint8, count=h * w * 3, offset=pos).reshape(h, w, 3)
+
+
+def _wav_features(payload: bytes) -> np.ndarray:
+    """Real audio features: duration, RMS, zero-crossing rate, peak, + a
+    16-bin amplitude histogram — padded to FEATURE_DIM."""
+    samples, rate = decode_wav(payload)
+    x = samples.astype(np.float64) / 32768.0
+    n = max(1, len(x))
+    hist = np.histogram(np.abs(x), bins=16, range=(0, 1))[0] / n
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(x))))) if len(x) > 1 else 0.0
+    head = np.array(
+        [len(x) / rate * 1000.0, float(np.sqrt(np.mean(x**2))), zcr,
+         float(np.abs(x).max(initial=0.0)), float(x.mean()), rate / 1e5],
+        dtype=np.float32,
+    )
+    out = np.zeros(FEATURE_DIM, np.float32)
+    out[: len(head)] = head
+    out[len(head) : len(head) + 16] = hist
+    return out
+
+
+def _ppm_features(payload: bytes) -> np.ndarray:
+    """Real image features: per-channel mean/std + a 16-bin luma histogram +
+    dims — padded to FEATURE_DIM."""
+    img = decode_ppm(payload).astype(np.float32)
+    luma = img @ np.array([0.299, 0.587, 0.114], np.float32)
+    hist = np.histogram(luma, bins=16, range=(0, 256))[0] / luma.size
+    head = np.concatenate(
+        [img.mean(axis=(0, 1)) / 255.0, img.std(axis=(0, 1)) / 255.0,
+         [img.shape[1] / 4096.0, img.shape[0] / 4096.0]]
+    ).astype(np.float32)
+    out = np.zeros(FEATURE_DIM, np.float32)
+    out[: len(head)] = head
+    out[len(head) : len(head) + 16] = hist
+    return out
 
 
 def synth_media(n: int = 64, seed: int = 42) -> pa.Table:
@@ -55,6 +160,39 @@ def synth_media(n: int = 64, seed: int = 42) -> pa.Table:
     )
 
 
+def synth_real_media(n: int = 32, seed: int = 42) -> pa.Table:
+    """Deterministic table of REAL media payloads: seeded sine-wave PCM WAVs
+    and gradient+noise PPM images — decodable by the codecs above."""
+    rng = np.random.default_rng(seed)
+    rows = {k: [] for k in MEDIA_SCHEMA.names}
+    for i in range(n):
+        if i % 2 == 0:  # audio
+            rate = 8000
+            dur_ms = int(rng.integers(50, 400))
+            t = np.arange(int(rate * dur_ms / 1000))
+            freq = float(rng.uniform(100, 1500))
+            amp = float(rng.uniform(0.2, 0.9))
+            samples = (amp * 32767 * np.sin(2 * np.pi * freq * t / rate)).astype(np.int16)
+            rows["payload"].append(encode_wav(samples, rate))
+            rows["media_type"].append("audio")
+            rows["width"].append(0)
+            rows["height"].append(0)
+            rows["duration_ms"].append(dur_ms)
+        else:  # image
+            w, h = int(rng.integers(16, 96)), int(rng.integers(16, 96))
+            base = np.linspace(0, 255, w, dtype=np.float32)[None, :, None]
+            img = (base + rng.integers(0, 64, (h, w, 3))).clip(0, 255).astype(np.uint8)
+            rows["payload"].append(encode_ppm(img))
+            rows["media_type"].append("image")
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["duration_ms"].append(0)
+        rows["media_id"].append(i)
+    return pa.Table.from_arrays(
+        [pa.array(rows[f.name], f.type) for f in MEDIA_SCHEMA], schema=MEDIA_SCHEMA
+    )
+
+
 def _fake_features(payload: bytes) -> np.ndarray:
     b = np.frombuffer(payload, dtype=np.uint8)
     if len(b) == 0:
@@ -72,20 +210,39 @@ def _fake_features(payload: bytes) -> np.ndarray:
 class MediaFeatureExtractor:
     """Actor-pool stage: payload bytes -> feature vector (list<float32>).
 
-    ``decoder="real"`` is the seam for an actual decode+model pipeline (PIL /
-    torchvision / librosa) — one model load per actor, batched inference per
-    call. Not available in this container: raises NotImplementedError."""
+    ``decoder="auto"``: sniff the payload — RIFF/WAVE decodes through the real
+    WAV path, ``P6`` through the real PPM path, anything else falls back to
+    the deterministic byte-level features. ``decoder="real"`` additionally
+    demands a real decode for COMPRESSED formats, which needs PIL/librosa/av —
+    not present in this container: raises NotImplementedError (the model-load
+    seam; one codec/model per actor, batched inference per call)."""
 
-    def __init__(self, decoder: str = "fake"):
+    def __init__(self, decoder: str = "auto"):
+        if decoder not in ("auto", "fake", "real"):
+            raise ValueError(f"unknown decoder: {decoder}")
         self.decoder = decoder
-        if decoder == "real":
-            raise NotImplementedError(
-                "real media decoding needs PIL/librosa/av — not present in this "
-                "environment; use decoder='fake' for deterministic plumbing"
-            )
+
+    def _features(self, p: bytes) -> np.ndarray:
+        if self.decoder != "fake":
+            try:
+                if p.startswith(b"RIFF") and p[8:12] == b"WAVE":
+                    return _wav_features(p)
+                if p.startswith(b"P6"):
+                    return _ppm_features(p)
+            except Exception:
+                if self.decoder == "real":
+                    raise  # a corrupt payload must fail loudly in real mode
+                return _fake_features(p)  # auto: sniff false-positive
+            if self.decoder == "real":
+                raise NotImplementedError(
+                    "compressed media decoding needs PIL/librosa/av — not "
+                    "present in this environment; WAV/PPM decode natively, "
+                    "other formats use decoder='auto' byte features"
+                )
+        return _fake_features(p)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = [_fake_features(p) for p in batch.column("payload").to_pylist()]
+        feats = [self._features(p) for p in batch.column("payload").to_pylist()]
         out = batch.drop_columns(["payload"])  # features replace the heavy bytes
         return out.append_column(
             "features", pa.array([f.tolist() for f in feats], pa.list_(pa.float32()))
@@ -119,23 +276,35 @@ class FrameSampler:
 
 
 class Resizer:
-    """Image-resize stub: real decode+resize (PIL/torchvision) is the
-    ``decoder="real"`` seam; the fake path deterministically subsamples the
-    payload bytes to a target 'resolution' and rewrites width/height metadata,
-    so the batch plumbing (binary in -> smaller binary out, metadata update)
-    is real and tested."""
+    """Image resize as an actor-pool stage. PPM (P6) payloads are REALLY
+    decoded, nearest-neighbor-resampled (vectorized index gather), and
+    re-encoded; compressed formats would need PIL (``decoder="real"`` raises
+    naming it); other payloads fall back to deterministic byte subsampling so
+    the batch plumbing (binary in -> smaller binary out, metadata update)
+    stays testable without codecs."""
 
-    def __init__(self, target_w: int = 64, target_h: int = 64, decoder: str = "fake"):
+    def __init__(self, target_w: int = 64, target_h: int = 64, decoder: str = "auto"):
         if decoder == "real":
             raise NotImplementedError(
-                "real image resize needs PIL — not present in this environment"
+                "resizing compressed images needs PIL — not present in this "
+                "environment; PPM (P6) resizes natively under decoder='auto'"
             )
         self.target_w, self.target_h = target_w, target_h
 
+    def _resize_ppm(self, p: bytes) -> bytes:
+        img = decode_ppm(p)
+        h, w, _ = img.shape
+        yi = (np.arange(self.target_h) * h // self.target_h).clip(0, h - 1)
+        xi = (np.arange(self.target_w) * w // self.target_w).clip(0, w - 1)
+        return encode_ppm(img[yi[:, None], xi[None, :]])
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        n_out = self.target_w * self.target_h // 8  # fake byte budget
+        n_out = self.target_w * self.target_h // 8  # fake-path byte budget
         out = []
         for p in batch.column("payload").to_pylist():
+            if p.startswith(b"P6"):
+                out.append(self._resize_ppm(p))
+                continue
             step = max(1, len(p) // n_out)
             out.append(p[::step][:n_out])
         batch = batch.set_column(

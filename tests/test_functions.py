@@ -199,8 +199,9 @@ def test_multimodal_plumbing():
     orig_sizes = media.to_pandas()["payload"].str.len()
     assert (resized.sort_values("media_id")["payload"].str.len().to_numpy()
             <= orig_sizes.to_numpy()).all()
-    # real decoder is an explicit stub
+    # WAV/PPM decode natively; COMPRESSED formats under decoder="real" are the
+    # explicit dependency seam (per-payload; construction succeeds)
     with pytest.raises(NotImplementedError):
-        MediaFeatureExtractor(decoder="real")
+        MediaFeatureExtractor(decoder="real")._features(b"\x89PNG\r\n\x1a\n x")
     with pytest.raises(NotImplementedError):
         Resizer(decoder="real")

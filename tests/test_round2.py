@@ -487,3 +487,66 @@ def test_ivf_persisted_index_matches_live_and_prunes(tmp_path):
     h2 = [hashlib.sha256(open(f, "rb").read()).hexdigest()
           for f in sorted(glob.glob(os.path.join(idx, "cluster=*", "*.parquet")))]
     assert h1 == h2
+
+
+# ---------------------------------------------------------------------------
+# real (dependency-free) media codecs: WAV + PPM
+# ---------------------------------------------------------------------------
+
+def test_wav_and_ppm_roundtrip():
+    from kafka_connect_s3_ray.functions.multimodal import (
+        decode_ppm,
+        decode_wav,
+        encode_ppm,
+        encode_wav,
+    )
+
+    t = np.arange(800)
+    samples = (0.5 * 32767 * np.sin(2 * np.pi * 440 * t / 8000)).astype(np.int16)
+    back, rate = decode_wav(encode_wav(samples, 8000))
+    assert rate == 8000 and np.array_equal(back, samples)
+    img = (np.arange(24 * 16 * 3) % 256).astype(np.uint8).reshape(24, 16, 3)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+
+
+def test_real_media_features_and_resize():
+    from kafka_connect_s3_ray.functions.multimodal import (
+        MediaFeatureExtractor,
+        Resizer,
+        decode_ppm,
+        synth_real_media,
+    )
+
+    media = synth_real_media(16)
+    ds = ray.data.from_arrow(media)
+    feats = ds.map_batches(MediaFeatureExtractor, batch_format="pyarrow",
+                           concurrency=2).to_pandas()
+    assert len(feats) == 16
+    # audio rows: feature[0] = duration_ms (real decode), feature[1] = RMS of
+    # a sine = amp/sqrt(2) in (0.14, 0.65) for amp in (0.2, 0.9)
+    audio = feats[feats["media_type"] == "audio"]
+    durations = np.array([f[0] for f in audio["features"]])
+    rms = np.array([f[1] for f in audio["features"]])
+    exp_dur = audio["duration_ms"].to_numpy().astype(float)
+    assert np.allclose(durations, exp_dur, atol=1.0)
+    assert ((rms > 0.1) & (rms < 0.7)).all()
+    # image rows: features reflect per-channel means (gradient ~ mid-gray)
+    image = feats[feats["media_type"] == "image"]
+    means = np.stack([np.array(f[:3]) for f in image["features"]])
+    assert ((means > 0.2) & (means < 0.9)).all()
+
+    # real PPM resize: output parses as PPM with the target dims
+    resized = ds.map_batches(Resizer(target_w=8, target_h=6),
+                             batch_format="pyarrow").to_pandas()
+    for _, row in resized[resized["media_type"] == "image"].iterrows():
+        img = decode_ppm(row["payload"])
+        assert img.shape == (6, 8, 3)
+        assert row["width"] == 8 and row["height"] == 6
+
+
+def test_real_decoder_rejects_compressed():
+    from kafka_connect_s3_ray.functions.multimodal import MediaFeatureExtractor
+
+    ex = MediaFeatureExtractor(decoder="real")
+    with pytest.raises(NotImplementedError):
+        ex._features(b"\x89PNG\r\n\x1a\n garbage")
