@@ -663,6 +663,30 @@ def q_curation_chain(sf_dir: str):
                      "n": pa.array([int(report[s]) for s in stages], pa.int64())})
 
 
+def q_media_features(sf_dir: str):
+    """Multimodal pipeline through the gate: REAL dependency-free decode of
+    seeded WAV/PPM payloads (stdlib wave + numpy PPM parse) -> actor-pool
+    feature extraction; features replace the heavy bytes. Deterministic
+    (seed=42, size scaled by sf); rows-only (no SQL media codecs)."""
+    from ..functions.multimodal import MediaFeatureExtractor, synth_real_media
+
+    name = os.path.basename(sf_dir.rstrip("/"))
+    n = {"sf0.001": 32, "sf0.01": 64, "sf0.1": 256}.get(name, 64)
+    ds = ray.data.from_arrow(synth_real_media(n))
+    out = ds.map_batches(MediaFeatureExtractor, batch_format="pyarrow",
+                         concurrency=2).to_pandas()
+    feats = np.stack([np.asarray(f, np.float32) for f in out["features"]])
+    return pa.table(
+        {
+            "media_id": pa.array(out["media_id"], pa.int64()),
+            "media_type": pa.array(out["media_type"], pa.string()),
+            # first feature: duration_ms (audio) / mean-R (image) — rounded
+            "f0": pa.array(np.round(feats[:, 0].astype(np.float64), 4)),
+            "f1": pa.array(np.round(feats[:, 1].astype(np.float64), 4)),
+        }
+    )
+
+
 def q_approx_distinct(sf_dir: str):
     """HLL sketch distinct count (mergeable, one sketch per batch crosses the
     shuffle). Approximate -> rows-only check; accuracy tested in pytest."""
@@ -816,6 +840,7 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "near_dup_verified": q_near_dup_verified,
     "curation_chain": q_curation_chain,
+    "media_features": q_media_features,
     "approx_distinct": q_approx_distinct,
     "approx_quantiles": q_approx_quantiles,
     "cosine_topk": q_cosine_topk,

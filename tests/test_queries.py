@@ -79,6 +79,7 @@ SQL_CHECKED = [
 ROWS_ONLY = [
     "rolling_fingerprint", "minhash_near_dup", "simhash_near_dup",
     "cosine_topk_ivf", "cosine_topk_ivf_indexed", "near_dup_verified", "curation_chain",
+    "media_features",
     "approx_distinct", "approx_quantiles",
 ]
 
