@@ -81,6 +81,35 @@ def hash_join_native(left: "ray.data.Dataset", right: "ray.data.Dataset",
                      on=on_t, **kw)
 
 
+def _arrow_type(t) -> pa.DataType:
+    """Normalize a Dataset.schema() entry to an Arrow DataType: pandas-block
+    datasets report numpy dtypes / Python classes (e.g. ``dtype('int64')`` or
+    ``str``), which ``pa.nulls``/``cast`` reject."""
+    if isinstance(t, pa.DataType):
+        return t
+    try:
+        dt = np.dtype(t)
+        if dt.kind != "O":
+            return pa.from_numpy_dtype(dt)
+    except TypeError:
+        pass
+    if t in (str, object, np.dtype(object)):
+        return pa.string()
+    if t is bytes:
+        return pa.binary()
+    if t is bool:
+        return pa.bool_()
+    if t is int:
+        return pa.int64()
+    if t is float:
+        return pa.float64()
+    return pa.string()
+
+
+def _schema_types(schema) -> dict:
+    return {n: _arrow_type(t) for n, t in zip(schema.names, schema.types)}
+
+
 def _coarse_of(df_cols: list[np.ndarray], n_coarse: int) -> np.ndarray:
     """Combined deterministic hash bucket over one side's key columns —
     identical across sides for equal key values (int keys hashed as int64,
@@ -118,8 +147,8 @@ def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     if join_type not in ("inner", "left"):
         raise ValueError(f"unsupported join_type: {join_type}")
     lsch, rsch = left.schema(), right.schema()
-    ltypes = dict(zip(lsch.names, lsch.types))
-    rtypes = dict(zip(rsch.names, rsch.types))
+    ltypes = _schema_types(lsch)
+    rtypes = _schema_types(rsch)
     shared_keys = on_t == ron_t
     # rename colliding right columns (shared join keys stay as-is: they merge)
     rmap = {}
@@ -190,7 +219,7 @@ def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
             arrs.append(col)
         return pa.table(dict(zip(cols, arrs))).to_pandas()
 
-    def merge_bucket(t: pa.Table) -> pd.DataFrame:
+    def merge_bucket(t: pa.Table) -> pa.Table:
         # sides are separated IN ARROW before to_pandas so the other side's
         # null-fill can't degrade int columns to float
         side = t.column("_side")
@@ -199,8 +228,13 @@ def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
         if left_nullable:
             rdf = rdf.astype(left_nullable)
         if shared_keys:
-            return ldf.merge(rdf, on=on_t, how=join_type)
-        return ldf.merge(rdf, left_on=on_t, right_on=ron_out, how=join_type)
+            m = ldf.merge(rdf, on=on_t, how=join_type)
+        else:
+            m = ldf.merge(rdf, left_on=on_t, right_on=ron_out, how=join_type)
+        # return ARROW: Ray drops the schema of empty pandas blocks, so a
+        # bucket (or whole join) with zero matches would otherwise lose its
+        # columns downstream
+        return pa.Table.from_pandas(m, preserve_index=False)
 
     both = lt.union(rt)
     return both.groupby("_coarse").map_groups(merge_bucket, batch_format="pyarrow")
@@ -228,8 +262,8 @@ def asof_join(
     state. Partitioning assumption: a bucket's rows fit one task — raise
     ``n_coarse`` for bigger inputs."""
     lsch, rsch = left.schema(), right.schema()
-    ltypes = dict(zip(lsch.names, lsch.types))
-    rtypes = dict(zip(rsch.names, rsch.types))
+    ltypes = _schema_types(lsch)
+    rtypes = _schema_types(rsch)
     rkeep = [key, ts] + [c for c in (right_cols or rsch.names) if c not in (key, ts)]
     # right payload columns renamed when they collide with left names
     rmap = {c: (c if c in (key, ts) or c not in ltypes else c + suffix) for c in rkeep}
