@@ -111,6 +111,8 @@ def _wav_features(payload: bytes) -> np.ndarray:
     16-bin amplitude histogram — padded to FEATURE_DIM."""
     samples, rate = decode_wav(payload)
     x = samples.astype(np.float64) / 32768.0
+    if len(x) == 0:  # zero-frame WAV is valid; means on empty slices are NaN
+        return np.zeros(FEATURE_DIM, np.float32)
     n = max(1, len(x))
     hist = np.histogram(np.abs(x), bins=16, range=(0, 1))[0] / n
     zcr = float(np.mean(np.abs(np.diff(np.signbit(x))))) if len(x) > 1 else 0.0
@@ -289,6 +291,9 @@ class Resizer:
                 "resizing compressed images needs PIL — not present in this "
                 "environment; PPM (P6) resizes natively under decoder='auto'"
             )
+        if decoder not in ("auto", "fake"):
+            raise ValueError(f"unknown decoder: {decoder}")
+        self.decoder = decoder
         self.target_w, self.target_h = target_w, target_h
 
     def _resize_ppm(self, p: bytes) -> bytes:
@@ -302,9 +307,12 @@ class Resizer:
         n_out = self.target_w * self.target_h // 8  # fake-path byte budget
         out = []
         for p in batch.column("payload").to_pylist():
-            if p.startswith(b"P6"):
-                out.append(self._resize_ppm(p))
-                continue
+            if self.decoder == "auto" and p.startswith(b"P6"):
+                try:
+                    out.append(self._resize_ppm(p))
+                    continue
+                except Exception:
+                    pass  # sniff false-positive / corrupt PPM -> byte path
             step = max(1, len(p) // n_out)
             out.append(p[::step][:n_out])
         batch = batch.set_column(

@@ -71,6 +71,41 @@ class _BatchTopK:
         )
 
 
+def _finalize_candidates(cand: pd.DataFrame, k: int, id_col: str) -> pd.DataFrame:
+    """The shared top-k contract for every similarity path: drop masked
+    scores, order by (query_id, -score, id) with deterministic tie-breaks,
+    keep k per query. One implementation so live/indexed/brute paths can
+    never diverge."""
+    cand = cand[np.isfinite(cand["score"])]
+    cand = cand.sort_values(["query_id", "score", id_col],
+                            ascending=[True, False, True], kind="stable")
+    return cand.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+
+
+class _CentroidAssign:
+    """map_batches stage: append the nearest-centroid ``cluster`` column;
+    optionally drop rows outside ``keep_clusters`` (the IVF probe prune)."""
+
+    def __init__(self, cents_ref, vec_col: str, keep_clusters=None):
+        self.cents_ref = cents_ref
+        self.cents = None
+        self.vec_col = vec_col
+        self.keep = (np.asarray(sorted(keep_clusters))
+                     if keep_clusters is not None else None)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:  # np.stack raises on zero-row batches
+            return batch.append_column("cluster", pa.array([], pa.int32()))
+        if self.cents is None:
+            self.cents = ray.get(self.cents_ref)
+        mat = _normalize(np.stack(batch.column(self.vec_col).to_pylist()).astype(np.float64))
+        assign = (mat @ self.cents.T).argmax(axis=1)
+        batch = batch.append_column("cluster", pa.array(assign.astype(np.int32)))
+        if self.keep is None:
+            return batch
+        return batch.filter(pa.array(np.isin(assign, self.keep)))
+
+
 def brute_force_topk(ds: "ray.data.Dataset", queries: np.ndarray, k: int = 10,
                      id_col: str = "vec_id", vec_col: str = "embedding") -> pd.DataFrame:
     """Exact cosine top-k for each query vector. Returns a small DataFrame
@@ -82,9 +117,7 @@ def brute_force_topk(ds: "ray.data.Dataset", queries: np.ndarray, k: int = 10,
         batch_format="pyarrow",
         batch_size=32 * 1024,
     ).to_pandas()  # O(blocks * Q * k) rows — small by construction
-    cand = cand.sort_values(["query_id", "score", id_col],
-                            ascending=[True, False, True], kind="stable")
-    return cand.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    return _finalize_candidates(cand, k, id_col)
 
 
 def kmeans_fit(sample: np.ndarray, n_clusters: int, iters: int = 10,
@@ -118,35 +151,26 @@ def ivf_topk(ds: "ray.data.Dataset", queries: np.ndarray, k: int = 10,
     q = _normalize(np.asarray(queries, dtype=np.float64))
     probe = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]  # (Q, nprobe)
     probed_clusters = set(np.unique(probe).tolist())
-
-    class AssignFilter:
-        def __init__(self):
-            self.cents = ray.get(cents_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            if len(batch) == 0:  # np.stack raises on zero-row batches
-                return batch.append_column("cluster", pa.array([], pa.int32()))
-            mat = _normalize(np.stack(batch.column(vec_col).to_pylist()).astype(np.float64))
-            assign = (mat @ self.cents.T).argmax(axis=1)
-            keep = np.isin(assign, list(probed_clusters))
-            batch = batch.append_column("cluster", pa.array(assign.astype(np.int32)))
-            return batch.filter(pa.array(keep))
-
-    pruned = ds.map_batches(AssignFilter, batch_format="pyarrow", concurrency=2)
+    pruned = ds.map_batches(
+        _CentroidAssign(cents_ref, vec_col, keep_clusters=probed_clusters),
+        batch_format="pyarrow", concurrency=2,
+    )
     q_ref = ray.put(q)
     # per-query cluster masking: query q only scores vectors from ITS nprobe
     # clusters (standard IVF), not the union of all queries' clusters
-    probe_mask = np.zeros((len(cents), len(q)), dtype=bool)
-    for qi in range(len(q)):
-        probe_mask[probe[qi], qi] = True
+    probe_mask = _probe_mask(probe, len(cents), len(q))
     cand = pruned.map_batches(
         _BatchTopK(q_ref, k, id_col, vec_col, probe_mask=probe_mask),
         batch_format="pyarrow",
     ).to_pandas()
-    cand = cand[np.isfinite(cand["score"])]
-    cand = cand.sort_values(["query_id", "score", id_col],
-                            ascending=[True, False, True], kind="stable")
-    return cand.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    return _finalize_candidates(cand, k, id_col)
+
+
+def _probe_mask(probe: np.ndarray, n_clusters: int, n_queries: int) -> np.ndarray:
+    mask = np.zeros((n_clusters, n_queries), dtype=bool)
+    for qi in range(n_queries):
+        mask[probe[qi], qi] = True
+    return mask
 
 
 # ---------------------------------------------------------------------------
@@ -165,26 +189,26 @@ def build_ivf_index(ds: "ray.data.Dataset", index_dir: str,
     amortized over every subsequent query (partition pruning at the read, the
     same trick the lake uses for ``part=<p>/``). Deterministic: same input +
     seed => identical files."""
+    import glob as _glob
     import os
+    import shutil
 
     import pyarrow.parquet as pq
+
+    # invalidate first (a rebuild over changed data must not leave stale
+    # clusters for queries to read): centroids.npy is the commit marker —
+    # remove it, then the old cluster dirs, then write new data, marker last
+    marker = os.path.join(index_dir, "centroids.npy")
+    if os.path.exists(marker):
+        os.remove(marker)
+    for d in _glob.glob(os.path.join(index_dir, "cluster=*")):
+        shutil.rmtree(d, ignore_errors=True)
 
     sample = ds.limit(sample_size).to_pandas()[vec_col]
     cents = kmeans_fit(np.stack(sample.to_list()), n_clusters, seed=seed)
     cents_ref = ray.put(cents)
-
-    class Assign:
-        def __init__(self):
-            self.cents = ray.get(cents_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            if len(batch) == 0:
-                return batch.append_column("cluster", pa.array([], pa.int32()))
-            mat = _normalize(np.stack(batch.column(vec_col).to_pylist()).astype(np.float64))
-            assign = (mat @ self.cents.T).argmax(axis=1).astype(np.int32)
-            return batch.append_column("cluster", pa.array(assign))
-
-    assigned = ds.map_batches(Assign, batch_format="pyarrow", concurrency=2)
+    assigned = ds.map_batches(_CentroidAssign(cents_ref, vec_col),
+                              batch_format="pyarrow", concurrency=2)
 
     def write_cluster(g: pa.Table) -> pa.Table:
         c = int(g.column("cluster")[0].as_py())
@@ -230,15 +254,10 @@ def ivf_topk_indexed(index_dir: str, queries: np.ndarray, k: int = 10,
     if not files:
         return pd.DataFrame({"query_id": [], id_col: [], "score": []})
     ds = ray.data.read_parquet(files)  # pruned: unprobed clusters never leave disk
-    probe_mask = np.zeros((len(cents), len(q)), dtype=bool)
-    for qi in range(len(q)):
-        probe_mask[probe[qi], qi] = True
+    probe_mask = _probe_mask(probe, len(cents), len(q))
     q_ref = ray.put(q)
     cand = ds.map_batches(
         _BatchTopK(q_ref, k, id_col, vec_col, probe_mask=probe_mask),
         batch_format="pyarrow",
     ).to_pandas()
-    cand = cand[np.isfinite(cand["score"])]
-    cand = cand.sort_values(["query_id", "score", id_col],
-                            ascending=[True, False, True], kind="stable")
-    return cand.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    return _finalize_candidates(cand, k, id_col)

@@ -744,7 +744,11 @@ def q_cosine_topk_ivf_indexed(sf_dir: str, tmp_root: str = "/tmp/kcs3_ray"):
     from ..functions.similarity import build_ivf_index, ivf_topk_indexed
 
     name = os.path.basename(sf_dir.rstrip("/"))
-    idx = os.path.join(tmp_root, f"ivf_index_{name}")
+    # cache key includes the source file's size+mtime so a regenerated
+    # embeddings table can never serve a stale index
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    idx = os.path.join(tmp_root,
+                       f"ivf_index_{name}_{st.st_size}_{int(st.st_mtime)}")
     if not os.path.exists(os.path.join(idx, "centroids.npy")):
         build_ivf_index(_emb(sf_dir), idx, n_clusters=8)
     qdf = duckdb.sql(

@@ -81,33 +81,37 @@ def hash_join_native(left: "ray.data.Dataset", right: "ray.data.Dataset",
                      on=on_t, **kw)
 
 
-def _arrow_type(t) -> pa.DataType:
-    """Normalize a Dataset.schema() entry to an Arrow DataType: pandas-block
-    datasets report numpy dtypes / Python classes (e.g. ``dtype('int64')`` or
-    ``str``), which ``pa.nulls``/``cast`` reject."""
-    if isinstance(t, pa.DataType):
-        return t
-    try:
-        dt = np.dtype(t)
+def _schema_types(ds: "ray.data.Dataset") -> dict:
+    """Column name -> Arrow DataType for a Dataset. Pandas-block datasets
+    report numpy dtypes / Python classes from ``schema()`` (which
+    ``pa.nulls``/``cast`` reject); non-object entries convert directly, and
+    any OBJECT column's true Arrow type (string vs binary vs list) is
+    resolved by converting one block to Arrow (``take_batch`` — one-block
+    partial execution, cheap next to the join itself)."""
+    sch = ds.schema()
+    out: dict = {}
+    unresolved = []
+    for n, t in zip(sch.names, sch.types):
+        if isinstance(t, pa.DataType):
+            out[n] = t
+            continue
+        try:
+            dt = np.dtype(t)
+        except TypeError:
+            dt = np.dtype(object)
         if dt.kind != "O":
-            return pa.from_numpy_dtype(dt)
-    except TypeError:
-        pass
-    if t in (str, object, np.dtype(object)):
-        return pa.string()
-    if t is bytes:
-        return pa.binary()
-    if t is bool:
-        return pa.bool_()
-    if t is int:
-        return pa.int64()
-    if t is float:
-        return pa.float64()
-    return pa.string()
-
-
-def _schema_types(schema) -> dict:
-    return {n: _arrow_type(t) for n, t in zip(schema.names, schema.types)}
+            out[n] = pa.from_numpy_dtype(dt)
+        else:
+            unresolved.append(n)
+    if unresolved:
+        try:
+            b = ds.take_batch(1, batch_format="pyarrow")
+            for n in unresolved:
+                out[n] = b.schema.field(n).type
+        except Exception:  # empty dataset etc. — strings are the common case
+            for n in unresolved:
+                out[n] = pa.string()
+    return out
 
 
 def _coarse_of(df_cols: list[np.ndarray], n_coarse: int) -> np.ndarray:
@@ -147,8 +151,8 @@ def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     if join_type not in ("inner", "left"):
         raise ValueError(f"unsupported join_type: {join_type}")
     lsch, rsch = left.schema(), right.schema()
-    ltypes = _schema_types(lsch)
-    rtypes = _schema_types(rsch)
+    ltypes = _schema_types(left)
+    rtypes = _schema_types(right)
     shared_keys = on_t == ron_t
     # rename colliding right columns (shared join keys stay as-is: they merge)
     rmap = {}
@@ -202,6 +206,10 @@ def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
          if not (shared_keys and c in ron_out) and col_types[c] in _NULLABLE}
         if join_type == "left" else {}
     )
+    # the merge's output columns, in pandas-merge order, with declared types
+    out_cols = left_cols + [c for c in right_cols
+                            if not (shared_keys and c in ron_out)]
+    out_schema = pa.schema([(c, col_types[c]) for c in out_cols])
 
     def _side_frame(t: pa.Table, cols: list[str]) -> pd.DataFrame:
         # Select the side's own columns and CAST back to the declared Arrow
@@ -231,10 +239,11 @@ def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
             m = ldf.merge(rdf, on=on_t, how=join_type)
         else:
             m = ldf.merge(rdf, left_on=on_t, right_on=ron_out, how=join_type)
-        # return ARROW: Ray drops the schema of empty pandas blocks, so a
-        # bucket (or whole join) with zero matches would otherwise lose its
-        # columns downstream
-        return pa.Table.from_pandas(m, preserve_index=False)
+        # return ARROW with the EXPLICIT output schema: Ray drops the schema
+        # of empty pandas blocks, and from_pandas would infer type null for
+        # an all-NaN string/binary column in a no-match bucket — either way a
+        # divergent block schema downstream
+        return pa.Table.from_pandas(m, schema=out_schema, preserve_index=False)
 
     both = lt.union(rt)
     return both.groupby("_coarse").map_groups(merge_bucket, batch_format="pyarrow")
@@ -262,8 +271,8 @@ def asof_join(
     state. Partitioning assumption: a bucket's rows fit one task — raise
     ``n_coarse`` for bigger inputs."""
     lsch, rsch = left.schema(), right.schema()
-    ltypes = _schema_types(lsch)
-    rtypes = _schema_types(rsch)
+    ltypes = _schema_types(left)
+    rtypes = _schema_types(right)
     rkeep = [key, ts] + [c for c in (right_cols or rsch.names) if c not in (key, ts)]
     # right payload columns renamed when they collide with left names
     rmap = {c: (c if c in (key, ts) or c not in ltypes else c + suffix) for c in rkeep}

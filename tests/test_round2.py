@@ -550,3 +550,71 @@ def test_real_decoder_rejects_compressed():
     ex = MediaFeatureExtractor(decoder="real")
     with pytest.raises(NotImplementedError):
         ex._features(b"\x89PNG\r\n\x1a\n garbage")
+
+
+def test_hash_join_pandas_block_binary_and_left_string_schema():
+    """Review regressions: (a) pandas-block datasets with bytes/object
+    columns join without crashing (true Arrow type resolved from a block);
+    (b) a left join whose buckets have zero right matches still emits
+    string columns typed string (not null) in every block."""
+    from kafka_connect_s3_ray.stages.joins import hash_join
+
+    ldf = pd.DataFrame({"k": np.array([1, 2], np.int64),
+                        "payload": [b"\xff\xfe", b"abc"]})
+    rdf = pd.DataFrame({"k": np.array([1], np.int64), "s": ["x"]})
+    out = hash_join(ray.data.from_pandas(ldf), ray.data.from_pandas(rdf),
+                    on="k", num_partitions=3).to_pandas()
+    assert out["payload"].tolist() == [b"\xff\xfe"]
+
+    left = pa.table({"k": pa.array(range(8), pa.int64())})
+    right = pa.table({"k": pa.array([0], pa.int64()), "s": ["hit"]})
+    lj = hash_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                   on="k", join_type="left", num_partitions=4)
+    blocks = [b for b in lj.iter_batches(batch_format="pyarrow") if len(b)]
+    for b in blocks:
+        assert b.schema.field("s").type == pa.string(), b.schema
+    merged = pa.concat_tables(blocks)
+    assert merged.column("s").null_count == 7
+
+
+def test_resizer_corrupt_ppm_falls_back():
+    from kafka_connect_s3_ray.functions.multimodal import Resizer
+
+    r = Resizer(target_w=4, target_h=4)
+    batch = pa.table({"media_id": pa.array([1], pa.int64()),
+                      "media_type": ["image"],
+                      "payload": pa.array([b"P6 notreally an image"], pa.binary()),
+                      "width": pa.array([0], pa.int32()),
+                      "height": pa.array([0], pa.int32()),
+                      "duration_ms": pa.array([0], pa.int32())})
+    out = r(batch)  # must not raise; byte-subsample fallback
+    assert len(out) == 1 and len(out.column("payload")[0].as_py()) > 0
+
+
+def test_wav_features_zero_frames_no_nan():
+    from kafka_connect_s3_ray.functions.multimodal import (
+        MediaFeatureExtractor,
+        encode_wav,
+    )
+
+    f = MediaFeatureExtractor()._features(encode_wav(np.array([], np.int16)))
+    assert np.isfinite(f).all()
+
+
+def test_ivf_rebuild_clears_stale_clusters(tmp_path):
+    from kafka_connect_s3_ray.functions.similarity import (
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+
+    rng = np.random.default_rng(4)
+    big = pd.DataFrame({"vec_id": np.arange(200, dtype=np.int64),
+                        "embedding": list(rng.standard_normal((200, 8)))})
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(ray.data.from_pandas(big), idx, n_clusters=8)
+    # rebuild over a much smaller corpus: stale cluster files must vanish
+    small = big.head(5)
+    build_ivf_index(ray.data.from_pandas(small), idx, n_clusters=8)
+    out = ivf_topk_indexed(idx, np.stack(small["embedding"].to_list()), k=3,
+                           nprobe=8)
+    assert set(out["vec_id"]) <= set(small["vec_id"])
