@@ -392,6 +392,34 @@ def q_asof_join(sf_dir: str):
     return out.map_batches(matched, batch_format="pandas")
 
 
+def q_range_join(sf_dir: str):
+    """Range (interval-containment) join: each purchase matched to every
+    click of the same user whose 30-minute window [click_ts, click_ts+30m)
+    contains the purchase — coarse-bucket key exchange + vectorized
+    containment filter (many-to-many)."""
+    from ..stages.joins import range_join
+
+    ev = _events(sf_dir)
+    purchases = ev.filter(expr="event_type == 'purchase'").map_batches(
+        lambda t: pa.table({"event_id": t.column("event_id"),
+                            "user_id": t.column("user_id"),
+                            "ts_us": pc.cast(t.column("ts"), pa.int64())}),
+        batch_format="pyarrow",
+    )
+    clicks = ev.filter(expr="event_type == 'click'").map_batches(
+        lambda t: pa.table(
+            {"user_id": t.column("user_id"),
+             "click_event_id": t.column("event_id"),
+             "win_start": pc.cast(t.column("ts"), pa.int64()),
+             "win_end": pc.add(pc.cast(t.column("ts"), pa.int64()),
+                               pa.scalar(1_800_000_000, pa.int64()))}),
+        batch_format="pyarrow",
+    )
+    out = range_join(purchases, clicks, key="user_id", ts="ts_us",
+                     start="win_start", end="win_end")
+    return out.select_columns(["event_id", "user_id", "click_event_id"])
+
+
 def q_hash_join(sf_dir: str):
     """Both-sides-large hash join (Ray native, hash-partitioned): orders x
     customer, order count + revenue per market segment."""
@@ -828,6 +856,7 @@ QUERIES = {
     "session_windows": q_session_windows,
     "broadcast_join": q_broadcast_join,
     "asof_join": q_asof_join,
+    "range_join": q_range_join,
     "hash_join": q_hash_join,
     "anti_join": q_semi_join,
     "pricing_summary": q_pricing_summary,
@@ -962,6 +991,15 @@ ORACLE_SQL = {
         "ASOF JOIN (SELECT user_id, ts, max(event_id) AS click_event_id "
         "FROM events WHERE event_type = 'click' GROUP BY user_id, ts) c "
         "ON p.user_id = c.user_id AND p.ts >= c.ts"
+    ),
+    "range_join": (
+        # half-open 30-minute containment, computed in epoch microseconds on
+        # both sides so the arithmetic is identical to the engine's int64 path
+        "SELECT p.event_id, p.user_id, c.event_id AS click_event_id "
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
+        "JOIN (SELECT * FROM events WHERE event_type = 'click') c "
+        "ON p.user_id = c.user_id AND epoch_us(p.ts) >= epoch_us(c.ts) "
+        "AND epoch_us(p.ts) < epoch_us(c.ts) + 1800000000"
     ),
     "hash_join": (
         "SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders, "

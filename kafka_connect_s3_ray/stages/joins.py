@@ -326,3 +326,30 @@ def asof_join(
 
     both = lt.union(rt)
     return both.groupby("_coarse").map_groups(merge_bucket, batch_format="pandas")
+
+
+def range_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
+               key: str, ts: str, start: str, end: str,
+               num_partitions: int = 16, suffix: str = "_right") -> "ray.data.Dataset":
+    """Interval-containment join: each left row matched to every right row of
+    the same key whose [start, end) interval contains ``left.ts``
+    (half-open; many-to-many).
+
+    Distribution: the coarse-bucket hash exchange co-locates keys, then the
+    containment predicate is a vectorized Arrow filter over the equi-joined
+    rows. A hot key forms its per-key cross product before the range filter —
+    at interval-heavy scale, sort right intervals per key and walk them with
+    searchsorted (or an interval tree) inside the bucket; the exchange layout
+    is unchanged."""
+    j = hash_join(left, right, on=key, join_type="inner",
+                  num_partitions=num_partitions, suffix=suffix)
+    s_col = start if start != ts else start + suffix
+    e_col = end if end != ts else end + suffix
+
+    def contains(t: pa.Table) -> pa.Table:
+        tsv = t.column(ts)
+        keep = pc.and_(pc.greater_equal(tsv, t.column(s_col)),
+                       pc.less(tsv, t.column(e_col)))
+        return t.filter(pc.fill_null(keep, False))
+
+    return j.map_batches(contains, batch_format="pyarrow")
