@@ -165,3 +165,92 @@ def session_windows(
         .groupby("_coarse")
         .map_groups(sessions, batch_format="pandas")
     )
+
+
+class IncrementalWindowAgg:
+    """Streaming tumbling-window aggregate: per-(key, window) count + sum
+    maintained ACROSS tail rounds in a persisted state table.
+
+    Each ``update(ds, round_id)`` aggregates the round's new events (per-batch
+    combiner -> coarse-bucket final, same kernels as the batch operator) and
+    merges them into the state — partial sums are associative, so round-by-
+    round updates equal one batch pass over all events (the invariant the
+    tests assert). State commits are deterministic files
+    ``state-<round:06d>.parquet`` written tmp+rename, so a replayed round
+    overwrites identical bytes (the engine's idempotence contract); the
+    newest state file is the snapshot, older ones are lineage.
+
+    Scale: the state table is (key, window, n_events, total_value) — bounded
+    by active-key x window cardinality, not event count; the merge is one
+    coarse-bucket groupby over old-state ∪ new-partials, never a driver-side
+    loop."""
+
+    def __init__(self, state_dir: str, key: str, ts: str, window_us: int,
+                 value: str):
+        import os
+
+        self.state_dir = state_dir
+        self.key, self.ts, self.window_us, self.value = key, ts, window_us, value
+        os.makedirs(state_dir, exist_ok=True)
+
+    def _latest(self, before_round: "int | None" = None) -> "str | None":
+        import glob
+        import os
+
+        files = sorted(glob.glob(os.path.join(self.state_dir, "state-*.parquet")))
+        if before_round is not None:
+            # a REPLAYED round must merge against its predecessor, never its
+            # own previous output (that would double-count the round)
+            files = [f for f in files
+                     if int(os.path.basename(f)[6:12]) < before_round]
+        return files[-1] if files else None
+
+    def update(self, ds: "ray.data.Dataset", round_id: int) -> str:
+        import os
+
+        import pyarrow.parquet as pq
+
+        new = tumbling_window_agg(ds, self.key, self.ts, self.window_us, self.value)
+
+        def as_partial(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    self.key: t.column(self.key),
+                    "window": t.column("window"),
+                    "partial_n": t.column("n_events"),
+                    "partial_sum": t.column("total_value"),
+                }
+            )
+
+        parts = new.map_batches(as_partial, batch_format="pyarrow")
+        prev = self._latest(before_round=round_id)
+        if prev is not None:
+            old = ray.data.read_parquet(prev).map_batches(
+                as_partial, batch_format="pyarrow"
+            )
+            parts = parts.union(old)
+        merged = _final_sum(parts, [self.key, "window"])
+        batches = [
+            pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+            for b in merged.iter_batches(batch_format="pyarrow", batch_size=65536)
+        ]
+        batches = [b for b in batches if len(b)]
+        if batches:
+            tbl = pa.concat_tables(batches)
+        else:  # zero-event first round: keep a typed empty state
+            tbl = pa.schema(
+                [(self.key, pa.int64()), ("window", pa.int64()),
+                 ("n_events", pa.int64()), ("total_value", pa.float64())]
+            ).empty_table()
+        tbl = tbl.sort_by([(self.key, "ascending"), ("window", "ascending")])
+        path = os.path.join(self.state_dir, f"state-{round_id:06d}.parquet")
+        tmp = path + ".inprogress"
+        pq.write_table(tbl, tmp, compression="zstd")
+        os.replace(tmp, path)
+        return path
+
+    def snapshot(self) -> "ray.data.Dataset":
+        prev = self._latest()
+        if prev is None:
+            raise FileNotFoundError(f"no state committed under {self.state_dir}")
+        return ray.data.read_parquet(prev)

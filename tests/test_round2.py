@@ -618,3 +618,39 @@ def test_ivf_rebuild_clears_stale_clusters(tmp_path):
     out = ivf_topk_indexed(idx, np.stack(small["embedding"].to_list()), k=3,
                            nprobe=8)
     assert set(out["vec_id"]) <= set(small["vec_id"])
+
+
+def test_incremental_window_agg_across_rounds(tmp_path):
+    """Round-by-round streaming window updates must equal one batch pass, and
+    replaying a round must regenerate identical state bytes."""
+    import hashlib
+
+    from kafka_connect_s3_ray.stages.windows import (
+        IncrementalWindowAgg,
+        tumbling_window_agg,
+    )
+
+    events = ray.data.read_parquet("/root/testdata/sf0.001/events.parquet")
+    full = tumbling_window_agg(events, key="user_id", ts="ts",
+                               window_us=3_600_000_000, value="value").to_pandas()
+    agg = IncrementalWindowAgg(str(tmp_path / "state"), key="user_id", ts="ts",
+                               window_us=3_600_000_000, value="value")
+    edf = events.to_pandas().sort_values("event_id")
+    thirds = np.array_split(edf, 3)
+    paths = [agg.update(ray.data.from_pandas(chunk.reset_index(drop=True)), i)
+             for i, chunk in enumerate(thirds)]
+    snap = agg.snapshot().to_pandas()
+
+    def canon(df):
+        df = df.copy()
+        df["total_value"] = df["total_value"].round(6)
+        return (df.sort_values(["user_id", "window"])
+                [["user_id", "window", "n_events", "total_value"]]
+                .reset_index(drop=True))
+
+    pd.testing.assert_frame_equal(canon(snap), canon(full), check_dtype=False)
+    # idempotent replay of the last round: byte-identical state file
+    h1 = hashlib.sha256(open(paths[-1], "rb").read()).hexdigest()
+    agg.update(ray.data.from_pandas(thirds[-1].reset_index(drop=True)), 2)
+    h2 = hashlib.sha256(open(paths[-1], "rb").read()).hexdigest()
+    assert h1 == h2
