@@ -60,6 +60,11 @@ def main(argv: list[str] | None = None) -> int:
                     choices=["rewrite", "delta"])
     tl.add_argument("--compact-every", type=int, default=None,
                     help="with delta commits: fold deltas into the base every N rounds")
+    tl.add_argument("--flush-interval-rounds", type=int, default=None,
+                    help="W4 grace flush: fold an idle partition's pending "
+                         "deltas after interval+grace ticks")
+    tl.add_argument("--grace-rounds", type=int, default=None,
+                    help="grace period in ticks (default: interval/2)")
 
     cp = sub.add_parser("compact", help="fold pending delta commits into base files")
     cp.add_argument("--manifest", required=True)
@@ -153,7 +158,9 @@ def main(argv: list[str] | None = None) -> int:
                                poll_interval_s=args.poll_interval,
                                max_rounds=args.rounds,
                                commit_mode=args.commit_mode,
-                               compact_every=args.compact_every)
+                               compact_every=args.compact_every,
+                               flush_interval_rounds=args.flush_interval_rounds,
+                               grace_rounds=args.grace_rounds)
             print(json.dumps({"watermarks": {str(p): m.watermark(p)
                                              for p in sorted(m.partitions)}}))
             return 0
