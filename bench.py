@@ -135,10 +135,14 @@ def run_bench() -> dict:
         "range_join", "near_dup_verified",
     ]
     panel_results: dict = {}
+    panel_trials = int(os.environ.get("BENCH_PANEL_TRIALS", "2"))
     for name in panel:
-        sec, res = _timed(lambda n=name: Q.QUERIES[n](SF_DIR))
-        sec2, _ = _timed(consume, res)
-        timings[name] = round(sec + sec2, 3)
+        best = None
+        for _ in range(max(1, panel_trials)):  # min-of-N: cache noise is one-sided
+            sec, res = _timed(lambda n=name: Q.QUERIES[n](SF_DIR))
+            sec2, _ = _timed(consume, res)
+            best = sec + sec2 if best is None else min(best, sec + sec2)
+        timings[name] = round(best, 3)
         if name == "cosine_topk":
             panel_results[name] = res  # reused by the recall figure below
 
