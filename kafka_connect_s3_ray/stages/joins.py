@@ -343,8 +343,12 @@ def range_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     is unchanged."""
     j = hash_join(left, right, on=key, join_type="inner",
                   num_partitions=num_partitions, suffix=suffix)
-    s_col = start if start != ts else start + suffix
-    e_col = end if end != ts else end + suffix
+    # hash_join renames a right column whenever it collides with ANY left
+    # column — resolve the interval columns by the same rule, or a left
+    # payload column with the same name would silently shadow them
+    lnames = set(left.schema().names)
+    s_col = start + suffix if start in lnames else start
+    e_col = end + suffix if end in lnames else end
 
     def contains(t: pa.Table) -> pa.Table:
         tsv = t.column(ts)

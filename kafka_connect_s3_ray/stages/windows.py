@@ -41,6 +41,11 @@ def _final_sum(part_ds: "ray.data.Dataset", group_cols: list[str],
         return t.append_column("_coarse", pa.array(_coarse_of(cols, n_coarse)))
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
+        # sort before summing: Ray's shuffle does not fix tie order within a
+        # bucket, and float summation is order-sensitive — the sort makes
+        # every combine (and hence every committed state byte) a pure
+        # function of the multiset of partials
+        g = g.sort_values(group_cols + ["partial_n", "partial_sum"], kind="stable")
         return g.groupby(group_cols, as_index=False).agg(
             n_events=("partial_n", "sum"), total_value=("partial_sum", "sum")
         )
@@ -193,17 +198,24 @@ class IncrementalWindowAgg:
         self.key, self.ts, self.window_us, self.value = key, ts, window_us, value
         os.makedirs(state_dir, exist_ok=True)
 
+    @staticmethod
+    def _round_of(path: str) -> int:
+        import os
+
+        # robust to any digit width ('state-1000000.parquet' parses fine —
+        # a fixed [6:12] slice or lexicographic sort would break at 10^6)
+        return int(os.path.basename(path)[len("state-"):-len(".parquet")])
+
     def _latest(self, before_round: "int | None" = None) -> "str | None":
         import glob
         import os
 
-        files = sorted(glob.glob(os.path.join(self.state_dir, "state-*.parquet")))
+        files = glob.glob(os.path.join(self.state_dir, "state-*.parquet"))
         if before_round is not None:
             # a REPLAYED round must merge against its predecessor, never its
             # own previous output (that would double-count the round)
-            files = [f for f in files
-                     if int(os.path.basename(f)[6:12]) < before_round]
-        return files[-1] if files else None
+            files = [f for f in files if self._round_of(f) < before_round]
+        return max(files, key=self._round_of) if files else None
 
     def update(self, ds: "ray.data.Dataset", round_id: int) -> str:
         import os
@@ -237,10 +249,16 @@ class IncrementalWindowAgg:
         batches = [b for b in batches if len(b)]
         if batches:
             tbl = pa.concat_tables(batches)
-        else:  # zero-event first round: keep a typed empty state
+        else:  # zero-event first round: empty state typed from the INPUT
+            from .joins import _schema_types
+
+            types = _schema_types(ds)
+            vt = types.get(self.value, pa.float64())
             tbl = pa.schema(
-                [(self.key, pa.int64()), ("window", pa.int64()),
-                 ("n_events", pa.int64()), ("total_value", pa.float64())]
+                [(self.key, types.get(self.key, pa.int64())),
+                 ("window", pa.int64()), ("n_events", pa.int64()),
+                 ("total_value",
+                  pa.int64() if pa.types.is_integer(vt) else pa.float64())]
             ).empty_table()
         tbl = tbl.sort_by([(self.key, "ascending"), ("window", "ascending")])
         path = os.path.join(self.state_dir, f"state-{round_id:06d}.parquet")

@@ -654,3 +654,50 @@ def test_incremental_window_agg_across_rounds(tmp_path):
     agg.update(ray.data.from_pandas(thirds[-1].reset_index(drop=True)), 2)
     h2 = hashlib.sha256(open(paths[-1], "rb").read()).hexdigest()
     assert h1 == h2
+
+
+def test_range_join_colliding_interval_column_names():
+    """A left payload column named like the right interval column must not
+    shadow it — the filter resolves the renamed right column."""
+    from kafka_connect_s3_ray.stages.joins import range_join
+
+    left = pa.table({"k": pa.array([1, 1], pa.int64()),
+                     "t": pa.array([5, 50], pa.int64()),
+                     "win_start": pa.array([999, 999], pa.int64())})  # decoy
+    right = pa.table({"k": pa.array([1], pa.int64()),
+                      "win_start": pa.array([0], pa.int64()),
+                      "win_end": pa.array([10], pa.int64()),
+                      "rid": pa.array([7], pa.int64())})
+    out = range_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                     key="k", ts="t", start="win_start", end="win_end",
+                     num_partitions=2).to_pandas()
+    # only t=5 is inside [0, 10); the decoy left win_start=999 must not be used
+    assert out["t"].tolist() == [5] and out["rid"].tolist() == [7]
+
+
+def test_incremental_window_state_round_parsing_and_empty_first_round(tmp_path):
+    from kafka_connect_s3_ray.stages.windows import IncrementalWindowAgg
+
+    agg = IncrementalWindowAgg(str(tmp_path / "s"), key="user_id", ts="ts",
+                               window_us=10, value="value")
+    # round ids beyond 6 digits parse and order numerically
+    assert agg._round_of("state-1000000.parquet") == 1_000_000
+    assert agg._round_of("state-000001.parquet") == 1
+    # zero-event first round keeps the INPUT's key/value types (string key)
+    empty = pd.DataFrame({"conv": pd.Series([], dtype=object),
+                          "ts": pd.Series([], dtype=np.int64),
+                          "value": pd.Series([], dtype=np.float64)})
+    agg2 = IncrementalWindowAgg(str(tmp_path / "s2"), key="conv", ts="ts",
+                                window_us=10, value="value")
+    agg2.update(ray.data.from_pandas([empty]), 0)
+    import pyarrow.parquet as pq
+
+    st = pq.read_table(str(tmp_path / "s2" / "state-000000.parquet"))
+    assert st.schema.field("conv").type == pa.string()
+    # a later non-empty round merges cleanly against the typed empty state
+    ev = pd.DataFrame({"conv": ["a", "a", "b"],
+                       "ts": np.array([1, 12, 3], np.int64),
+                       "value": [1.0, 2.0, 3.0]})
+    agg2.update(ray.data.from_pandas(ev), 1)
+    snap = agg2.snapshot().to_pandas().sort_values(["conv", "window"])
+    assert snap["n_events"].sum() == 3
