@@ -74,7 +74,8 @@ def lookup(manifest: Manifest | str, conv_id: str,
 
     if isinstance(manifest, str):
         manifest = Manifest.load(manifest)
-    assert manifest.num_partitions, "manifest has no pinned partition count"
+    if not manifest.num_partitions:
+        raise ValueError("manifest has no pinned partition count")
     from .upsert import _is_delta
 
     from ..schema import unify_with_nulls
@@ -164,21 +165,25 @@ def validate_lake(manifest: Manifest | str,
         rows = 0
         has_delta = False
         for path in st.get("current", []):
-            assert os.path.exists(path), f"manifest references missing file {path}"
+            if not os.path.exists(path):  # bare asserts vanish under -O
+                raise AssertionError(f"manifest references missing file {path}")
             md = pq.read_metadata(path)
             rows += md.num_rows
             has_delta = has_delta or _is_delta(path)
             tbl = pq.read_table(path, columns=key_cols)
             srt = tbl.sort_by([(c, "ascending") for c in key_cols])
-            assert tbl.equals(srt), f"{path} is not key-sorted"
+            if not tbl.equals(srt):
+                raise AssertionError(f"{path} is not key-sorted")
             any_files = True
         last = st.get("files", [])[-1:] if st.get("files") else []
         if last and not has_delta:
             # with pending deltas the snapshot row count is a merge result,
             # not a sum of file rows — the dup check below still covers it
-            assert last[0]["num_rows"] == rows, (
-                f"partition {p}: manifest says {last[0]['num_rows']} rows, files have {rows}"
-            )
+            if last[0]["num_rows"] != rows:
+                raise AssertionError(
+                    f"partition {p}: manifest says {last[0]['num_rows']} "
+                    f"rows, files have {rows}"
+                )
         report["partitions"][p] = {"rows": rows, "files": len(st.get("current", []))}
         report["total_rows"] += rows
     if any_files:
@@ -210,5 +215,6 @@ def validate_lake(manifest: Manifest | str,
             .to_pandas()["dups"].sum()
         )
         report["duplicate_keys"] = total_dups
-        assert total_dups == 0, f"{total_dups} duplicate keys in the lake"
+        if total_dups != 0:
+            raise AssertionError(f"{total_dups} duplicate keys in the lake")
     return report

@@ -48,7 +48,7 @@ from ..schema import KEY_COLUMNS as KEY_COLUMNS_DEFAULT
 from ..schema import PROVENANCE_COLUMNS, schema_fingerprint, unify_with_nulls
 from ..stages.merge import align_to_schema, compact_events, lww_merge
 from ..stages.partitioner import PART_COLUMN, SALT_COLUMN, PartitionAssigner
-from ..state.manifest import EMPTY_WATERMARK, Manifest
+from ..state.manifest import EMPTY_WATERMARK, Manifest, is_delta_file
 
 STATS_SCHEMA = pa.schema(
     [
@@ -78,6 +78,30 @@ def _stats_row(p, paths, wm, rows, events, sec, mode):
     )
 
 
+def _tmp_path(final: str) -> str:
+    """Attempt-unique in-progress name: on shared storage a falsely-declared-
+    lost task and its retry can run CONCURRENTLY; sharing one tmp path would
+    let one attempt rename the other's partial file into the committed path.
+    Unique tmps + atomic os.replace keep every rename whole (both attempts
+    write identical deterministic bytes, so last-rename-wins is safe);
+    orphaned tmps are swept by vacuum."""
+    import uuid
+
+    return f"{final}.inprogress-{uuid.uuid4().hex[:8]}"
+
+
+def _sweep_stale_tmp(pdir: str, min_age_s: float = 3600.0) -> None:
+    """Remove crashed commits' orphaned tmp files — but only ones old enough
+    that no live (concurrent retry) attempt can still be writing them."""
+    now = time.time()
+    for stale in glob.glob(os.path.join(pdir, "*.inprogress*")):
+        try:
+            if now - os.path.getmtime(stale) >= min_age_s:
+                os.remove(stale)
+        except OSError:
+            pass
+
+
 def _commit_delta(p: int, events: pa.Table, wm: int, out_dir: str,
                   t0: float) -> pa.Table:
     """Merge-on-read commit: write ONLY the compacted change slice as
@@ -94,7 +118,7 @@ def _commit_delta(p: int, events: pa.Table, wm: int, out_dir: str,
     pdir = os.path.join(out_dir, f"part={p}")
     os.makedirs(pdir, exist_ok=True)
     path = os.path.join(pdir, f"delta-{new_wm:012d}.parquet")
-    tmp = path + ".inprogress"
+    tmp = _tmp_path(path)
     pq.write_table(delta, tmp, compression="zstd")
     os.replace(tmp, path)
     return _stats_row(p, [path], new_wm, len(delta), len(events),
@@ -243,8 +267,7 @@ def _commit_partition(p: int, events: pa.Table, lake_files: list[str], wm: int,
     new_wm = max(wm, int(pc.max(events.column("offset")).as_py()))
     pdir = os.path.join(out_dir, f"part={p}")
     os.makedirs(pdir, exist_ok=True)
-    for stale in glob.glob(os.path.join(pdir, "*.inprogress")):
-        os.remove(stale)  # leftovers of a crashed commit — never referenced
+    _sweep_stale_tmp(pdir)
     # Rotate into bounded files (never one giant file — resumable output, and
     # the analog of the sink's file-size flush W2): deterministic names
     # commit-<wm>[-<seq>].parquet, deterministic split points (row count).
@@ -255,7 +278,7 @@ def _commit_partition(p: int, events: pa.Table, lake_files: list[str], wm: int,
         piece = merged.slice(seq * rows_per, rows_per)
         suffix = f"-{seq:04d}" if n_files > 1 else ""
         path = os.path.join(pdir, f"commit-{new_wm:012d}{suffix}.parquet")
-        tmp = path + ".inprogress"
+        tmp = _tmp_path(path)
         # Deterministic bytes: fixed writer settings, stable row order (merged
         # is key-sorted), no wall-clock metadata.
         pq.write_table(piece, tmp, row_group_size=row_group_size, compression="zstd")
@@ -298,8 +321,7 @@ def _commit_partition_streaming(p: int, events: pa.Table, lake_files: list[str],
     n_events = len(events)
     pdir = os.path.join(out_dir, f"part={p}")
     os.makedirs(pdir, exist_ok=True)
-    for stale in glob.glob(os.path.join(pdir, "*.inprogress")):
-        os.remove(stale)
+    _sweep_stale_tmp(pdir)
     new_wm = max(wm, int(pc.max(events.column("offset")).as_py()))
 
     def lake_batches():
@@ -314,16 +336,17 @@ def _commit_partition_streaming(p: int, events: pa.Table, lake_files: list[str],
     rows_in_file = 0
     total_rows = 0
 
+    final_path = None
+
     def roll():
-        nonlocal writer, tmp, rows_in_file
+        nonlocal writer, tmp, rows_in_file, final_path
         if writer is not None:
             writer.close()
-            final = tmp[: -len(".inprogress")]
-            os.replace(tmp, final)
-            paths.append(final)
+            os.replace(tmp, final_path)
+            paths.append(final_path)
         suffix = f"-{len(paths):04d}"
-        final = os.path.join(pdir, f"commit-{new_wm:012d}{suffix}.parquet")
-        tmp = final + ".inprogress"
+        final_path = os.path.join(pdir, f"commit-{new_wm:012d}{suffix}.parquet")
+        tmp = _tmp_path(final_path)
         writer = pq.ParquetWriter(tmp, target_schema, compression="zstd")
         rows_in_file = 0
 
@@ -336,9 +359,8 @@ def _commit_partition_streaming(p: int, events: pa.Table, lake_files: list[str],
         rows_in_file += len(piece)
         total_rows += len(piece)
     writer.close()
-    final = tmp[: -len(".inprogress")]
-    os.replace(tmp, final)
-    paths.append(final)
+    os.replace(tmp, final_path)
+    paths.append(final_path)
 
     return _stats_row(p, paths, new_wm, total_rows, n_events,
                       time.monotonic() - t0, "rewrite")
@@ -392,7 +414,9 @@ def _compact_partition_files(p: int, files: list[str], wm: int,
             raise RuntimeError(f"injected transient fault for partition {p}")
 
     acc: pa.Table | None = None
-    scanner = pads_local.dataset(files).scanner(
+    # scan with the UNION schema: a first-fragment-inferred schema would drop
+    # (or choke on) columns added by mid-stream evolution in later files
+    scanner = pads_local.dataset(files, schema=_union_file_schema(files)).scanner(
         filter=(pads_local.field("offset") > wm) if wm > EMPTY_WATERMARK else None,
         batch_size=batch_rows,
     )
@@ -453,25 +477,44 @@ def _discover_base_files(lake_dir: str | None, num_partitions: int) -> dict[int,
     return out
 
 
+def _payload_schema(sch: pa.Schema) -> pa.Schema:
+    return pa.schema([f for f in sch
+                      if f.name not in (*PROVENANCE_COLUMNS, PART_COLUMN, SALT_COLUMN)])
+
+
 def _target_schema(changelog_schema: pa.Schema,
                    current_files: dict[int, list[str]]) -> pa.Schema:
-    """Union payload schema across the changelog and the current lake so every
-    partition of the new snapshot is written with one schema (additive
-    evolution: new columns null-filled everywhere)."""
-    payload_fields = [f for f in changelog_schema
-                      if f.name not in (*PROVENANCE_COLUMNS, PART_COLUMN, SALT_COLUMN)]
-    tables = [pa.schema(payload_fields).empty_table()]
+    """Union payload schema across the changelog and EVERY partition's current
+    fileset so the new snapshot is written with one schema (additive
+    evolution: new columns null-filled everywhere).
+
+    Every partition must be sampled — untouched partitions carry forward
+    without rewriting, so an evolved column can live in SOME partitions'
+    files only; sampling just one partition would drop it (silent data loss)
+    at the next rewrite of the evolved partitions. One parquet FOOTER read
+    per partition file-set (metadata only, driver-side, cheap)."""
+    tables = [_payload_schema(changelog_schema).empty_table()]
     for files in current_files.values():
-        # prefer a base file; a delta file's schema is filtered of provenance
-        pick = next((f for f in files if not _is_delta(f)), files[0] if files else None)
-        if pick is None:
-            continue
-        sch = pq.read_schema(pick)
-        sch = pa.schema([f for f in sch
-                         if f.name not in (*PROVENANCE_COLUMNS, PART_COLUMN, SALT_COLUMN)])
-        tables.append(sch.empty_table())
-        break  # snapshots share one schema by construction
+        # a base file carries the partition's full snapshot schema; deltas
+        # may additionally carry newer evolved columns — union both kinds
+        picks = [next((f for f in files if not _is_delta(f)), None)]
+        picks += [f for f in files if _is_delta(f)]
+        for pick in picks:
+            if pick is None:
+                continue
+            tables.append(_payload_schema(pq.read_schema(pick)).empty_table())
     unified = unify_with_nulls(tables)
+    return unified[0].schema
+
+
+def _union_file_schema(files: list[str]) -> pa.Schema:
+    """Union schema over parquet files (footer reads only) — mid-stream
+    additive evolution means later files can carry columns the first one
+    lacks; inferring from one fragment would drop them."""
+    if not files:
+        return pa.schema([])  # empty changelog tick: nothing to contribute
+    schemas = [pq.read_schema(f) for f in files]
+    unified = unify_with_nulls([s.empty_table() for s in schemas])
     return unified[0].schema
 
 
@@ -502,6 +545,11 @@ def run_upsert(
     """
     from ..stages.partitioner import detect_hot_keys
 
+    if isinstance(hot_keys, str) and hot_keys != "auto":
+        raise ValueError(
+            "hot_keys must be 'auto' or a collection of keys — a bare string "
+            f"({hot_keys!r}) would be exploded into its characters"
+        )
     manifest = Manifest.load(manifest_path)
     manifest.pin_partitions(num_partitions)
     base = _discover_base_files(lake_dir, num_partitions)
@@ -548,8 +596,17 @@ def run_upsert(
     # sub-tasks (associative LWW reduction) so a hot conversation cannot make
     # one straggler task bound the wall clock.
     part_files = _discover_partition_dirs(changelog) if mode in ("auto", "copartitioned") else None
+    if mode == "copartitioned" and part_files is None:
+        raise ValueError(
+            "mode='copartitioned' was forced but the changelog is not laid "
+            f"out partition=<p>/ under {changelog!r} — fix the layout or use "
+            "mode='shuffle'"
+        )
     if part_files is not None:
-        target = _target_schema(pq.read_schema(next(iter(part_files.values()))[0]), current)
+        # union over ALL changelog files: mid-stream additive evolution means
+        # later files can carry columns the first one lacks
+        all_files = [f for fs in part_files.values() for f in fs]
+        target = _target_schema(_union_file_schema(all_files), current)
         # Merge tasks are memory-streaming (parquet decode, sorts, zstd): on
         # hosts where logical CPUs outnumber memory-bandwidth lanes (SMT),
         # running one task per logical CPU *degrades* wall time. "auto"
@@ -624,7 +681,11 @@ def run_upsert(
             _salted_compact, batch_format="pyarrow"
         )
 
-    target = _target_schema(log_ds.schema, current)
+    try:  # union over all files — pads.dataset infers from the first fragment
+        log_schema = _union_file_schema(list(log_ds.files))
+    except (AttributeError, TypeError):
+        log_schema = log_ds.schema
+    target = _target_schema(log_schema, current)
     commit = MergeCommit(out_dir, current, wms, target, commit_mode=commit_mode)
 
     def merge_commit(group: pa.Table, _c=commit) -> pa.Table:
@@ -639,9 +700,11 @@ def run_upsert(
 
 
 def _finalize(manifest: Manifest, manifest_path: str, entries: list[dict],
-              target: pa.Schema) -> Manifest:
+              target: pa.Schema, operation: str = "upsert") -> Manifest:
     """Record commits + metrics, then write the manifest LAST (cursor-last
-    ordering, sink/.../S3Writer.java:47-67)."""
+    ordering, sink/.../S3Writer.java:47-67). ``metrics`` describe the LAST
+    operation; ``operation`` tags which kind so consumers can tell a
+    compaction fold from an upsert round."""
     t_total = 0.0
     ev_total = 0
     for e in entries:
@@ -655,6 +718,7 @@ def _finalize(manifest: Manifest, manifest_path: str, entries: list[dict],
         ev_total += int(e["num_events"])
     manifest.schema_fingerprint = schema_fingerprint(target)
     manifest.metrics = {
+        "operation": operation,
         "partitions_committed": len(entries),
         "compacted_events_applied": ev_total,
         "sum_merge_seconds": round(t_total, 4),
@@ -671,8 +735,7 @@ def _finalize(manifest: Manifest, manifest_path: str, entries: list[dict],
     return manifest
 
 
-def _is_delta(path: str) -> bool:
-    return os.path.basename(path).startswith("delta-")
+_is_delta = is_delta_file  # canonical definition lives in state/manifest
 
 
 def _resolve_partition(files: list[str]) -> pa.Table:
@@ -704,6 +767,10 @@ def read_lake(manifest: Manifest | str) -> "ray.data.Dataset":
     current = manifest.current_files()
     if not any(_is_delta(f) for fs in current.values() for f in fs):
         files = [f for fs in current.values() for f in fs]
+        if not files:  # never-committed manifest: typed empty lake, not a
+            from ..schema import LAKE_SCHEMA  # read_parquet([]) crash
+
+            return ray.data.from_arrow(LAKE_SCHEMA.empty_table())
         return ray.data.read_parquet(files)
     refs = [_resolve_partition_task.remote(fs) for fs in current.values() if fs]
     return ray.data.from_arrow_refs(refs)
@@ -743,23 +810,22 @@ def compact_partitions(manifest_path: str, out_dir: str,
         _fold_deltas_task.options(**task_opts) if task_opts
         else _fold_deltas_task
     )
+    current = manifest.current_files()
+    # ONE global union target across every partition's current files: folded
+    # partitions converge to the lake-wide schema, and the recorded schema
+    # fingerprint reflects the union — fingerprinting one partition's new
+    # base would regress it whenever that partition predates an evolution
+    global_target = _target_schema(pa.schema([]), current)
     refs = []
-    for p, files in sorted(manifest.current_files().items()):
+    for p, files in sorted(current.items()):
         if partitions is not None and p not in partitions:
             continue
         deltas = [f for f in files if _is_delta(f)]
         if len(deltas) < min_deltas:
             continue
         bases = [f for f in files if not _is_delta(f)]
-        delta_schemas = [
-            pa.schema([f for f in pq.read_schema(d)
-                       if f.name not in (*PROVENANCE_COLUMNS, PART_COLUMN, SALT_COLUMN)])
-            for d in deltas
-        ]
-        unified = unify_with_nulls([s.empty_table() for s in delta_schemas])
-        target = _target_schema(unified[0].schema, {p: bases} if bases else {})
         refs.append(fold_task.remote(
-            p, bases, deltas, manifest.watermark(p), out_dir, target,
+            p, bases, deltas, manifest.watermark(p), out_dir, global_target,
         ))
     if not refs:
         return manifest  # nothing to fold — leave manifest untouched
@@ -770,5 +836,5 @@ def compact_partitions(manifest_path: str, out_dir: str,
     ]
     if not entries:
         return manifest
-    return _finalize(manifest, manifest_path, entries,
-                     pq.read_schema(entries[0]["path"].split(";")[0]))
+    return _finalize(manifest, manifest_path, entries, global_target,
+                     operation="compaction")

@@ -168,10 +168,29 @@ def merge_sorted_stream(
     def _key_tuple(tbl: pa.Table, i: int):
         return tuple(tbl.column(c)[i].as_py() for c in key_cols)
 
+    prev_last: tuple | None = None
     for piece in lake_batches:
         if len(piece) == 0:
             continue
-        bmax = _key_tuple(piece, len(piece) - 1)
+        # Guard the sortedness PRECONDITION loudly: an imported base whose
+        # file-boundary keys happen to ascend can still be unsorted inside a
+        # piece — merging it silently would leave duplicate keys in the
+        # snapshot. O(piece) vectorized check.
+        first = _key_tuple(piece, 0)
+        if prev_last is not None and first <= prev_last:
+            raise ValueError(
+                "streaming merge precondition violated: lake pieces are not "
+                f"globally key-ascending at {first} — re-sort the base "
+                "(repartition_lake) or use the in-memory merge path"
+            )
+        if len(piece) > 1 and not _is_key_sorted(piece, key_cols):
+            raise ValueError(
+                "streaming merge precondition violated: a lake piece is not "
+                "key-sorted internally — re-sort the base (repartition_lake) "
+                "or use the in-memory merge path"
+            )
+        prev_last = _key_tuple(piece, len(piece) - 1)
+        bmax = prev_last
         hi = _upper_bound(bmax)
         evs = ev_sorted.slice(pos, hi - pos)
         pos = hi
@@ -179,6 +198,23 @@ def merge_sorted_stream(
     if pos < n_ev:
         rest = ev_sorted.slice(pos)
         yield lww_merge(None, rest, key_cols, order_col)
+
+
+def _is_key_sorted(tbl: pa.Table, key_cols: list[str]) -> bool:
+    """Vectorized multi-key ascending check (lexicographic over key_cols)."""
+    n = len(tbl)
+    undecided = np.ones(n - 1, dtype=bool)  # rows whose order is still tied
+    for c in key_cols:
+        col = tbl.column(c).combine_chunks()
+        a, b = col.slice(0, n - 1), col.slice(1, n - 1)
+        lt = pc.fill_null(pc.less(a, b), False).to_numpy(zero_copy_only=False)
+        gt = pc.fill_null(pc.greater(a, b), False).to_numpy(zero_copy_only=False)
+        if (undecided & gt).any():
+            return False
+        undecided &= ~lt
+        if not undecided.any():
+            return True
+    return True
 
 
 def align_to_schema(tbl: pa.Table, target: pa.Schema) -> pa.Table:

@@ -27,6 +27,12 @@ from ..schema import schema_fingerprint  # noqa: F401  (re-exported convenience)
 EMPTY_WATERMARK = -1
 
 
+def is_delta_file(path: str) -> bool:
+    """THE delta-file naming contract (``delta-<wm>.parquet``) — one
+    definition; upsert/compaction/tail all import it from here."""
+    return os.path.basename(path).startswith("delta-")
+
+
 class Manifest:
     def __init__(self, path: str | None = None):
         self.path = path
@@ -118,14 +124,10 @@ class Manifest:
         )
 
     def delta_counts(self) -> dict[int, int]:
-        """Per partition: how many of the CURRENT files are deltas (named
-        ``delta-<wm>.parquet``)."""
+        """Per partition: how many of the CURRENT files are deltas."""
         out = {}
         for p, st in self.partitions.items():
-            out[p] = sum(
-                1 for f in st.get("current", [])
-                if os.path.basename(f).startswith("delta-")
-            )
+            out[p] = sum(1 for f in st.get("current", []) if is_delta_file(f))
         return out
 
     # -- persistence -----------------------------------------------------

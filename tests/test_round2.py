@@ -701,3 +701,132 @@ def test_incremental_window_state_round_parsing_and_empty_first_round(tmp_path):
     agg2.update(ray.data.from_pandas(ev), 1)
     snap = agg2.snapshot().to_pandas().sort_values(["conv", "window"])
     assert snap["n_events"].sum() == 3
+
+
+# ---------------------------------------------------------------------------
+# schema evolution across partitions / mid-stream (review: data-loss paths)
+# ---------------------------------------------------------------------------
+
+def _change_tbl(part, offsets, convs, texts, meta=None):
+    from kafka_connect_s3_ray.schema import CHANGE_SCHEMA
+
+    n = len(offsets)
+    cols = {
+        "partition": pa.array([part] * n, pa.int32()),
+        "offset": pa.array(offsets, pa.int64()),
+        "op": pa.array(["I"] * n, pa.string()),
+        "conv_id": pa.array(convs, pa.string()),
+        "turn_idx": pa.array([0] * n, pa.int32()),
+        "role": pa.array(["user"] * n, pa.string()),
+        "text": pa.array(texts, pa.string()),
+        "tool": pa.array([None] * n, pa.string()),
+        "ts": pa.array([1_700_000_000_000_000 + o for o in offsets],
+                       pa.timestamp("us")),
+    }
+    if meta is not None:
+        cols["meta"] = pa.array(meta, pa.string())
+    return pa.table(cols)
+
+
+def _conv_for_partition(p, P):
+    from kafka_connect_s3_ray.stages.partitioner import assign_partitions
+
+    i = 0
+    while True:
+        c = f"conv-ev-{i:04d}"
+        if int(assign_partitions(np.array([c], object), P)[0]) == p:
+            return c
+        i += 1
+
+
+def test_evolved_column_survives_rounds_touching_other_partitions(tmp_path):
+    """A column that evolved in only SOME partitions must survive later
+    rewrites of those partitions even when the new round's changelog lacks it
+    (the target schema must union EVERY partition's current files)."""
+    import pyarrow.parquet as pq
+
+    from kafka_connect_s3_ray.pipelines.upsert import lake_table, run_upsert
+
+    P = 2
+    c0, c1 = _conv_for_partition(0, P), _conv_for_partition(1, P)
+    log, out, mpath = str(tmp_path / "log"), str(tmp_path / "out"), str(tmp_path / "m.json")
+    for p in range(P):
+        os.makedirs(os.path.join(log, f"partition={p}"))
+
+    def write_round(p, tbl, name):
+        pq.write_table(tbl, os.path.join(log, f"partition={p}", name))
+
+    # round 1: both partitions, base schema (no meta)
+    write_round(0, _change_tbl(0, [0], [c0], ["zero"]), "log-000000000000.parquet")
+    write_round(1, _change_tbl(1, [0], [c1], ["one"]), "log-000000000000.parquet")
+    run_upsert(log, out, mpath, num_partitions=P)
+    # round 2: only partition 1 evolves a 'meta' column
+    write_round(1, _change_tbl(1, [1], [c1], ["one-v2"], meta=["M"]),
+                "log-000000000001.parquet")
+    run_upsert(log, out, mpath, num_partitions=P)
+    # round 3: partition 1 again, WITHOUT meta in the changelog
+    write_round(1, _change_tbl(1, [2], [c1 + "x"], ["other"]),
+                "log-000000000002.parquet")
+    m = run_upsert(log, out, mpath, num_partitions=P)
+    t = lake_table(m).to_pandas().set_index("conv_id")
+    assert "meta" in t.columns, "evolved column dropped by a later rewrite"
+    assert t.loc[c1, "meta"] == "M"
+    assert t.loc[c1, "text"] == "one-v2"
+
+
+def test_mid_stream_evolution_within_one_round(tmp_path):
+    """A round whose LATER changelog files carry an evolved column must not
+    lose it to first-fragment schema inference."""
+    import pyarrow.parquet as pq
+
+    from kafka_connect_s3_ray.pipelines.upsert import lake_table, run_upsert
+
+    P = 1
+    c = _conv_for_partition(0, P)
+    log, out, mpath = str(tmp_path / "log"), str(tmp_path / "out"), str(tmp_path / "m.json")
+    os.makedirs(os.path.join(log, "partition=0"))
+    pq.write_table(_change_tbl(0, [0], [c], ["old"]),
+                   os.path.join(log, "partition=0", "log-000000000000.parquet"))
+    pq.write_table(_change_tbl(0, [1], [c + "b"], ["new"], meta=["M2"]),
+                   os.path.join(log, "partition=0", "log-000000000001.parquet"))
+    m = run_upsert(log, out, mpath, num_partitions=P)
+    t = lake_table(m).to_pandas().set_index("conv_id")
+    assert "meta" in t.columns
+    assert t.loc[c + "b", "meta"] == "M2"
+    assert pd.isna(t.loc[c, "meta"])
+
+
+def test_forced_copartitioned_mode_fails_loudly(tmp_path):
+    from kafka_connect_s3_ray.pipelines.upsert import run_upsert
+
+    bad = str(tmp_path / "notpartitioned")
+    os.makedirs(bad)
+    open(os.path.join(bad, "_SUCCESS"), "w").close()
+    with pytest.raises(ValueError, match="copartitioned"):
+        run_upsert(bad, str(tmp_path / "o"), str(tmp_path / "m.json"),
+                   num_partitions=2, mode="copartitioned")
+
+
+def test_hot_keys_bare_string_rejected(tmp_path):
+    from kafka_connect_s3_ray.pipelines.upsert import run_upsert
+
+    with pytest.raises(ValueError, match="bare string"):
+        run_upsert(str(tmp_path / "log"), str(tmp_path / "o"),
+                   str(tmp_path / "m.json"), num_partitions=2,
+                   hot_keys="conv42")
+
+
+def test_streaming_merge_rejects_unsorted_base():
+    from kafka_connect_s3_ray.stages.merge import merge_sorted_stream
+    from kafka_connect_s3_ray.synth import synth_changelog, synth_lake
+
+    lake = synth_lake(50, seed=2)  # conv-sorted overall...
+    # shuffle WITHIN the table but keep first/last rows in place so a
+    # boundary-only check would pass
+    df = lake.to_pandas()
+    mid = df.iloc[1:-1].sample(frac=1.0, random_state=0)
+    shuffled = pd.concat([df.iloc[:1], mid, df.iloc[-1:]])
+    bad = pa.Table.from_pandas(shuffled, preserve_index=False)
+    events = synth_changelog(50, 200, seed=2, num_partitions=1)
+    with pytest.raises(ValueError, match="not key-sorted internally"):
+        list(merge_sorted_stream(iter([bad]), events))
