@@ -29,7 +29,8 @@ import pyarrow.compute as pc
 
 import ray.data
 
-from .blockgzip import BlockGzipWriter, ChunksIndex, read_bytes_multimember
+from .blockgzip import (BlockGzipWriter, ChunksIndex, index_path_for,
+                        read_bytes_multimember)
 from .codecs import ByteLengthCodec, get_format
 from .layout import BlockMetadata, GroupedByDateLayout, Layout
 
@@ -85,6 +86,17 @@ def archive_records(
     def write_partition(group: pa.Table) -> pa.Table:
         group = group.sort_by([("offset", "ascending")])
         p = int(group.column("partition")[0].as_py())
+        offs = group.column("offset").to_numpy(zero_copy_only=False)
+        if len(offs) > 1 and (offs[1:] != offs[:-1] + 1).any():
+            # the chunk index encodes offsets as first_record_offset + position
+            # (reference: offset++ while reading + first+num recovery math);
+            # non-dense input offsets would silently desync replay offsets and
+            # resume watermarks from the input's own numbering
+            raise ValueError(
+                f"partition {p}: archive offsets must be dense "
+                "(offset[i+1] == offset[i] + 1) — renumber (e.g. by position) "
+                "before archiving, as the block-gzip format cannot represent gaps"
+            )
         keys = group.column("key").to_pylist()
         values = group.column("value").to_pylist()
         offsets = group.column("offset").to_pylist()
@@ -114,7 +126,7 @@ def archive_records(
             cur = os.path.join(out_dir, cursor_key(topic, p))
             tmp = cur + ".tmp"
             with open(tmp, "w") as f:
-                f.write(os.path.relpath(writer.path + ".index.json", out_dir))
+                f.write(os.path.relpath(writer.index_path, out_dir))
             os.replace(tmp, cur)
             out_rows.append(
                 {
@@ -127,13 +139,24 @@ def archive_records(
             )
 
         if not file_threshold and not flush_interval_us:
-            # fast path: one file, batch-encoded in bounded slices so a gzip
-            # member never buffers the whole partition uncompressed
+            # fast path: one file, batch-encoded in slices bounded BY BYTES
+            # (a fixed record count would let large records blow past the
+            # chunk threshold in one indivisible write) and by record count
+            import numpy as np
+
+            sizes = np.array([len(k or b"") + len(v or b"") + 16
+                              for k, v in zip(keys, values)], dtype=np.int64)
+            budget = max(1, min(chunk_threshold, 8 * 1024 * 1024))
             w = open_file(int(offsets[0]))
-            step = 8192
-            for i in range(0, len(values), step):
-                w.write(fmt.encode(keys[i : i + step], values[i : i + step]),
-                        record_count=len(values[i : i + step]))
+            i = 0
+            while i < len(values):
+                j = i + 1
+                acc = sizes[i]
+                while j < len(values) and j - i < 8192 and acc + sizes[j] <= budget:
+                    acc += sizes[j]
+                    j += 1
+                w.write(fmt.encode(keys[i:j], values[i:j]), record_count=j - i)
+                i = j
             close_file(w)
             return pa.table(
                 {
@@ -153,6 +176,8 @@ def archive_records(
             if w is None:
                 w = open_file(off)
                 first_ts = tv
+            if first_ts is None and tv is not None:
+                first_ts = tv  # a leading null ts must not disable W3
             framed = fmt.encode([k], [v])
             w.write(framed)
             raw_bytes += len(framed)
@@ -212,14 +237,21 @@ class _DecodeBlocks:
         self.on_corrupt = on_corrupt
         self.quarantine_dir = quarantine_dir
 
-    def _decode(self, raw: bytes, meta, path: str) -> pa.Table:
+    def _decode(self, data: bytes, meta, path: str) -> pa.Table:
+        import zlib
+
         from .codecs import CorruptRecordError
 
         try:
+            # gunzip INSIDE the policy: gzip-layer damage (truncated member,
+            # inter-member garbage -> zlib.error) is corruption like any
+            # frame-level damage and must hit the same raise/quarantine fork
+            raw = read_bytes_multimember(data)
             return self.fmt.decode(raw, start_offset=meta.start_offset)
-        except CorruptRecordError as e:
+        except (CorruptRecordError, zlib.error) as e:
             if self.on_corrupt != "quarantine":
                 raise
+            raw = read_bytes_multimember(data, strict=False)  # salvage prefix
             ok, _err = self.fmt.decode_prefix(raw, start_offset=meta.start_offset)
             if self.quarantine_dir:
                 import json as _json
@@ -244,8 +276,7 @@ class _DecodeBlocks:
             meta = self.layout.parse(_rel_key(path, self.root))
             if meta is None:
                 continue
-            raw = read_bytes_multimember(data)
-            tbl = self._decode(raw, meta, path)
+            tbl = self._decode(data, meta, path)
             tbl = tbl.add_column(0, "partition",
                                  pa.array([meta.partition] * len(tbl), pa.int32()))
             tbl = tbl.add_column(0, "topic",
@@ -317,7 +348,7 @@ def read_archive(
         wm = resume_offsets.get((meta.topic, meta.partition),
                                 resume_offsets.get(meta.partition))
         if wm is not None:
-            idx_path = path + ".index.json"
+            idx_path = index_path_for(path)
             if os.path.exists(idx_path):
                 index = ChunksIndex.from_json(open(idx_path).read())
                 if index.last_offset() - 1 <= wm:

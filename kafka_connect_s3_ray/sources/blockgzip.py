@@ -126,16 +126,30 @@ class BlockGzipWriter:
         self._buf_records += record_count
         self._next_offset += record_count
 
+    @property
+    def index_path(self) -> str:
+        return index_path_for(self.path)
+
     def close(self) -> ChunksIndex:
         self._rotate()
         self._file.close()
         os.replace(self.path + ".tmp", self.path)  # atomic, idempotent overwrite
         index = ChunksIndex(self.chunks)
-        idx_tmp = self.path + ".index.json.tmp"
+        idx_tmp = self.index_path + ".tmp"
         with open(idx_tmp, "w") as f:
             f.write(index.to_json())
-        os.replace(idx_tmp, self.path + ".index.json")  # atomic, like the cursor
+        os.replace(idx_tmp, self.index_path)  # atomic, like the cursor
         return index
+
+
+def index_path_for(data_path: str) -> str:
+    """Index sidecar name, REFERENCE-compatible: the '.gz' suffix is REPLACED
+    by '.index.json' ('{base}.index.json', sink/.../S3Writer.java:54-55;
+    the source derives it the same way, source/.../S3FilesReader.java:416).
+    Naming it '{base}.gz.index.json' would break resuming reference-produced
+    archives and the original connector's replay of ours."""
+    base = data_path[:-3] if data_path.endswith(".gz") else data_path
+    return base + ".index.json"
 
 
 def read_block(path: str) -> bytes:
@@ -147,18 +161,29 @@ def read_block(path: str) -> bytes:
 def read_block_from_offset(path: str, index: ChunksIndex, offset: int) -> tuple[bytes, int]:
     """Ranged-read resume: seek to the chunk containing ``offset`` and
     decompress from there, returning (bytes, first_record_offset) — the caller
-    skips ``offset - first_record_offset`` records. Reference:
-    source/.../S3FilesReader.java:244-311."""
+    skips ``offset - first_record_offset`` records. An offset BEFORE the
+    file's first record replays the whole file (every record is newer than
+    the checkpoint); an offset past the last record returns nothing.
+    Reference: source/.../S3FilesReader.java:244-311."""
     chunk = index.chunk_containing(offset)
     if chunk is None:
-        return b"", index.last_offset()
+        record_chunks = [c for c in index.chunks if c.num_records > 0]
+        if record_chunks and offset < record_chunks[0].first_record_offset:
+            chunk = record_chunks[0]
+        else:
+            return b"", index.last_offset()
     with open(path, "rb") as f:
         f.seek(chunk.byte_offset)
         data = f.read()  # this chunk + the rest of the file
     return read_bytes_multimember(data), chunk.first_record_offset
 
 
-def read_bytes_multimember(data: bytes) -> bytes:
+def read_bytes_multimember(data: bytes, strict: bool = True) -> bytes:
+    """Decompress a concatenated-member gzip stream. ``strict`` (default)
+    raises on a TRUNCATED final member instead of silently returning the
+    decodable prefix — a truncation landing on a record-frame boundary would
+    otherwise vanish records with no error; the decode stage's corrupt-record
+    policy decides what to do with the exception."""
     if data[:2] != b"\x1f\x8b":
         return data  # not gzip (e.g. the reader already decompressed upstream)
     out = []
@@ -168,5 +193,9 @@ def read_bytes_multimember(data: bytes) -> bytes:
         out.append(d.decompress(data[pos:]))
         pos = len(data) - len(d.unused_data)
         if not d.eof:
+            if strict:
+                raise zlib.error(
+                    f"truncated gzip member at byte {pos} of {len(data)}"
+                )
             break
     return b"".join(out)

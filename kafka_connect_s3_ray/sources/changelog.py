@@ -42,8 +42,12 @@ def encode_change_payload(events: pa.Table) -> pa.Table:
     df = events.to_pandas()
     extra_cols = [c for c in df.columns
                   if c not in _CONTRACT_KEYS and c not in _PROVENANCE]
+    # positional column lists, NOT itertuples attribute access — pandas
+    # renames non-identifier column names (e.g. 'user-id') to _N in the
+    # namedtuple, which would crash the evolved-column export
+    extra_series = {c: df[c].tolist() for c in extra_cols}
     values = []
-    for r in df.itertuples(index=False):
+    for i, r in enumerate(df.itertuples(index=False)):
         ts = getattr(r, "ts", None)
         ts_us = None if pd.isna(ts) else int(pd.Timestamp(ts).value // 1000)
         obj = {
@@ -56,7 +60,7 @@ def encode_change_payload(events: pa.Table) -> pa.Table:
             "ts_us": ts_us,
         }
         for c in extra_cols:
-            v = getattr(r, c)
+            v = extra_series[c][i]
             try:  # pd.isna covers None/NaN/NaT/pd.NA; raises on array-likes
                 null = bool(pd.isna(v))
             except (TypeError, ValueError):
@@ -180,7 +184,32 @@ def changelog_from_archive(
 ) -> "ray.data.Dataset":
     """Read a reference-style block-gzip archive as a change-event Dataset
     (CHANGE_SCHEMA). Consumed-file skipping and per-partition resume come from
-    the archive reader (D1/S7); JSON payload decode is an import-edge stage."""
+    the archive reader (D1/S7); JSON payload decode is an import-edge stage.
+
+    A MULTI-topic archive must be read one topic at a time: CHANGE_SCHEMA
+    keeps only (partition, offset) provenance, so two topics' streams would
+    collide on identical keys and interleave nondeterministically — detected
+    from the file layout before any byte is read."""
+    if topic is None:
+        import glob as _glob
+        import os as _os
+
+        from .archive import _rel_key
+        from .layout import get_layout
+
+        layout = get_layout(layout_name)
+        topics = set()
+        for path in _glob.glob(_os.path.join(archive_dir, "**", "*.gz"),
+                               recursive=True):
+            meta = layout.parse(_rel_key(path, archive_dir))
+            if meta is not None:
+                topics.add(meta.topic)
+        if len(topics) > 1:
+            raise ValueError(
+                f"archive contains multiple topics {sorted(topics)} — pass "
+                "topic=<one of them>; (partition, offset) provenance is only "
+                "unique within a topic"
+            )
     records = read_archive(
         archive_dir, fmt_name=fmt_name, fmt_config=fmt_config,
         layout_name=layout_name, topic=topic, resume_offsets=resume_offsets,

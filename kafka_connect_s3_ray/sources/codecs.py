@@ -102,38 +102,60 @@ class TrailingDelimiterCodec:
             out += v + self.value_delimiter
         return bytes(out)
 
+    def _parse(self, data: bytes, stop_on_error: bool):
+        """Sequential parse in the REFERENCE's read order: with keys enabled,
+        the key is scanned up to ``key_delimiter`` FIRST (so a key may legally
+        contain the value delimiter, common/.../DelimitedRecordReader.java:41-121),
+        then the value up to ``value_delimiter``. Splitting on the value
+        delimiter first would mis-frame such keys and desync every later
+        positional offset. Returns (keys, values, error_message | None)."""
+        keys: list[bytes | None] = []
+        values: list[bytes] = []
+        if not self.include_keys:
+            # values cannot contain the delimiter by contract — split is exact
+            for rec in data.split(self.value_delimiter)[:-1] if data else []:
+                keys.append(None)
+                values.append(rec)
+            return keys, values, None
+        kd, vd = self.key_delimiter, self.value_delimiter
+        pos, n = 0, len(data)
+        while pos < n:
+            kidx = data.find(kd, pos)
+            if kidx < 0:
+                err = f"missing key delimiter after byte {pos}"
+                if stop_on_error:
+                    return keys, values, err
+                raise CorruptRecordError(err)
+            vidx = data.find(vd, kidx + len(kd))
+            if vidx < 0:
+                err = f"missing value delimiter after byte {kidx}"
+                if stop_on_error:
+                    return keys, values, err
+                raise CorruptRecordError(err)
+            keys.append(data[pos:kidx])
+            values.append(data[kidx + len(kd):vidx])
+            pos = vidx + len(vd)
+        return keys, values, None
+
     def decode(self, data: bytes, start_offset: int = 0) -> pa.Table:
         if data and not data.endswith(self.value_delimiter):
             raise CorruptRecordError(
                 f"no trailing delimiter at end of input (len={len(data)})"
             )
-        keys: list[bytes | None] = []
-        values: list[bytes] = []
-        for rec in data.split(self.value_delimiter)[:-1] if data else []:
-            if self.include_keys:
-                k, _, v = rec.partition(self.key_delimiter)
-                keys.append(k)
-                values.append(v)
-            else:
-                keys.append(None)
-                values.append(rec)
+        keys, values, _ = self._parse(data, stop_on_error=False)
         offs = np.arange(start_offset, start_offset + len(values), dtype=np.int64)
         return _records_table(offs, keys, values)
 
     def decode_prefix(self, data: bytes, start_offset: int = 0,
                       source: str = "<block>"):
-        """Decode up to the last complete delimiter; never raises on a
-        truncated tail. -> (table, error_message | None)."""
+        """Decode up to the last complete record; never raises on a truncated
+        tail. -> (table, error_message | None)."""
         try:
             return self.decode(data, start_offset), None
         except CorruptRecordError as e:
-            cut = data.rfind(self.value_delimiter)
-            if cut < 0:
-                return _records_table(
-                    np.empty(0, np.int64), [], []
-                ), str(e)
-            return self.decode(data[: cut + len(self.value_delimiter)],
-                               start_offset), str(e)
+            keys, values, err = self._parse(data, stop_on_error=True)
+            offs = np.arange(start_offset, start_offset + len(values), dtype=np.int64)
+            return _records_table(offs, keys, values), str(err or e)
 
 
 @dataclass

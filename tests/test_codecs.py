@@ -145,8 +145,12 @@ def test_block_gzip_writer_chunks_and_index(tmp_path):
     for c in index.chunks:
         member = data[c.byte_offset : c.byte_offset + c.byte_length]
         assert len(gzip.decompress(member)) == c.byte_length_uncompressed
-    # sidecar round-trips
-    idx2 = ChunksIndex.from_json(open(path + ".index.json").read())
+    # sidecar round-trips, at the REFERENCE's name ('{base}.index.json' —
+    # '.gz' replaced, not appended; sink/.../S3Writer.java:54-55)
+    from kafka_connect_s3_ray.sources.blockgzip import index_path_for
+
+    assert index_path_for(path) == str(tmp_path / "blk.index.json")
+    idx2 = ChunksIndex.from_json(open(index_path_for(path)).read())
     assert idx2.to_json() == index.to_json()
     # deterministic bytes: rewriting produces identical file (rewind IT analog)
     w2 = BlockGzipWriter(str(tmp_path / "blk2.gz"), start_offset=10, chunk_threshold=300)

@@ -1,0 +1,140 @@
+"""Byte-parity review fixes: reference index naming, keyed-text framing read
+order, gzip-layer corruption policy, dense-offset contract, W3 null-ts,
+multi-topic import guard, pre-checkpoint ranged reads."""
+
+import gzip
+import os
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from kafka_connect_s3_ray.sources.archive import archive_records, fetch_next_offset, read_archive
+from kafka_connect_s3_ray.sources.blockgzip import (
+    BlockGzipWriter,
+    ChunksIndex,
+    index_path_for,
+    read_block_from_offset,
+    read_bytes_multimember,
+)
+from kafka_connect_s3_ray.sources.codecs import CorruptRecordError, TrailingDelimiterCodec
+
+
+def _records(part, n, start=0):
+    return pa.table({
+        "partition": pa.array([part] * n, pa.int32()),
+        "offset": pa.array(range(start, start + n), pa.int64()),
+        "key": pa.array([f"k{i}".encode() for i in range(n)], pa.binary()),
+        "value": pa.array([f"v{i}".encode() for i in range(n)], pa.binary()),
+    })
+
+
+def test_index_sidecar_uses_reference_name(tmp_path):
+    """'{base}.index.json' — '.gz' replaced, exactly as S3Writer.java:54-55
+    names it, so reference-produced archives and ours interoperate."""
+    ds = ray.data.from_arrow(_records(0, 5))
+    archive_records(ds, str(tmp_path), topic="t", date="2024-01-01")
+    gz = [p for p in (tmp_path / "2024-01-01").iterdir() if p.suffix == ".gz"]
+    assert gz
+    for p in gz:
+        idx = index_path_for(str(p))
+        assert idx.endswith(".index.json") and not idx.endswith(".gz.index.json")
+        assert os.path.exists(idx)
+        assert not os.path.exists(str(p) + ".index.json")
+    # offset recovery reads the cursor -> reference-named index
+    assert fetch_next_offset(str(tmp_path), "t", 0) == 5
+    # replay skips fully-consumed files via the same index name
+    back = read_archive(str(tmp_path), topic="t", resume_offsets={("t", 0): 4})
+    assert back.count() == 0
+
+
+def test_keyed_text_decode_reads_key_delimiter_first():
+    """Reference read order (DelimitedRecordReader): the key is scanned up to
+    the KEY delimiter first, so keys may legally contain the value
+    delimiter."""
+    c = TrailingDelimiterCodec(include_keys=True)  # '\t' key, '\n' value
+    framed = c.encode([b"a\nb", b"k2"], [b"v1", b"v2"])
+    out = c.decode(framed)
+    assert out.column("key").to_pylist() == [b"a\nb", b"k2"]
+    assert out.column("value").to_pylist() == [b"v1", b"v2"]
+    assert out.column("offset").to_pylist() == [0, 1]
+    # a record with no key delimiter errors (reference: 'missing value for key')
+    with pytest.raises(CorruptRecordError, match="key delimiter"):
+        c.decode(b"norecordkeydelim\n")
+
+
+def test_truncated_gzip_member_hits_corruption_policy(tmp_path):
+    w = BlockGzipWriter(str(tmp_path / "t-00000-000000000000.gz"),
+                        chunk_threshold=64)
+    from kafka_connect_s3_ray.sources.codecs import ByteLengthCodec
+
+    fmt = ByteLengthCodec()
+    for i in range(8):
+        w.write(fmt.encode([None], [f"value-{i}".encode() * 4]))
+    w.close()
+    data = open(tmp_path / "t-00000-000000000000.gz", "rb").read()
+    index = ChunksIndex.from_json(
+        open(index_path_for(str(tmp_path / "t-00000-000000000000.gz"))).read()
+    )
+    # cut INSIDE the final member's deflate payload (not just its trailer)
+    cut = index.chunks[-1].byte_offset + index.chunks[-1].byte_length // 2
+    truncated = data[:cut]
+    with pytest.raises(zlib.error, match="truncated"):
+        read_bytes_multimember(truncated)
+    # non-strict salvage returns the decodable prefix
+    prefix = read_bytes_multimember(truncated, strict=False)
+    assert 0 < len(prefix) < len(read_bytes_multimember(data))
+
+
+def test_archive_records_rejects_non_dense_offsets(tmp_path):
+    gaps = pa.table({
+        "partition": pa.array([0, 0, 0], pa.int32()),
+        "offset": pa.array([0, 5, 10], pa.int64()),  # compacted-topic gaps
+        "key": pa.array([b"a", b"b", b"c"], pa.binary()),
+        "value": pa.array([b"x", b"y", b"z"], pa.binary()),
+    })
+    with pytest.raises(Exception, match="dense"):
+        archive_records(ray.data.from_arrow(gaps), str(tmp_path), topic="t")
+
+
+def test_event_time_flush_survives_leading_null_ts(tmp_path):
+    n = 6
+    ts = pa.array([None, 0, 1, 3_600_000_001, 3_600_000_002, 7_200_000_005],
+                  pa.timestamp("us"))
+    tbl = _records(0, n).append_column("ts", ts)
+    stats = archive_records(ray.data.from_arrow(tbl), str(tmp_path), topic="t",
+                            flush_interval_us=3_600_000_000)
+    # W3 must still rotate: records past the first NON-NULL ts + interval open
+    # new files (a leading null must not disable time-based rotation)
+    assert sum(s["num_records"] for s in stats) == n
+    assert len(stats) >= 3
+
+
+def test_multi_topic_changelog_import_requires_topic(tmp_path):
+    from kafka_connect_s3_ray.sources.changelog import changelog_from_archive
+
+    for t in ("alpha", "beta"):
+        archive_records(ray.data.from_arrow(_records(0, 3)), str(tmp_path),
+                        topic=t, date="2024-01-01")
+    with pytest.raises(ValueError, match="multiple topics"):
+        changelog_from_archive(str(tmp_path))
+
+
+def test_ranged_read_before_first_offset_replays_whole_file(tmp_path):
+    path = str(tmp_path / "blk.gz")
+    w = BlockGzipWriter(path, start_offset=10, chunk_threshold=64)
+    from kafka_connect_s3_ray.sources.codecs import ByteLengthCodec
+
+    fmt = ByteLengthCodec()
+    for i in range(4):
+        w.write(fmt.encode([None], [f"rec-{i}".encode()]))
+    index = w.close()
+    data, first = read_block_from_offset(path, index, offset=5)  # before 10
+    assert first == 10
+    assert len(fmt.decode(data, start_offset=first)) == 4
+    # past the end still returns nothing
+    data2, nxt = read_block_from_offset(path, index, offset=99)
+    assert data2 == b"" and nxt == index.last_offset()
