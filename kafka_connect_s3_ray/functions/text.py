@@ -60,9 +60,11 @@ def add_quality_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     batch = batch.append_column("punct_ratio", pc.divide(n_punct, safe_chars))
     batch = batch.append_column("digit_ratio", pc.divide(n_digit, safe_chars))
     batch = batch.append_column("upper_ratio", pc.divide(n_upper, safe_chars))
+    # non-whitespace chars / tokens — subtracting (tokens - 1) would count
+    # every EXTRA separator char (double spaces, newlines) as word length
+    n_space = pc.cast(pc.count_substring_regex(text, r"\s"), pa.float64())
     batch = batch.append_column(
-        "mean_word_len",
-        pc.divide(pc.subtract(n_chars, pc.subtract(n_ws, pa.scalar(1.0))), safe_ws),
+        "mean_word_len", pc.divide(pc.subtract(n_chars, n_space), safe_ws)
     )
     return batch.append_column("stopword_ratio", pc.divide(n_stop, safe_ws))
 
@@ -110,8 +112,10 @@ def add_fingerprint(batch: pa.Table, text_col: str = "text", trim: bool = True) 
     text = pc.utf8_lower(batch.column(text_col))
     if trim:
         text = pc.utf8_trim_whitespace(text)
-    vals = text.to_pandas().fillna("")
-    fp = vals.map(lambda s: hashlib.md5(s.encode()).hexdigest())
+    # NULL text -> NULL fingerprint (md5(NULL) is NULL in SQL); mapping it to
+    # md5('') would merge null-text docs with genuinely empty ones
+    fp = [None if s is None else hashlib.md5(s.encode()).hexdigest()
+          for s in text.to_pylist()]
     return batch.append_column("fingerprint", pa.array(fp, pa.string()))
 
 

@@ -575,14 +575,16 @@ def q_dedup_exact(sf_dir: str):
     per-group overhead; one vectorized idxmin per bucket is ~10x cheaper."""
 
     def fp_coarse(b: pa.Table) -> pa.Table:
+        from ..stages.joins import _coarse_of  # the shared bucket hash
+
         b = add_fingerprint(b, trim=False)
-        h = pd.util.hash_array(
-            b.column("fingerprint").to_numpy(zero_copy_only=False).astype(object)
-        )
-        return b.append_column("coarse", pa.array((h % np.uint64(64)).astype(np.int32)))
+        fp = b.column("fingerprint").to_numpy(zero_copy_only=False)
+        return b.append_column("coarse", pa.array(_coarse_of([fp], 64)))
 
     def keep_min(g: pd.DataFrame) -> pd.DataFrame:
-        return g.loc[g.groupby("fingerprint")["doc_id"].idxmin()]
+        # dropna=False: null fingerprints (null text) form ONE group, exactly
+        # like SQL window PARTITION BY over NULLs
+        return g.loc[g.groupby("fingerprint", dropna=False)["doc_id"].idxmin()]
 
     out = (
         _docs(sf_dir)
@@ -806,12 +808,13 @@ def transcripts_fixture(sf_dir: str, tmp_root: str = "/tmp/kcs3_ray") -> dict:
     n_conv, n_events, parts = _SF_SCALE.get(name, (1_000, 40_000, 16))
     root = os.path.join(tmp_root, f"transcripts_{name}")
     marker = os.path.join(root, ".complete")
-    if not os.path.exists(marker):
+    stamp = f"{n_conv},{n_events},{parts},4"  # self-invalidating cache key
+    if not (os.path.exists(marker) and open(marker).read() == stamp):
         shutil.rmtree(root, ignore_errors=True)
         os.makedirs(root, exist_ok=True)
         write_fixture(root, n_conv=n_conv, n_events=n_events, num_partitions=parts,
                       files_per_partition=4)
-        open(marker, "w").write("ok")
+        open(marker, "w").write(stamp)
     return {
         "root": root,
         "lake_dir": os.path.join(root, "lake"),
@@ -1023,8 +1026,11 @@ ORACLE_SQL = {
         "FROM events) WHERE rn <= 2"
     ),
     "exclude_filter": (
+        # NULL text cannot CONTAIN a blacklisted substring -> kept, like the
+        # engine (NOT LIKE alone would drop NULLs)
         "SELECT doc_id, text, source FROM documents "
-        "WHERE text NOT LIKE '%merge%' AND text NOT LIKE '%shuffle%'"
+        "WHERE (text NOT LIKE '%merge%' AND text NOT LIKE '%shuffle%') "
+        "OR text IS NULL"
     ),
     "token_count": (
         f"SELECT doc_id, CAST({_TOKENS_WS_SQL} AS BIGINT) AS n_tokens_ws FROM documents"

@@ -38,6 +38,20 @@ class Layout:
     name = "abstract"
     pattern: re.Pattern
 
+    @staticmethod
+    def _check_widths(meta: BlockMetadata) -> None:
+        """The zero-pad widths ARE the format: an offset past 10^12 would
+        emit a key parse() silently rejects (committed data skipped on
+        replay), and a partition past 10^5 backtrack-parses into the WRONG
+        (topic, partition) identity — and lexicographic ordering (the layout's
+        core contract, O1) breaks at the rollover. Fail at write time."""
+        if meta.partition >= 10**5 or meta.partition < 0:
+            raise ValueError(
+                f"partition {meta.partition} exceeds the %05d key width")
+        if meta.start_offset >= 10**12 or meta.start_offset < 0:
+            raise ValueError(
+                f"start_offset {meta.start_offset} exceeds the %012d key width")
+
     def build(self, meta: BlockMetadata, suffix: str = ".gz") -> str:
         raise NotImplementedError
 
@@ -60,6 +74,7 @@ class GroupedByDateLayout(Layout):
     )
 
     def build(self, meta: BlockMetadata, suffix: str = ".gz") -> str:
+        self._check_widths(meta)
         return f"{meta.date}/{meta.topic}-{meta.partition:05d}-{meta.start_offset:012d}{suffix}"
 
 
@@ -70,6 +85,7 @@ class GroupedByTopicLayout(Layout):
     )
 
     def build(self, meta: BlockMetadata, suffix: str = ".gz") -> str:
+        self._check_widths(meta)
         return f"{meta.topic}/{meta.date}/{meta.partition:05d}-{meta.start_offset:012d}{suffix}"
 
 

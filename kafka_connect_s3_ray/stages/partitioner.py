@@ -57,6 +57,9 @@ class PartitionAssigner:
                  n_salts: int = 8):
         self.num_partitions = num_partitions
         self.hot_keys = set(hot_keys or ())
+        # precomputed once: rebuilding a list and re-sorting per batch would
+        # tax every batch of the ingest hot path
+        self._hot_arr = np.array(sorted(self.hot_keys), dtype=object)
         self.n_salts = max(1, n_salts)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -67,7 +70,7 @@ class PartitionAssigner:
         batch = batch.append_column(PART_COLUMN, pa.array(part, pa.int32()))
         salt = np.zeros(len(batch), dtype=np.int32)
         if self.hot_keys and len(batch):
-            hot_mask = np.isin(conv, list(self.hot_keys))
+            hot_mask = np.isin(conv, self._hot_arr)
             if hot_mask.any():
                 offs = batch.column("offset").to_numpy(zero_copy_only=False)
                 salt[hot_mask] = (offs[hot_mask] % self.n_salts).astype(np.int32)

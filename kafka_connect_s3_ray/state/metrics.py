@@ -119,9 +119,12 @@ def engine_metrics_from_manifest(manifest, input_max_offsets: dict[int, int] | N
         reg.gauge("rows", st["rows"], partition=p)
         reg.incr("merge_seconds", st["seconds"], partition=p)
         total_events += st["events"]
-        if input_max_offsets and int(p) in input_max_offsets:
-            wm = manifest.watermark(int(p))
-            reg.gauge("lag", max(0, input_max_offsets[int(p)] - wm), partition=p)
+    # lag for EVERY partition with known input backlog — a backlogged
+    # partition that committed NOTHING this round (the stuck case this metric
+    # exists to catch) has no per_partition entry and must still report
+    for p_int, max_off in (input_max_offsets or {}).items():
+        wm = manifest.watermark(int(p_int))
+        reg.gauge("lag", max(0, max_off - wm), partition=str(p_int))
     if wall_seconds:
         reg.gauge("wall_seconds", wall_seconds)
         reg.gauge("events_per_sec", total_events / wall_seconds if wall_seconds else 0.0)

@@ -138,3 +138,28 @@ def test_ranged_read_before_first_offset_replays_whole_file(tmp_path):
     # past the end still returns nothing
     data2, nxt = read_block_from_offset(path, index, offset=99)
     assert data2 == b"" and nxt == index.last_offset()
+
+
+def test_layout_rejects_width_overflow():
+    from kafka_connect_s3_ray.sources.layout import BlockMetadata, GroupedByDateLayout
+
+    lo = GroupedByDateLayout()
+    with pytest.raises(ValueError, match="key width"):
+        lo.build(BlockMetadata("t", 100000, 0, "2024-01-01"))
+    with pytest.raises(ValueError, match="key width"):
+        lo.build(BlockMetadata("t", 0, 10**12, "2024-01-01"))
+
+
+def test_null_text_semantics_match_sql():
+    """Null text: kept by the exclude filter (can't CONTAIN a substring),
+    null fingerprint (md5(NULL) IS NULL), one null group in dedup."""
+    import duckdb
+
+    from kafka_connect_s3_ray.functions.text import add_fingerprint
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array([None, "", "x"], pa.string())})
+    fp = add_fingerprint(t, trim=False).column("fingerprint").to_pylist()
+    assert fp[0] is None and fp[1] is not None and fp[1] != fp[2]
+    sql_null = duckdb.sql("SELECT md5(lower(NULL::VARCHAR))").fetchone()[0]
+    assert sql_null is None
