@@ -19,7 +19,12 @@ from __future__ import annotations
 import time
 from typing import Callable
 
+import pyarrow as _pa
 from ray.exceptions import RayError as _RayError
+
+# pyarrow raises ArrowInvalid (a ValueError) for a half-written parquet file a
+# producer is mid-flight on — as transient as any OSError for a tail loop
+_RETRYABLE = (OSError, RuntimeError, _RayError, _pa.lib.ArrowInvalid)
 
 from ..state.manifest import Manifest
 from .upsert import run_upsert
@@ -35,10 +40,14 @@ def _grace_flush(
     last_event_round: dict[int, int],
     flush_interval_rounds: int,
     grace_rounds: int,
+    max_pending_deltas: int = 16,
 ) -> Manifest:
     """The W4 preCommit check with ticks as the clock: fold pending deltas for
     partitions whose first buffered state is past interval+grace and that have
-    received nothing for more than grace ticks."""
+    received nothing for more than grace ticks. A partition that NEVER idles
+    would escape the grace check forever, so ``max_pending_deltas`` bounds its
+    chain regardless of write rate (the reference's size-based flush W2 plays
+    this role for busy partitions)."""
     from .upsert import _is_delta, compact_partitions
 
     for p in saw_events:
@@ -50,10 +59,12 @@ def _grace_flush(
     for p in list(first_pending_round):
         if p not in pending:  # compacted elsewhere (compact_every) — reset
             del first_pending_round[p]
+    counts = manifest.delta_counts()
     due = {
         p for p in pending
-        if now_round - first_pending_round[p] >= flush_interval_rounds + grace_rounds
-        and now_round - last_event_round.get(p, first_pending_round[p]) > grace_rounds
+        if (now_round - first_pending_round[p] >= flush_interval_rounds + grace_rounds
+            and now_round - last_event_round.get(p, first_pending_round[p]) > grace_rounds)
+        or counts.get(p, 0) >= max_pending_deltas
     }
     if not due:
         return manifest
@@ -78,6 +89,7 @@ def tail_changelog(
     compact_every: int | None = None,
     flush_interval_rounds: int | None = None,
     grace_rounds: int | None = None,
+    max_pending_deltas: int = 16,
     **upsert_kw,
 ) -> Manifest:
     """Repeatedly apply new changelog data until ``max_rounds`` ticks (None =
@@ -127,9 +139,9 @@ def tail_changelog(
                 manifest = _grace_flush(
                     manifest, manifest_path, out_dir, rounds + 1, saw_events,
                     first_pending_round, last_event_round,
-                    flush_interval_rounds, grace_rounds,
+                    flush_interval_rounds, grace_rounds, max_pending_deltas,
                 )
-        except (OSError, RuntimeError, _RayError) as e:
+        except _RETRYABLE as e:
             consecutive_errors += 1
             if consecutive_errors >= max_consecutive_errors:
                 raise RuntimeError(

@@ -64,9 +64,49 @@ def schema_fingerprint(schema: pa.Schema) -> str:
     return hashlib.sha256(canon.encode()).hexdigest()[:16]
 
 
+def _promote(a: pa.DataType, b: pa.DataType) -> pa.DataType:
+    """Type promotion for conflicting column types: null yields to anything;
+    numeric conflicts widen (int32+int64 -> int64, int+float -> float64)
+    instead of first-seen-wins, which would downcast a WIDENED evolved column
+    back to the lake's old type and overflow at merge time. Non-promotable
+    conflicts raise rather than corrupt."""
+    if a == b:
+        return a
+    if pa.types.is_null(a):
+        return b
+    if pa.types.is_null(b):
+        return a
+    numeric = (pa.types.is_integer, pa.types.is_floating)
+    if any(p(a) for p in numeric) and any(p(b) for p in numeric):
+        if pa.types.is_floating(a) or pa.types.is_floating(b):
+            return pa.float64()
+        wider = a if a.bit_width >= b.bit_width else b
+        if pa.types.is_signed_integer(a) != pa.types.is_signed_integer(b):
+            return pa.int64()  # mixed signedness: pragmatic common type
+        return wider
+    raise ValueError(f"cannot unify column types {a} and {b}")
+
+
+def project_to_schema(t: pa.Table, target: pa.Schema) -> pa.Table:
+    """Project a table onto ``target``: present columns cast, missing columns
+    null-filled — THE cast/fill rule, shared by schema unification and the
+    commit-time alignment so the two can never diverge."""
+    cols = []
+    for f in target:
+        if f.name in t.column_names:
+            col = t.column(f.name)
+            if col.type != f.type:
+                col = col.cast(f.type)
+        else:
+            col = pa.nulls(len(t), f.type)
+        cols.append(col)
+    return pa.Table.from_arrays(cols, schema=target)
+
+
 def unify_with_nulls(tables: list[pa.Table]) -> list[pa.Table]:
     """Arrow additive schema unification: every table gets the union schema,
-    missing columns null-filled. Column order follows first-seen order."""
+    missing columns null-filled, conflicting numeric types WIDENED (see
+    ``_promote``). Column order follows first-seen order."""
     tables = [t for t in tables if t is not None]
     if not tables:
         return []
@@ -77,19 +117,7 @@ def unify_with_nulls(tables: list[pa.Table]) -> list[pa.Table]:
             if f.name not in types:
                 names.append(f.name)
                 types[f.name] = f.type
-            elif types[f.name] != f.type and pa.types.is_null(types[f.name]):
-                types[f.name] = f.type
-    target = pa.schema([pa.field(n, types[n]) for n in names])
-    out = []
-    for t in tables:
-        cols = []
-        for f in target:
-            if f.name in t.column_names:
-                col = t.column(f.name)
-                if col.type != f.type:
-                    col = col.cast(f.type)
             else:
-                col = pa.nulls(len(t), f.type)
-            cols.append(col)
-        out.append(pa.Table.from_arrays(cols, schema=target))
-    return out
+                types[f.name] = _promote(types[f.name], f.type)
+    target = pa.schema([pa.field(n, types[n]) for n in names])
+    return [project_to_schema(t, target) for t in tables]

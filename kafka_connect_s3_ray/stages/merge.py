@@ -76,6 +76,12 @@ def compact_events(
     n = len(events)
     code_arrays = []
     for c in key_cols:
+        if events.column(c).null_count:
+            raise ValueError(
+                f"null values in key column {c!r}: keys must be non-null "
+                "(factorize would merge all nulls into one key while the "
+                "merge anti-join treats nulls as never-equal)"
+            )
         vals = events.column(c).to_numpy(zero_copy_only=False)
         if vals.dtype.kind in ("i", "u"):
             codes = vals.astype(np.int64)
@@ -102,6 +108,7 @@ def lww_merge(
     key_cols: list[str] = KEY_COLUMNS,
     order_col: str = "offset",
     op_col: str = "op",
+    compact: bool = True,
 ) -> pa.Table:
     """Merge compacted change events into a lake partition.
 
@@ -110,7 +117,8 @@ def lww_merge(
     (keys are unique after the merge, so the order — and hence the written
     file — is fully deterministic; Ray shuffles do not preserve order, every
     ordering guarantee is re-established here, SURVEY.md §4 'Ordering')."""
-    events = compact_events(events, key_cols, order_col)
+    if compact:
+        events = compact_events(events, key_cols, order_col)
     drop = [c for c in NON_PAYLOAD if c in events.column_names and c not in key_cols]
     upserts = events.filter(pc.not_equal(events.column(op_col), DELETE_OP)).drop_columns(drop)
 
@@ -186,18 +194,20 @@ def merge_sorted_stream(
         if len(piece) > 1 and not _is_key_sorted(piece, key_cols):
             raise ValueError(
                 "streaming merge precondition violated: a lake piece is not "
-                "key-sorted internally — re-sort the base (repartition_lake) "
-                "or use the in-memory merge path"
+                "strictly key-ascending (unsorted rows or duplicate keys) — "
+                "re-sort/dedup the base (repartition_lake) or use the "
+                "in-memory merge path"
             )
         prev_last = _key_tuple(piece, len(piece) - 1)
         bmax = prev_last
         hi = _upper_bound(bmax)
         evs = ev_sorted.slice(pos, hi - pos)
         pos = hi
-        yield lww_merge(piece, evs, key_cols, order_col)
+        # slices of the already-compacted change set skip re-compaction
+        yield lww_merge(piece, evs, key_cols, order_col, compact=False)
     if pos < n_ev:
         rest = ev_sorted.slice(pos)
-        yield lww_merge(None, rest, key_cols, order_col)
+        yield lww_merge(None, rest, key_cols, order_col, compact=False)
 
 
 def _is_key_sorted(tbl: pa.Table, key_cols: list[str]) -> bool:
@@ -214,20 +224,16 @@ def _is_key_sorted(tbl: pa.Table, key_cols: list[str]) -> bool:
         undecided &= ~lt
         if not undecided.any():
             return True
-    return True
+    # rows still undecided are FULLY EQUAL adjacent keys — duplicates, which
+    # the unique-key lake invariant forbids just as firmly as disorder
+    return not undecided.any()
 
 
 def align_to_schema(tbl: pa.Table, target: pa.Schema) -> pa.Table:
     """Project ``tbl`` onto ``target``: missing columns null-filled, order and
-    types from ``target``. Used so every partition file of a snapshot shares
-    one schema even when only some partitions saw evolved events."""
-    cols = []
-    for f in target:
-        if f.name in tbl.column_names:
-            col = tbl.column(f.name)
-            if col.type != f.type:
-                col = col.cast(f.type)
-        else:
-            col = pa.nulls(len(tbl), f.type)
-        cols.append(col)
-    return pa.Table.from_arrays(cols, schema=target)
+    types from ``target`` — delegates to the ONE shared cast/fill rule
+    (schema.project_to_schema) so commit alignment and merge-time unification
+    can never diverge."""
+    from ..schema import project_to_schema
+
+    return project_to_schema(tbl, target)

@@ -2,6 +2,7 @@
 order, gzip-layer corruption policy, dense-offset contract, W3 null-ts,
 multi-topic import guard, pre-checkpoint ranged reads."""
 
+import glob
 import gzip
 import os
 import zlib
@@ -163,3 +164,98 @@ def test_null_text_semantics_match_sql():
     assert fp[0] is None and fp[1] is not None and fp[1] != fp[2]
     sql_null = duckdb.sql("SELECT md5(lower(NULL::VARCHAR))").fetchone()[0]
     assert sql_null is None
+
+
+def test_schema_unification_widens_evolved_numeric_columns():
+    """int32 lake + int64 evolved events must widen to int64, not downcast
+    (first-seen-wins overflowed at merge time)."""
+    from kafka_connect_s3_ray.schema import unify_with_nulls
+
+    lake = pa.table({"k": pa.array([1], pa.int64()),
+                     "value": pa.array([7], pa.int32())})
+    events = pa.table({"k": pa.array([2], pa.int64()),
+                       "value": pa.array([2**31 + 5], pa.int64())})
+    a, b = unify_with_nulls([lake, events])
+    assert a.schema.field("value").type == pa.int64()
+    assert b.column("value").to_pylist() == [2**31 + 5]
+
+
+def test_compact_events_rejects_null_keys():
+    from kafka_connect_s3_ray.stages.merge import compact_events
+
+    t = pa.table({"conv_id": pa.array(["a", None], pa.string()),
+                  "turn_idx": pa.array([0, 0], pa.int32()),
+                  "offset": pa.array([0, 1], pa.int64()),
+                  "op": ["I", "I"]})
+    with pytest.raises(ValueError, match="null values in key column"):
+        compact_events(t)
+
+
+def test_streaming_merge_rejects_duplicate_keys_in_piece():
+    from kafka_connect_s3_ray.stages.merge import merge_sorted_stream
+    from kafka_connect_s3_ray.synth import synth_changelog
+
+    dup = pa.table({"conv_id": pa.array(["c", "c"], pa.string()),
+                    "turn_idx": pa.array([1, 1], pa.int32()),
+                    "role": ["user", "user"], "text": ["a", "b"],
+                    "tool": pa.array([None, None], pa.string()),
+                    "ts": pa.array([0, 0], pa.timestamp("us"))})
+    events = synth_changelog(5, 10, seed=1, num_partitions=1)
+    with pytest.raises(ValueError, match="duplicate keys|strictly key-ascending"):
+        list(merge_sorted_stream(iter([dup]), events))
+
+
+def test_tail_retries_arrow_invalid(tmp_path):
+    """A half-written parquet file (ArrowInvalid, a ValueError) must back off
+    and retry like any transient IO error, not kill the tail."""
+    from kafka_connect_s3_ray.pipelines.tail import tail_changelog
+    from kafka_connect_s3_ray.synth import write_fixture
+
+    fx = write_fixture(str(tmp_path), n_conv=20, n_events=200, num_partitions=2)
+    bad = os.path.join(fx["changelog_dir"], "partition=0", "log-999999999999.parquet")
+    open(bad, "wb").write(b"PAR1 not really parquet")
+    calls = []
+
+    def fake_sleep(s):
+        calls.append(s)
+        os.remove(bad)  # the producer "finishes" its write -> next tick works
+
+    m = tail_changelog(fx["changelog_dir"], str(tmp_path / "out"),
+                       str(tmp_path / "m.json"), lake_dir=fx["lake_dir"],
+                       num_partitions=2, max_rounds=1, poll_interval_s=0.0,
+                       sleep=fake_sleep)
+    assert calls, "no backoff happened"
+    assert max(m.watermarks(2).values()) >= 0  # the retried tick succeeded
+
+
+def test_busy_partition_delta_chain_is_bounded(tmp_path):
+    """A partition receiving events EVERY tick never goes idle, so the grace
+    check alone would let its delta chain grow forever; max_pending_deltas
+    folds it regardless of write rate."""
+    import pyarrow.parquet as pq
+
+    from kafka_connect_s3_ray.pipelines.tail import tail_changelog
+    from kafka_connect_s3_ray.synth import write_fixture
+
+    fx = write_fixture(str(tmp_path), n_conv=20, n_events=100, num_partitions=1)
+    logdir = os.path.join(fx["changelog_dir"], "partition=0")
+    base_tbl = pq.read_table(sorted(glob.glob(os.path.join(logdir, "*.parquet")))[0])
+    next_off = int(pa.compute.max(base_tbl.column("offset")).as_py()) + 1
+    state = {"off": next_off}
+
+    def on_round(i, m):
+        # feed one new event every tick: the partition is never idle
+        row = base_tbl.slice(0, 1).to_pydict()
+        row["offset"] = [state["off"]]
+        state["off"] += 1
+        pq.write_table(pa.table(row, schema=base_tbl.schema),
+                       os.path.join(logdir, f"log-{row['offset'][0]:012d}.parquet"))
+        counts = m.delta_counts()
+        assert counts.get(0, 0) <= 3, f"delta chain unbounded: {counts}"
+
+    tail_changelog(fx["changelog_dir"], str(tmp_path / "out"),
+                   str(tmp_path / "m.json"), lake_dir=fx["lake_dir"],
+                   num_partitions=1, commit_mode="delta", max_rounds=8,
+                   poll_interval_s=0.0, sleep=lambda s: None,
+                   on_round=on_round, flush_interval_rounds=100,
+                   grace_rounds=50, max_pending_deltas=3)

@@ -828,5 +828,5 @@ def test_streaming_merge_rejects_unsorted_base():
     shuffled = pd.concat([df.iloc[:1], mid, df.iloc[-1:]])
     bad = pa.Table.from_pandas(shuffled, preserve_index=False)
     events = synth_changelog(50, 200, seed=2, num_partitions=1)
-    with pytest.raises(ValueError, match="not key-sorted internally"):
+    with pytest.raises(ValueError, match="strictly key-ascending"):
         list(merge_sorted_stream(iter([bad]), events))
