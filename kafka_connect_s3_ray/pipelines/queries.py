@@ -717,6 +717,45 @@ def q_media_features(sf_dir: str):
     )
 
 
+def q_distinct_users_by_type(sf_dir: str):
+    """EXACT distinct counting per group (the ``unique`` wide op) without a
+    high-cardinality groupby: (event_type, user) pairs dedupe inside coarse
+    hash buckets (equal pairs always co-locate), then one tiny per-type sum of
+    the per-bucket partial counts — two bounded exchanges, no global sort, no
+    driver state. The HLL sketch (approx_distinct) is the one-pass alternative
+    when exactness isn't required."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import _coarse_of
+
+    def pairs_coarse(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        out = pa.table({"event_type": t.column("event_type"),
+                        "user_id": t.column("user_id")})
+        return out.append_column("coarse", pa.array(_coarse_of([et, uid], 64)))
+
+    def partial_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["event_type", "user_id"])
+        return d.groupby("event_type", as_index=False).agg(
+            partial_users=("user_id", "size"))
+
+    out = (
+        _events(sf_dir, ["event_type", "user_id"])
+        .map_batches(pairs_coarse, batch_format="pyarrow")
+        .groupby("coarse")
+        .map_groups(partial_distinct, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Sum("partial_users", alias_name="n_users"))
+    )
+
+    def fix(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t.column("event_type"),
+                         "n_users": pc.cast(t.column("n_users"), pa.int64())})
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
 def q_approx_distinct(sf_dir: str):
     """HLL sketch distinct count (mergeable, one sketch per batch crosses the
     shuffle). Approximate -> rows-only check; accuracy tested in pytest."""
@@ -877,6 +916,7 @@ QUERIES = {
     "near_dup_verified": q_near_dup_verified,
     "curation_chain": q_curation_chain,
     "media_features": q_media_features,
+    "distinct_users_by_type": q_distinct_users_by_type,
     "approx_distinct": q_approx_distinct,
     "approx_quantiles": q_approx_quantiles,
     "cosine_topk": q_cosine_topk,
@@ -1091,6 +1131,10 @@ ORACLE_SQL = {
         "ORDER BY \"offset\" DESC) AS rn FROM u) "
         "SELECT conv_id, turn_idx, role, text, tool, ts FROM r "
         "WHERE rn = 1 AND op <> 'D'"
+    ),
+    "distinct_users_by_type": (
+        "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
+        "FROM events GROUP BY event_type"
     ),
     "lang_id": _lang_id_sql(),
     # rolling_fingerprint / minhash / simhash / IVF / sketches:
