@@ -171,7 +171,11 @@ def q_cdc_merge_events(sf_dir: str, tmp_root: str = "/tmp/kcs3_ray"):
             }
         )
 
-    change = ds.map_batches(to_change, batch_format="pyarrow")
+    # materialize ONCE: the two phase splits below each consume this dataset,
+    # and without pinning it the read+to_change would execute twice. The
+    # change set is the bounded per-round ingest batch (not the lake), so
+    # holding it in the object store is the cheap side of the trade.
+    change = ds.map_batches(to_change, batch_format="pyarrow").materialize()
     p1, p2 = os.path.join(work, "phase1"), os.path.join(work, "phase2")
     change.filter(expr=f"offset <= {wm_split}").write_parquet(p1)
     change.filter(expr=f"offset > {wm_split}").write_parquet(p2)
@@ -367,7 +371,7 @@ def q_asof_join(sf_dir: str):
     prior-or-equal click (coarse-bucket + merge_asof, one shuffle)."""
     from ..stages.joins import asof_join
 
-    ev = _events(sf_dir)
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
     purchases = ev.filter(expr="event_type == 'purchase'").select_columns(
         ["event_id", "user_id", "ts"]
     )
@@ -399,7 +403,7 @@ def q_range_join(sf_dir: str):
     containment filter (many-to-many)."""
     from ..stages.joins import range_join
 
-    ev = _events(sf_dir)
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
     purchases = ev.filter(expr="event_type == 'purchase'").map_batches(
         lambda t: pa.table({"event_id": t.column("event_id"),
                             "user_id": t.column("user_id"),

@@ -306,26 +306,51 @@ def asof_join(
     lt = left.map_batches(tag("l"), batch_format="pyarrow")
     rt = right.map_batches(tag("r"), batch_format="pyarrow")
 
-    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        # the union frame already carries right_only columns null-filled with
-        # the right dtypes (tag() builds them via pa.nulls(col_types)), so the
-        # empty branches can keep them as-is — no dtype divergence across
-        # buckets
-        l_full = g[g["_side"] == "l"].drop(columns=["_side", "_coarse"])
-        r = g[g["_side"] == "r"][[key, ts] + right_only]
-        if l_full.empty or r.empty:
-            return l_full
-        l = l_full.drop(columns=right_only).sort_values([ts, key], kind="stable")
+    out_cols = list(lsch.names) + right_only
+    out_schema = pa.schema([(c, col_types[c]) for c in out_cols])
+
+    def _side_frame(t: pa.Table, cols: list[str]) -> pd.DataFrame:
+        # Select one side's columns and cast back to the DECLARED Arrow types
+        # before pandas: if the shuffle materialized an intermediate block as
+        # pandas (e.g. a zero-row pandas block forces pandas consolidation in
+        # the sort), the other side's null-fill degrades left-only int columns
+        # (event_id) to float64 — the cast restores them, so output dtypes
+        # never depend on block-format accidents.
+        arrs = []
+        for c in cols:
+            col = t.column(c)
+            if col.type != col_types[c]:
+                col = pc.cast(col, col_types[c])
+            arrs.append(col)
+        return pa.table(dict(zip(cols, arrs))).to_pandas()
+
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        # sides are separated IN ARROW (and cast to declared types) before
+        # to_pandas, so the other side's null-fill can't degrade int columns
+        side = g.column("_side")
+        lt_ = g.filter(pc.equal(side, "l"))
+        rt_ = g.filter(pc.equal(side, "r"))
+        if len(lt_) == 0 or len(rt_) == 0:
+            # left rows keep their null-filled right_only columns (built by
+            # tag() via pa.nulls(col_types)); cast pins the declared schema
+            return (lt_.select(out_cols).cast(out_schema) if len(lt_)
+                    else out_schema.empty_table())
+        l = _side_frame(lt_, list(lsch.names)).sort_values([ts, key], kind="stable")
         # Deterministic tie-break: among right rows equal on (key, ts), the
         # winner is the lexicographically GREATEST payload tuple — merge_asof
         # (backward) picks the last of equal-ts duplicates, so sorting by the
         # payload columns last makes the pick a pure function of the data,
         # independent of block arrival order after the union+shuffle.
-        r = r.sort_values([ts, key] + right_only, kind="stable")
-        return pd.merge_asof(l, r, on=ts, by=key, direction=direction)
+        r = _side_frame(rt_, [key, ts] + right_only).sort_values(
+            [ts, key] + right_only, kind="stable")
+        m = pd.merge_asof(l, r, on=ts, by=key, direction=direction)
+        # explicit output schema: unmatched left rows null-fill right_only ints
+        # to float64 in pandas; from_pandas(schema=) casts them back
+        return pa.Table.from_pandas(m[out_cols], schema=out_schema,
+                                    preserve_index=False)
 
     both = lt.union(rt)
-    return both.groupby("_coarse").map_groups(merge_bucket, batch_format="pandas")
+    return both.groupby("_coarse").map_groups(merge_bucket, batch_format="pyarrow")
 
 
 def range_join(left: "ray.data.Dataset", right: "ray.data.Dataset",

@@ -67,6 +67,33 @@ def test_asof_join_semantics():
     assert m.loc[(2, 7)] == 300  # inclusive boundary
 
 
+def test_asof_join_left_int_dtypes_survive():
+    """Regression (round-2 red cell): the union+shuffle's null-fill must not
+    degrade left-only int columns to float64. Left carries an int64 payload
+    (event_id); some left rows are unmatched AND some buckets are right-empty
+    — both paths must still emit event_id as int64 with no nulls."""
+    left = ray.data.from_arrow(
+        pa.table({"event_id": pa.array([10, 11, 12, 13], pa.int64()),
+                  "k": pa.array([1, 1, 2, 9], pa.int64()),
+                  "t": pa.array([15, 4, 7, 3], pa.int64())})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2], pa.int64()),
+                  "t": pa.array([5, 7], pa.int64()),
+                  "rv": pa.array([100, 300], pa.int64())})
+    )
+    ds = asof_join(left, right, key="k", ts="t", right_cols=["rv"], n_coarse=4)
+    sch = ds.schema()
+    types = dict(zip(sch.names, sch.types))
+    assert types["event_id"] == pa.int64()
+    assert types["k"] == pa.int64()
+    assert types["t"] == pa.int64()
+    out = ds.to_pandas()
+    assert len(out) == 4
+    assert out["event_id"].dtype == np.int64 and not out["event_id"].isna().any()
+    assert sorted(out["event_id"]) == [10, 11, 12, 13]
+
+
 def test_tumbling_window_agg():
     ds = ray.data.from_arrow(_events_tbl())
     out = tumbling_window_agg(ds, key="user_id", ts="ts", window_us=10,
