@@ -667,15 +667,15 @@ def q_embedding_near_dup(sf_dir: str):
 
 
 def q_near_dup_verified(sf_dir: str):
-    """The full near-dup chain: MinHash-LSH candidates -> exact k-shingle
-    Jaccard verify at 0.6 (broadcast path at this scale; the partitioned-join
-    path engages above ``broadcast_threshold`` pairs). Non-SQL (seeded LSH) —
-    rows-only check; planted-pair recovery is asserted in pytest."""
-    from ..functions.dedup import jaccard_verify
+    """The full near-dup chain, fused: MinHash-LSH candidates + exact
+    k-shingle Jaccard verify at 0.6 in three shuffles, shingles/signatures
+    computed once per doc (``minhash_near_dup_verified``; equals the staged
+    candidates->jaccard_verify chain bit-for-bit, asserted in pytest).
+    Non-SQL (seeded LSH) — rows-only check; planted-pair recovery is
+    asserted in pytest."""
+    from ..functions.dedup import minhash_near_dup_verified
 
-    docs = _docs(sf_dir)
-    out = jaccard_verify(minhash_lsh_candidates(docs), docs,
-                         threshold=0.6).to_pandas()
+    out = minhash_near_dup_verified(_docs(sf_dir), threshold=0.6).to_pandas()
     if out.empty:
         return pa.table({"left_id": pa.array([], pa.int64()),
                          "right_id": pa.array([], pa.int64()),

@@ -103,6 +103,64 @@ def test_minhash_lsh_finds_planted_near_dups(docs):
     assert (verified["jaccard"] >= 0.6).all()
 
 
+def test_fused_near_dup_equals_staged_chain(docs):
+    """minhash_near_dup_verified (3-shuffle fused form) must emit exactly the
+    staged candidates -> jaccard_verify chain's verified pairs. margin_sigmas
+    is cranked so the signature prefilter keeps everything — isolating the
+    fused plumbing (shared shingles/sigs, pair-keyed dedup) from the
+    statistical prefilter, which has its own planted-pair test below."""
+    from kafka_connect_s3_ray.functions.dedup import minhash_near_dup_verified
+
+    base = docs.to_pandas()
+    near = base.head(8).copy()
+    near["doc_id"] = near["doc_id"] + 20_000
+    near["text"] = near["text"] + " tail tweak"
+    ds = ray.data.from_pandas(pd.concat([base, near], ignore_index=True))
+
+    staged = jaccard_verify(minhash_lsh_candidates(ds), ds,
+                            threshold=0.6).to_pandas()
+    fused = minhash_near_dup_verified(ds, threshold=0.6,
+                                      margin_sigmas=1e6).to_pandas()
+    key = lambda df: set(zip(df["left_id"], df["right_id"],
+                             np.round(df["jaccard"], 12)))
+    assert key(fused) == key(staged)
+    assert len(fused) == len(fused[["left_id", "right_id"]].drop_duplicates())
+
+
+def test_fused_near_dup_partitioned_prefilter_path(docs):
+    """sig_broadcast_docs=0 forces the partitioned sig-exchange prefilter
+    (the >200k-doc path); output must equal the broadcast-prefilter path."""
+    from kafka_connect_s3_ray.functions.dedup import minhash_near_dup_verified
+
+    base = docs.to_pandas()
+    near = base.head(5).copy()
+    near["doc_id"] = near["doc_id"] + 20_000
+    near["text"] = near["text"] + " tail tweak"
+    ds = ray.data.from_pandas(pd.concat([base, near], ignore_index=True))
+    bc = minhash_near_dup_verified(ds, threshold=0.6).to_pandas()
+    part = minhash_near_dup_verified(ds, threshold=0.6,
+                                     sig_broadcast_docs=0).to_pandas()
+    key = lambda df: set(zip(df["left_id"], df["right_id"],
+                             np.round(df["jaccard"], 12)))
+    assert key(bc) == key(part)
+
+
+def test_fused_near_dup_prefilter_keeps_planted_pairs(docs):
+    """Default 4-sigma signature prefilter must still recover every planted
+    near-dup pair and emit exact jaccard values for them."""
+    from kafka_connect_s3_ray.functions.dedup import minhash_near_dup_verified
+
+    base = docs.to_pandas()
+    near = base.head(5).copy()
+    near["doc_id"] = near["doc_id"] + 20_000
+    near["text"] = near["text"] + " tail tweak"
+    ds = ray.data.from_pandas(pd.concat([base, near], ignore_index=True))
+    out = minhash_near_dup_verified(ds, threshold=0.6).to_pandas()
+    found = set(zip(out["left_id"], out["right_id"]))
+    assert {(i, i + 20_000) for i in range(5)} <= found
+    assert (out["jaccard"] >= 0.6).all()
+
+
 def test_simhash_candidates(docs):
     base = docs.to_pandas().head(100)
     near = base.head(3).copy()
