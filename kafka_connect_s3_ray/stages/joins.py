@@ -353,6 +353,58 @@ def asof_join(
     return both.groupby("_coarse").map_groups(merge_bucket, batch_format="pyarrow")
 
 
+def _interval_walk(lk: np.ndarray, lts: np.ndarray, rk: np.ndarray,
+                   rstart: np.ndarray, rend: np.ndarray
+                   ) -> tuple[np.ndarray, np.ndarray, int]:
+    """Per-key interval-containment matcher, output-sensitive with ZERO
+    slack and fully vectorized. The problem is inverted: for one fixed right
+    interval, the queries it contains — same key, start <= ts < end — form a
+    CONTIGUOUS slice of the queries sorted by (key, ts). So queries are
+    sorted once, and each interval locates its exact slice [qlo, qhi) with
+    two searchsorteds over composite (key_code * base + ts_rank) keys, where
+    ranks come from one shared sorted pool of query timestamps (rank('left')
+    preserves <=/< against query values exactly, and makes float bounds
+    composable with integer key codes). The expanded row count therefore
+    EQUALS the match count — a hot key with B intervals and Q queries costs
+    O((B+Q)·log + matches), never the B×Q per-key cross product a naive
+    equi-join + range filter materializes, and a long straddling interval
+    adds only its own true matches (the running-max prefix trick this
+    replaces degenerated to ~Q²/2 candidates on that shape).
+
+    Inputs: ``lk``/``rk`` non-null int64 key codes (factorized over both
+    sides), ``lts``/``rstart``/``rend`` one common comparable dtype.
+    Returns (left_row_idx, right_row_idx, n_matches) for containment
+    start <= ts < end (half-open)."""
+    nl, nr = len(lk), len(rk)
+    empty = np.empty(0, np.int64)
+    if nl == 0 or nr == 0:
+        return empty, empty, 0
+    qorder = np.lexsort((lts, lk))
+    lk_s, lts_s = lk[qorder], lts[qorder]
+    pool = np.sort(lts)
+    base = np.int64(nl + 2)
+    # comp_q ascends: lk_s ascends, and within a key rank('left') of an
+    # ascending lts_s ascends
+    comp_q = lk_s * base + np.searchsorted(pool, lts_s, side="left")
+    # query included iff rank(ts) >= rank(start)  <=>  start <= ts, and
+    # excluded iff rank(ts) >= rank(end)  <=>  end <= ts (both via 'left'
+    # ranks over the query-ts pool), so [qlo, qhi) is exactly the match set
+    qlo = np.searchsorted(
+        comp_q, rk * base + np.searchsorted(pool, rstart, side="left"),
+        side="left")
+    qhi = np.searchsorted(
+        comp_q, rk * base + np.searchsorted(pool, rend, side="left"),
+        side="left")
+    counts = np.maximum(qhi - qlo, 0)  # degenerate end <= start => empty
+    total = int(counts.sum())
+    if total == 0:
+        return empty, empty, 0
+    offs = np.cumsum(counts) - counts
+    pos = np.arange(total) - np.repeat(offs, counts) + np.repeat(qlo, counts)
+    ri = np.repeat(np.arange(nr, dtype=np.int64), counts)
+    return qorder[pos], ri, total
+
+
 def range_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
                key: str, ts: str, start: str, end: str,
                num_partitions: int = 16, suffix: str = "_right") -> "ray.data.Dataset":
@@ -360,25 +412,86 @@ def range_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     the same key whose [start, end) interval contains ``left.ts``
     (half-open; many-to-many).
 
-    Distribution: the coarse-bucket hash exchange co-locates keys, then the
-    containment predicate is a vectorized Arrow filter over the equi-joined
-    rows. A hot key forms its per-key cross product before the range filter —
-    at interval-heavy scale, sort right intervals per key and walk them with
-    searchsorted (or an interval tree) inside the bucket; the exchange layout
-    is unchanged."""
-    j = hash_join(left, right, on=key, join_type="inner",
-                  num_partitions=num_partitions, suffix=suffix)
-    # hash_join renames a right column whenever it collides with ANY left
-    # column — resolve the interval columns by the same rule, or a left
-    # payload column with the same name would silently shadow them
-    lnames = set(left.schema().names)
-    s_col = start + suffix if start in lnames else start
-    e_col = end + suffix if end in lnames else end
+    Distribution: the same one-shuffle coarse-bucket exchange as
+    ``hash_join`` (keys co-locate via hash(key) % B), but each bucket runs
+    the output-sensitive ``_interval_walk`` kernel — sort right intervals by
+    (key, start), locate each left row's candidate slice with rank-space
+    searchsorteds — instead of materializing the per-key equi-join cross
+    product before the range filter, so a hot key with B intervals costs
+    ~matches, not B x B. Right columns colliding with left names are renamed
+    with ``suffix`` (the shared key column merges), matching hash_join."""
+    lsch, rsch = left.schema(), right.schema()
+    ltypes = _schema_types(left)
+    rtypes = _schema_types(right)
+    rmap = {c: (c + suffix if (c in ltypes and c != key) else c)
+            for c in rsch.names}
+    left_cols = list(lsch.names)
+    right_cols = [rmap[c] for c in rsch.names]
+    all_cols = left_cols + [c for c in right_cols if c != key]
+    col_types = dict(ltypes)
+    for c in rsch.names:
+        col_types.setdefault(rmap[c], rtypes[c])
+    out_schema = pa.schema([(c, col_types[c]) for c in all_cols])
+    s_col, e_col = rmap[start], rmap[end]
 
-    def contains(t: pa.Table) -> pa.Table:
-        tsv = t.column(ts)
-        keep = pc.and_(pc.greater_equal(tsv, t.column(s_col)),
-                       pc.less(tsv, t.column(e_col)))
-        return t.filter(pc.fill_null(keep, False))
+    def tag(side: str):
+        def fn(t: pa.Table, _s=side) -> pa.Table:
+            if _s == "r":
+                t = t.rename_columns([rmap[c] for c in t.column_names])
+            keys = [t.column(key).to_numpy(zero_copy_only=False)]
+            coarse = _coarse_of(keys, num_partitions)
+            cols = [
+                t.column(c).cast(col_types[c]) if c in t.column_names
+                else pa.nulls(len(t), col_types[c])
+                for c in all_cols
+            ]
+            t = pa.table(dict(zip(all_cols, cols)))
+            t = t.append_column("_side", pa.array([_s] * len(t), pa.string()))
+            return t.append_column("_coarse", pa.array(coarse))
 
-    return j.map_batches(contains, batch_format="pyarrow")
+        return fn
+
+    def _cast_side(t: pa.Table, cols: list[str]) -> pa.Table:
+        # cast back to declared types so the other side's null-fill can't
+        # degrade dtypes (same contract as hash_join._side_frame)
+        return pa.table({
+            c: (t.column(c) if t.column(c).type == col_types[c]
+                else pc.cast(t.column(c), col_types[c]))
+            for c in cols
+        })
+
+    def walk_bucket(g: pa.Table) -> pa.Table:
+        side = g.column("_side")
+        lt_ = _cast_side(g.filter(pc.equal(side, "l")), left_cols)
+        rt_ = _cast_side(g.filter(pc.equal(side, "r")), right_cols)
+        # null key/ts/bound rows can never satisfy containment (parity with
+        # the previous inner-equi-join + fill_null(False) filter)
+        lt_ = lt_.filter(pc.and_(pc.is_valid(lt_.column(key)),
+                                 pc.is_valid(lt_.column(ts))))
+        rt_ = rt_.filter(pc.and_(
+            pc.is_valid(rt_.column(key)),
+            pc.and_(pc.is_valid(rt_.column(s_col)),
+                    pc.is_valid(rt_.column(e_col)))))
+        if len(lt_) == 0 or len(rt_) == 0:
+            return out_schema.empty_table()
+        lk_raw = lt_.column(key).to_numpy(zero_copy_only=False)
+        rk_raw = rt_.column(key).to_numpy(zero_copy_only=False)
+        codes, _ = pd.factorize(np.concatenate([lk_raw, rk_raw]))
+        lk = codes[: len(lk_raw)].astype(np.int64)
+        rk = codes[len(lk_raw):].astype(np.int64)
+        lts = lt_.column(ts).to_numpy(zero_copy_only=False)
+        rs = rt_.column(s_col).to_numpy(zero_copy_only=False)
+        re_ = rt_.column(e_col).to_numpy(zero_copy_only=False)
+        common = np.result_type(lts.dtype, rs.dtype, re_.dtype)
+        li, ri, _ = _interval_walk(lk, lts.astype(common, copy=False), rk,
+                                   rs.astype(common, copy=False),
+                                   re_.astype(common, copy=False))
+        lo_t = lt_.take(pa.array(li))
+        ro_t = rt_.take(pa.array(ri))
+        data = {c: lo_t.column(c) for c in left_cols}
+        data.update({c: ro_t.column(c) for c in right_cols if c != key})
+        return pa.table(data).cast(out_schema)
+
+    both = left.map_batches(tag("l"), batch_format="pyarrow").union(
+        right.map_batches(tag("r"), batch_format="pyarrow"))
+    return both.groupby("_coarse").map_groups(walk_bucket, batch_format="pyarrow")

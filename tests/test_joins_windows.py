@@ -126,3 +126,80 @@ def test_sliding_window_agg():
     assert u1.loc[0, "n_events"] == 2 and u1.loc[0, "total_value"] == 3.0
     assert u1.loc[1, "n_events"] == 2 and u1.loc[1, "total_value"] == 5.0
     assert u1.loc[-1, "n_events"] == 1  # window [-10,10) holds ts 0
+
+
+def _brute_interval_matches(lk, lts, rk, rs, re_):
+    out = []
+    for i in range(len(lk)):
+        for j in range(len(rk)):
+            if lk[i] == rk[j] and rs[j] <= lts[i] < re_[j]:
+                out.append((i, j))
+    return set(out)
+
+
+def test_interval_walk_matches_brute_force_randomized():
+    from kafka_connect_s3_ray.stages.joins import _interval_walk
+
+    rng = np.random.default_rng(7)
+    for trial in range(5):
+        nl, nr = 120, 80
+        lk = rng.integers(0, 6, nl)
+        rk = rng.integers(0, 6, nr)
+        lts = rng.integers(0, 100, nl).astype(np.int64)
+        rs = rng.integers(0, 90, nr).astype(np.int64)
+        re_ = rs + rng.integers(1, 30, nr)
+        li, ri, total = _interval_walk(lk.astype(np.int64), lts,
+                                       rk.astype(np.int64), rs, re_)
+        got = set(zip(li.tolist(), ri.tolist()))
+        assert got == _brute_interval_matches(lk, lts, rk, rs, re_)
+        assert total >= len(got)
+
+
+def test_interval_walk_hot_key_bounded_candidates():
+    """One key with 10^4 disjoint intervals: the walk's expanded candidate
+    count must stay ~|queries| (one per left row), not the 10^8 per-key cross
+    product a naive equi-join + range filter materializes."""
+    from kafka_connect_s3_ray.stages.joins import _interval_walk
+
+    n = 10_000
+    rk = np.zeros(n, np.int64)
+    rs = np.arange(n, dtype=np.int64) * 10          # [0,10), [10,20), ...
+    re_ = rs + 10
+    lk = np.zeros(n, np.int64)
+    lts = np.arange(n, dtype=np.int64) * 10 + 5     # each hits exactly one
+    li, ri, total = _interval_walk(lk, lts, rk, rs, re_)
+    assert len(li) == n and (ri == li).all()
+    assert total <= n  # zero slack: expansion == match count
+    # a long straddling interval adds only its own true matches, never n^2
+    rk2 = np.concatenate([rk, [0]])
+    rs2 = np.concatenate([rs, [0]]).astype(np.int64)
+    re2 = np.concatenate([re_, [n * 10]]).astype(np.int64)
+    li2, ri2, total2 = _interval_walk(lk, lts, rk2, rs2, re2)
+    assert len(li2) == 2 * n
+    assert total2 <= 2 * n + n  # matches + slack, not n^2
+
+
+def test_range_join_dataset_matches_pandas_brute_force():
+    from kafka_connect_s3_ray.stages.joins import range_join
+
+    rng = np.random.default_rng(3)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 5, 60),
+        "t": rng.integers(0, 50, 60),
+        "payload": rng.standard_normal(60),
+    })
+    right = pd.DataFrame({
+        "k": rng.integers(0, 5, 40),
+        "s": rng.integers(0, 45, 40),
+        "rid": np.arange(40),
+    })
+    right["e"] = right["s"] + rng.integers(1, 20, 40)
+    out = range_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                     key="k", ts="t", start="s", end="e",
+                     num_partitions=4).to_pandas()
+    m = left.merge(right, on="k")
+    m = m[(m["s"] <= m["t"]) & (m["t"] < m["e"])]
+    key = ["k", "t", "payload", "s", "e", "rid"]
+    got = out[key].sort_values(key).reset_index(drop=True)
+    want = m[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
