@@ -49,14 +49,17 @@ def exact_dedup(ds: "ray.data.Dataset", id_col: str = "doc_id",
     ITSELF inside each bucket — one vectorized idxmin per bucket, so a 64-bit
     hash collision can never merge two distinct documents (at 10^10 docs
     birthday collisions on 64 bits are expected; the oracle-facing
-    ``q_dedup_exact`` keeps md5 only for DuckDB parity). No per-row Python,
-    no global sort, no driver state."""
+    ``q_dedup_exact`` keeps md5 only for DuckDB parity). NULL texts form
+    their own dedup key, distinct from empty/whitespace-only text — the same
+    null-distinct contract as add_fingerprint / q_dedup_exact (and SQL
+    GROUP BY, which pools NULLs into one group). No per-row Python, no
+    global sort, no driver state."""
     import pyarrow.compute as pc
 
     def norm_coarse(t: pa.Table) -> pa.Table:
-        norm = pc.utf8_lower(
-            pc.utf8_trim_whitespace(pc.fill_null(t.column(text_col), ""))
-        )
+        # nulls propagate through lower/trim and hash to their own bucket —
+        # never coalesced with ''
+        norm = pc.utf8_lower(pc.utf8_trim_whitespace(t.column(text_col)))
         h = pd.util.hash_array(norm.to_numpy(zero_copy_only=False).astype(object))
         t = t.append_column("_norm", norm)
         return t.append_column(
@@ -66,7 +69,7 @@ def exact_dedup(ds: "ray.data.Dataset", id_col: str = "doc_id",
     ds = ds.map_batches(norm_coarse, batch_format="pyarrow")
 
     def keep_min(g: pd.DataFrame) -> pd.DataFrame:
-        keep = g.loc[g.groupby("_norm")[id_col].idxmin()]
+        keep = g.loc[g.groupby("_norm", dropna=False)[id_col].idxmin()]
         return keep.drop(columns=["_norm", "coarse"])
 
     return ds.groupby("coarse").map_groups(keep_min, batch_format="pandas")

@@ -180,15 +180,25 @@ def _probe_mask(probe: np.ndarray, n_clusters: int, n_queries: int) -> np.ndarra
 def build_ivf_index(ds: "ray.data.Dataset", index_dir: str,
                     n_clusters: int = 16, sample_size: int = 2048,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    seed: int = 42) -> np.ndarray:
+                    seed: int = 42, max_file_rows: int = 256 * 1024,
+                    sub_splits: int = 1) -> np.ndarray:
     """Materialize a cluster-partitioned copy of the corpus: fit coarse
     centroids on a sample (driver, seeded), assign every vector in one
-    ``map_batches`` pass, and write ``cluster=<c>/part-0.parquet`` files plus
+    ``map_batches`` pass, and write ``cluster=<c>/part-*.parquet`` files plus
     ``centroids.npy``. Queries then read ONLY their nprobe clusters' files —
     the assignment pass ``ivf_topk`` repeats per call is paid once here and
     amortized over every subsequent query (partition pruning at the read, the
     same trick the lake uses for ``part=<p>/``). Deterministic: same input +
-    seed => identical files."""
+    seed => identical files.
+
+    Scale levers: each cluster's output rotates to a new file every
+    ``max_file_rows`` rows (the lake writer's pattern — no giant single
+    files, and readers parallelize across the parts), and ``sub_splits > 1``
+    salts rows by a stable hash of ``id_col`` into that many independent
+    (cluster, sub) write tasks, so one dense cluster is no longer pinned to a
+    single task's memory. Raising ``n_clusters`` shrinks clusters at the
+    source; sub_splits handles a skewed corpus where one centroid still
+    captures a disproportionate share."""
     import glob as _glob
     import os
     import shutil
@@ -209,20 +219,37 @@ def build_ivf_index(ds: "ray.data.Dataset", index_dir: str,
     cents_ref = ray.put(cents)
     assigned = ds.map_batches(_CentroidAssign(cents_ref, vec_col),
                               batch_format="pyarrow", concurrency=2)
+    group_key: list[str] = ["cluster"]
+    if sub_splits > 1:
+        def add_sub(t: pa.Table) -> pa.Table:
+            ids = t.column(id_col).to_numpy(zero_copy_only=False)
+            if ids.dtype.kind not in ("i", "u"):
+                ids = ids.astype(object)
+            sub = (pd.util.hash_array(np.ascontiguousarray(ids)) %
+                   np.uint64(sub_splits)).astype(np.int32)
+            return t.append_column("_sub", pa.array(sub))
+
+        assigned = assigned.map_batches(add_sub, batch_format="pyarrow")
+        group_key = ["cluster", "_sub"]
 
     def write_cluster(g: pa.Table) -> pa.Table:
         c = int(g.column("cluster")[0].as_py())
+        sub = int(g.column("_sub")[0].as_py()) if "_sub" in g.column_names else 0
+        g = g.drop_columns(["_sub"]) if "_sub" in g.column_names else g
         g = g.sort_by([(id_col, "ascending")])  # deterministic bytes
         cdir = os.path.join(index_dir, f"cluster={c}")
         os.makedirs(cdir, exist_ok=True)
-        path = os.path.join(cdir, "part-0.parquet")
-        tmp = path + ".inprogress"
-        pq.write_table(g, tmp, compression="zstd")
-        os.replace(tmp, path)
+        # rotate at max_file_rows so a dense cluster never becomes one giant
+        # file (same contract as the lake writer's max_file_rows)
+        for i, lo in enumerate(range(0, len(g), max_file_rows)):
+            path = os.path.join(cdir, f"part-{sub:04d}-{i:04d}.parquet")
+            tmp = path + ".inprogress"
+            pq.write_table(g.slice(lo, max_file_rows), tmp, compression="zstd")
+            os.replace(tmp, path)
         return pa.table({"cluster": pa.array([c], pa.int32()),
                          "n": pa.array([len(g)], pa.int64())})
 
-    assigned.groupby("cluster").map_groups(
+    assigned.groupby(group_key).map_groups(
         write_cluster, batch_format="pyarrow"
     ).materialize()
     os.makedirs(index_dir, exist_ok=True)

@@ -23,12 +23,25 @@ from ..state.manifest import Manifest
 def vacuum(manifest: Manifest | str, keep_generations: int = 1,
            dry_run: bool = False) -> list[str]:
     """Delete partition files older than the last ``keep_generations`` commits
-    of each partition. The CURRENT fileset is never deleted; with
-    keep_generations > 1, older snapshots stay replayable from their
-    checkpoints. Returns the deleted (or would-delete) paths."""
+    of each partition, and sweep aged ``*.inprogress*`` tmps that a crashed
+    commit orphaned (delta-mode commits never rewrite the partition dir, so
+    without this sweep their crash leavings would persist forever). The
+    CURRENT fileset is never deleted; with keep_generations > 1, older
+    snapshots stay replayable from their checkpoints. Returns the deleted
+    (or would-delete) paths."""
+    from .upsert import _sweep_stale_tmp
+
     if isinstance(manifest, str):
         manifest = Manifest.load(manifest)
     doomed: list[str] = []
+    pdirs: set[str] = set()
+    for p, st in manifest.partitions.items():
+        pdirs.update(os.path.dirname(path)
+                     for e in st.get("files", []) for path in e["path"].split(";"))
+        pdirs.update(os.path.dirname(path) for path in st.get("current", []))
+    if not dry_run:
+        for d in sorted(pdirs):
+            _sweep_stale_tmp(d)
     for p, st in manifest.partitions.items():
         files = st.get("files", [])
         # A "generation" is a full snapshot: a REWRITE entry plus any deltas

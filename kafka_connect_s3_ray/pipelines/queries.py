@@ -1114,28 +1114,10 @@ ORACLE_SQL = {
         "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
         "CAST(b.embedding AS DOUBLE[])) >= 0.5"
     ),
-    "cdc_transcripts": (
-        # The flagship's single-process semantics in SQL: base lake rows act
-        # as offset -1 inserts, changelog events override per (conv_id,
-        # turn_idx) by max offset (offsets are dense per partition and a key
-        # lives in exactly one partition, so per-key offset order IS the
-        # replay order), 'D' winners delete. Reads the deterministic
-        # transcripts fixture that q_cdc_transcripts builds (seed=42 —
-        # regenerating yields identical bytes; oracle_sql() pre-builds it).
-        "WITH base AS (SELECT conv_id, turn_idx, role, text, tool, ts, "
-        "'B' AS op, CAST(-1 AS BIGINT) AS \"offset\" FROM read_parquet("
-        "'/tmp/kcs3_ray/transcripts_sf0.01/lake/part=*/base-*.parquet', "
-        "hive_partitioning=0)), "
-        "chg AS (SELECT conv_id, turn_idx, role, text, tool, ts, op, \"offset\" "
-        "FROM read_parquet("
-        "'/tmp/kcs3_ray/transcripts_sf0.01/changelog/partition=*/log-*.parquet', "
-        "hive_partitioning=0)), "
-        "u AS (SELECT * FROM base UNION ALL SELECT * FROM chg), "
-        "r AS (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx "
-        "ORDER BY \"offset\" DESC) AS rn FROM u) "
-        "SELECT conv_id, turn_idx, role, text, tool, ts FROM r "
-        "WHERE rn = 1 AND op <> 'D'"
-    ),
+    # cdc_transcripts is appended below via cdc_transcripts_oracle_sql() so
+    # the fixture path is derived from ONE place (transcripts_fixture's root
+    # naming), instantiated for the driver's sf0.01; callers at another sf
+    # regenerate it with cdc_transcripts_oracle_sql(fixture["root"]).
     "distinct_users_by_type": (
         "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
         "FROM events GROUP BY event_type"
@@ -1145,3 +1127,32 @@ ORACLE_SQL = {
     # non-SQL-expressible (seeded LSH, mergeable sketches, rolling hashes)
     # — rows-only checks; accuracy/recall evidence lives in pytest.
 }
+
+
+def cdc_transcripts_oracle_sql(root: str = "/tmp/kcs3_ray/transcripts_sf0.01") -> str:
+    """The flagship's single-process semantics in SQL over a
+    ``transcripts_fixture`` root: base lake rows act as offset -1 inserts,
+    changelog events override per (conv_id, turn_idx) by max offset (offsets
+    are dense per partition and a key lives in exactly one partition, so
+    per-key offset order IS the replay order), 'D' winners delete. The
+    default root matches the driver's sf0.01 run; pass
+    ``transcripts_fixture(sf_dir)["root"]`` for any other scale so the SQL
+    always reads the fixture the engine query ran on."""
+    return (
+        "WITH base AS (SELECT conv_id, turn_idx, role, text, tool, ts, "
+        "'B' AS op, CAST(-1 AS BIGINT) AS \"offset\" FROM read_parquet("
+        f"'{root}/lake/part=*/base-*.parquet', "
+        "hive_partitioning=0)), "
+        "chg AS (SELECT conv_id, turn_idx, role, text, tool, ts, op, \"offset\" "
+        "FROM read_parquet("
+        f"'{root}/changelog/partition=*/log-*.parquet', "
+        "hive_partitioning=0)), "
+        "u AS (SELECT * FROM base UNION ALL SELECT * FROM chg), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx "
+        "ORDER BY \"offset\" DESC) AS rn FROM u) "
+        "SELECT conv_id, turn_idx, role, text, tool, ts FROM r "
+        "WHERE rn = 1 AND op <> 'D'"
+    )
+
+
+ORACLE_SQL["cdc_transcripts"] = cdc_transcripts_oracle_sql()

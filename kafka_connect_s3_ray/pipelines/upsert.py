@@ -84,7 +84,9 @@ def _tmp_path(final: str) -> str:
     let one attempt rename the other's partial file into the committed path.
     Unique tmps + atomic os.replace keep every rename whole (both attempts
     write identical deterministic bytes, so last-rename-wins is safe);
-    orphaned tmps are swept by vacuum."""
+    orphaned tmps are swept by vacuum() (all partition dirs) and by the next
+    rewrite commit to the same partition dir (_sweep_stale_tmp) — both only
+    touch tmps old enough that no live retry can still be writing them."""
     import uuid
 
     return f"{final}.inprogress-{uuid.uuid4().hex[:8]}"
@@ -256,9 +258,11 @@ def _commit_partition(p: int, events: pa.Table, lake_files: list[str], wm: int,
             events = compact_events(pa.concat_tables(
                 unify_with_nulls([delta_tbl, events])
             ))
+        # n_events = this round's NEW events only — the folded delta rows were
+        # already counted by the commit that wrote them
         return _commit_partition_streaming(
             p, events, bases, wm, out_dir, target_schema,
-            row_group_size, max_file_rows, t0,
+            row_group_size, max_file_rows, t0, n_events=n_events,
         )
     # small partition: resolve deltas + merge fully in memory (fastest)
     lake_tbl = _resolve_partition(lake_files) if lake_files else None
@@ -311,14 +315,16 @@ def _files_globally_key_sorted(files: list[str]) -> bool:
 def _commit_partition_streaming(p: int, events: pa.Table, lake_files: list[str],
                                 wm: int, out_dir: str, target_schema: pa.Schema,
                                 row_group_size: int, max_file_rows: int,
-                                t0: float) -> pa.Table:
+                                t0: float, n_events: int | None = None) -> pa.Table:
     """Streaming merge-join commit: iterate the key-sorted snapshot row-group
     by row-group, merge each piece with its slice of the (compacted) change
     set, and write through a rolling ParquetWriter with deterministic file
-    rotation. Memory: O(row_group + compacted events)."""
+    rotation. Memory: O(row_group + compacted events). ``n_events`` lets the
+    caller report the pre-delta-fold event count so already-committed delta
+    rows aren't double-counted in the stats row."""
     from ..stages.merge import merge_sorted_stream
 
-    n_events = len(events)
+    n_events = len(events) if n_events is None else n_events
     pdir = os.path.join(out_dir, f"part={p}")
     os.makedirs(pdir, exist_ok=True)
     _sweep_stale_tmp(pdir)

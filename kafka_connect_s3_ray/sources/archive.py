@@ -310,6 +310,7 @@ def read_archive(
     target_topic: dict[str, str] | None = None,
     on_corrupt: str = "raise",
     quarantine_dir: str | None = None,
+    start_marker: str | None = None,
 ) -> "ray.data.Dataset":
     """Replay an archive directory as a Dataset of byte records.
 
@@ -318,6 +319,15 @@ def read_archive(
     whose *entire* offset range is consumed per the index sidecar (D1,
     source/.../S3FilesReader.java:177-184). Record-level residual filtering,
     key-exclude (M9) and topic remap (M11) run vectorized in the decode stage.
+
+    ``start_marker`` is the reference's ``s3.start.marker`` partial-replay
+    knob (source/.../S3SourceConfig.java:9, S3FilesReader.java:131,153:
+    ``listObjectsV2 startAfter``): listing begins strictly AFTER this
+    archive-relative key, so files at or lexicographically before the marker
+    are skipped before any byte is read. Because file names sort in offset
+    order within a partition, pointing it at a data-file key replays only
+    later files — an ad-hoc coarse resume that composes with (and is cheaper
+    than) ``resume_offsets``.
 
     ``resume_offsets`` keys are ``(topic, partition)`` tuples (the reference's
     S3Partition identity, source/.../S3Partition.java:7-82); bare ``int``
@@ -338,7 +348,10 @@ def read_archive(
         )
     files = []
     for path in sorted(glob.glob(os.path.join(archive_dir, "**", "*.gz"), recursive=True)):
-        meta = layout.parse(_rel_key(path, archive_dir))
+        rel = _rel_key(path, archive_dir)
+        if start_marker is not None and rel <= start_marker:
+            continue  # strictly-after semantics, like S3 startAfter
+        meta = layout.parse(rel)
         if meta is None:
             continue
         if topic is not None and meta.topic != topic:

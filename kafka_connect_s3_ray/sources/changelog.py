@@ -181,10 +181,13 @@ def changelog_from_archive(
     fmt_config: dict | None = None,
     layout_name: str = "grouped_by_date",
     resume_offsets: dict[int, int] | None = None,
+    start_marker: str | None = None,
 ) -> "ray.data.Dataset":
     """Read a reference-style block-gzip archive as a change-event Dataset
     (CHANGE_SCHEMA). Consumed-file skipping and per-partition resume come from
-    the archive reader (D1/S7); JSON payload decode is an import-edge stage.
+    the archive reader (D1/S7); ``start_marker`` is the s3.start.marker
+    partial-replay knob (strictly-after file listing, see read_archive);
+    JSON payload decode is an import-edge stage.
 
     A MULTI-topic archive must be read one topic at a time: CHANGE_SCHEMA
     keeps only (partition, offset) provenance, so two topics' streams would
@@ -213,5 +216,6 @@ def changelog_from_archive(
     records = read_archive(
         archive_dir, fmt_name=fmt_name, fmt_config=fmt_config,
         layout_name=layout_name, topic=topic, resume_offsets=resume_offsets,
+        start_marker=start_marker,
     )
     return records.map_batches(_decode_change_batch, batch_format="pyarrow")

@@ -109,6 +109,16 @@ def _schema_types(ds: "ray.data.Dataset") -> dict:
             for n in unresolved:
                 out[n] = b.schema.field(n).type
         except Exception:  # empty dataset etc. — strings are the common case
+            import warnings
+
+            warnings.warn(
+                f"could not resolve Arrow types for object columns "
+                f"{unresolved} (empty input?); defaulting to string — a "
+                f"binary-keyed empty side would be mistyped; cast the input "
+                f"or provide a non-empty block to pin the schema",
+                RuntimeWarning,
+                stacklevel=2,
+            )
             for n in unresolved:
                 out[n] = pa.string()
     return out
