@@ -86,3 +86,66 @@ def test_read_archive_start_marker_partial_replay(tmp_path):
 
     # marker past every file => empty replay
     assert read_archive(out, topic="t", start_marker="1970-01-02/").count() == 0
+
+
+def test_ranked_and_bitmap_jaccard_match_flat_kernel():
+    """The rank-composite kernel and the bitmap popcount kernel must agree
+    exactly with the reference lexsort kernel on random sets (including
+    empty sets and identical pairs)."""
+    from kafka_connect_s3_ray.functions.dedup import (
+        _batch_jaccard_flat,
+        _batch_jaccard_ranked,
+        _bitmap_inter,
+        _flat_gather,
+        _rank_bitmaps,
+    )
+
+    rng = np.random.default_rng(11)
+    n_docs, npool = 60, 500
+    sets = [np.unique(rng.integers(0, npool, rng.integers(0, 40)))
+            for _ in range(n_docs)]
+    sets[3] = np.empty(0, np.int64)  # empty set edge
+    sets[5] = np.unique(rng.integers(0, npool, 25))  # guaranteed non-empty
+    lens = np.array([len(s) for s in sets], np.int64)
+    flat = (np.concatenate(sets) if lens.sum() else np.empty(0, np.int64))
+    starts = np.cumsum(lens) - lens
+
+    npairs = 300
+    li = rng.integers(0, n_docs, npairs)
+    ri = rng.integers(0, n_docs, npairs)
+    li[0] = ri[0] = 5  # identical pair => jaccard 1.0
+    llen, rlen = lens[li], lens[ri]
+
+    # reference: flat lexsort kernel over uint64 "hashes" (= pool values)
+    want = _batch_jaccard_flat(
+        _flat_gather(flat.astype(np.uint64), starts[li], llen), llen,
+        _flat_gather(flat.astype(np.uint64), starts[ri], rlen), rlen)
+
+    got_ranked = _batch_jaccard_ranked(
+        _flat_gather(flat.astype(np.int32), starts[li], llen), llen,
+        _flat_gather(flat.astype(np.int32), starts[ri], rlen), rlen, npool)
+    np.testing.assert_allclose(got_ranked, want)
+
+    bm = _rank_bitmaps(lens, flat, npool)
+    inter = _bitmap_inter(bm, li, ri)
+    union = llen + rlen - inter
+    got_bm = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+    np.testing.assert_allclose(got_bm, want)
+    assert got_bm[0] == 1.0
+
+
+def test_fused_chain_broadcast_verify_matches_exchange_path():
+    """The corpus-broadcast verify (bitmap or ranked kernel) must produce
+    exactly the same verified pairs as the partitioned payload-exchange path
+    (forced via corpus_broadcast_bytes=0)."""
+    from kafka_connect_s3_ray.functions.dedup import minhash_near_dup_verified
+
+    docs = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    a = minhash_near_dup_verified(docs, threshold=0.6).to_pandas()
+    b = minhash_near_dup_verified(docs, threshold=0.6,
+                                  corpus_broadcast_bytes=0).to_pandas()
+    key = ["left_id", "right_id"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
