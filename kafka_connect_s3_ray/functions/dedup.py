@@ -323,9 +323,6 @@ def _flat_gather(flat: np.ndarray, starts: np.ndarray,
     return flat[pos]
 
 
-_POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], np.uint8)
-
-
 def _rank_bitmaps(doc_lens: np.ndarray, rank_flat: np.ndarray,
                   npool: int) -> np.ndarray:
     """(n_docs, ceil(npool/64)) uint64 bitmap matrix: bit r of row d set iff
@@ -1252,3 +1249,136 @@ def _embedding_near_dup_exact(ds: "ray.data.Dataset", threshold: float,
 
     return ds.map_batches(PairsVsCorpus, batch_format="pyarrow", concurrency=2,
                           batch_size=8 * 1024)
+
+
+# ---------------------------------------------------------------------------
+# word n-gram Jaccard (exact all-pairs — the oracle-facing member of the
+# near-dup family; the LSH chains above are the 100 TB approximate path)
+# ---------------------------------------------------------------------------
+
+def _word_ngram_sets_batch(texts: list, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Unique-sorted word-n-gram hash sets for a whole batch: one flat word
+    pass (stable 64-bit token hashes), n-gram hashes by combining n
+    consecutive word hashes within a doc (boundary-masked), per-doc dedup by
+    one lexsort + adjacent diff. Returns (flat_hashes, counts_per_doc) —
+    sets sorted within each doc, the layout the rank/bitmap kernels want."""
+    ndocs = len(texts)
+    toks = [(t or "").split() for t in texts]
+    lens = np.array([len(t) for t in toks], dtype=np.int64)
+    flat = np.array([w for doc in toks for w in doc], dtype=object)
+    counts = np.zeros(ndocs, np.int64)
+    if len(flat) < n:
+        return np.empty(0, np.uint64), counts
+    h = _stable_token_hash(flat)
+    doc_idx = np.repeat(np.arange(ndocs, dtype=np.int64), lens)
+    gh = h[: len(h) - n + 1].copy()
+    ok = np.ones(len(gh), bool)
+    for k in range(1, n):
+        gh = gh * np.uint64(1000003) ^ h[k: len(h) - n + 1 + k]
+        ok &= doc_idx[k: len(h) - n + 1 + k] == doc_idx[: len(h) - n + 1]
+    gdoc = doc_idx[: len(h) - n + 1][ok]
+    gh = gh[ok]
+    if len(gh) == 0:
+        return np.empty(0, np.uint64), counts
+    order = np.lexsort((gh, gdoc))
+    gd, gv = gdoc[order], gh[order]
+    keep = np.ones(len(gv), bool)
+    keep[1:] = (gd[1:] != gd[:-1]) | (gv[1:] != gv[:-1])
+    gd, gv = gd[keep], gv[keep]
+    counts = np.bincount(gd, minlength=ndocs).astype(np.int64)
+    return gv, counts
+
+
+def ngram_jaccard_pairs(docs: "ray.data.Dataset", n: int = 2,
+                        threshold: float = 0.3, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        exact_cap: int = 20_000) -> "ray.data.Dataset":
+    """EXACT all-pairs word-n-gram Jaccard near-dup pairs (left_id <
+    right_id, jaccard >= threshold) — matches a DuckDB
+    list_intersect/list_distinct oracle value-for-value.
+
+    Distribution: n-gram sets are built in one vectorized map pass; the
+    rank-compressed corpus (bitmaps when the distinct-gram pool is small,
+    else flat rank sets) broadcasts once via ray.put, and doc-id batches
+    stream through a zero-shuffle map_batches where each task popcounts its
+    rows against the full corpus — work is O(n_docs^2 x words) TOTAL but
+    driver sees only the >= threshold pairs. ``exact_cap`` bounds the
+    quadratic honestly (~20k docs is a few seconds on one node); past it use
+    ``minhash_near_dup_verified`` (LSH candidates + exact verify), which is
+    the scale path for the same question. Docs with fewer than n words have
+    no n-grams and never pair (parity with the SQL's len(ws) >= n filter)."""
+    sets = docs.map_batches(
+        lambda t: _ngram_rows(t, id_col, text_col, n),
+        batch_format="pyarrow",
+    )
+    tbl = pa.concat_tables(
+        t for t in ray.get(sets.to_arrow_refs()) if len(t))
+    ids = tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(ids) > exact_cap:
+        raise ValueError(
+            f"ngram_jaccard_pairs is the exact O(n^2) member of the near-dup "
+            f"family, capped at {exact_cap} docs ({len(ids)} given); use "
+            "minhash_near_dup_verified for larger corpora"
+        )
+    flat, lens = _list_flat(tbl.column("grams"))
+    order = np.argsort(ids, kind="stable")
+    # reorder flat sets to sorted-id order so emitted pairs are id-ordered
+    starts = (np.cumsum(lens) - lens)[order]
+    flat = _flat_gather(flat, starts, lens[order])
+    ids, lens = ids[order], lens[order]
+    pool, rank_flat = np.unique(flat, return_inverse=True)
+    npool = max(1, len(pool))
+    bm = _rank_bitmaps(lens, rank_flat.astype(np.int64), npool)
+    corpus_ref = ray.put((ids, bm, lens))
+    # Raw-task fan-out (documented Dataset-API exception): each task's INPUT
+    # is ~zero bytes (a stride index) while its COMPUTE is O(n_docs^2 x
+    # words / n_tasks) popcounts against the broadcast corpus — Ray Data's
+    # block bundling coalesces such byte-less inputs into ~3 tasks, so the
+    # fan-out is expressed as plain ray.remote tasks over row strides
+    # (round-robin: early sorted rows scan the longest suffix, striding
+    # balances the triangle) and the results re-enter the Dataset world via
+    # from_arrow_refs — no driver copy of the pair tables.
+    n_tasks = int(min(64, max(8, len(ids) // 64)))
+    refs = [_ngram_score_stride.remote(corpus_ref, k, n_tasks, threshold)
+            for k in range(n_tasks)]
+    return ray.data.from_arrow_refs(refs)
+
+
+_NGRAM_OUT = pa.schema([("left_id", pa.int64()), ("right_id", pa.int64()),
+                        ("jaccard", pa.float64())])
+
+
+@ray.remote
+def _ngram_score_stride(corpus, k: int, n_tasks: int,
+                        threshold: float) -> pa.Table:
+    """Score rows k, k+n_tasks, ... of the sorted corpus against every
+    later row (each unordered pair scored exactly once across tasks)."""
+    sid, bm_, slen = corpus
+    outs = []
+    for i in range(k, len(sid) - 1, n_tasks):
+        inter = _POPCOUNT8[(bm_[i + 1:] & bm_[i]).view(np.uint8)].sum(axis=1)
+        union = slen[i + 1:] + slen[i] - inter
+        j = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+        hit = np.flatnonzero(j >= threshold)
+        if len(hit):
+            outs.append((np.full(len(hit), sid[i]), sid[i + 1 + hit], j[hit]))
+    if not outs:
+        return _NGRAM_OUT.empty_table()
+    return pa.Table.from_arrays(
+        [pa.array(np.concatenate([o[0] for o in outs]), pa.int64()),
+         pa.array(np.concatenate([o[1] for o in outs]), pa.int64()),
+         pa.array(np.concatenate([o[2] for o in outs]), pa.float64())],
+        schema=_NGRAM_OUT)
+
+
+def _ngram_rows(t: pa.Table, id_col: str, text_col: str, n: int) -> pa.Table:
+    """(id, grams list<uint64>) rows for ``ngram_jaccard_pairs`` — docs with
+    no n-grams are dropped here (they can never pair)."""
+    texts = t.column(text_col).to_pylist()
+    flat, counts = _word_ngram_sets_batch(texts, n)
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    grams = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                     pa.array(flat, pa.uint64()))
+    out = pa.table({id_col: pc.cast(t.column(id_col), pa.int64()),
+                    "grams": grams})
+    return out.filter(pa.array(counts > 0))

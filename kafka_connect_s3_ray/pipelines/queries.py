@@ -390,8 +390,8 @@ def q_asof_join(sf_dir: str):
 
     def matched(b: pd.DataFrame) -> pd.DataFrame:
         b = b.dropna(subset=["click_event_id"])  # inner as-of semantics
-        b["click_event_id"] = b["click_event_id"].astype("int64")
-        return b[["event_id", "user_id", "click_event_id"]]
+        return b[["event_id", "user_id"]].assign(
+            click_event_id=b["click_event_id"].astype("int64"))
 
     return out.map_batches(matched, batch_format="pandas")
 
@@ -685,6 +685,21 @@ def q_near_dup_verified(sf_dir: str):
                      "jaccard": pa.array(out["jaccard"].round(6), pa.float64())})
 
 
+def q_ngram_jaccard(sf_dir: str):
+    """Exact all-pairs word-bigram Jaccard near-dup pairs at threshold 0.3
+    (fixture pairs sit >= 0.9 with nothing in [0.25, 0.9) — rounding can't
+    flip membership). Matches the DuckDB list_intersect oracle value-for-
+    value; the LSH chains are the approximate scale path for this family."""
+    from ..functions.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(_docs(sf_dir, ["doc_id", "text"]),
+                              n=2, threshold=0.3).to_pandas()
+    out = out.sort_values(["left_id", "right_id"]).reset_index(drop=True)
+    return pa.table({"left_id": pa.array(out["left_id"], pa.int64()),
+                     "right_id": pa.array(out["right_id"], pa.int64()),
+                     "jaccard": pa.array(out["jaccard"].round(6), pa.float64())})
+
+
 def q_curation_chain(sf_dir: str):
     """End-to-end curation (quality gates -> exact dedup -> verified near-dup
     removal -> token counting) over documents; returns the per-stage survivor
@@ -918,6 +933,7 @@ QUERIES = {
     "simhash_near_dup": q_simhash_near_dup,
     "embedding_near_dup": q_embedding_near_dup,
     "near_dup_verified": q_near_dup_verified,
+    "ngram_jaccard": q_ngram_jaccard,
     "curation_chain": q_curation_chain,
     "media_features": q_media_features,
     "distinct_users_by_type": q_distinct_users_by_type,
@@ -1113,6 +1129,25 @@ ORACLE_SQL = {
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
         "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
         "CAST(b.embedding AS DOUBLE[])) >= 0.5"
+    ),
+    "ngram_jaccard": (
+        # exact all-pairs word-bigram Jaccard at threshold 0.3; fixture
+        # pairs are >= 0.9 with nothing in [0.25, 0.9), so the threshold has
+        # a wide safety margin on both sides
+        "WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') "
+        "AS ws FROM documents WHERE text IS NOT NULL AND trim(text) <> ''), "
+        "g AS (SELECT doc_id, list_distinct(list_transform("
+        "generate_series(1, array_length(ws) - 1), "
+        "i -> ws[i] || ' ' || ws[i+1])) AS grams "
+        "FROM w WHERE array_length(ws) >= 2) "
+        "SELECT a.doc_id AS left_id, b.doc_id AS right_id, "
+        "round(CAST(array_length(list_intersect(a.grams, b.grams)) AS DOUBLE) "
+        "/ array_length(list_distinct(list_concat(a.grams, b.grams))), 6) "
+        "AS jaccard "
+        "FROM g a JOIN g b ON a.doc_id < b.doc_id "
+        "WHERE CAST(array_length(list_intersect(a.grams, b.grams)) AS DOUBLE) "
+        "/ array_length(list_distinct(list_concat(a.grams, b.grams))) >= 0.30 "
+        "ORDER BY left_id, right_id"
     ),
     # cdc_transcripts is appended below via cdc_transcripts_oracle_sql() so
     # the fixture path is derived from ONE place (transcripts_fixture's root

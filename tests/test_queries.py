@@ -72,7 +72,7 @@ SQL_CHECKED = [
     "cdc_merge_events", "archive_roundtrip", "partition_prune", "replay_order",
     "topk_events", "exclude_filter", "token_count", "quality_stats",
     "dedup_exact", "token_sum_by_lang", "cosine_topk", "embedding_near_dup", "lang_id",
-    "distinct_users_by_type",
+    "distinct_users_by_type", "ngram_jaccard",
     "tumbling_window", "sliding_window", "session_windows", "broadcast_join", "asof_join",
     "range_join",
     "hash_join", "anti_join", "pricing_summary", "topk_per_group",
