@@ -1298,12 +1298,12 @@ def ngram_jaccard_pairs(docs: "ray.data.Dataset", n: int = 2,
     list_intersect/list_distinct oracle value-for-value.
 
     Distribution: n-gram sets are built in one vectorized map pass; the
-    rank-compressed corpus (bitmaps when the distinct-gram pool is small,
-    else flat rank sets) broadcasts once via ray.put, and doc-id batches
-    stream through a zero-shuffle map_batches where each task popcounts its
-    rows against the full corpus — work is O(n_docs^2 x words) TOTAL but
-    driver sees only the >= threshold pairs. ``exact_cap`` bounds the
-    quadratic honestly (~20k docs is a few seconds on one node); past it use
+    rank-compressed corpus becomes per-doc BITMAPS over the distinct-gram
+    pool, broadcast once via ray.put; strided ray.remote tasks popcount each
+    row against every later row — work is O(n_docs^2 x words) TOTAL but the
+    driver sees only the >= threshold pairs. ``exact_cap`` (docs) and the
+    bitmap-bytes guard bound the quadratic and the broadcast honestly
+    (~20k short docs is a few seconds on one node); past either limit use
     ``minhash_near_dup_verified`` (LSH candidates + exact verify), which is
     the scale path for the same question. Docs with fewer than n words have
     no n-grams and never pair (parity with the SQL's len(ws) >= n filter)."""
@@ -1328,6 +1328,13 @@ def ngram_jaccard_pairs(docs: "ray.data.Dataset", n: int = 2,
     ids, lens = ids[order], lens[order]
     pool, rank_flat = np.unique(flat, return_inverse=True)
     npool = max(1, len(pool))
+    bitmap_bytes = len(ids) * ((npool + 63) // 64) * 8
+    if bitmap_bytes > 2 << 30:
+        raise ValueError(
+            f"distinct n-gram pool too large for the exact bitmap kernel "
+            f"({bitmap_bytes >> 20} MiB of bitmaps); use "
+            "minhash_near_dup_verified for this corpus"
+        )
     bm = _rank_bitmaps(lens, rank_flat.astype(np.int64), npool)
     corpus_ref = ray.put((ids, bm, lens))
     # Raw-task fan-out (documented Dataset-API exception): each task's INPUT

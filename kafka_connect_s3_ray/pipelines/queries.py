@@ -1164,6 +1164,37 @@ ORACLE_SQL = {
 }
 
 
+def _rolling_fp_sql(window: int = 8) -> str:
+    """The rolling-hash fingerprint in SQL, generated from the SAME constants
+    as ``rolling_hash_fingerprint`` (base 1000003, mod 2^64 wraparound done
+    in HUGEINT, min over byte windows, partial-sum for short docs, int64
+    bit-reinterpret at the end). ``ascii(substr(t, i, 1))`` equals the utf-8
+    byte only for ASCII text — true for every driver fixture (asserted: zero
+    docs where octet_length(encode(text)) <> length(text)); the engine path
+    is byte-exact for any input."""
+    B, M = 1000003, 1 << 64
+    powers = [pow(B, j, M) for j in range(window)]
+    terms = " + ".join(
+        f"CAST(ascii(substr(t, i + {j}, 1)) AS HUGEINT) * {p}::HUGEINT"
+        for j, p in enumerate(powers))
+    short = terms.replace("i +", "1 +")
+    return (
+        f"WITH c AS (SELECT doc_id, coalesce(text, '') AS t FROM documents), "
+        f"h AS (SELECT doc_id, CASE WHEN length(t) >= {window} THEN "
+        f"list_min(list_transform(generate_series(1, length(t) - {window - 1}), "
+        f"i -> ({terms}) % 18446744073709551616::HUGEINT)) "
+        # short docs: the engine's partial sum — out-of-range substr gives
+        # ascii('') = 0, so the same 8-term formula at i=1 is exact
+        f"ELSE ({short}) % 18446744073709551616::HUGEINT END AS fp FROM c) "
+        f"SELECT doc_id, CAST(CASE WHEN fp < 9223372036854775808::HUGEINT "
+        f"THEN fp ELSE fp - 18446744073709551616::HUGEINT END AS BIGINT) "
+        f"AS rolling_fp FROM h"
+    )
+
+
+ORACLE_SQL["rolling_fingerprint"] = _rolling_fp_sql()
+
+
 def cdc_transcripts_oracle_sql(root: str = "/tmp/kcs3_ray/transcripts_sf0.01") -> str:
     """The flagship's single-process semantics in SQL over a
     ``transcripts_fixture`` root: base lake rows act as offset -1 inserts,

@@ -72,14 +72,14 @@ SQL_CHECKED = [
     "cdc_merge_events", "archive_roundtrip", "partition_prune", "replay_order",
     "topk_events", "exclude_filter", "token_count", "quality_stats",
     "dedup_exact", "token_sum_by_lang", "cosine_topk", "embedding_near_dup", "lang_id",
-    "distinct_users_by_type", "ngram_jaccard",
+    "distinct_users_by_type", "ngram_jaccard", "rolling_fingerprint",
     "tumbling_window", "sliding_window", "session_windows", "broadcast_join", "asof_join",
     "range_join",
     "hash_join", "anti_join", "pricing_summary", "topk_per_group",
     "cdc_transcripts",
 ]
 ROWS_ONLY = [
-    "rolling_fingerprint", "minhash_near_dup", "simhash_near_dup",
+    "minhash_near_dup", "simhash_near_dup",
     "cosine_topk_ivf", "cosine_topk_ivf_indexed", "near_dup_verified", "curation_chain",
     "media_features",
     "approx_distinct", "approx_quantiles",

@@ -149,3 +149,31 @@ def test_fused_chain_broadcast_verify_matches_exchange_path():
     b = b.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
     assert len(a) > 0
+
+
+def test_ngram_jaccard_pairs_semantics():
+    """Planted bigram near-dups recovered with exact jaccard; docs with <n
+    words never pair; the exact-path doc cap raises with guidance."""
+    import pytest as _pytest
+
+    from kafka_connect_s3_ray.functions.dedup import ngram_jaccard_pairs
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [
+            "the quick brown fox jumps over the lazy dog",
+            "the quick brown fox jumps over the lazy cat",   # near-dup of 1
+            "completely different words entirely here now",
+            "one",                                            # <2 words: no grams
+            None,                                             # null: no grams
+        ],
+    })
+    out = ngram_jaccard_pairs(ray.data.from_pandas(docs), n=2,
+                              threshold=0.3).to_pandas()
+    assert list(zip(out["left_id"], out["right_id"])) == [(1, 2)]
+    # doc1: 8 bigrams, doc2: 8, shared: 7 ("lazy dog" vs "lazy cat" differ)
+    assert abs(out["jaccard"].iloc[0] - 7 / 9) < 1e-12
+
+    with _pytest.raises(ValueError, match="capped"):
+        big = pd.DataFrame({"doc_id": np.arange(30), "text": ["a b c"] * 30})
+        ngram_jaccard_pairs(ray.data.from_pandas(big), exact_cap=10)
