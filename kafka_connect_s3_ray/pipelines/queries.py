@@ -1195,6 +1195,98 @@ def _rolling_fp_sql(window: int = 8) -> str:
 ORACLE_SQL["rolling_fingerprint"] = _rolling_fp_sql()
 
 
+def _minhash_sql_ctes() -> str:
+    """Shared CTEs reproducing the ENGINE's seeded MinHash-LSH pipeline in
+    SQL, generated from the same ``MinHasher(seed=42)`` instance: k=5 byte
+    shingles of lower(text) as base-257 polynomial hashes mod 2^64 (HUGEINT;
+    ascii(substr) == utf-8 byte for the all-ASCII fixtures, and out-of-range
+    substr gives 0 = the engine's NUL padding for short docs), 64
+    multiply-add permutations with the a-coefficients split into 32-bit
+    halves so no product exceeds HUGEINT, per-band key folding, and the
+    engine's deterministic bucket cap (groups > 64 members emit nothing).
+    CTEs exposed: ``sh`` (doc_id, hs window-hash list), ``sig`` (doc_id,
+    s0..s63), ``b`` (doc_id, band, key), ``g`` (band, key, n)."""
+    from ..functions.dedup import MinHasher
+
+    mh = MinHasher()
+    M = 1 << 64
+    MS = "18446744073709551616::HUGEINT"
+    coef = [pow(257, j, M) for j in range(mh.k)]
+    sh_terms = " + ".join(
+        f"CAST(ascii(substr(t, i + {j}, 1)) AS HUGEINT) * {c}::HUGEINT"
+        for j, c in enumerate(coef))
+
+    def perm_min(j: int) -> str:
+        a, b = int(mh.a[j]), int(mh.b[j])
+        ahi, alo = a >> 32, a & 0xFFFFFFFF
+        return (f"list_min(list_transform(hs, h -> "
+                f"(({alo}::HUGEINT * h + (({ahi}::HUGEINT * h) "
+                f"% 4294967296::HUGEINT) * 4294967296::HUGEINT) "
+                f"+ {b}::HUGEINT) % {MS}))")
+
+    def band_key(t: int) -> str:
+        expr = "0::HUGEINT"
+        for r in range(mh.rows_per_band):
+            expr = f"(({expr}) * 1000003::HUGEINT + s{t * mh.rows_per_band + r}) % {MS}"
+        return expr
+
+    sig_cols = ", ".join(f"{perm_min(j)} AS s{j}" for j in range(mh.num_perm))
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {t} AS band, {band_key(t)} AS key FROM sig"
+        for t in range(mh.bands))
+    return (
+        f"WITH c AS (SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents), "
+        f"sh AS (SELECT doc_id, list_transform("
+        f"generate_series(1, greatest(length(t) - {mh.k - 1}, 1)), "
+        f"i -> ({sh_terms}) % {MS}) AS hs FROM c), "
+        f"sig AS (SELECT doc_id, {sig_cols} FROM sh), "
+        f"b AS ({band_rows}), "
+        f"g AS (SELECT band, key, count(*) AS n FROM b GROUP BY 1, 2)"
+    )
+
+
+_MINHASH_CAND_SQL = (
+    " SELECT DISTINCT x.doc_id AS left_id, y.doc_id AS right_id "
+    "FROM b x JOIN b y ON x.band = y.band AND x.key = y.key "
+    "AND x.doc_id < y.doc_id "
+    "JOIN g ON g.band = x.band AND g.key = x.key WHERE g.n <= 64"
+)
+
+ORACLE_SQL["minhash_near_dup"] = _minhash_sql_ctes() + _MINHASH_CAND_SQL
+
+
+def _near_dup_verified_sql() -> str:
+    """The fused chain (LSH candidates -> signature-agreement prefilter ->
+    exact k-shingle Jaccard >= 0.6) in SQL, from the SAME constants: the
+    prefilter compares the 64 sig values directly (agreement fraction k/64
+    is IEEE-exact on both sides; the cutoff is the engine's
+    ``_est_cutoff(0.6, 64, 4.0)`` double), and the exact Jaccard runs on the
+    list_distinct window-hash sets — the engine's shingle sets."""
+    from ..functions.dedup import _est_cutoff
+
+    cutoff = repr(_est_cutoff(0.6, 64, 4.0))
+    agree = " + ".join(
+        f"CASE WHEN sa.s{j} = sb.s{j} THEN 1 ELSE 0 END" for j in range(64))
+    return (
+        _minhash_sql_ctes() + ", "
+        f"cand AS ({_MINHASH_CAND_SQL}), "
+        f"pre AS (SELECT left_id, right_id FROM cand "
+        f"JOIN sig sa ON sa.doc_id = left_id JOIN sig sb ON sb.doc_id = right_id "
+        f"WHERE ({agree}) / 64.0 >= {cutoff}), "
+        f"ss AS (SELECT doc_id, list_distinct(hs) AS sset FROM sh), "
+        f"j AS (SELECT left_id, right_id, "
+        f"CAST(array_length(list_intersect(a.sset, c2.sset)) AS DOUBLE) / "
+        f"array_length(list_distinct(list_concat(a.sset, c2.sset))) AS jac "
+        f"FROM pre JOIN ss a ON a.doc_id = left_id "
+        f"JOIN ss c2 ON c2.doc_id = right_id) "
+        f"SELECT left_id, right_id, round(jac, 6) AS jaccard FROM j "
+        f"WHERE jac >= 0.6"
+    )
+
+
+ORACLE_SQL["near_dup_verified"] = _near_dup_verified_sql()
+
+
 def cdc_transcripts_oracle_sql(root: str = "/tmp/kcs3_ray/transcripts_sf0.01") -> str:
     """The flagship's single-process semantics in SQL over a
     ``transcripts_fixture`` root: base lake rows act as offset -1 inserts,

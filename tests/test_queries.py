@@ -73,14 +73,15 @@ SQL_CHECKED = [
     "topk_events", "exclude_filter", "token_count", "quality_stats",
     "dedup_exact", "token_sum_by_lang", "cosine_topk", "embedding_near_dup", "lang_id",
     "distinct_users_by_type", "ngram_jaccard", "rolling_fingerprint",
+    "minhash_near_dup", "near_dup_verified",
     "tumbling_window", "sliding_window", "session_windows", "broadcast_join", "asof_join",
     "range_join",
     "hash_join", "anti_join", "pricing_summary", "topk_per_group",
     "cdc_transcripts",
 ]
 ROWS_ONLY = [
-    "minhash_near_dup", "simhash_near_dup",
-    "cosine_topk_ivf", "cosine_topk_ivf_indexed", "near_dup_verified", "curation_chain",
+    "simhash_near_dup",
+    "cosine_topk_ivf", "cosine_topk_ivf_indexed", "curation_chain",
     "media_features",
     "approx_distinct", "approx_quantiles",
 ]
