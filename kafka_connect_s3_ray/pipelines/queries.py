@@ -1195,7 +1195,7 @@ def _rolling_fp_sql(window: int = 8) -> str:
 ORACLE_SQL["rolling_fingerprint"] = _rolling_fp_sql()
 
 
-def _minhash_sql_ctes() -> str:
+def _minhash_sql_ctes(source: str = "documents") -> str:
     """Shared CTEs reproducing the ENGINE's seeded MinHash-LSH pipeline in
     SQL, generated from the same ``MinHasher(seed=42)`` instance: k=5 byte
     shingles of lower(text) as base-257 polynomial hashes mod 2^64 (HUGEINT;
@@ -1235,12 +1235,12 @@ def _minhash_sql_ctes() -> str:
         f"SELECT doc_id, {t} AS band, {band_key(t)} AS key FROM sig"
         for t in range(mh.bands))
     return (
-        f"WITH c AS (SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents), "
+        f"c AS (SELECT doc_id, lower(coalesce(text, '')) AS t FROM {source}), "
         f"sh AS (SELECT doc_id, list_transform("
         f"generate_series(1, greatest(length(t) - {mh.k - 1}, 1)), "
         f"i -> ({sh_terms}) % {MS}) AS hs FROM c), "
         f"sig AS (SELECT doc_id, {sig_cols} FROM sh), "
-        f"b AS ({band_rows}), "
+        f"b AS MATERIALIZED ({band_rows}), "
         f"g AS (SELECT band, key, count(*) AS n FROM b GROUP BY 1, 2)"
     )
 
@@ -1252,7 +1252,7 @@ _MINHASH_CAND_SQL = (
     "JOIN g ON g.band = x.band AND g.key = x.key WHERE g.n <= 64"
 )
 
-ORACLE_SQL["minhash_near_dup"] = _minhash_sql_ctes() + _MINHASH_CAND_SQL
+ORACLE_SQL["minhash_near_dup"] = "WITH " + _minhash_sql_ctes() + _MINHASH_CAND_SQL
 
 
 def _near_dup_verified_sql() -> str:
@@ -1267,13 +1267,16 @@ def _near_dup_verified_sql() -> str:
     cutoff = repr(_est_cutoff(0.6, 64, 4.0))
     agree = " + ".join(
         f"CASE WHEN sa.s{j} = sb.s{j} THEN 1 ELSE 0 END" for j in range(64))
+    # sig feeds both sides of the 64-column agreement join here (unlike the
+    # single-consumer candidates query) — materialize it for this composition
+    ctes = _minhash_sql_ctes().replace("sig AS (", "sig AS MATERIALIZED (")
     return (
-        _minhash_sql_ctes() + ", "
-        f"cand AS ({_MINHASH_CAND_SQL}), "
-        f"pre AS (SELECT left_id, right_id FROM cand "
+        "WITH " + ctes + ", "
+        f"cand AS MATERIALIZED ({_MINHASH_CAND_SQL}), "
+        f"pre AS MATERIALIZED (SELECT left_id, right_id FROM cand "
         f"JOIN sig sa ON sa.doc_id = left_id JOIN sig sb ON sb.doc_id = right_id "
         f"WHERE ({agree}) / 64.0 >= {cutoff}), "
-        f"ss AS (SELECT doc_id, list_distinct(hs) AS sset FROM sh), "
+        f"ss AS MATERIALIZED (SELECT doc_id, list_distinct(hs) AS sset FROM sh), "
         f"j AS (SELECT left_id, right_id, "
         f"CAST(array_length(list_intersect(a.sset, c2.sset)) AS DOUBLE) / "
         f"array_length(list_distinct(list_concat(a.sset, c2.sset))) AS jac "
@@ -1285,6 +1288,60 @@ def _near_dup_verified_sql() -> str:
 
 
 ORACLE_SQL["near_dup_verified"] = _near_dup_verified_sql()
+
+
+def _curation_chain_sql() -> str:
+    """The composed curation chain in SQL — every stage from the engine's own
+    semantics: quality gate (len in [50, 1e6], punct_ratio <= 0.3, non-null),
+    exact dedup (keep min doc_id per lower(trim(text))), near-dup removal
+    (LSH candidates on the deduped corpus -> jaccard_verify at 0.8, with the
+    engine's >20k-candidate signature prefilter reproduced conditionally ->
+    drop the higher id of every verified pair), then whitespace-token
+    accounting. Emits the same per-stage survivor report as ``curate``."""
+    from ..functions.dedup import _est_cutoff
+
+    cutoff = repr(_est_cutoff(0.8, 64, 4.0))
+    agree = " + ".join(
+        f"CASE WHEN sa.s{j} = sb.s{j} THEN 1 ELSE 0 END" for j in range(64))
+    return (
+        "WITH q1 AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL "
+        "AND length(text) BETWEEN 50 AND 1000000 "
+        "AND CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) "
+        "/ greatest(length(text), 1) <= 0.3), "
+        "d1 AS MATERIALIZED (SELECT doc_id, text FROM (SELECT doc_id, text, row_number() "
+        "OVER (PARTITION BY lower(trim(text)) ORDER BY doc_id) AS rn FROM q1) "
+        "WHERE rn = 1), "
+        + _minhash_sql_ctes(source="d1").replace(
+            "sig AS (", "sig AS MATERIALIZED (") + ", "
+        f"cand AS ({_MINHASH_CAND_SQL}), "
+        # the engine prefilters only when the candidate set exceeds 20k
+        # pairs (jaccard_verify prefilter_threshold) — reproduce the branch
+        f"pre AS (SELECT left_id, right_id FROM cand "
+        f"WHERE (SELECT count(*) FROM cand) <= 20000 "
+        f"UNION ALL "
+        f"SELECT c0.left_id, c0.right_id FROM cand c0 "
+        f"JOIN sig sa ON sa.doc_id = c0.left_id "
+        f"JOIN sig sb ON sb.doc_id = c0.right_id "
+        f"WHERE (SELECT count(*) FROM cand) > 20000 "
+        f"AND ({agree}) / 64.0 >= {cutoff}), "
+        "ss AS MATERIALIZED (SELECT doc_id, list_distinct(hs) AS sset FROM sh), "
+        "ver AS (SELECT left_id, right_id FROM pre "
+        "JOIN ss a ON a.doc_id = left_id JOIN ss c2 ON c2.doc_id = right_id "
+        "WHERE CAST(array_length(list_intersect(a.sset, c2.sset)) AS DOUBLE) / "
+        "array_length(list_distinct(list_concat(a.sset, c2.sset))) >= 0.8), "
+        "surv AS (SELECT doc_id, text FROM d1 WHERE doc_id NOT IN "
+        "(SELECT right_id FROM ver)) "
+        "SELECT 'input' AS stage, CAST((SELECT count(*) FROM documents) AS BIGINT) AS n "
+        "UNION ALL SELECT 'after_quality', (SELECT count(*) FROM q1) "
+        "UNION ALL SELECT 'after_exact_dedup', (SELECT count(*) FROM d1) "
+        "UNION ALL SELECT 'after_near_dedup', (SELECT count(*) FROM surv) "
+        "UNION ALL SELECT 'output', (SELECT count(*) FROM surv) "
+        "UNION ALL SELECT 'total_tokens', "
+        f"(SELECT CAST(sum({_TOKENS_WS_SQL}) AS BIGINT) FROM surv)"
+    )
+
+
+ORACLE_SQL["curation_chain"] = _curation_chain_sql()
 
 
 def cdc_transcripts_oracle_sql(root: str = "/tmp/kcs3_ray/transcripts_sf0.01") -> str:

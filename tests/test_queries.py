@@ -73,7 +73,7 @@ SQL_CHECKED = [
     "topk_events", "exclude_filter", "token_count", "quality_stats",
     "dedup_exact", "token_sum_by_lang", "cosine_topk", "embedding_near_dup", "lang_id",
     "distinct_users_by_type", "ngram_jaccard", "rolling_fingerprint",
-    "minhash_near_dup", "near_dup_verified",
+    "minhash_near_dup", "near_dup_verified", "curation_chain",
     "tumbling_window", "sliding_window", "session_windows", "broadcast_join", "asof_join",
     "range_join",
     "hash_join", "anti_join", "pricing_summary", "topk_per_group",
@@ -81,7 +81,7 @@ SQL_CHECKED = [
 ]
 ROWS_ONLY = [
     "simhash_near_dup",
-    "cosine_topk_ivf", "cosine_topk_ivf_indexed", "curation_chain",
+    "cosine_topk_ivf", "cosine_topk_ivf_indexed",
     "media_features",
     "approx_distinct", "approx_quantiles",
 ]
