@@ -31,9 +31,55 @@ import ray.data
 _MERSENNE = np.uint64((1 << 61) - 1)
 
 
+_SM_C1 = np.uint64(0xBF58476D1CE4E5B9)
+_SM_C2 = np.uint64(0x94D049BB133111EB)
+
+
+def _splitmix64_mix(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (xor-shift / multiply avalanche) — mixes the
+    low-entropy high bits a short polynomial hash leaves, and is exactly
+    reproducible in SQL (HUGEINT mod-2^64 + xor/bit_count), unlike SipHash."""
+    with np.errstate(over="ignore"):
+        x = (x ^ (x >> np.uint64(30))) * _SM_C1
+        x = (x ^ (x >> np.uint64(27))) * _SM_C2
+        return x ^ (x >> np.uint64(31))
+
+
 def _stable_token_hash(tokens: np.ndarray) -> np.ndarray:
-    """Deterministic uint64 hashes for string tokens (fixed-key SipHash)."""
-    return pd.util.hash_array(tokens.astype(object), categorize=False)
+    """Deterministic uint64 token hashes: base-257 polynomial over each
+    token's utf-8 bytes (mod 2^64) + splitmix64 finalizer.
+
+    Chosen over pandas' fixed-key SipHash so the SimHash pipeline is
+    ORACLE-REPRODUCIBLE: DuckDB can evaluate the same polynomial and mixer
+    in HUGEINT arithmetic (see queries._simhash_sql). Vectorized with one
+    flat byte pass: per-token hash = (S_end - S_start) * 257^-start via
+    wraparound prefix sums and the modular inverse of 257 (odd, so
+    invertible mod 2^64) — no per-token Python beyond the encode."""
+    n = len(tokens)
+    if n == 0:
+        return np.empty(0, np.uint64)
+    bufs = [str(t).encode("utf-8", "ignore") for t in tokens]
+    lens = np.fromiter((len(b) for b in bufs), np.int64, n)
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(n, np.uint64)
+    flat = np.frombuffer(b"".join(bufs), np.uint8).astype(np.uint64)
+    inv257 = np.uint64(pow(257, -1, 1 << 64))
+    with np.errstate(over="ignore"):
+        pows = np.full(total, np.uint64(257))
+        pows[0] = 1
+        np.multiply.accumulate(pows, out=pows)          # 257^i mod 2^64
+        # 257^-start per token (np.power wraps per multiply => correct mod 2^64)
+        ipows = inv257 ** (np.cumsum(lens) - lens).astype(np.uint64)
+        pref = np.cumsum(flat * pows)                   # wraparound prefix sums
+        ends = np.cumsum(lens)
+        s_end = pref[ends - 1]
+        starts = ends - lens
+        s_before = np.where(starts > 0, pref[np.maximum(starts - 1, 0)],
+                            np.uint64(0))
+        h = (s_end - s_before) * ipows
+    h[lens == 0] = 0
+    return _splitmix64_mix(h)
 
 
 # ---------------------------------------------------------------------------

@@ -35,9 +35,17 @@ class HllSketch:
                           else np.zeros(self.m, dtype=np.uint8))
 
     def add(self, values) -> "HllSketch":
-        h = pd.util.hash_array(np.asarray(values, dtype=object)
-                               if np.asarray(values).dtype.kind not in ("i", "u")
-                               else np.asarray(values), categorize=False)
+        # splitmix64 for integers / base-257-poly+splitmix64 for strings:
+        # both exactly reproducible in SQL (HUGEINT mod-2^64), which makes
+        # the HLL registers — and hence the estimate — oracle-checkable
+        # (queries._approx_distinct_sql), unlike pandas' SipHash
+        from .dedup import _splitmix64_mix, _stable_token_hash
+
+        arr = np.asarray(values)
+        if arr.dtype.kind in ("i", "u"):
+            h = _splitmix64_mix(arr.astype(np.uint64))
+        else:
+            h = _stable_token_hash(arr.astype(object))
         idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
         rest = h << np.uint64(self.p)
         # rank = leading zeros of the remaining bits + 1 (capped)

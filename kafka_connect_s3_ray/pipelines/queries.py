@@ -1344,6 +1344,139 @@ def _curation_chain_sql() -> str:
 ORACLE_SQL["curation_chain"] = _curation_chain_sql()
 
 
+def _simhash_sql() -> str:
+    """The SimHash candidate pipeline in SQL, from the engine's own hash:
+    per-token base-257 polynomial over utf-8 bytes mod 2^64 (powers as a
+    512-entry literal — tokens longer than that don't occur in the fixtures)
+    + the splitmix64 finalizer (xor/shift/multiply staged through CTE columns
+    so no expression blow-up; uint64<->int64 bit-pattern casts make DuckDB's
+    BIGINT xor() and bit_count() operate on the mod-2^64 values), per-bit
+    +-1 votes, 4x16-bit band grouping with the engine's 64-member bucket
+    cap, and Hamming(xor) <= 3."""
+    M = 1 << 64
+    MS = "18446744073709551616::HUGEINT"
+    HALF = "9223372036854775808::HUGEINT"
+
+    def u2b(e: str) -> str:
+        return (f"(CASE WHEN ({e}) < {HALF} THEN CAST(({e}) AS BIGINT) "
+                f"ELSE CAST(({e}) - {MS} AS BIGINT) END)")
+
+    def b2u(e: str) -> str:
+        return (f"(CASE WHEN ({e}) < 0 THEN CAST(({e}) AS HUGEINT) + {MS} "
+                f"ELSE CAST(({e}) AS HUGEINT) END)")
+
+    def xoru(a: str, b: str) -> str:
+        return b2u(f"xor({u2b(a)}, {u2b(b)})")
+
+    def shr(e: str, k: int) -> str:
+        return f"(({e}) // {1 << k}::HUGEINT)"
+
+    def mulc(e: str, c: int) -> str:
+        hi, lo = c >> 32, c & 0xFFFFFFFF
+        return (f"(({lo}::HUGEINT * ({e}) + (({hi}::HUGEINT * ({e})) "
+                f"% 4294967296::HUGEINT) * 4294967296::HUGEINT) % {MS})")
+
+    powers = ", ".join(str(pow(257, j, M)) for j in range(512))
+    votes = ", ".join(
+        f"sum(CASE WHEN (h // {1 << b}::HUGEINT) % 2 = 1 THEN 1 ELSE -1 END)"
+        f" AS v{b}" for b in range(64))
+    sh_val = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN {1 << b}::HUGEINT ELSE 0::HUGEINT END"
+        for b in range(64))
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"CAST((sh // {1 << (16 * b)}::HUGEINT) % 65536::HUGEINT AS BIGINT) "
+        f"AS band_val, sh FROM shv" for b in range(4))
+    C1 = 0xBF58476D1CE4E5B9
+    C2 = 0x94D049BB133111EB
+    return (
+        "WITH c AS (SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents), "
+        "tok AS (SELECT doc_id, u.tk FROM c, unnest(list_filter("
+        "regexp_split_to_array(t, '\\s+'), x -> x <> '')) AS u(tk)), "
+        f"h0 AS (SELECT doc_id, list_sum(list_transform("
+        f"generate_series(1, length(tk)), i -> "
+        f"CAST(ascii(substr(tk, i, 1)) AS HUGEINT) * ([{powers}])[i])) "
+        f"% {MS} AS x0 FROM tok), "
+        f"m1 AS (SELECT doc_id, {mulc(xoru('x0', shr('x0', 30)), C1)} AS x1 FROM h0), "
+        f"m2 AS (SELECT doc_id, {mulc(xoru('x1', shr('x1', 27)), C2)} AS x2 FROM m1), "
+        f"m3 AS (SELECT doc_id, {xoru('x2', shr('x2', 31))} AS h FROM m2), "
+        f"v AS MATERIALIZED (SELECT doc_id, {votes} FROM m3 GROUP BY doc_id), "
+        f"shv AS MATERIALIZED (SELECT c.doc_id, coalesce(({sh_val}), 0::HUGEINT) "
+        f"AS sh FROM (SELECT DISTINCT doc_id FROM c) c LEFT JOIN v USING (doc_id)), "
+        f"b AS MATERIALIZED ({band_rows}), "
+        "g AS (SELECT band, band_val, count(*) AS n FROM b GROUP BY 1, 2) "
+        "SELECT DISTINCT x.doc_id AS left_id, y.doc_id AS right_id, "
+        f"CAST(bit_count(xor({u2b('x.sh')}, {u2b('y.sh')})) AS BIGINT) AS hamming "
+        "FROM b x JOIN b y ON x.band = y.band AND x.band_val = y.band_val "
+        "AND x.doc_id < y.doc_id "
+        "JOIN g ON g.band = x.band AND g.band_val = x.band_val "
+        f"WHERE g.n <= 64 "
+        f"AND bit_count(xor({u2b('x.sh')}, {u2b('y.sh')})) <= 3"
+    )
+
+
+ORACLE_SQL["simhash_near_dup"] = _simhash_sql()
+
+
+def _approx_distinct_sql() -> str:
+    """The HLL estimate in SQL from the engine's own arithmetic: splitmix64
+    of the int64 values (HUGEINT mod-2^64, staged xor/shift/multiply), p=12
+    register index = h >> 52, rank = min(leading-zeros(h << 12) + 1, 52) via
+    an exact comparison ladder (no float log2 — doubles round 2^63-1 up to
+    2^63), register max, and the standard alpha_m m^2 / sum(2^-reg) estimate
+    with the small-range zeros correction."""
+    M = 1 << 64
+    MS = "18446744073709551616::HUGEINT"
+    HALF = "9223372036854775808::HUGEINT"
+    p, m = 12, 4096
+    alpha = repr(0.7213 / (1 + 1.079 / m))
+
+    def u2b(e: str) -> str:
+        return (f"(CASE WHEN ({e}) < {HALF} THEN CAST(({e}) AS BIGINT) "
+                f"ELSE CAST(({e}) - {MS} AS BIGINT) END)")
+
+    def b2u(e: str) -> str:
+        return (f"(CASE WHEN ({e}) < 0 THEN CAST(({e}) AS HUGEINT) + {MS} "
+                f"ELSE CAST(({e}) AS HUGEINT) END)")
+
+    def xoru(a: str, b: str) -> str:
+        return b2u(f"xor({u2b(a)}, {u2b(b)})")
+
+    def shr(e: str, k: int) -> str:
+        return f"(({e}) // {1 << k}::HUGEINT)"
+
+    def mulc(e: str, c: int) -> str:
+        hi, lo = c >> 32, c & 0xFFFFFFFF
+        return (f"(({lo}::HUGEINT * ({e}) + (({hi}::HUGEINT * ({e})) "
+                f"% 4294967296::HUGEINT) * 4294967296::HUGEINT) % {MS})")
+
+    ladder = " ".join(
+        f"WHEN rest >= {1 << (64 - k)}::HUGEINT THEN {k}"
+        for k in range(1, 64 - p))
+    C1 = 0xBF58476D1CE4E5B9
+    C2 = 0x94D049BB133111EB
+    return (
+        f"WITH h0 AS (SELECT CAST(user_id AS HUGEINT) % {MS} AS x0 FROM events), "
+        f"m1 AS (SELECT {mulc(xoru('x0', shr('x0', 30)), C1)} AS x1 FROM h0), "
+        f"m2 AS (SELECT {mulc(xoru('x1', shr('x1', 27)), C2)} AS x2 FROM m1), "
+        f"m3 AS (SELECT {xoru('x2', shr('x2', 31))} AS h FROM m2), "
+        f"r AS (SELECT h // {1 << (64 - p)}::HUGEINT AS idx, "
+        f"(h * {1 << p}::HUGEINT) % {MS} AS rest FROM m3), "
+        f"rk AS (SELECT idx, CASE {ladder} ELSE {64 - p} END AS rank FROM r), "
+        f"reg AS (SELECT idx, max(rank) AS rr FROM rk GROUP BY idx), "
+        f"s AS (SELECT sum(power(2.0, -rr)) + ({m} - count(*)) * 1.0 AS denom, "
+        f"{m} - count(*) AS zeros FROM reg), "
+        f"e AS (SELECT CAST({alpha} AS DOUBLE) * {m} * {m} / denom "
+        f"AS raw, zeros FROM s) "
+        f"SELECT round(CASE WHEN raw <= 2.5 * {m} AND zeros > 0 "
+        f"THEN {m} * ln({m}.0 / zeros) ELSE raw END, 1) "
+        f"AS approx_distinct_users FROM e"
+    )
+
+
+ORACLE_SQL["approx_distinct"] = _approx_distinct_sql()
+
+
 def cdc_transcripts_oracle_sql(root: str = "/tmp/kcs3_ray/transcripts_sf0.01") -> str:
     """The flagship's single-process semantics in SQL over a
     ``transcripts_fixture`` root: base lake rows act as offset -1 inserts,

@@ -74,16 +74,19 @@ SQL_CHECKED = [
     "dedup_exact", "token_sum_by_lang", "cosine_topk", "embedding_near_dup", "lang_id",
     "distinct_users_by_type", "ngram_jaccard", "rolling_fingerprint",
     "minhash_near_dup", "near_dup_verified", "curation_chain",
+    "simhash_near_dup", "approx_distinct",
     "tumbling_window", "sliding_window", "session_windows", "broadcast_join", "asof_join",
     "range_join",
     "hash_join", "anti_join", "pricing_summary", "topk_per_group",
     "cdc_transcripts",
 ]
+# the four legitimately non-SQL-checkable entries: IVF k-means assignment is
+# float-argmax-sensitive (summation order flips clusters), the quantile
+# sketch's thinning depends on batch boundaries, and media decode is binary.
 ROWS_ONLY = [
-    "simhash_near_dup",
     "cosine_topk_ivf", "cosine_topk_ivf_indexed",
     "media_features",
-    "approx_distinct", "approx_quantiles",
+    "approx_quantiles",
 ]
 
 
