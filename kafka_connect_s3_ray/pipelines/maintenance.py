@@ -69,6 +69,18 @@ def vacuum(manifest: Manifest | str, keep_generations: int = 1,
                            if e in keep or set(e["path"].split(";")) & set(st.get("current", []))]
     if not dry_run and manifest.path:
         manifest.commit()
+        # Drop retained snapshot manifests that the deletions above made
+        # unreadable (some of their fileset is gone). Snapshots whose files
+        # survive (keep_generations > 1) remain time-travel-readable.
+        live = set(Manifest.snapshots(manifest.path)[-1:])  # just committed
+        for sid in Manifest.snapshots(manifest.path):
+            if sid in live:
+                continue
+            snap = Manifest.load_snapshot(manifest.path, sid)
+            ok = all(os.path.exists(f)
+                     for fs in snap.current_files().values() for f in fs)
+            if not ok:
+                os.remove(snap.path)
     return doomed
 
 

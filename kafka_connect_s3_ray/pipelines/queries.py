@@ -143,47 +143,80 @@ def q_lww_keep_last(sf_dir: str):
     return out.map_batches(rename, batch_format="pyarrow")
 
 
-def q_cdc_merge_events(sf_dir: str, tmp_root: str = "/tmp/kcs3_ray"):
-    """J1: the full upsert engine on the events table — key = user_id,
-    op = 'D' iff event_type = 'error', LWW by event_id — run INCREMENTALLY
-    (phase 1: events <= WM builds the lake + checkpoint; phase 2: the rest
-    resumes from the manifest), which must equal a single full replay."""
+def _events_to_change(batch: pa.Table) -> pa.Table:
+    """events row -> changelog row: key = user_id, op = 'D' iff
+    event_type = 'error', LWW offset = event_id."""
+    n = len(batch)
+    op = pc.if_else(
+        pc.equal(batch.column("event_type"), "error"), pa.scalar("D"), pa.scalar("U")
+    )
+    return pa.table(
+        {
+            "offset": pc.cast(batch.column("event_id"), pa.int64()),
+            "op": op,
+            "conv_id": pc.cast(batch.column("user_id"), pa.string()),
+            "turn_idx": pa.array(np.zeros(n, np.int32)),
+            "event_type": batch.column("event_type"),
+            "value": batch.column("value"),
+            "props": batch.column("props"),
+            "ts": batch.column("ts"),
+        }
+    )
+
+
+def _two_phase_upsert(sf_dir: str, tmp_root: str, name: str) -> tuple[str, int]:
+    """Run the incremental upsert in two rounds split at WM = max(event_id)//2
+    (phase 1 builds the lake + checkpoint; phase 2 resumes from the manifest).
+    Returns (manifest_path, wm_split); snapshot 1 of the manifest is the lake
+    as committed after phase 1."""
     ds = _events(sf_dir)
     wm_split = int(ds.max("event_id")) // 2
-    work = os.path.join(tmp_root, f"merge_events_{os.path.basename(sf_dir.rstrip('/'))}")
+    work = os.path.join(tmp_root, f"{name}_{os.path.basename(sf_dir.rstrip('/'))}")
     shutil.rmtree(work, ignore_errors=True)
-
-    def to_change(batch: pa.Table) -> pa.Table:
-        n = len(batch)
-        op = pc.if_else(
-            pc.equal(batch.column("event_type"), "error"), pa.scalar("D"), pa.scalar("U")
-        )
-        return pa.table(
-            {
-                "offset": pc.cast(batch.column("event_id"), pa.int64()),
-                "op": op,
-                "conv_id": pc.cast(batch.column("user_id"), pa.string()),
-                "turn_idx": pa.array(np.zeros(n, np.int32)),
-                "event_type": batch.column("event_type"),
-                "value": batch.column("value"),
-                "props": batch.column("props"),
-                "ts": batch.column("ts"),
-            }
-        )
-
     # materialize ONCE: the two phase splits below each consume this dataset,
     # and without pinning it the read+to_change would execute twice. The
     # change set is the bounded per-round ingest batch (not the lake), so
     # holding it in the object store is the cheap side of the trade.
-    change = ds.map_batches(to_change, batch_format="pyarrow").materialize()
+    change = ds.map_batches(_events_to_change, batch_format="pyarrow").materialize()
     p1, p2 = os.path.join(work, "phase1"), os.path.join(work, "phase2")
     change.filter(expr=f"offset <= {wm_split}").write_parquet(p1)
     change.filter(expr=f"offset > {wm_split}").write_parquet(p2)
     out_dir = os.path.join(work, "lake_out")
     mpath = os.path.join(work, "manifest.json")
     run_upsert(p1, out_dir, mpath, num_partitions=P_EVENTS)
-    m = run_upsert(p2, out_dir, mpath, num_partitions=P_EVENTS)
-    t = lake_table(m)
+    run_upsert(p2, out_dir, mpath, num_partitions=P_EVENTS)
+    return mpath, wm_split
+
+
+def q_cdc_merge_events(sf_dir: str, tmp_root: str = "/tmp/kcs3_ray"):
+    """J1: the full upsert engine on the events table — key = user_id,
+    op = 'D' iff event_type = 'error', LWW by event_id — run INCREMENTALLY
+    (phase 1: events <= WM builds the lake + checkpoint; phase 2: the rest
+    resumes from the manifest), which must equal a single full replay."""
+    mpath, _ = _two_phase_upsert(sf_dir, tmp_root, "merge_events")
+    t = lake_table(mpath)
+    return pa.table(
+        {
+            "user_id": pc.cast(t.column("conv_id"), pa.int64()),
+            "event_type": t.column("event_type"),
+            "value": t.column("value"),
+            "props": t.column("props"),
+            "ts": t.column("ts"),
+        }
+    )
+
+
+def q_time_travel(sf_dir: str, tmp_root: str = "/tmp/kcs3_ray"):
+    """Time travel / snapshot isolation: run the same two-phase incremental
+    upsert as ``cdc_merge_events``, then read the lake AS OF snapshot 1 — the
+    commit that had applied only events with event_id <= wm_split. The
+    versioned-manifest transaction log (state/manifest.py: every commit
+    retains ``manifest.json.v<N>``) makes the historical view exact: it must
+    equal an LWW replay restricted to phase-1 events. Reference analog: each
+    chunk-index + cursor pair pins a reconstructable point-in-time view of a
+    partition (sink/.../S3Writer.java:66-109); here the pin is global."""
+    mpath, _ = _two_phase_upsert(sf_dir, tmp_root, "time_travel")
+    t = lake_table(mpath, snapshot=1)
     return pa.table(
         {
             "user_id": pc.cast(t.column("conv_id"), pa.int64()),
@@ -908,6 +941,7 @@ QUERIES = {
     "partition_watermarks": q_partition_watermarks,
     "lww_keep_last": q_lww_keep_last,
     "cdc_merge_events": q_cdc_merge_events,
+    "time_travel": q_time_travel,
     "archive_roundtrip": q_archive_roundtrip,
     "partition_prune": q_partition_prune,
     "replay_order": q_replay_order,
@@ -999,6 +1033,14 @@ ORACLE_SQL = {
         "SELECT CAST(user_id AS BIGINT) AS user_id, event_type, value, props, ts "
         "FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) "
         "AS rn FROM events) WHERE rn = 1 AND event_type <> 'error'"
+    ),
+    # the lake as of snapshot 1 = LWW replay over ONLY phase-1 events
+    # (event_id <= max(event_id)//2, the same split the engine computes)
+    "time_travel": (
+        "SELECT CAST(user_id AS BIGINT) AS user_id, event_type, value, props, ts "
+        "FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) "
+        "AS rn FROM events WHERE event_id <= (SELECT max(event_id) // 2 FROM events)) "
+        "WHERE rn = 1 AND event_type <> 'error'"
     ),
     "archive_roundtrip": (
         f"SELECT CAST(user_id % {P_EVENTS} AS BIGINT) AS partition, "

@@ -764,12 +764,42 @@ def _resolve_partition_task(files: list[str]) -> pa.Table:
     return _resolve_partition(files)
 
 
-def read_lake(manifest: Manifest | str) -> "ray.data.Dataset":
+def _resolve_manifest(manifest: Manifest | str,
+                      snapshot: int | None = None) -> Manifest:
+    """Live manifest, or — time travel — the retained snapshot ``snapshot``
+    (a positive commit id, or a negative index: -1 = latest, -2 = previous).
+    Verifies the snapshot's fileset still exists so a vacuumed-away snapshot
+    fails loudly at the driver instead of inside a read task."""
+    if snapshot is None:
+        return Manifest.load(manifest) if isinstance(manifest, str) else manifest
+    path = manifest.path if isinstance(manifest, Manifest) else manifest
+    if not path:
+        raise ValueError("time-travel read needs a manifest path")
+    if snapshot < 0:
+        sids = Manifest.snapshots(path)
+        if len(sids) < -snapshot:
+            raise FileNotFoundError(
+                f"snapshot index {snapshot} out of range (retained: {sids})")
+        snapshot = sids[snapshot]
+    m = Manifest.load_snapshot(path, snapshot)
+    missing = [f for fs in m.current_files().values() for f in fs
+               if not os.path.exists(f)]
+    if missing:
+        raise FileNotFoundError(
+            f"snapshot {snapshot} of {path} is no longer readable — "
+            f"{len(missing)} of its files were vacuumed (first: {missing[0]}); "
+            "retain history with vacuum(keep_generations>1)"
+        )
+    return m
+
+
+def read_lake(manifest: Manifest | str,
+              snapshot: int | None = None) -> "ray.data.Dataset":
     """Current lake snapshot as a streaming Dataset. With rewrite commits this
     is a plain parquet read; with pending deltas each partition resolves
-    merge-on-read in its own Ray task first."""
-    if isinstance(manifest, str):
-        manifest = Manifest.load(manifest)
+    merge-on-read in its own Ray task first. ``snapshot`` time-travels to a
+    retained commit (see ``Manifest.snapshots`` / ``snapshot_for_watermark``)."""
+    manifest = _resolve_manifest(manifest, snapshot)
     current = manifest.current_files()
     if not any(_is_delta(f) for fs in current.values() for f in fs):
         files = [f for fs in current.values() for f in fs]
@@ -782,12 +812,12 @@ def read_lake(manifest: Manifest | str) -> "ray.data.Dataset":
     return ray.data.from_arrow_refs(refs)
 
 
-def lake_table(manifest: Manifest | str) -> pa.Table | None:
+def lake_table(manifest: Manifest | str,
+               snapshot: int | None = None) -> pa.Table | None:
     """Small-scale convenience: the full snapshot as one key-sorted Arrow table
     (tests / oracle comparison only — do not call at 100 TB). None when the
-    manifest has no committed files."""
-    if isinstance(manifest, str):
-        manifest = Manifest.load(manifest)
+    manifest has no committed files. ``snapshot`` time-travels (see read_lake)."""
+    manifest = _resolve_manifest(manifest, snapshot)
     current = manifest.current_files()
     tables = [t for t in (_resolve_partition(fs) for fs in current.values() if fs)
               if t is not None]

@@ -18,8 +18,10 @@ the old manifest pointing at old files; replay regenerates identical new files
 
 from __future__ import annotations
 
+import glob as _glob
 import json
 import os
+import re
 from typing import Any
 
 from ..schema import schema_fingerprint  # noqa: F401  (re-exported convenience)
@@ -33,10 +35,20 @@ def is_delta_file(path: str) -> bool:
     return os.path.basename(path).startswith("delta-")
 
 
+def _snapshot_path(path: str, snapshot_id: int) -> str:
+    return f"{path}.v{int(snapshot_id)}"
+
+
 class Manifest:
     def __init__(self, path: str | None = None):
         self.path = path
         self.version = 1
+        # Monotonic commit counter. Every ``commit()`` bumps it and retains a
+        # versioned copy of the manifest (``manifest.json.v<N>``) next to the
+        # live one — the transaction log that makes time-travel reads possible
+        # (read_lake(..., snapshot=N)). Old snapshots stay READABLE for as
+        # long as ``vacuum(keep_generations=K)`` retains their data files.
+        self.snapshot_id = 0
         self.schema_fingerprint: str | None = None
         # The lake's partition count is part of its identity: hash(key) % P
         # routes keys, so P can never silently change between runs (a
@@ -138,27 +150,84 @@ class Manifest:
             with open(path) as f:
                 doc = json.load(f)
             m.version = doc.get("version", 1)
+            m.snapshot_id = int(doc.get("snapshot_id", 0))
             m.schema_fingerprint = doc.get("schema_fingerprint")
             m.num_partitions = doc.get("num_partitions")
             m.partitions = {int(k): v for k, v in doc.get("partitions", {}).items()}
             m.metrics = doc.get("metrics", {})
         return m
 
-    def commit(self, path: str | None = None) -> str:
-        """Atomic write-then-rename — the cursor-last commit point."""
+    def commit(self, path: str | None = None, retain_snapshot: bool = True) -> str:
+        """Atomic write-then-rename — the cursor-last commit point.
+
+        Bumps ``snapshot_id`` and (unless ``retain_snapshot=False``) writes a
+        versioned copy ``<path>.v<N>`` BEFORE replacing the live manifest, so
+        the live pointer is still the last thing to move (a crash in between
+        leaves an orphan snapshot file and an un-advanced live manifest —
+        replay regenerates both identically). The retained copies are the
+        lake's transaction log: ``Manifest.snapshots(path)`` lists them and
+        ``read_lake(path, snapshot=N)`` reads the lake as of commit N."""
         path = path or self.path
         assert path, "manifest path required"
+        self.snapshot_id = int(self.snapshot_id) + 1
         doc = {
             "version": self.version,
+            "snapshot_id": self.snapshot_id,
             "schema_fingerprint": self.schema_fingerprint,
             "num_partitions": self.num_partitions,
             "partitions": {str(k): v for k, v in sorted(self.partitions.items())},
             "metrics": self.metrics,
         }
-        tmp = path + ".tmp"
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        payload = json.dumps(doc, indent=1, sort_keys=False)
+        if retain_snapshot:
+            spath = _snapshot_path(path, self.snapshot_id)
+            with open(spath + ".tmp", "w") as f:
+                f.write(payload)
+            os.replace(spath + ".tmp", spath)
+        tmp = path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(doc, f, indent=1, sort_keys=False)
+            f.write(payload)
         os.replace(tmp, path)
         self.path = path
         return path
+
+    # -- time travel -------------------------------------------------------
+    @staticmethod
+    def snapshots(path: str) -> list[int]:
+        """Snapshot ids retained next to the live manifest, ascending."""
+        pat = re.compile(re.escape(os.path.basename(path)) + r"\.v(\d+)$")
+        out = []
+        for f in _glob.glob(path + ".v*"):
+            m = pat.match(os.path.basename(f))
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    @classmethod
+    def load_snapshot(cls, path: str, snapshot_id: int) -> "Manifest":
+        """The manifest exactly as committed at ``snapshot_id``. Raises
+        FileNotFoundError when that snapshot was never retained."""
+        spath = _snapshot_path(path, snapshot_id)
+        if not os.path.exists(spath):
+            raise FileNotFoundError(
+                f"snapshot {snapshot_id} of {path} not found "
+                f"(retained: {cls.snapshots(path)})"
+            )
+        m = cls.load(spath)
+        m.path = spath
+        return m
+
+    @classmethod
+    def snapshot_for_watermark(cls, path: str, watermark: int) -> int | None:
+        """Newest retained snapshot whose every partition high-watermark is
+        <= ``watermark`` — 'the lake as of offset W'. None if no snapshot
+        qualifies."""
+        best = None
+        for sid in cls.snapshots(path):
+            m = cls.load_snapshot(path, sid)
+            wms = [st.get("high_watermark", EMPTY_WATERMARK)
+                   for st in m.partitions.values()]
+            if all(w <= watermark for w in wms):
+                best = sid
+        return best
