@@ -88,6 +88,16 @@ def main(argv: list[str] | None = None) -> int:
     vc.add_argument("--keep", type=int, default=1)
     vc.add_argument("--dry-run", action="store_true")
 
+    sn = sub.add_parser("snapshots", help="list the manifest's retained commit log")
+    sn.add_argument("--manifest", required=True)
+
+    ex = sub.add_parser("export", help="write the lake (current or a historical "
+                                       "snapshot) to a parquet directory")
+    ex.add_argument("--manifest", required=True)
+    ex.add_argument("--out", required=True)
+    ex.add_argument("--snapshot", type=int, default=None,
+                    help="commit id to time-travel to (negative = from latest)")
+
     args = ap.parse_args(argv)
 
     if getattr(args, "changelog", None) and not os.path.exists(args.changelog):
@@ -109,6 +119,26 @@ def main(argv: list[str] | None = None) -> int:
 
         m = Manifest.load(args.manifest)
         print(json.dumps(engine_metrics_from_manifest(m).snapshot(), indent=1))
+        return 0
+
+    if args.cmd == "snapshots":
+        from kafka_connect_s3_ray.state.manifest import Manifest
+
+        rows = []
+        for sid in Manifest.snapshots(args.manifest):
+            s = Manifest.load_snapshot(args.manifest, sid)
+            files = [f for fs in s.current_files().values() for f in fs]
+            rows.append({
+                "snapshot_id": sid,
+                "operation": s.metrics.get("operation"),
+                "partitions": len(s.partitions),
+                "max_watermark": max((st.get("high_watermark", -1)
+                                      for st in s.partitions.values()), default=-1),
+                "files": len(files),
+                "readable": all(os.path.exists(f) for f in files),
+            })
+        print(json.dumps({"live_snapshot_id": Manifest.load(args.manifest).snapshot_id,
+                          "snapshots": rows}, indent=1))
         return 0
 
     if args.cmd == "vacuum":
@@ -134,6 +164,14 @@ def main(argv: list[str] | None = None) -> int:
             from kafka_connect_s3_ray.pipelines.maintenance import validate_lake
 
             print(json.dumps(validate_lake(args.manifest)))
+            return 0
+        if args.cmd == "export":
+            from kafka_connect_s3_ray.pipelines.upsert import read_lake
+
+            ds = read_lake(args.manifest, snapshot=args.snapshot)
+            ds.write_parquet(args.out)
+            print(json.dumps({"out": args.out, "rows": ds.count(),
+                              "snapshot": args.snapshot}))
             return 0
         if args.cmd == "upsert":
             from kafka_connect_s3_ray.pipelines.upsert import run_upsert

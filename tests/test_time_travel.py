@@ -90,3 +90,17 @@ def test_vacuum_keep_two_generations_keeps_history(two_rounds):
     mpath = two_rounds["mpath"]
     assert vacuum(mpath, keep_generations=2) == []
     assert lake_table(mpath, snapshot=1).equals(two_rounds["after1"])
+
+
+def test_snapshots_cli(two_rounds, capsys):
+    """`snapshots` lists the commit log without touching Ray (it must return
+    before the CLI's ray.init/shutdown, which would kill the test session)."""
+    import json
+
+    from kafka_connect_s3_ray.__main__ import main
+
+    assert main(["snapshots", "--manifest", two_rounds["mpath"]]) == 0
+    doc = json.loads(capsys.readouterr().out)
+    assert doc["live_snapshot_id"] == 2
+    assert [s["snapshot_id"] for s in doc["snapshots"]] == [1, 2]
+    assert all(s["readable"] for s in doc["snapshots"])
