@@ -132,7 +132,7 @@ def run_bench() -> dict:
         "simhash_near_dup", "token_sum_by_lang", "quality_stats", "lang_id",
         "cosine_topk", "embedding_near_dup", "tumbling_window",
         "session_windows", "broadcast_join", "asof_join", "hash_join",
-        "range_join", "near_dup_verified", "ngram_jaccard",
+        "range_join", "near_dup_verified", "ngram_jaccard", "time_travel",
     ]
     panel_results: dict = {}
     panel_trials = int(os.environ.get("BENCH_PANEL_TRIALS", "2"))

@@ -91,6 +91,13 @@ def main(argv: list[str] | None = None) -> int:
     sn = sub.add_parser("snapshots", help="list the manifest's retained commit log")
     sn.add_argument("--manifest", required=True)
 
+    lk = sub.add_parser("lookup", help="point-read one conversation (or turn) "
+                                       "from the lake, optionally time-traveled")
+    lk.add_argument("--manifest", required=True)
+    lk.add_argument("--conv-id", required=True)
+    lk.add_argument("--turn", type=int, default=None)
+    lk.add_argument("--snapshot", type=int, default=None)
+
     ex = sub.add_parser("export", help="write the lake (current or a historical "
                                        "snapshot) to a parquet directory")
     ex.add_argument("--manifest", required=True)
@@ -131,6 +138,7 @@ def main(argv: list[str] | None = None) -> int:
             rows.append({
                 "snapshot_id": sid,
                 "operation": s.metrics.get("operation"),
+                "schema_fingerprint": s.schema_fingerprint,
                 "partitions": len(s.partitions),
                 "max_watermark": max((st.get("high_watermark", -1)
                                       for st in s.partitions.values()), default=-1),
@@ -139,6 +147,16 @@ def main(argv: list[str] | None = None) -> int:
             })
         print(json.dumps({"live_snapshot_id": Manifest.load(args.manifest).snapshot_id,
                           "snapshots": rows}, indent=1))
+        return 0
+
+    if args.cmd == "lookup":
+        from kafka_connect_s3_ray.pipelines.maintenance import lookup
+
+        t = lookup(args.manifest, args.conv_id, turn_idx=args.turn,
+                   snapshot=args.snapshot)
+        print(json.dumps({"rows": 0 if t is None else len(t),
+                          "records": [] if t is None else t.to_pylist()},
+                         default=str))
         return 0
 
     if args.cmd == "vacuum":

@@ -85,20 +85,22 @@ def vacuum(manifest: Manifest | str, keep_generations: int = 1,
 
 
 def lookup(manifest: Manifest | str, conv_id: str,
-           turn_idx: int | None = None) -> pa.Table | None:
+           turn_idx: int | None = None,
+           snapshot: int | None = None) -> pa.Table | None:
     """Point read: fetch one conversation (or one turn) from the lake.
     Returns None when the routed partition has never been committed (its
     schema is unknown); an existing partition with no matching key returns an
-    EMPTY table.
+    EMPTY table. ``snapshot`` reads a retained historical commit instead of
+    the live lake (see ``Manifest.snapshots``).
 
     Routes by ``hash(conv_id) % P`` to exactly one partition's current files,
     then lets Parquet row-group statistics prune within them (files are
     key-sorted, so conv_id min/max stats skip non-matching row groups). Reads
     one partition's worth of metadata, never the lake."""
     from ..stages.partitioner import assign_partitions
+    from .upsert import _resolve_manifest
 
-    if isinstance(manifest, str):
-        manifest = Manifest.load(manifest)
+    manifest = _resolve_manifest(manifest, snapshot)
     if not manifest.num_partitions:
         raise ValueError("manifest has no pinned partition count")
     from .upsert import _is_delta

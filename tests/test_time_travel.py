@@ -92,6 +92,21 @@ def test_vacuum_keep_two_generations_keeps_history(two_rounds):
     assert lake_table(mpath, snapshot=1).equals(two_rounds["after1"])
 
 
+def test_lookup_time_travel(two_rounds):
+    """Point reads resolve against a historical snapshot's fileset."""
+    from kafka_connect_s3_ray.pipelines.maintenance import lookup
+
+    mpath = two_rounds["mpath"]
+    for snap, table in ((1, two_rounds["after1"]), (None, two_rounds["after2"])):
+        cid = table.column("conv_id")[0].as_py()
+        expect = table.filter(
+            __import__("pyarrow").compute.equal(table.column("conv_id"), cid))
+        got = lookup(mpath, cid, snapshot=snap)
+        assert got is not None and len(got) == len(expect)
+        assert sorted(got.column("turn_idx").to_pylist()) == \
+            sorted(expect.column("turn_idx").to_pylist())
+
+
 def test_snapshots_cli(two_rounds, capsys):
     """`snapshots` lists the commit log without touching Ray (it must return
     before the CLI's ray.init/shutdown, which would kill the test session)."""
