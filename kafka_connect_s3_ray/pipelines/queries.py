@@ -75,6 +75,27 @@ def _emb(sf_dir: str) -> "ray.data.Dataset":
     return _read_bounded(os.path.join(sf_dir, "embeddings.parquet"))
 
 
+def _sum_partials(ds: "ray.data.Dataset", keys, renames: dict[str, str],
+                  agg: str = "sum") -> "ray.data.Dataset":
+    """Final reduce for small-cardinality partial aggregates. The upstream
+    per-batch combiner already shrank the data to <= (#blocks x #groups) tiny
+    rows, so ONE coalesced task finishes the job — Ray's sort-based
+    ``groupby().aggregate()`` costs ~1 s of shuffle machinery regardless of
+    input size (measured: the Aggregate op was 20x the join it followed;
+    DESIGN.md §13/§21). Only valid when the final group count is small
+    (dimension-like keys); high-cardinality finals keep the bucketed
+    map_groups path. The final runs on the DRIVER: the partials are the only
+    rows that ever leave the cluster (like the upsert's per-partition stats
+    rows, upsert.py _finalize), and even a repartition(1) AllToAll costs ~1 s
+    of machinery for the same tiny input. If blocks x groups ever grows past
+    driver comfort, pre-bucket the partials with one coarse map_groups level
+    first — same contract as every other coarse-bucket final."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    df = ds.to_pandas()  # bounded: <= #blocks x #groups combiner rows
+    g = df.groupby(keys, as_index=False, dropna=False)[list(renames)].agg(agg)
+    return ray.data.from_pandas(g.rename(columns=renames))
+
+
 def _add_part(batch: pa.Table) -> pa.Table:
     part = pc.cast(
         pc.bit_wise_and(batch.column("user_id"), pa.scalar(P_EVENTS - 1)), pa.int64()
@@ -100,15 +121,22 @@ def q_watermark_filter(sf_dir: str):
 
 
 def q_partition_watermarks(sf_dir: str):
-    """A2/A3: per-partition high-watermark = groupby-max over offsets."""
-    out = (
-        _events(sf_dir, ["user_id", "event_id"])
-        .map_batches(_add_part, batch_format="pyarrow")
-        .groupby("part")
-        .max("event_id")
-        .to_pandas()
-    )
-    out = out.rename(columns={"max(event_id)": "high_watermark"})
+    """A2/A3: per-partition high-watermark = groupby-max over offsets.
+    Per-batch partial max first, so only P rows per block reach the final
+    single-task reduce — no row-level shuffle."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = _add_part(batch)
+        df = pa.table({"part": batch.column("part"),
+                       "event_id": batch.column("event_id")}).to_pandas()
+        return pa.Table.from_pandas(
+            df.groupby("part", as_index=False)["event_id"].max(),
+            preserve_index=False)
+
+    partials = (_events(sf_dir, ["user_id", "event_id"])
+                .map_batches(partial, batch_format="pyarrow"))
+    out = _sum_partials(partials, "part", {"event_id": "high_watermark"},
+                        agg="max").to_pandas()
     return out.sort_values("part").reset_index(drop=True)
 
 
@@ -378,14 +406,9 @@ def q_broadcast_join(sf_dir: str):
             partial_n=("value", "size"), partial_v=("value", "sum")
         )
 
-    from ray.data.aggregate import Sum
-
-    out = (
-        joined.map_batches(partial, batch_format="pandas")
-        .groupby("c_nationkey")
-        .aggregate(Sum("partial_n", alias_name="n_events"),
-                   Sum("partial_v", alias_name="total_value"))
-    )
+    out = _sum_partials(joined.map_batches(partial, batch_format="pandas"),
+                        "c_nationkey",
+                        {"partial_n": "n_events", "partial_v": "total_value"})
 
     def fix(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -460,8 +483,6 @@ def q_range_join(sf_dir: str):
 def q_hash_join(sf_dir: str):
     """Both-sides-large hash join (Ray native, hash-partitioned): orders x
     customer, order count + revenue per market segment."""
-    from ray.data.aggregate import Sum
-
     from ..stages.joins import hash_join
 
     orders = _read_bounded(os.path.join(sf_dir, "orders.parquet"),
@@ -476,12 +497,9 @@ def q_hash_join(sf_dir: str):
             partial_n=("o_orderkey", "size"), partial_v=("o_totalprice", "sum")
         )
 
-    out = (
-        joined.map_batches(partial, batch_format="pandas")
-        .groupby("c_mktsegment")
-        .aggregate(Sum("partial_n", alias_name="n_orders"),
-                   Sum("partial_v", alias_name="total_price"))
-    )
+    out = _sum_partials(joined.map_batches(partial, batch_format="pandas"),
+                        "c_mktsegment",
+                        {"partial_n": "n_orders", "partial_v": "total_price"})
 
     def fix(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -516,8 +534,6 @@ def q_semi_join(sf_dir: str):
 def q_pricing_summary(sf_dir: str):
     """Classic analytics over lineitem (TPC-H Q1 shape): grouped aggregates
     with per-batch partial pre-aggregation before the shuffle."""
-    from ray.data.aggregate import Sum
-
     ds = _read_bounded(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_returnflag", "l_linestatus", "l_quantity",
@@ -531,15 +547,11 @@ def q_pricing_summary(sf_dir: str):
             p_disc=("disc_price", "sum"), p_n=("l_quantity", "size"),
         )
 
-    out = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("p_qty", alias_name="sum_qty"),
-            Sum("p_price", alias_name="sum_base_price"),
-            Sum("p_disc", alias_name="sum_disc_price"),
-            Sum("p_n", alias_name="count_order"),
-        )
+    out = _sum_partials(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["l_returnflag", "l_linestatus"],
+        {"p_qty": "sum_qty", "p_price": "sum_base_price",
+         "p_disc": "sum_disc_price", "p_n": "count_order"},
     )
 
     def fix(t: pa.Table) -> pa.Table:
@@ -635,7 +647,6 @@ def q_dedup_exact(sf_dir: str):
 def q_token_sum_by_lang(sf_dir: str):
     """Partial-aggregation pattern: per-batch combiner (lang, partial sums)
     before the groupby — the shuffle moves one row per lang per batch."""
-    from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
         batch = add_token_counts(batch)
@@ -646,11 +657,9 @@ def q_token_sum_by_lang(sf_dir: str):
         return pa.Table.from_pandas(g, preserve_index=False)
 
     ds = _docs(sf_dir).map_batches(partial, batch_format="pyarrow")
-    out = ds.groupby("lang").aggregate(
-        Sum("partial_tokens", alias_name="total_tokens"),
-        Sum("partial_docs", alias_name="n_docs"),
-    )
-    return out
+    return _sum_partials(ds, "lang",
+                         {"partial_tokens": "total_tokens",
+                          "partial_docs": "n_docs"})
 
 
 def q_lang_id(sf_dir: str):
@@ -776,8 +785,6 @@ def q_distinct_users_by_type(sf_dir: str):
     the per-bucket partial counts — two bounded exchanges, no global sort, no
     driver state. The HLL sketch (approx_distinct) is the one-pass alternative
     when exactness isn't required."""
-    from ray.data.aggregate import Sum
-
     from ..stages.joins import _coarse_of
 
     def pairs_coarse(t: pa.Table) -> pa.Table:
@@ -792,13 +799,12 @@ def q_distinct_users_by_type(sf_dir: str):
         return d.groupby("event_type", as_index=False).agg(
             partial_users=("user_id", "size"))
 
-    out = (
+    out = _sum_partials(
         _events(sf_dir, ["event_type", "user_id"])
         .map_batches(pairs_coarse, batch_format="pyarrow")
         .groupby("coarse")
-        .map_groups(partial_distinct, batch_format="pandas")
-        .groupby("event_type")
-        .aggregate(Sum("partial_users", alias_name="n_users"))
+        .map_groups(partial_distinct, batch_format="pandas"),
+        "event_type", {"partial_users": "n_users"},
     )
 
     def fix(t: pa.Table) -> pa.Table:
