@@ -1,0 +1,91 @@
+"""Deterministic sampling and dataset splitting for training-data pipelines.
+
+A 100 TB corpus needs reproducible train/validation/test splits and
+subsampling that (a) never depend on row order, partitioning, or cluster
+size, and (b) are CONTAMINATION-SAFE: every row sharing a key (user,
+conversation, document) must land in the same split, or near-duplicate
+leakage across splits poisons evaluation. Both come from one primitive —
+hash the key with splitmix64 (the same SQL-replayable mixer the dedup stack
+uses, DESIGN.md §16) and compare against integer thresholds in hash space.
+No shuffle, no state, no RNG: each map task decides its rows alone, so the
+assignment is identical on 1 CPU or 256 nodes, and replays are free.
+
+Reference analog: the reference keys output files by partition so replays
+land deterministically (sink/.../S3Writer.java:47-67); here determinism
+extends to row-level membership.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .dedup import _splitmix64_mix
+
+_U64 = 1 << 64
+
+
+def key_hash(keys: np.ndarray, salt: int = 0) -> np.ndarray:
+    """splitmix64 of an integer key column (int64 bit pattern reinterpreted
+    as uint64), optionally xor-salted. Exactly reproducible in SQL via
+    HUGEINT mod-2^64 arithmetic (queries._splitmix64_sql)."""
+    h = np.asarray(keys).astype(np.int64).view(np.uint64)
+    if salt:
+        h = h ^ np.uint64(salt)
+    return _splitmix64_mix(h)
+
+
+def split_thresholds(fractions: dict[str, float]) -> tuple[list[str], list[int]]:
+    """(names, cumulative integer thresholds in hash space). Thresholds are
+    computed ONCE here and embedded as the same literals in the SQL oracle,
+    so engine and oracle agree bit-for-bit even where float rounding of
+    fraction * 2^64 is ambiguous."""
+    names = list(fractions)
+    fr = np.cumsum([float(fractions[n]) for n in names])
+    if abs(fr[-1] - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {fr[-1]}")
+    thr = [min(int(f * _U64), _U64 - 1) for f in fr]
+    thr[-1] = _U64 - 1
+    return names, thr
+
+
+def assign_split(ds: "object", key_col: str,
+                 fractions: dict[str, float] | None = None,
+                 salt: int = 0, out_col: str = "split"):
+    """Tag every row with its split label. Row r belongs to split i iff
+    hash(key) falls in [thr[i-1], thr[i]) — all rows of one key share a hash,
+    hence a split (contamination safety)."""
+    fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
+    names, thr = split_thresholds(fractions)
+    bounds = np.array(thr[:-1], np.uint64)
+    labels = np.array(names, object)
+
+    def tag(t: pa.Table) -> pa.Table:
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(bounds, key_hash(k, salt), side="right")
+        return t.append_column(out_col, pa.array(labels[idx], pa.string()))
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def split_datasets(ds, key_col: str, fractions: dict[str, float] | None = None,
+                   salt: int = 0) -> dict[str, "object"]:
+    """The splits as independent lazy Datasets (each a filtered view; Ray
+    re-reads per consumer, so materialize upstream if all are consumed)."""
+    fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
+    tagged = assign_split(ds, key_col, fractions, salt)
+    return {name: tagged.filter(expr=f"split == '{name}'")
+            for name in fractions}
+
+
+def sample_by_key(ds, key_col: str, rate: float, salt: int = 0):
+    """Keyed Bernoulli sample: keep rows whose key hashes below
+    rate * 2^64 — the same rows on every run and every cluster shape, with
+    whole keys kept or dropped together (never a partial user/conversation)."""
+    thr = np.uint64(min(int(float(rate) * _U64), _U64 - 1))
+
+    def keep(t: pa.Table) -> pa.Table:
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(key_hash(k, salt) < thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

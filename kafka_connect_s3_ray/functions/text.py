@@ -136,3 +136,45 @@ def rolling_hash_fingerprint(batch: pa.Table, text_col: str = "text",
         win = np.lib.stride_tricks.sliding_window_view(b, window)
         out[i] = (win * powers).sum(axis=1).min()
     return batch.append_column("rolling_fp", pa.array(out, pa.uint64()))
+
+
+def top_k_tokens(ds, text_col: str = "text", k: int = 20,
+                 n_buckets: int = 32) -> pd.DataFrame:
+    """EXACT global top-k vocabulary (most frequent whitespace tokens,
+    lowercased) without a per-token global shuffle.
+
+    Three bounded stages: (1) each block collapses to its DISTINCT tokens
+    with partial counts (np.unique — block output is vocabulary-sized, not
+    token-sized); (2) tokens co-locate by hash bucket and each bucket sums
+    its partials and keeps ITS top-k — exact, because a token lives in
+    exactly one bucket, so the global top-k is a subset of the union of
+    per-bucket top-ks; (3) the driver merges <= n_buckets * k tiny rows.
+    Ties break by token ascending at every stage so the result is
+    deterministic and matches the SQL oracle's ORDER BY n DESC, token."""
+    from .dedup import _stable_token_hash
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        flat = " ".join(x or "" for x in texts).lower().split()
+        if not flat:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64())})
+        uniq, counts = np.unique(np.array(flat, object), return_counts=True)
+        bucket = (_stable_token_hash(uniq) % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table({"token": pa.array(uniq, pa.string()),
+                         "n": pa.array(counts.astype(np.int64), pa.int64()),
+                         "bucket": pa.array(bucket, pa.int64())})
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("token", as_index=False)["n"].sum()
+        s = s.sort_values(["n", "token"], ascending=[False, True], kind="mergesort")
+        return s.head(k)[["token", "n"]]
+
+    tops = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(bucket_topk, batch_format="pandas")
+            .to_pandas())  # <= n_buckets * k rows
+    tops = tops.sort_values(["n", "token"], ascending=[False, True],
+                            kind="mergesort").head(k)
+    return tops.reset_index(drop=True)

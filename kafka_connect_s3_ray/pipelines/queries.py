@@ -662,6 +662,38 @@ def q_token_sum_by_lang(sf_dir: str):
                           "partial_docs": "n_docs"})
 
 
+def q_train_val_split(sf_dir: str):
+    """Contamination-safe train/val/test assignment: split =
+    splitmix64(doc_id) against integer thresholds in hash space — every row
+    of a key lands in the same split on any cluster shape, no RNG, no
+    shuffle. Oracle replays the identical mixer + thresholds in HUGEINT."""
+    from ..functions.sample import assign_split
+
+    out = assign_split(_docs(sf_dir, ["doc_id"]), "doc_id",
+                       {"train": 0.9, "val": 0.05, "test": 0.05})
+    return out.select_columns(["doc_id", "split"])
+
+
+def q_keyed_sample(sf_dir: str):
+    """Deterministic keyed 20% sample of events by user_id: whole users kept
+    or dropped together (splitmix64(user_id) < 0.2 * 2^64) — reproducible
+    membership independent of row order or parallelism."""
+    from ..functions.sample import sample_by_key
+
+    out = sample_by_key(_events(sf_dir, ["event_id", "user_id"]),
+                        "user_id", rate=0.2)
+    return out.select_columns(["event_id", "user_id"])
+
+
+def q_top_terms(sf_dir: str):
+    """Exact global top-25 vocabulary over documents: per-block partial
+    counts -> per-bucket exact top-k (a token lives in one bucket) -> tiny
+    driver merge. Ties break by token ascending on both sides."""
+    from ..functions.text import top_k_tokens
+
+    return top_k_tokens(_docs(sf_dir, ["text"]), k=25, n_buckets=32)
+
+
 def q_lang_id(sf_dir: str):
     out = _docs(sf_dir).map_batches(LanguageId, batch_format="pyarrow", concurrency=2)
     return out.select_columns(["doc_id", "lang_pred"])
@@ -968,6 +1000,9 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "token_sum_by_lang": q_token_sum_by_lang,
     "lang_id": q_lang_id,
+    "train_val_split": q_train_val_split,
+    "keyed_sample": q_keyed_sample,
+    "top_terms": q_top_terms,
     "rolling_fingerprint": q_rolling_fingerprint,
     "minhash_near_dup": q_minhash_near_dup,
     "simhash_near_dup": q_simhash_near_dup,
@@ -1523,6 +1558,83 @@ def _approx_distinct_sql() -> str:
 
 
 ORACLE_SQL["approx_distinct"] = _approx_distinct_sql()
+
+
+def _splitmix64_ctes(key: str, src: str, carry: str) -> str:
+    """CTE chain computing ``h = splitmix64(key)`` in HUGEINT mod-2^64
+    arithmetic (same staged xor/shift/multiply as the engine's
+    functions.sample.key_hash), carrying ``carry`` columns through. The
+    final CTE is ``m3(<carry>, h)``."""
+    M = 1 << 64
+    MS = "18446744073709551616::HUGEINT"
+    HALF = "9223372036854775808::HUGEINT"
+
+    def u2b(e: str) -> str:
+        return (f"(CASE WHEN ({e}) < {HALF} THEN CAST(({e}) AS BIGINT) "
+                f"ELSE CAST(({e}) - {MS} AS BIGINT) END)")
+
+    def b2u(e: str) -> str:
+        return (f"(CASE WHEN ({e}) < 0 THEN CAST(({e}) AS HUGEINT) + {MS} "
+                f"ELSE CAST(({e}) AS HUGEINT) END)")
+
+    def xoru(a: str, b: str) -> str:
+        return b2u(f"xor({u2b(a)}, {u2b(b)})")
+
+    def shr(e: str, k: int) -> str:
+        return f"(({e}) // {1 << k}::HUGEINT)"
+
+    def mulc(e: str, c: int) -> str:
+        hi, lo = c >> 32, c & 0xFFFFFFFF
+        return (f"(({lo}::HUGEINT * ({e}) + (({hi}::HUGEINT * ({e})) "
+                f"% 4294967296::HUGEINT) * 4294967296::HUGEINT) % {MS})")
+
+    C1 = 0xBF58476D1CE4E5B9
+    C2 = 0x94D049BB133111EB
+    return (
+        f"h0 AS (SELECT {carry}, CAST({key} AS HUGEINT) % {MS} AS x0 FROM {src}), "
+        f"m1 AS (SELECT {carry}, {mulc(xoru('x0', shr('x0', 30)), C1)} AS x1 FROM h0), "
+        f"m2 AS (SELECT {carry}, {mulc(xoru('x1', shr('x1', 27)), C2)} AS x2 FROM m1), "
+        f"m3 AS (SELECT {carry}, {xoru('x2', shr('x2', 31))} AS h FROM m2)"
+    )
+
+
+def _train_val_split_sql() -> str:
+    """The engine's split assignment replayed exactly: identical mixer,
+    identical integer thresholds (generated from the same
+    functions.sample.split_thresholds call, so float rounding of
+    fraction * 2^64 can never diverge)."""
+    from ..functions.sample import split_thresholds
+
+    names, thr = split_thresholds({"train": 0.9, "val": 0.05, "test": 0.05})
+    case = " ".join(f"WHEN h < {t}::HUGEINT THEN '{n}'"
+                    for n, t in zip(names[:-1], thr[:-1]))
+    return (
+        f"WITH {_splitmix64_ctes('doc_id', 'documents', 'doc_id')} "
+        f"SELECT doc_id, CASE {case} ELSE '{names[-1]}' END AS split FROM m3"
+    )
+
+
+def _keyed_sample_sql(rate: float = 0.2) -> str:
+    thr = min(int(rate * (1 << 64)), (1 << 64) - 1)
+    return (
+        f"WITH {_splitmix64_ctes('user_id', 'events', 'event_id, user_id')} "
+        f"SELECT event_id, user_id FROM m3 WHERE h < {thr}::HUGEINT"
+    )
+
+
+def _top_terms_sql(k: int = 25) -> str:
+    return (
+        "WITH c AS (SELECT lower(coalesce(text, '')) AS t FROM documents), "
+        "tok AS (SELECT u.tk FROM c, unnest(list_filter("
+        "regexp_split_to_array(t, '\\s+'), x -> x <> '')) AS u(tk)) "
+        "SELECT tk AS token, CAST(count(*) AS BIGINT) AS n FROM tok "
+        f"GROUP BY tk ORDER BY n DESC, token LIMIT {k}"
+    )
+
+
+ORACLE_SQL["train_val_split"] = _train_val_split_sql()
+ORACLE_SQL["keyed_sample"] = _keyed_sample_sql()
+ORACLE_SQL["top_terms"] = _top_terms_sql()
 
 
 def cdc_transcripts_oracle_sql(root: str = "/tmp/kcs3_ray/transcripts_sf0.01") -> str:

@@ -1,0 +1,93 @@
+"""Deterministic sampling / splitting (functions/sample.py) and the exact
+top-k vocabulary (functions/text.top_k_tokens)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from kafka_connect_s3_ray.functions.sample import (
+    assign_split, key_hash, sample_by_key, split_datasets, split_thresholds,
+)
+from kafka_connect_s3_ray.functions.text import top_k_tokens
+
+
+def _ds(n=5000, reps=3):
+    """n distinct keys, each appearing `reps` times across shuffled rows."""
+    keys = np.repeat(np.arange(n, dtype=np.int64), reps)
+    rng = np.random.default_rng(7)
+    rng.shuffle(keys)
+    return ray.data.from_arrow(pa.table({"k": keys, "v": np.arange(len(keys))}))
+
+
+def test_split_contamination_safe_and_deterministic():
+    ds = _ds()
+    out = assign_split(ds, "k").to_pandas()
+    # every key maps to exactly one split
+    assert (out.groupby("k")["split"].nunique() == 1).all()
+    # fractions roughly honored (keyed, so tolerance is loose)
+    frac = out.drop_duplicates("k")["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.9) < 0.03
+    # independent of row order / partitioning: same assignment from a
+    # repartitioned copy
+    out2 = assign_split(ds.repartition(13), "k").to_pandas()
+    m = out.drop_duplicates("k").set_index("k")["split"]
+    m2 = out2.drop_duplicates("k").set_index("k")["split"]
+    assert m.sort_index().equals(m2.sort_index())
+
+
+def test_split_datasets_partition_the_input():
+    ds = _ds(n=1000, reps=1)
+    parts = split_datasets(ds, "k")
+    sizes = {name: p.count() for name, p in parts.items()}
+    assert sum(sizes.values()) == 1000
+    assert sizes["train"] > sizes["val"] and sizes["train"] > sizes["test"]
+
+
+def test_sample_by_key_whole_keys_and_rate():
+    ds = _ds(n=4000, reps=2)
+    kept = sample_by_key(ds, "k", rate=0.25).to_pandas()
+    # whole keys: every surviving key keeps all its rows
+    assert (kept.groupby("k").size() == 2).all()
+    n_keys = kept["k"].nunique()
+    assert abs(n_keys / 4000 - 0.25) < 0.03
+    # salt changes membership, same salt reproduces it
+    kept_b = sample_by_key(ds, "k", rate=0.25).to_pandas()
+    assert set(kept["k"]) == set(kept_b["k"])
+    kept_s = sample_by_key(ds, "k", rate=0.25, salt=99).to_pandas()
+    assert set(kept["k"]) != set(kept_s["k"])
+
+
+def test_split_thresholds_must_sum_to_one():
+    with pytest.raises(ValueError):
+        split_thresholds({"a": 0.5, "b": 0.1})
+
+
+def test_key_hash_matches_reference_mixer():
+    # spot-check the splitmix64 stages against a direct Python evaluation
+    def ref(x):
+        M = (1 << 64) - 1
+        x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9 & M
+        x = (x ^ (x >> 27)) * 0x94D049BB133111EB & M
+        return (x ^ (x >> 31)) & M
+
+    ks = np.array([0, 1, 42, 2**31, 2**62 + 12345], dtype=np.int64)
+    got = key_hash(ks)
+    assert [int(g) for g in got] == [ref(int(k)) for k in ks]
+
+
+def test_top_k_tokens_exact_vs_flat_count():
+    texts = (["alpha beta beta gamma"] * 10 + ["delta ALPHA alpha"] * 5 +
+             [None, "", "  ", "zeta"])
+    ds = ray.data.from_arrow(pa.table({"text": pa.array(texts, pa.string())}))
+    got = top_k_tokens(ds, k=3, n_buckets=4)
+    flat = pd.Series(" ".join(t or "" for t in texts).lower().split())
+    exp = (flat.value_counts().rename_axis("token").reset_index(name="n")
+           .sort_values(["n", "token"], ascending=[False, True]).head(3)
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.astype({"n": "int64"}), exp.astype({"n": "int64"}))
+    # exactness across bucket counts (top-k never depends on bucketing)
+    got1 = top_k_tokens(ds, k=3, n_buckets=1)
+    pd.testing.assert_frame_equal(got, got1)
