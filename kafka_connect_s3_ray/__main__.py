@@ -105,6 +105,16 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("--snapshot", type=int, default=None,
                     help="commit id to time-travel to (negative = from latest)")
 
+    df = sub.add_parser("diff", help="change data feed: I/U/D rows between two "
+                                     "retained snapshots (partition-pruned)")
+    df.add_argument("--manifest", required=True)
+    df.add_argument("--from", dest="from_snapshot", type=int, required=True,
+                    help="older snapshot id (negative = from latest)")
+    df.add_argument("--to", dest="to_snapshot", type=int, default=None,
+                    help="newer snapshot id (default: live manifest)")
+    df.add_argument("--out", default=None,
+                    help="parquet directory for the feed (default: print counts only)")
+
     args = ap.parse_args(argv)
 
     if getattr(args, "changelog", None) and not os.path.exists(args.changelog):
@@ -190,6 +200,31 @@ def main(argv: list[str] | None = None) -> int:
             ds.write_parquet(args.out)
             print(json.dumps({"out": args.out, "rows": ds.count(),
                               "snapshot": args.snapshot}))
+            return 0
+        if args.cmd == "diff":
+            from kafka_connect_s3_ray.pipelines.upsert import snapshot_diff
+
+            ds = snapshot_diff(args.manifest, from_snapshot=args.from_snapshot,
+                               to_snapshot=args.to_snapshot)
+            ops = {"I": 0, "U": 0, "D": 0}
+            if args.out:
+                # one execution: write the feed, then count from the (small,
+                # column-pruned) written files instead of re-running the diff
+                ds.write_parquet(args.out)
+                if os.path.isdir(args.out):  # empty feed writes no files
+                    import pyarrow.compute as pc
+                    import pyarrow.dataset as pads
+
+                    t = pads.dataset(args.out).to_table(columns=["change_op"])
+                    for s in pc.value_counts(t.column("change_op")).to_pylist():
+                        ops[s["values"]] = int(s["counts"])
+            else:
+                for b in ds.iter_batches(batch_format="pandas", batch_size=65536):
+                    ops.update({k: ops[k] + int(v) for k, v in
+                                b["change_op"].value_counts().items()})
+            print(json.dumps({"from": args.from_snapshot, "to": args.to_snapshot,
+                              "out": args.out, "changes": ops,
+                              "total": sum(ops.values())}))
             return 0
         if args.cmd == "upsert":
             from kafka_connect_s3_ray.pipelines.upsert import run_upsert

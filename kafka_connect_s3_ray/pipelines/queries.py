@@ -40,7 +40,7 @@ from ..functions.text import (
 )
 from ..stages.merge import compact_events
 from ..synth import write_fixture
-from .upsert import lake_table, run_upsert
+from .upsert import lake_table, run_upsert, snapshot_diff
 
 P_EVENTS = 8  # user_id % 8 partitioning used by the events-table CDC queries
 
@@ -254,6 +254,31 @@ def q_time_travel(sf_dir: str, tmp_root: str = "/tmp/kcs3_ray"):
             "ts": t.column("ts"),
         }
     )
+
+
+def q_change_data_feed(sf_dir: str, tmp_root: str = "/tmp/kcs3_ray"):
+    """Change data feed: the exact I/U/D row changes between snapshot 1
+    (phase-1 commit) and the live lake of the two-phase incremental upsert.
+    Partition-aligned zero-shuffle diff (upsert.snapshot_diff): untouched
+    partitions are pruned from manifest metadata alone; each changed
+    partition diffs old-vs-new in one Ray task. 'D' rows carry the OLD
+    payload (the row phase 2 deleted), 'I'/'U' the new one."""
+    mpath, _ = _two_phase_upsert(sf_dir, tmp_root, "change_feed")
+    feed = snapshot_diff(mpath, from_snapshot=1)
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pc.cast(t.column("conv_id"), pa.int64()),
+                "change_op": t.column("change_op"),
+                "event_type": t.column("event_type"),
+                "value": t.column("value"),
+                "props": t.column("props"),
+                "ts": t.column("ts"),
+            }
+        )
+
+    return feed.map_batches(rename, batch_format="pyarrow")
 
 
 def q_archive_roundtrip(sf_dir: str, tmp_root: str = "/tmp/kcs3_ray"):
@@ -980,6 +1005,7 @@ QUERIES = {
     "lww_keep_last": q_lww_keep_last,
     "cdc_merge_events": q_cdc_merge_events,
     "time_travel": q_time_travel,
+    "change_data_feed": q_change_data_feed,
     "archive_roundtrip": q_archive_roundtrip,
     "partition_prune": q_partition_prune,
     "replay_order": q_replay_order,
@@ -1082,6 +1108,30 @@ ORACLE_SQL = {
         "FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) "
         "AS rn FROM events WHERE event_id <= (SELECT max(event_id) // 2 FROM events)) "
         "WHERE rn = 1 AND event_type <> 'error'"
+    ),
+    # I/U/D diff between the phase-1 snapshot (events <= max//2, LWW,
+    # error = tombstone) and the final lake; 'D' rows carry the OLD payload;
+    # a key present in both with identical payload emits nothing
+    "change_data_feed": (
+        "WITH s1 AS (SELECT CAST(user_id AS BIGINT) AS user_id, event_type, value, props, ts "
+        "FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn "
+        "FROM events WHERE event_id <= (SELECT max(event_id) // 2 FROM events)) "
+        "WHERE rn = 1 AND event_type <> 'error'), "
+        "s2 AS (SELECT CAST(user_id AS BIGINT) AS user_id, event_type, value, props, ts "
+        "FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn "
+        "FROM events) WHERE rn = 1 AND event_type <> 'error') "
+        "SELECT s2.user_id, 'I' AS change_op, s2.event_type, s2.value, s2.props, s2.ts "
+        "FROM s2 ANTI JOIN s1 USING (user_id) "
+        "UNION ALL "
+        "SELECT s1.user_id, 'D' AS change_op, s1.event_type, s1.value, s1.props, s1.ts "
+        "FROM s1 ANTI JOIN s2 USING (user_id) "
+        "UNION ALL "
+        "SELECT s2.user_id, 'U' AS change_op, s2.event_type, s2.value, s2.props, s2.ts "
+        "FROM s1 JOIN s2 USING (user_id) "
+        "WHERE s1.event_type IS DISTINCT FROM s2.event_type "
+        "OR s1.value IS DISTINCT FROM s2.value "
+        "OR s1.props IS DISTINCT FROM s2.props "
+        "OR s1.ts IS DISTINCT FROM s2.ts"
     ),
     "archive_roundtrip": (
         f"SELECT CAST(user_id % {P_EVENTS} AS BIGINT) AS partition, "

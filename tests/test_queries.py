@@ -69,7 +69,8 @@ def _load():
 
 SQL_CHECKED = [
     "watermark_filter", "partition_watermarks", "lww_keep_last",
-    "cdc_merge_events", "time_travel", "archive_roundtrip", "partition_prune",
+    "cdc_merge_events", "time_travel", "change_data_feed",
+    "archive_roundtrip", "partition_prune",
     "replay_order",
     "topk_events", "exclude_filter", "token_count", "quality_stats",
     "dedup_exact", "token_sum_by_lang", "cosine_topk", "embedding_near_dup", "lang_id",
