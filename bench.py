@@ -133,7 +133,7 @@ def run_bench() -> dict:
         "cosine_topk", "embedding_near_dup", "tumbling_window",
         "session_windows", "broadcast_join", "asof_join", "hash_join",
         "range_join", "near_dup_verified", "ngram_jaccard", "time_travel",
-        "train_val_split", "top_terms",
+        "change_data_feed", "train_val_split", "top_terms",
     ]
     panel_results: dict = {}
     panel_trials = int(os.environ.get("BENCH_PANEL_TRIALS", "2"))

@@ -29,6 +29,31 @@ from ..schema import schema_fingerprint  # noqa: F401  (re-exported convenience)
 EMPTY_WATERMARK = -1
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer already committed this snapshot id with DIFFERENT lake
+    state. The loser must reload the live manifest and replay its round on
+    top (replay is idempotent: already-applied offsets are watermark-pruned,
+    regenerated files are byte-identical)."""
+
+
+def _commit_state(doc: dict) -> dict:
+    """The deterministic identity of a commit: everything except wall-clock
+    timings (the ``metrics`` block and per-file ``merge_seconds``), which are
+    the only fields that differ between a crash replay and the commit it
+    regenerates (file names/bytes are deterministic, D2)."""
+    state = {k: v for k, v in doc.items() if k != "metrics"}
+    parts = {}
+    for p, st in (state.get("partitions") or {}).items():
+        st = dict(st)
+        st["files"] = [
+            {k: v for k, v in e.items() if k != "merge_seconds"}
+            for e in st.get("files", [])
+        ]
+        parts[p] = st
+    state["partitions"] = parts
+    return state
+
+
 def is_delta_file(path: str) -> bool:
     """THE delta-file naming contract (``delta-<wm>.parquet``) — one
     definition; upsert/compaction/tail all import it from here."""
@@ -158,7 +183,8 @@ class Manifest:
         return m
 
     def commit(self, path: str | None = None, retain_snapshot: bool = True) -> str:
-        """Atomic write-then-rename — the cursor-last commit point.
+        """Atomic write-then-rename — the cursor-last commit point, with
+        OPTIMISTIC CONCURRENCY between writers.
 
         Bumps ``snapshot_id`` and (unless ``retain_snapshot=False``) writes a
         versioned copy ``<path>.v<N>`` BEFORE replacing the live manifest, so
@@ -166,13 +192,25 @@ class Manifest:
         leaves an orphan snapshot file and an un-advanced live manifest —
         replay regenerates both identically). The retained copies are the
         lake's transaction log: ``Manifest.snapshots(path)`` lists them and
-        ``read_lake(path, snapshot=N)`` reads the lake as of commit N."""
+        ``read_lake(path, snapshot=N)`` reads the lake as of commit N.
+
+        Concurrency: the snapshot file is claimed with an atomic put-if-absent
+        (``os.link``, the POSIX analog of S3 If-None-Match). Two writers that
+        both loaded snapshot N race for ``<path>.v<N+1>``; the loser gets
+        ``ConcurrentCommitError`` and must reload + replay — its partition
+        files are orphans the next ``vacuum`` sweeps, the winner's lake state
+        is untouched. A crash REPLAY racing its own orphaned snapshot is
+        admitted: if the existing snapshot's deterministic state (everything
+        but wall-clock timings) equals ours, we adopt it and advance the live
+        pointer. Without ``retain_snapshot`` there is no token file, so the
+        guard degrades to comparing the live pointer's snapshot_id against
+        the one this object loaded."""
         path = path or self.path
         assert path, "manifest path required"
-        self.snapshot_id = int(self.snapshot_id) + 1
+        next_id = int(self.snapshot_id) + 1
         doc = {
             "version": self.version,
-            "snapshot_id": self.snapshot_id,
+            "snapshot_id": next_id,
             "schema_fingerprint": self.schema_fingerprint,
             "num_partitions": self.num_partitions,
             "partitions": {str(k): v for k, v in sorted(self.partitions.items())},
@@ -181,10 +219,38 @@ class Manifest:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         payload = json.dumps(doc, indent=1, sort_keys=False)
         if retain_snapshot:
-            spath = _snapshot_path(path, self.snapshot_id)
-            with open(spath + ".tmp", "w") as f:
+            spath = _snapshot_path(path, next_id)
+            tmp = f"{spath}.tmp-{os.getpid()}"
+            with open(tmp, "w") as f:
                 f.write(payload)
-            os.replace(spath + ".tmp", spath)
+            try:
+                os.link(tmp, spath)  # atomic put-if-absent: the commit token
+            except FileExistsError:
+                with open(spath) as f:
+                    existing = json.load(f)
+                if _commit_state(existing) != _commit_state(doc):
+                    raise ConcurrentCommitError(
+                        f"snapshot {next_id} of {path} was already committed "
+                        "by another writer with different lake state — reload "
+                        "the manifest and replay this round"
+                    ) from None
+                # identical state: a crash replay regenerating its own
+                # orphaned snapshot — adopt it (live pointer gets the
+                # snapshot's exact bytes, so log and pointer stay identical)
+                with open(spath) as f:
+                    payload = f.read()
+            finally:
+                os.unlink(tmp)
+        elif os.path.exists(path):
+            with open(path) as f:
+                on_disk = int(json.load(f).get("snapshot_id", 0))
+            if on_disk != int(self.snapshot_id):
+                raise ConcurrentCommitError(
+                    f"live manifest {path} is at snapshot {on_disk}, but this "
+                    f"writer loaded snapshot {self.snapshot_id} — reload and "
+                    "replay"
+                )
+        self.snapshot_id = next_id
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
             f.write(payload)

@@ -45,3 +45,32 @@ def test_injected_faults_retry_to_identical_output(tmp_path):
     pd.testing.assert_frame_equal(got, exp.reset_index(drop=True), check_dtype=False)
     assert {p: m_fault.watermark(p) for p in range(P)} == \
            {p: m_clean.watermark(p) for p in range(P)}
+
+
+def test_tail_retries_concurrent_commit_loser(tmp_path, monkeypatch):
+    """A tick that loses the optimistic-concurrency race (another writer
+    claimed the snapshot token) is retried like any retryable source error;
+    the retry tick reloads the live manifest and replays on top."""
+    from kafka_connect_s3_ray.pipelines import tail as tail_mod
+    from kafka_connect_s3_ray.pipelines.tail import tail_changelog
+    from kafka_connect_s3_ray.state.manifest import ConcurrentCommitError
+
+    root = str(tmp_path)
+    fx = write_fixture(root, n_conv=60, n_events=900, num_partitions=P)
+    real = tail_mod.run_upsert
+    calls = {"n": 0}
+
+    def racy(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise ConcurrentCommitError("snapshot 1 already committed")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(tail_mod, "run_upsert", racy)
+    m = tail_changelog(fx["changelog_dir"], os.path.join(root, "out"),
+                       os.path.join(root, "m.json"), lake_dir=fx["lake_dir"],
+                       num_partitions=P, max_rounds=1, sleep=lambda s: None)
+    assert calls["n"] == 2  # losing tick retried exactly once
+    exp = oracle_apply(fx["lake"], fx["events"])
+    got = lake_table(m).to_pandas()[exp.columns].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp.reset_index(drop=True), check_dtype=False)

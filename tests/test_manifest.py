@@ -94,3 +94,84 @@ def test_empty_changelog_tick_is_noop(tmp_path):
                    str(tmp_path / "m.json"), num_partitions=2)
     assert m.watermark(0) == EMPTY_WATERMARK
     assert m.current_files() == {}
+
+
+def test_concurrent_commit_loser_raises(tmp_path):
+    """Optimistic concurrency: two writers that both loaded snapshot N race
+    for the N+1 token; the loser raises and the winner's state is intact."""
+    import pytest
+
+    from kafka_connect_s3_ray.state.manifest import ConcurrentCommitError, Manifest
+
+    p = str(tmp_path / "m.json")
+    base = Manifest(p)
+    base.record_commit(0, "a.parquet", 5, 10, 3, 0.1)
+    base.commit()
+
+    w1 = Manifest.load(p)
+    w2 = Manifest.load(p)
+    w1.record_commit(0, "b.parquet", 9, 12, 2, 0.2)
+    w1.commit()
+    w2.record_commit(0, "c.parquet", 11, 14, 4, 0.3)
+    with pytest.raises(ConcurrentCommitError):
+        w2.commit()
+    live = Manifest.load(p)
+    assert live.snapshot_id == 2
+    assert live.partitions[0]["current"] == ["b.parquet"]
+    # loser recovers by reloading and replaying on top of the winner
+    w3 = Manifest.load(p)
+    w3.record_commit(0, "c.parquet", 11, 14, 4, 0.3)
+    w3.commit()
+    assert Manifest.load(p).watermark(0) == 11
+
+
+def test_crash_replay_adopts_own_orphan_snapshot(tmp_path):
+    """A crash between the snapshot write and the live-pointer move leaves an
+    orphan .v<N+1>; the replay regenerates the same state (different wall
+    timings) and must ADOPT it, not raise."""
+    import json
+    import os
+
+    from kafka_connect_s3_ray.state.manifest import Manifest
+
+    p = str(tmp_path / "m.json")
+    m = Manifest(p)
+    m.record_commit(0, "a.parquet", 5, 10, 3, 0.1)
+    m.commit()
+
+    # simulate the crashed second commit: snapshot v2 exists, live still at v1
+    live_v1 = open(p).read()
+    crashed = Manifest.load(p)
+    crashed.record_commit(0, "b.parquet", 9, 12, 2, 0.777)  # crash's timing
+    crashed.metrics = {"operation": "upsert", "sum_merge_seconds": 0.777}
+    crashed.commit()
+    v2 = p + ".v2"
+    assert os.path.exists(v2)
+    snap_bytes = open(v2).read()
+    open(p, "w").write(live_v1)  # rewind live (as if os.replace never ran)
+
+    replay = Manifest.load(p)
+    assert replay.snapshot_id == 1
+    replay.record_commit(0, "b.parquet", 9, 12, 2, 0.123)  # replay's timing
+    replay.metrics = {"operation": "upsert", "sum_merge_seconds": 0.123}
+    replay.commit()  # must adopt, not raise
+    assert Manifest.load(p).snapshot_id == 2
+    # live pointer and transaction log are byte-identical after adoption
+    assert open(p).read() == snap_bytes
+    assert json.load(open(p))["partitions"]["0"]["current"] == ["b.parquet"]
+
+
+def test_commit_without_snapshot_guards_live_pointer(tmp_path):
+    import pytest
+
+    from kafka_connect_s3_ray.state.manifest import ConcurrentCommitError, Manifest
+
+    p = str(tmp_path / "m.json")
+    base = Manifest(p)
+    base.record_commit(0, "a.parquet", 5, 10, 3, 0.1)
+    base.commit(retain_snapshot=False)
+
+    stale = Manifest(p)  # never loaded the live manifest: thinks it's new
+    stale.record_commit(0, "z.parquet", 1, 1, 1, 0.1)
+    with pytest.raises(ConcurrentCommitError):
+        stale.commit(retain_snapshot=False)
