@@ -70,6 +70,7 @@ def run_bench() -> dict:
 
     from kafka_connect_s3_ray.pipelines import queries as Q
     from kafka_connect_s3_ray.pipelines.upsert import run_upsert
+    from kafka_connect_s3_ray.state.manifest import Manifest
 
     # --- headline: transcript CDC upsert ---------------------------------
     if os.environ.get("BENCH_SCALING_FIXTURE"):
@@ -93,15 +94,13 @@ def run_bench() -> dict:
     out_dir = os.path.join(out_base, f"bench_out_{NUM_CPUS}")
     mpath = os.path.join(out_base, f"bench_manifest_{NUM_CPUS}.json")
     shutil.rmtree(out_dir, ignore_errors=True)
-    if os.path.exists(mpath):
-        os.remove(mpath)
+    Manifest.delete(mpath)  # live file AND snapshot tokens (heal-safe reset)
     subprocess.run(["sync"], check=False)
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     headline_sec = None
     for _ in range(max(1, trials)):  # min-of-N: page-cache noise is one-sided
         shutil.rmtree(out_dir, ignore_errors=True)
-        if os.path.exists(mpath):
-            os.remove(mpath)
+        Manifest.delete(mpath)
         sec, manifest = _timed(
             run_upsert, fx["changelog_dir"], out_dir, mpath, lake_dir=fx["lake_dir"],
             num_partitions=fx["num_partitions"], hot_keys={"conv-00000000"},
@@ -270,6 +269,7 @@ def run_sustained() -> dict:
     import ray.data as rd
 
     from kafka_connect_s3_ray.pipelines.upsert import run_upsert
+    from kafka_connect_s3_ray.state.manifest import Manifest
 
     fx = _scaling_fixture()
     rd.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(
@@ -280,8 +280,7 @@ def run_sustained() -> dict:
     mpath = "/dev/shm/kcs3_sustained_m.json"
     for p in (live, out):
         shutil.rmtree(p, ignore_errors=True)
-    if os.path.exists(mpath):
-        os.remove(mpath)
+    Manifest.delete(mpath)
     per_part = {}
     n_rounds = 0
     for pdir in sorted(glob.glob(os.path.join(fx["changelog_dir"], "partition=*"))):

@@ -198,7 +198,19 @@ def main(argv: list[str] | None = None) -> int:
 
             ds = read_lake(args.manifest, snapshot=args.snapshot)
             ds.write_parquet(args.out)
-            print(json.dumps({"out": args.out, "rows": ds.count(),
+            # one execution: ds.count() would re-run the whole read (incl.
+            # merge-on-read delta resolution); parquet footers of the files
+            # just written carry the row count as metadata
+            import pyarrow.parquet as _pq
+
+            rows = 0
+            if os.path.isdir(args.out):
+                for dirpath, _, fnames in os.walk(args.out):
+                    for fn in fnames:
+                        if fn.endswith(".parquet"):
+                            rows += _pq.read_metadata(
+                                os.path.join(dirpath, fn)).num_rows
+            print(json.dumps({"out": args.out, "rows": rows,
                               "snapshot": args.snapshot}))
             return 0
         if args.cmd == "diff":

@@ -52,12 +52,17 @@ def quality_filter(ds: "ray.data.Dataset", text_col: str = "text",
 def drop_near_duplicates(ds: "ray.data.Dataset", id_col: str = "doc_id",
                          text_col: str = "text", num_perm: int = 64,
                          bands: int = 16, jaccard_threshold: float | None = 0.8,
+                         prefilter_margin_sigmas: float | None = 4.0,
                          ) -> "ray.data.Dataset":
     """Remove near-duplicates: LSH candidate pairs -> exact shingle-Jaccard
     verification (candidates only — never all pairs) -> drop the higher id of
     every confirmed pair (keep-first policy). The drop set is ids only (small)
     and broadcast as an anti-join filter — the corpus itself never shuffles.
-    ``jaccard_threshold=None`` skips verification (pure-LSH, more aggressive)."""
+    ``jaccard_threshold=None`` skips verification (pure-LSH, more aggressive).
+    ``prefilter_margin_sigmas`` passes through to ``jaccard_verify``: at
+    >20k candidates it bounds the exchange with a signature prefilter
+    (~3e-5 miss probability per borderline true pair at the default 4
+    sigma); ``None`` keeps the verification strictly exact at any size."""
     pairs = minhash_lsh_candidates(ds, id_col=id_col, text_col=text_col,
                                    num_perm=num_perm, bands=bands)
     cand = pairs.to_pandas()  # candidate pairs only: small by construction
@@ -66,9 +71,11 @@ def drop_near_duplicates(ds: "ray.data.Dataset", id_col: str = "doc_id",
     if jaccard_threshold is not None:
         from .dedup import jaccard_verify
 
-        verified = jaccard_verify(ray.data.from_pandas(cand), ds,
-                                  threshold=jaccard_threshold,
-                                  id_col=id_col, text_col=text_col).to_pandas()
+        verified = jaccard_verify(
+            ray.data.from_pandas(cand), ds, threshold=jaccard_threshold,
+            id_col=id_col, text_col=text_col,
+            prefilter_margin_sigmas=prefilter_margin_sigmas,
+        ).to_pandas()
     else:
         verified = cand
     if verified.empty:

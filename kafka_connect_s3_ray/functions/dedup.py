@@ -640,9 +640,20 @@ def jaccard_verify(pairs: "ray.data.Dataset", docs: "ray.data.Dataset",
                    text_col: str = "text", shingle_k: int = 5,
                    broadcast_threshold: int = 50_000,
                    prefilter_threshold: int = 20_000,
+                   prefilter_margin_sigmas: float | None = 4.0,
                    concurrency: int = 8) -> "ray.data.Dataset":
     """Exact k-shingle Jaccard over candidate pairs, batch-vectorized
     (``_batch_jaccard``: one lexsort per batch, no per-pair loop).
+
+    Exactness caveat: above ``prefilter_threshold`` candidate pairs, a
+    minhash signature-agreement prefilter drops pairs whose ESTIMATED
+    Jaccard is more than ``prefilter_margin_sigmas`` estimator-sigmas below
+    ``threshold`` before the expensive shingle exchange — a true pair at
+    exactly ``threshold`` is missed with probability ~Phi(-margin) (3e-5 at
+    the default 4 sigma; pairs clearly above threshold are exponentially
+    safer). Every pair that SURVIVES the prefilter is scored exactly. Pass
+    ``prefilter_margin_sigmas=None`` for strict exactness at any candidate
+    count (pays the full exchange on all LSH false positives).
 
     Distribution: when the candidate set is small (<= ``broadcast_threshold``
     pairs), the candidate doc texts are broadcast once via ray.put and
@@ -658,12 +669,14 @@ def jaccard_verify(pairs: "ray.data.Dataset", docs: "ray.data.Dataset",
     # chosen path consumes `pairs` again; pair rows are just two ids each
     pairs = pairs.materialize()
     n_pairs = pairs.count()
-    if n_pairs > prefilter_threshold:
+    if n_pairs > prefilter_threshold and prefilter_margin_sigmas is not None:
         # LSH over-generates at low thresholds (measured 99.8% false positives
         # at theta=0.6 on sf0.1); the signature prefilter removes most of them
         # at ~512 B per pair side before the expensive shingle-set exchange
         pairs = _signature_prefilter(pairs, docs, threshold, id_col, text_col,
-                                     shingle_k).materialize()
+                                     shingle_k,
+                                     margin_sigmas=prefilter_margin_sigmas
+                                     ).materialize()
         n_pairs = pairs.count()
     if n_pairs > broadcast_threshold:
         return _jaccard_verify_joined(pairs, docs, threshold, id_col, text_col,
@@ -872,19 +885,33 @@ def minhash_near_dup_verified(docs: "ray.data.Dataset", threshold: float = 0.6,
     if n_docs <= sig_broadcast_docs:
         # broadcast prefilter: whole (id, sig) matrix once via ray.put
         # (<= ~100 MB at the cap), per-batch searchsorted lookup, no shuffle.
-        # Shingle sets are pulled in the same pass: if the whole shingle
-        # corpus fits the broadcast budget too, the exact verify also runs
-        # broadcast-side (see below) and the payload exchange is skipped.
-        def sig_sh(t: pa.Table) -> pa.Table:
-            return pa.table({"join_id": t.column(id_col),
-                             "sig": t.column("sig"),
-                             "shingles": t.column("shingles")})
+        # Whether the shingle corpus ALSO fits the broadcast budget (which
+        # would let the exact verify run broadcast-side and skip the payload
+        # exchange entirely) is decided from a bytes-only metadata pass
+        # FIRST, so the driver never materializes a corpus it won't use —
+        # the budget knob genuinely bounds driver memory.
+        def sh_nbytes(t: pa.Table) -> pa.Table:
+            flat, _ = _list_flat(t.column("shingles"))
+            return pa.table({"nb": pa.array([int(flat.nbytes)], pa.int64())})
 
-        tbl = pa.concat_tables(
-            t for t in ray.get(
-                payload_rows.map_batches(sig_sh, batch_format="pyarrow")
-                .to_arrow_refs())
-            if len(t))
+        corpus_bytes = sum(
+            r["nb"] for r in payload_rows.map_batches(
+                sh_nbytes, batch_format="pyarrow").take_all())
+        pull_shingles = corpus_bytes <= corpus_broadcast_bytes
+
+        def sig_sh(t: pa.Table) -> pa.Table:
+            cols = {"join_id": t.column(id_col), "sig": t.column("sig")}
+            if pull_shingles:
+                cols["shingles"] = t.column("shingles")
+            return pa.table(cols)
+
+        tbls = [t for t in ray.get(
+                    payload_rows.map_batches(sig_sh, batch_format="pyarrow")
+                    .to_arrow_refs())
+                if len(t)]
+        if not tbls:  # empty docs input: the documented empty pair set
+            return ray.data.from_arrow(OUT.empty_table())
+        tbl = pa.concat_tables(tbls)
         ids = tbl.column("join_id").to_numpy(zero_copy_only=False).astype(np.int64)
         flat, _ = _list_flat(tbl.column("sig"))
         order = np.argsort(ids, kind="stable")
@@ -904,8 +931,8 @@ def minhash_near_dup_verified(docs: "ray.data.Dataset", threshold: float = 0.6,
 
         cand = cand.map_batches(prefilt, batch_format="pyarrow")
 
-        sh_flat, sh_lens = _list_flat(tbl.column("shingles"))
-        if sh_flat.nbytes <= corpus_broadcast_bytes:
+        if pull_shingles:
+            sh_flat, sh_lens = _list_flat(tbl.column("shingles"))
             # Corpus-broadcast exact verify, ZERO pair-side shuffle: the
             # whole flat shingle corpus ships once via ray.put (zero-copy
             # views in every worker); surviving pairs stream through a
@@ -1357,8 +1384,10 @@ def ngram_jaccard_pairs(docs: "ray.data.Dataset", n: int = 2,
         lambda t: _ngram_rows(t, id_col, text_col, n),
         batch_format="pyarrow",
     )
-    tbl = pa.concat_tables(
-        t for t in ray.get(sets.to_arrow_refs()) if len(t))
+    tbls = [t for t in ray.get(sets.to_arrow_refs()) if len(t)]
+    if not tbls:  # no doc has >= n words: the documented empty pair set
+        return ray.data.from_arrow(_NGRAM_OUT.empty_table())
+    tbl = pa.concat_tables(tbls)
     ids = tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
     if len(ids) > exact_cap:
         raise ValueError(

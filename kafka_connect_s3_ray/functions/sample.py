@@ -27,9 +27,19 @@ _U64 = 1 << 64
 
 def key_hash(keys: np.ndarray, salt: int = 0) -> np.ndarray:
     """splitmix64 of an integer key column (int64 bit pattern reinterpreted
-    as uint64), optionally xor-salted. Exactly reproducible in SQL via
-    HUGEINT mod-2^64 arithmetic (queries._splitmix64_sql)."""
-    h = np.asarray(keys).astype(np.int64).view(np.uint64)
+    as uint64 — negative keys wrap), optionally xor-salted. Exactly
+    reproducible in SQL via HUGEINT mod-2^64 arithmetic
+    (queries._splitmix64_ctes). Null keys are an ERROR, not a silent split:
+    an Arrow column with nulls reaches numpy as float64-with-NaN, whose
+    int64 cast is platform garbage — refusing keeps membership deterministic
+    and matches the merge kernel's null-key contract."""
+    arr = np.asarray(keys)
+    if arr.dtype.kind == "f" and np.isnan(arr).any():
+        raise ValueError(
+            "null key values in sampling/split key column — fill or drop "
+            "null keys before assign_split/sample_by_key"
+        )
+    h = arr.astype(np.int64).view(np.uint64)
     if salt:
         h = h ^ np.uint64(salt)
     return _splitmix64_mix(h)

@@ -29,11 +29,23 @@ def vacuum(manifest: Manifest | str, keep_generations: int = 1,
     CURRENT fileset is never deleted; with keep_generations > 1, older
     snapshots stay replayable from their checkpoints. Returns the deleted
     (or would-delete) paths."""
+    import glob as _glob
+
     from .upsert import _sweep_stale_tmp
 
     if isinstance(manifest, str):
         manifest = Manifest.load(manifest)
     doomed: list[str] = []
+    lineage_changed = False
+    if not dry_run and manifest.path:
+        # sweep commit-token tmps a crash left between write and os.link
+        # (never the tokens themselves — they ARE the transaction log)
+        for tmp in (_glob.glob(manifest.path + ".v*.tmp-*")
+                    + _glob.glob(manifest.path + ".tmp-heal-*")):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
     pdirs: set[str] = set()
     for p, st in manifest.partitions.items():
         pdirs.update(os.path.dirname(path)
@@ -65,9 +77,14 @@ def vacuum(manifest: Manifest | str, keep_generations: int = 1,
                         os.remove(path)
         if not dry_run:
             # lineage keeps only the retained generations (plus current refs)
-            st["files"] = [e for e in files
-                           if e in keep or set(e["path"].split(";")) & set(st.get("current", []))]
-    if not dry_run and manifest.path:
+            kept = [e for e in files
+                    if e in keep or set(e["path"].split(";")) & set(st.get("current", []))]
+            lineage_changed = lineage_changed or len(kept) != len(files)
+            st["files"] = kept
+    # A vacuum that deleted nothing and trimmed no lineage must NOT commit:
+    # each commit retains a new snapshot, so a periodic no-op vacuum would
+    # grow the transaction log without bound.
+    if not dry_run and manifest.path and (doomed or lineage_changed):
         manifest.commit()
         # Drop retained snapshot manifests that the deletions above made
         # unreadable (some of their fileset is gone). Snapshots whose files

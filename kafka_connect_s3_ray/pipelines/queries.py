@@ -39,6 +39,7 @@ from ..functions.text import (
     rolling_hash_fingerprint,
 )
 from ..stages.merge import compact_events
+from ..state.manifest import Manifest
 from ..synth import write_fixture
 from .upsert import lake_table, run_upsert, snapshot_diff
 
@@ -984,10 +985,10 @@ def q_cdc_transcripts(sf_dir: str, tmp_root: str = "/tmp/kcs3_ray"):
     fx = transcripts_fixture(sf_dir, tmp_root)
     out_dir = os.path.join(fx["root"], "lake_out")
     mpath = os.path.join(fx["root"], "manifest_run.json")
-    for p in (out_dir, mpath):
-        shutil.rmtree(p, ignore_errors=True) if os.path.isdir(p) else (
-            os.remove(p) if os.path.exists(p) else None
-        )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    # whole transaction log, not just the live file — a leftover snapshot
+    # token would otherwise heal this fresh run back to the deleted lake
+    Manifest.delete(mpath)
     m = run_upsert(
         fx["changelog_dir"], out_dir, mpath, lake_dir=fx["lake_dir"],
         num_partitions=fx["num_partitions"], hot_keys="auto",
@@ -1477,6 +1478,53 @@ def _curation_chain_sql() -> str:
 ORACLE_SQL["curation_chain"] = _curation_chain_sql()
 
 
+# ---- shared HUGEINT mod-2^64 SQL fragment generators --------------------
+# ONE definition for every oracle that replays the engine's uint64
+# arithmetic (simhash, HLL, splitmix64 sampling) — these fragments must stay
+# bit-for-bit in sync across oracles, so they are deliberately not inlined.
+_MS_SQL = "18446744073709551616::HUGEINT"       # 2^64
+_HALF_SQL = "9223372036854775808::HUGEINT"      # 2^63
+_SM_C1 = 0xBF58476D1CE4E5B9                     # splitmix64 constants
+_SM_C2 = 0x94D049BB133111EB
+
+
+def _sql_u2b(e: str) -> str:
+    """uint64-valued HUGEINT expression -> int64 bit pattern (BIGINT)."""
+    return (f"(CASE WHEN ({e}) < {_HALF_SQL} THEN CAST(({e}) AS BIGINT) "
+            f"ELSE CAST(({e}) - {_MS_SQL} AS BIGINT) END)")
+
+
+def _sql_b2u(e: str) -> str:
+    """int64 bit pattern (BIGINT) -> uint64-valued HUGEINT."""
+    return (f"(CASE WHEN ({e}) < 0 THEN CAST(({e}) AS HUGEINT) + {_MS_SQL} "
+            f"ELSE CAST(({e}) AS HUGEINT) END)")
+
+
+def _sql_xoru(a: str, b: str) -> str:
+    """xor of two uint64-valued expressions, staying in uint64 space."""
+    return _sql_b2u(f"xor({_sql_u2b(a)}, {_sql_u2b(b)})")
+
+
+def _sql_shr(e: str, k: int) -> str:
+    """logical right shift of a uint64-valued expression."""
+    return f"(({e}) // {1 << k}::HUGEINT)"
+
+
+def _sql_mulc(e: str, c: int) -> str:
+    """(e * c) mod 2^64 via 32-bit halves so no product exceeds HUGEINT."""
+    hi, lo = c >> 32, c & 0xFFFFFFFF
+    return (f"(({lo}::HUGEINT * ({e}) + (({hi}::HUGEINT * ({e})) "
+            f"% 4294967296::HUGEINT) * 4294967296::HUGEINT) % {_MS_SQL})")
+
+
+def _sql_u64(e: str) -> str:
+    """Wrap an int64 expression into [0, 2^64) — the SQL replay of numpy's
+    ``int64.view(uint64)`` bit reinterpretation. DuckDB's ``%`` keeps the
+    dividend's sign, so the bare ``CAST(k AS HUGEINT) % 2^64`` this replaces
+    left NEGATIVE keys negative and silently diverged from the engine."""
+    return (f"(((CAST({e} AS HUGEINT) % {_MS_SQL}) + {_MS_SQL}) % {_MS_SQL})")
+
+
 def _simhash_sql() -> str:
     """The SimHash candidate pipeline in SQL, from the engine's own hash:
     per-token base-257 polynomial over utf-8 bytes mod 2^64 (powers as a
@@ -1487,27 +1535,7 @@ def _simhash_sql() -> str:
     +-1 votes, 4x16-bit band grouping with the engine's 64-member bucket
     cap, and Hamming(xor) <= 3."""
     M = 1 << 64
-    MS = "18446744073709551616::HUGEINT"
-    HALF = "9223372036854775808::HUGEINT"
-
-    def u2b(e: str) -> str:
-        return (f"(CASE WHEN ({e}) < {HALF} THEN CAST(({e}) AS BIGINT) "
-                f"ELSE CAST(({e}) - {MS} AS BIGINT) END)")
-
-    def b2u(e: str) -> str:
-        return (f"(CASE WHEN ({e}) < 0 THEN CAST(({e}) AS HUGEINT) + {MS} "
-                f"ELSE CAST(({e}) AS HUGEINT) END)")
-
-    def xoru(a: str, b: str) -> str:
-        return b2u(f"xor({u2b(a)}, {u2b(b)})")
-
-    def shr(e: str, k: int) -> str:
-        return f"(({e}) // {1 << k}::HUGEINT)"
-
-    def mulc(e: str, c: int) -> str:
-        hi, lo = c >> 32, c & 0xFFFFFFFF
-        return (f"(({lo}::HUGEINT * ({e}) + (({hi}::HUGEINT * ({e})) "
-                f"% 4294967296::HUGEINT) * 4294967296::HUGEINT) % {MS})")
+    u2b, b2u, xoru, shr, mulc = _sql_u2b, _sql_b2u, _sql_xoru, _sql_shr, _sql_mulc
 
     powers = ", ".join(str(pow(257, j, M)) for j in range(512))
     votes = ", ".join(
@@ -1520,8 +1548,7 @@ def _simhash_sql() -> str:
         f"SELECT doc_id, {b} AS band, "
         f"CAST((sh // {1 << (16 * b)}::HUGEINT) % 65536::HUGEINT AS BIGINT) "
         f"AS band_val, sh FROM shv" for b in range(4))
-    C1 = 0xBF58476D1CE4E5B9
-    C2 = 0x94D049BB133111EB
+    C1, C2 = _SM_C1, _SM_C2
     return (
         "WITH c AS (SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents), "
         "tok AS (SELECT doc_id, u.tk FROM c, unnest(list_filter("
@@ -1529,7 +1556,7 @@ def _simhash_sql() -> str:
         f"h0 AS (SELECT doc_id, list_sum(list_transform("
         f"generate_series(1, length(tk)), i -> "
         f"CAST(ascii(substr(tk, i, 1)) AS HUGEINT) * ([{powers}])[i])) "
-        f"% {MS} AS x0 FROM tok), "
+        f"% {_MS_SQL} AS x0 FROM tok), "
         f"m1 AS (SELECT doc_id, {mulc(xoru('x0', shr('x0', 30)), C1)} AS x1 FROM h0), "
         f"m2 AS (SELECT doc_id, {mulc(xoru('x1', shr('x1', 27)), C2)} AS x2 FROM m1), "
         f"m3 AS (SELECT doc_id, {xoru('x2', shr('x2', 31))} AS h FROM m2), "
@@ -1558,43 +1585,21 @@ def _approx_distinct_sql() -> str:
     an exact comparison ladder (no float log2 — doubles round 2^63-1 up to
     2^63), register max, and the standard alpha_m m^2 / sum(2^-reg) estimate
     with the small-range zeros correction."""
-    M = 1 << 64
-    MS = "18446744073709551616::HUGEINT"
-    HALF = "9223372036854775808::HUGEINT"
     p, m = 12, 4096
     alpha = repr(0.7213 / (1 + 1.079 / m))
-
-    def u2b(e: str) -> str:
-        return (f"(CASE WHEN ({e}) < {HALF} THEN CAST(({e}) AS BIGINT) "
-                f"ELSE CAST(({e}) - {MS} AS BIGINT) END)")
-
-    def b2u(e: str) -> str:
-        return (f"(CASE WHEN ({e}) < 0 THEN CAST(({e}) AS HUGEINT) + {MS} "
-                f"ELSE CAST(({e}) AS HUGEINT) END)")
-
-    def xoru(a: str, b: str) -> str:
-        return b2u(f"xor({u2b(a)}, {u2b(b)})")
-
-    def shr(e: str, k: int) -> str:
-        return f"(({e}) // {1 << k}::HUGEINT)"
-
-    def mulc(e: str, c: int) -> str:
-        hi, lo = c >> 32, c & 0xFFFFFFFF
-        return (f"(({lo}::HUGEINT * ({e}) + (({hi}::HUGEINT * ({e})) "
-                f"% 4294967296::HUGEINT) * 4294967296::HUGEINT) % {MS})")
+    xoru, shr, mulc = _sql_xoru, _sql_shr, _sql_mulc
 
     ladder = " ".join(
         f"WHEN rest >= {1 << (64 - k)}::HUGEINT THEN {k}"
         for k in range(1, 64 - p))
-    C1 = 0xBF58476D1CE4E5B9
-    C2 = 0x94D049BB133111EB
+    C1, C2 = _SM_C1, _SM_C2
     return (
-        f"WITH h0 AS (SELECT CAST(user_id AS HUGEINT) % {MS} AS x0 FROM events), "
+        f"WITH h0 AS (SELECT {_sql_u64('user_id')} AS x0 FROM events), "
         f"m1 AS (SELECT {mulc(xoru('x0', shr('x0', 30)), C1)} AS x1 FROM h0), "
         f"m2 AS (SELECT {mulc(xoru('x1', shr('x1', 27)), C2)} AS x2 FROM m1), "
         f"m3 AS (SELECT {xoru('x2', shr('x2', 31))} AS h FROM m2), "
         f"r AS (SELECT h // {1 << (64 - p)}::HUGEINT AS idx, "
-        f"(h * {1 << p}::HUGEINT) % {MS} AS rest FROM m3), "
+        f"(h * {1 << p}::HUGEINT) % {_MS_SQL} AS rest FROM m3), "
         f"rk AS (SELECT idx, CASE {ladder} ELSE {64 - p} END AS rank FROM r), "
         f"reg AS (SELECT idx, max(rank) AS rr FROM rk GROUP BY idx), "
         f"s AS (SELECT sum(power(2.0, -rr)) + ({m} - count(*)) * 1.0 AS denom, "
@@ -1614,34 +1619,13 @@ def _splitmix64_ctes(key: str, src: str, carry: str) -> str:
     """CTE chain computing ``h = splitmix64(key)`` in HUGEINT mod-2^64
     arithmetic (same staged xor/shift/multiply as the engine's
     functions.sample.key_hash), carrying ``carry`` columns through. The
-    final CTE is ``m3(<carry>, h)``."""
-    M = 1 << 64
-    MS = "18446744073709551616::HUGEINT"
-    HALF = "9223372036854775808::HUGEINT"
-
-    def u2b(e: str) -> str:
-        return (f"(CASE WHEN ({e}) < {HALF} THEN CAST(({e}) AS BIGINT) "
-                f"ELSE CAST(({e}) - {MS} AS BIGINT) END)")
-
-    def b2u(e: str) -> str:
-        return (f"(CASE WHEN ({e}) < 0 THEN CAST(({e}) AS HUGEINT) + {MS} "
-                f"ELSE CAST(({e}) AS HUGEINT) END)")
-
-    def xoru(a: str, b: str) -> str:
-        return b2u(f"xor({u2b(a)}, {u2b(b)})")
-
-    def shr(e: str, k: int) -> str:
-        return f"(({e}) // {1 << k}::HUGEINT)"
-
-    def mulc(e: str, c: int) -> str:
-        hi, lo = c >> 32, c & 0xFFFFFFFF
-        return (f"(({lo}::HUGEINT * ({e}) + (({hi}::HUGEINT * ({e})) "
-                f"% 4294967296::HUGEINT) * 4294967296::HUGEINT) % {MS})")
-
-    C1 = 0xBF58476D1CE4E5B9
-    C2 = 0x94D049BB133111EB
+    final CTE is ``m3(<carry>, h)``. Negative int64 keys wrap into
+    [0, 2^64) exactly like the engine's bit reinterpretation
+    (``_sql_u64``)."""
+    xoru, shr, mulc = _sql_xoru, _sql_shr, _sql_mulc
+    C1, C2 = _SM_C1, _SM_C2
     return (
-        f"h0 AS (SELECT {carry}, CAST({key} AS HUGEINT) % {MS} AS x0 FROM {src}), "
+        f"h0 AS (SELECT {carry}, {_sql_u64(key)} AS x0 FROM {src}), "
         f"m1 AS (SELECT {carry}, {mulc(xoru('x0', shr('x0', 30)), C1)} AS x1 FROM h0), "
         f"m2 AS (SELECT {carry}, {mulc(xoru('x1', shr('x1', 27)), C2)} AS x2 FROM m1), "
         f"m3 AS (SELECT {carry}, {xoru('x2', shr('x2', 31))} AS h FROM m2)"

@@ -180,31 +180,58 @@ class Manifest:
             m.num_partitions = doc.get("num_partitions")
             m.partitions = {int(k): v for k, v in doc.get("partitions", {}).items()}
             m.metrics = doc.get("metrics", {})
+        # Heal a lagging live pointer. The snapshot token's atomic creation is
+        # the COMMIT POINT (it is what concurrent writers race for); the live
+        # file is a convenience pointer published after it. A crash between
+        # the two leaves the pointer one commit behind — without healing,
+        # every later writer would reload the old state, recompute a
+        # DIFFERENT next commit once new input arrived, and lose the race
+        # against the orphaned token forever. Adopting the newest token keeps
+        # replay correct too: its watermarks already cover the crashed
+        # round, so the watermark filter prunes those offsets on replay.
+        # (For a snapshot file path, ``snapshots()`` globs "<p>.vN.v*" and
+        # finds nothing, so healing is a no-op there.)
+        toks = cls.snapshots(path) if path else []
+        if toks and toks[-1] > m.snapshot_id:
+            m = cls.load(_snapshot_path(path, toks[-1]))
+            m.path = path
+            try:  # best-effort pointer re-publish; readers heal regardless
+                with open(_snapshot_path(path, m.snapshot_id)) as f:
+                    payload = f.read()
+                tmp = f"{path}.tmp-heal-{os.getpid()}"
+                with open(tmp, "w") as f:
+                    f.write(payload)
+                os.replace(tmp, path)
+            except OSError:
+                pass
         return m
 
     def commit(self, path: str | None = None, retain_snapshot: bool = True) -> str:
         """Atomic write-then-rename — the cursor-last commit point, with
         OPTIMISTIC CONCURRENCY between writers.
 
-        Bumps ``snapshot_id`` and (unless ``retain_snapshot=False``) writes a
-        versioned copy ``<path>.v<N>`` BEFORE replacing the live manifest, so
-        the live pointer is still the last thing to move (a crash in between
-        leaves an orphan snapshot file and an un-advanced live manifest —
-        replay regenerates both identically). The retained copies are the
-        lake's transaction log: ``Manifest.snapshots(path)`` lists them and
-        ``read_lake(path, snapshot=N)`` reads the lake as of commit N.
+        Bumps ``snapshot_id`` and (unless ``retain_snapshot=False``) creates
+        the versioned copy ``<path>.v<N>`` BEFORE replacing the live
+        manifest. The token's atomic creation IS the commit point: the
+        retained copies are the lake's transaction log
+        (``Manifest.snapshots(path)`` lists them, ``read_lake(path,
+        snapshot=N)`` reads as of commit N), and the live file is a pointer
+        published after it — ``load()`` heals a pointer that a crash left
+        one commit behind, so data files -> token -> pointer keeps the
+        reference's strict data-first/cursor-last ordering
+        (sink/.../S3Writer.java:47-67) with the token as the cursor.
 
-        Concurrency: the snapshot file is claimed with an atomic put-if-absent
+        Concurrency: the token is claimed with an atomic put-if-absent
         (``os.link``, the POSIX analog of S3 If-None-Match). Two writers that
         both loaded snapshot N race for ``<path>.v<N+1>``; the loser gets
         ``ConcurrentCommitError`` and must reload + replay — its partition
         files are orphans the next ``vacuum`` sweeps, the winner's lake state
-        is untouched. A crash REPLAY racing its own orphaned snapshot is
-        admitted: if the existing snapshot's deterministic state (everything
-        but wall-clock timings) equals ours, we adopt it and advance the live
-        pointer. Without ``retain_snapshot`` there is no token file, so the
-        guard degrades to comparing the live pointer's snapshot_id against
-        the one this object loaded."""
+        is untouched. Two replayers regenerating the IDENTICAL round are
+        admitted rather than failed: if the existing token's deterministic
+        state (everything but wall-clock timings) equals ours, we adopt it.
+        Without ``retain_snapshot`` there is no token file, so the guard
+        degrades to comparing the live pointer's snapshot_id against the one
+        this object loaded."""
         path = path or self.path
         assert path, "manifest path required"
         next_id = int(self.snapshot_id) + 1
@@ -257,6 +284,21 @@ class Manifest:
         os.replace(tmp, path)
         self.path = path
         return path
+
+    @staticmethod
+    def delete(path: str) -> None:
+        """Remove a lake's ENTIRE transaction log: the live pointer, every
+        retained snapshot token, and commit tmps. This is the only correct
+        way to reset a manifest path for a rebuild-in-place — deleting just
+        the live file leaves tokens behind, and ``load()`` would heal to the
+        stale epoch's state (which references the rebuilt lake's deleted
+        files)."""
+        for f in ([path] + _glob.glob(path + ".v*")
+                  + _glob.glob(path + ".tmp*")):
+            try:
+                os.remove(f)
+            except FileNotFoundError:
+                pass
 
     # -- time travel -------------------------------------------------------
     @staticmethod

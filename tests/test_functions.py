@@ -263,3 +263,32 @@ def test_multimodal_plumbing():
         MediaFeatureExtractor(decoder="real")._features(b"\x89PNG\r\n\x1a\n x")
     with pytest.raises(NotImplementedError):
         Resizer(decoder="real")
+
+
+def test_ngram_jaccard_empty_when_no_doc_has_ngrams(ray_session):
+    """Docs with < n words produce the documented EMPTY pair set, not a
+    pa.concat_tables crash."""
+    import ray.data as rd
+
+    from kafka_connect_s3_ray.functions.dedup import ngram_jaccard_pairs
+
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": [1, 2], "text": ["one", None]}))
+    out = ngram_jaccard_pairs(ds, n=2)
+    # NB assert on the Dataset schema: Ray's to_pandas() drops columns of an
+    # empty dataset
+    assert out.schema().names == ["left_id", "right_id", "jaccard"]
+    assert out.count() == 0
+
+
+def test_fused_verified_empty_docs(ray_session):
+    """The fused LSH+verify chain on an empty corpus returns a typed empty
+    pair set instead of crashing in the broadcast gather."""
+    import ray.data as rd
+
+    from kafka_connect_s3_ray.functions.dedup import minhash_near_dup_verified
+
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                      "text": pd.Series([], dtype="object")}))
+    out = minhash_near_dup_verified(ds, threshold=0.6)
+    assert {"left_id", "right_id", "jaccard"} <= set(out.schema().names)
+    assert out.count() == 0

@@ -76,3 +76,24 @@ def test_validate_catches_unsorted(tmp_path):
     m.record_commit(0, str(d / "commit-000000000001.parquet"), 1, 2, 2, 0.0)
     with pytest.raises(AssertionError, match="not key-sorted"):
         validate_lake(m)
+
+
+def test_noop_vacuum_does_not_grow_commit_log(tmp_path, ray_session):
+    """A periodic vacuum that deletes nothing must not retain a new snapshot
+    each run — an hourly cron on a quiet lake would otherwise grow the
+    transaction log without bound."""
+    from kafka_connect_s3_ray.pipelines.maintenance import vacuum
+    from kafka_connect_s3_ray.pipelines.upsert import run_upsert
+    from kafka_connect_s3_ray.state.manifest import Manifest
+    from kafka_connect_s3_ray.synth import write_fixture
+
+    root = str(tmp_path)
+    fx = write_fixture(root, n_conv=30, n_events=300, num_partitions=2)
+    mpath = os.path.join(root, "m.json")
+    run_upsert(fx["changelog_dir"], os.path.join(root, "out"), mpath,
+               lake_dir=fx["lake_dir"], num_partitions=2)
+    first = vacuum(mpath, keep_generations=1)
+    snaps_after_first = Manifest.snapshots(mpath)
+    for _ in range(3):  # quiet lake: repeated vacuums are no-ops
+        assert vacuum(mpath, keep_generations=1) == []
+    assert Manifest.snapshots(mpath) == snaps_after_first

@@ -125,10 +125,11 @@ def test_concurrent_commit_loser_raises(tmp_path):
     assert Manifest.load(p).watermark(0) == 11
 
 
-def test_crash_replay_adopts_own_orphan_snapshot(tmp_path):
-    """A crash between the snapshot write and the live-pointer move leaves an
-    orphan .v<N+1>; the replay regenerates the same state (different wall
-    timings) and must ADOPT it, not raise."""
+def test_crash_between_token_and_pointer_heals_on_load(tmp_path):
+    """The snapshot token is the commit point: a crash between the token link
+    and the live-pointer replace leaves the pointer one commit behind, and
+    ``load()`` must adopt the token (and re-publish the pointer) — NOT hand
+    back the stale state that would forever lose the race for the token."""
     import json
     import os
 
@@ -139,26 +140,48 @@ def test_crash_replay_adopts_own_orphan_snapshot(tmp_path):
     m.record_commit(0, "a.parquet", 5, 10, 3, 0.1)
     m.commit()
 
-    # simulate the crashed second commit: snapshot v2 exists, live still at v1
+    # simulate the crashed second commit: token v2 exists, live still at v1
     live_v1 = open(p).read()
     crashed = Manifest.load(p)
-    crashed.record_commit(0, "b.parquet", 9, 12, 2, 0.777)  # crash's timing
+    crashed.record_commit(0, "b.parquet", 9, 12, 2, 0.777)
     crashed.metrics = {"operation": "upsert", "sum_merge_seconds": 0.777}
     crashed.commit()
-    v2 = p + ".v2"
-    assert os.path.exists(v2)
-    snap_bytes = open(v2).read()
+    snap_bytes = open(p + ".v2").read()
     open(p, "w").write(live_v1)  # rewind live (as if os.replace never ran)
 
-    replay = Manifest.load(p)
-    assert replay.snapshot_id == 1
-    replay.record_commit(0, "b.parquet", 9, 12, 2, 0.123)  # replay's timing
-    replay.metrics = {"operation": "upsert", "sum_merge_seconds": 0.123}
-    replay.commit()  # must adopt, not raise
-    assert Manifest.load(p).snapshot_id == 2
-    # live pointer and transaction log are byte-identical after adoption
-    assert open(p).read() == snap_bytes
-    assert json.load(open(p))["partitions"]["0"]["current"] == ["b.parquet"]
+    healed = Manifest.load(p)
+    assert healed.snapshot_id == 2  # token adopted
+    assert healed.watermark(0) == 9
+    assert open(p).read() == snap_bytes  # pointer re-published
+
+    # replay with NEW input on top must commit v3 cleanly (no brick): the
+    # healed watermarks prune the crashed round's offsets, new events apply
+    healed.record_commit(0, "c.parquet", 14, 13, 1, 0.2)
+    healed.commit()
+    assert Manifest.load(p).snapshot_id == 3
+    assert json.load(open(p))["partitions"]["0"]["current"] == ["c.parquet"]
+
+
+def test_identical_replay_race_adopts_token(tmp_path):
+    """Two replayers regenerating the IDENTICAL round (same state, different
+    wall timings) both succeed — the second adopts the first's token."""
+    from kafka_connect_s3_ray.state.manifest import Manifest
+
+    p = str(tmp_path / "m.json")
+    base = Manifest(p)
+    base.record_commit(0, "a.parquet", 5, 10, 3, 0.1)
+    base.commit()
+
+    r1 = Manifest.load(p)
+    r2 = Manifest.load(p)
+    for r, secs in ((r1, 0.5), (r2, 0.9)):
+        r.record_commit(0, "b.parquet", 9, 12, 2, secs)
+        r.metrics = {"operation": "upsert", "sum_merge_seconds": secs}
+    r1.commit()
+    r2.commit()  # same deterministic state: adopt, don't raise
+    live = Manifest.load(p)
+    assert live.snapshot_id == 2
+    assert live.watermark(0) == 9
 
 
 def test_commit_without_snapshot_guards_live_pointer(tmp_path):

@@ -91,3 +91,30 @@ def test_top_k_tokens_exact_vs_flat_count():
     # exactness across bucket counts (top-k never depends on bucketing)
     got1 = top_k_tokens(ds, k=3, n_buckets=1)
     pd.testing.assert_frame_equal(got, got1)
+
+
+def test_negative_keys_match_sql_oracle():
+    """Negative int64 keys must hash identically in the engine (int64 bit
+    pattern reinterpreted as uint64) and the SQL replay (_sql_u64 wrap) —
+    DuckDB's sign-preserving % used to leave them negative."""
+    import duckdb
+
+    from kafka_connect_s3_ray.pipelines.queries import _splitmix64_ctes
+
+    ids = np.array([-5, -1, 0, 1, 2**62, -(2**62)], np.int64)
+    eng = key_hash(ids)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES " +
+                ", ".join(f"({int(i)}::BIGINT)" for i in ids) + ") v(k)")
+    sql = (f"WITH {_splitmix64_ctes('k', 't', 'k')} "
+           f"SELECT k, h FROM m3 ORDER BY k")
+    got = {int(r[0]): int(r[1]) for r in con.execute(sql).fetchall()}
+    for i, h in zip(ids, eng):
+        assert got[int(i)] == int(h), f"key {i}: engine {h} != sql {got[int(i)]}"
+
+
+def test_null_keys_raise_not_garbage():
+    ds = ray.data.from_pandas(pd.DataFrame({"doc_id": [1, None, 3],
+                                            "text": ["a", "b", "c"]}))
+    with pytest.raises(Exception, match="null key"):
+        assign_split(ds, "doc_id").materialize()
