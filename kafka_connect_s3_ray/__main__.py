@@ -20,14 +20,20 @@ import sys
 import time
 
 
-def _init_ray():
+def _init_ray() -> bool:
+    """Guarded init; returns True when THIS call initialized Ray (the caller
+    then owns the shutdown — a CLI command invoked inside an existing Ray
+    session, e.g. from a test or a notebook, must not tear that session
+    down)."""
     import ray
 
-    if not ray.is_initialized():
+    owns = not ray.is_initialized()
+    if owns:
         ray.init(address="local", include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    return owns
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -177,7 +183,7 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"deleted" if not args.dry_run else "would_delete": deleted}))
         return 0
 
-    _init_ray()
+    owns_ray = _init_ray()
     import ray
 
     try:
@@ -197,19 +203,24 @@ def main(argv: list[str] | None = None) -> int:
             from kafka_connect_s3_ray.pipelines.upsert import read_lake
 
             ds = read_lake(args.manifest, snapshot=args.snapshot)
+
+            def _parquet_files(d):
+                out = set()
+                if os.path.isdir(d):
+                    for dirpath, _, fnames in os.walk(d):
+                        out.update(os.path.join(dirpath, fn) for fn in fnames
+                                   if fn.endswith(".parquet"))
+                return out
+
+            before = _parquet_files(args.out)  # re-export to a reused dir
             ds.write_parquet(args.out)
             # one execution: ds.count() would re-run the whole read (incl.
-            # merge-on-read delta resolution); parquet footers of the files
-            # just written carry the row count as metadata
+            # merge-on-read delta resolution); the footers of the files THIS
+            # run wrote carry the row count as metadata
             import pyarrow.parquet as _pq
 
-            rows = 0
-            if os.path.isdir(args.out):
-                for dirpath, _, fnames in os.walk(args.out):
-                    for fn in fnames:
-                        if fn.endswith(".parquet"):
-                            rows += _pq.read_metadata(
-                                os.path.join(dirpath, fn)).num_rows
+            rows = sum(_pq.read_metadata(f).num_rows
+                       for f in _parquet_files(args.out) - before)
             print(json.dumps({"out": args.out, "rows": rows,
                               "snapshot": args.snapshot}))
             return 0
@@ -268,7 +279,8 @@ def main(argv: list[str] | None = None) -> int:
                                              for p in sorted(m.partitions)}}))
             return 0
     finally:
-        ray.shutdown()
+        if owns_ray:
+            ray.shutdown()
     return 1
 
 

@@ -38,12 +38,18 @@ def vacuum(manifest: Manifest | str, keep_generations: int = 1,
     doomed: list[str] = []
     lineage_changed = False
     if not dry_run and manifest.path:
-        # sweep commit-token tmps a crash left between write and os.link
-        # (never the tokens themselves — they ARE the transaction log)
+        # sweep commit-token / pointer / heal tmps a crash left behind
+        # (never the tokens themselves — they ARE the transaction log).
+        # AGE-GATED like _sweep_stale_tmp: an in-flight concurrent commit
+        # holds its tmp between write and os.link, and deleting it there
+        # would turn the commit into a FileNotFoundError crash.
+        import time as _time
+
         for tmp in (_glob.glob(manifest.path + ".v*.tmp-*")
-                    + _glob.glob(manifest.path + ".tmp-heal-*")):
+                    + _glob.glob(manifest.path + ".tmp-*")):
             try:
-                os.remove(tmp)
+                if _time.time() - os.path.getmtime(tmp) > 3600:
+                    os.remove(tmp)
             except OSError:
                 pass
     pdirs: set[str] = set()
@@ -85,7 +91,29 @@ def vacuum(manifest: Manifest | str, keep_generations: int = 1,
     # each commit retains a new snapshot, so a periodic no-op vacuum would
     # grow the transaction log without bound.
     if not dry_run and manifest.path and (doomed or lineage_changed):
-        manifest.commit()
+        from ..state.manifest import ConcurrentCommitError
+
+        deleted_set = set(doomed)
+        for attempt in range(5):
+            try:
+                manifest.commit()
+                break
+            except ConcurrentCommitError:
+                # a writer committed while we were deleting: reload the
+                # winner's state and re-apply the lineage trim there — the
+                # files are already gone, so drop every lineage entry whose
+                # whole fileset we deleted (current refs always survive:
+                # doomed excludes them by construction)
+                if attempt == 4:
+                    raise
+                manifest = Manifest.load(manifest.path)
+                for st in manifest.partitions.values():
+                    st["files"] = [
+                        e for e in st.get("files", [])
+                        if (set(e["path"].split(";")) - deleted_set
+                            or set(e["path"].split(";"))
+                            & set(st.get("current", [])))
+                    ]
         # Drop retained snapshot manifests that the deletions above made
         # unreadable (some of their fileset is gone). Snapshots whose files
         # survive (keep_generations > 1) remain time-travel-readable.

@@ -201,7 +201,16 @@ class Manifest:
                 tmp = f"{path}.tmp-heal-{os.getpid()}"
                 with open(tmp, "w") as f:
                     f.write(payload)
-                os.replace(tmp, path)
+                # re-check before publishing: a writer may have committed a
+                # NEWER token (and pointer) while we read ours — publishing
+                # then would regress the pointer below an existing token
+                # (it would self-heal on the next load, but consumers reading
+                # the JSON directly would see a stale snapshot in the window)
+                latest = cls.snapshots(path)
+                if latest and latest[-1] == m.snapshot_id:
+                    os.replace(tmp, path)
+                else:
+                    os.unlink(tmp)
             except OSError:
                 pass
         return m
@@ -251,7 +260,17 @@ class Manifest:
             with open(tmp, "w") as f:
                 f.write(payload)
             try:
-                os.link(tmp, spath)  # atomic put-if-absent: the commit token
+                try:
+                    os.link(tmp, spath)  # atomic put-if-absent: commit token
+                except FileExistsError:
+                    raise
+                except OSError:
+                    # no-hardlink filesystem (FUSE/object-store mounts):
+                    # O_EXCL keeps the put-if-absent exclusivity; content
+                    # atomicity degrades to best-effort (a concurrent
+                    # load_snapshot could transiently see partial JSON)
+                    with open(spath, "x") as f:
+                        f.write(payload)
             except FileExistsError:
                 with open(spath) as f:
                     existing = json.load(f)
@@ -278,7 +297,10 @@ class Manifest:
                     "replay"
                 )
         self.snapshot_id = next_id
-        tmp = path + ".tmp"
+        # pid-unique tmp: concurrent committers (winner publishing its
+        # pointer while a loser replays N+2) must not truncate each other's
+        # in-flight pointer write mid-os.replace
+        tmp = f"{path}.tmp-{os.getpid()}"
         with open(tmp, "w") as f:
             f.write(payload)
         os.replace(tmp, path)
@@ -292,9 +314,14 @@ class Manifest:
         way to reset a manifest path for a rebuild-in-place — deleting just
         the live file leaves tokens behind, and ``load()`` would heal to the
         stale epoch's state (which references the rebuilt lake's deleted
-        files)."""
-        for f in ([path] + _glob.glob(path + ".v*")
-                  + _glob.glob(path + ".tmp*")):
+        files). Order matters: tokens first (newest first), THEN the live
+        pointer — the reverse would let a concurrent ``load()`` heal-publish
+        a fresh live file from a not-yet-deleted token after delete() had
+        already passed it."""
+        tokens = [_snapshot_path(path, sid)
+                  for sid in reversed(Manifest.snapshots(path))]
+        others = [f for f in _glob.glob(path + ".v*") if f not in tokens]
+        for f in (tokens + others + [path] + _glob.glob(path + ".tmp*")):
             try:
                 os.remove(f)
             except FileNotFoundError:

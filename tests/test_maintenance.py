@@ -97,3 +97,62 @@ def test_noop_vacuum_does_not_grow_commit_log(tmp_path, ray_session):
     for _ in range(3):  # quiet lake: repeated vacuums are no-ops
         assert vacuum(mpath, keep_generations=1) == []
     assert Manifest.snapshots(mpath) == snaps_after_first
+
+
+def test_vacuum_retries_after_losing_commit_race(tmp_path, ray_session):
+    """A vacuum holding a stale manifest object must survive a concurrent
+    writer's commit: reload, re-apply the lineage trim, commit on top."""
+    from kafka_connect_s3_ray.synth import write_fixture
+
+    root = str(tmp_path)
+    fx = write_fixture(root, n_conv=30, n_events=400, num_partitions=2,
+                       files_per_partition=2)
+    mpath = os.path.join(root, "m.json")
+    out = os.path.join(root, "out")
+    import glob as g
+    firsts = [sorted(g.glob(os.path.join(fx["changelog_dir"], f"partition={p}",
+                                         "*.parquet")))[0] for p in range(2)]
+    run_upsert(firsts, out, mpath, lake_dir=fx["lake_dir"], num_partitions=2)
+    run_upsert(fx["changelog_dir"], out, mpath, num_partitions=2)
+
+    stale = Manifest.load(mpath)          # vacuum's view: snapshot 2
+    # a concurrent writer wins snapshot 3 before vacuum commits
+    winner = Manifest.load(mpath)
+    winner.metrics = {"operation": "touch"}
+    winner.commit()
+
+    deleted = vacuum(stale, keep_generations=1)
+    assert deleted  # two rounds -> at least one old generation vacuumed
+    live = Manifest.load(mpath)
+    assert live.snapshot_id == 4          # winner's 3 + vacuum's retried 4
+    for st in live.partitions.values():
+        for e in st["files"]:
+            for pth in e["path"].split(";"):
+                assert os.path.exists(pth) or pth in st["current"]
+    assert validate_lake(live)["duplicate_keys"] == 0
+
+
+def test_export_recount_excludes_prior_exports(tmp_path, ray_session):
+    """Re-exporting into a reused directory must report only THIS run's
+    rows, not the sum of every generation ever written there."""
+    import json
+
+    from kafka_connect_s3_ray.__main__ import main
+    from kafka_connect_s3_ray.synth import write_fixture
+
+    root = str(tmp_path)
+    fx = write_fixture(root, n_conv=20, n_events=200, num_partitions=2)
+    mpath = os.path.join(root, "m.json")
+    run_upsert(fx["changelog_dir"], os.path.join(root, "out"), mpath,
+               lake_dir=fx["lake_dir"], num_partitions=2)
+    exp = os.path.join(root, "exp")
+    import io
+    from contextlib import redirect_stdout
+
+    rows = []
+    for _ in range(2):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            assert main(["export", "--manifest", mpath, "--out", exp]) == 0
+        rows.append(json.loads(buf.getvalue().strip().splitlines()[-1])["rows"])
+    assert rows[0] == rows[1] > 0  # second run counts only its own files
