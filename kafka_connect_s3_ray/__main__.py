@@ -30,9 +30,11 @@ def _init_ray() -> bool:
     owns = not ray.is_initialized()
     if owns:
         ray.init(address="local", include_dashboard=False, logging_level="ERROR")
-    from ray.data import DataContext
+        from ray.data import DataContext
 
-    DataContext.get_current().enable_progress_bars = False
+        # only configure a session we created — a host session's settings
+        # (e.g. progress bars in a notebook) are not ours to change
+        DataContext.get_current().enable_progress_bars = False
     return owns
 
 
@@ -202,8 +204,6 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "export":
             from kafka_connect_s3_ray.pipelines.upsert import read_lake
 
-            ds = read_lake(args.manifest, snapshot=args.snapshot)
-
             def _parquet_files(d):
                 out = set()
                 if os.path.isdir(d):
@@ -212,15 +212,23 @@ def main(argv: list[str] | None = None) -> int:
                                    if fn.endswith(".parquet"))
                 return out
 
-            before = _parquet_files(args.out)  # re-export to a reused dir
+            if _parquet_files(args.out):
+                # a reused directory would hold the UNION of every export
+                # (write_parquet appends uniquely-named files) while any
+                # count describes only one run — refuse instead of
+                # producing a directory whose content nobody asked for
+                print(f"error: --out {args.out} already contains parquet "
+                      "files; export to a fresh directory", file=sys.stderr)
+                return 2
+            ds = read_lake(args.manifest, snapshot=args.snapshot)
             ds.write_parquet(args.out)
             # one execution: ds.count() would re-run the whole read (incl.
-            # merge-on-read delta resolution); the footers of the files THIS
-            # run wrote carry the row count as metadata
+            # merge-on-read delta resolution); the footers of the files just
+            # written carry the row count as metadata
             import pyarrow.parquet as _pq
 
             rows = sum(_pq.read_metadata(f).num_rows
-                       for f in _parquet_files(args.out) - before)
+                       for f in _parquet_files(args.out))
             print(json.dumps({"out": args.out, "rows": rows,
                               "snapshot": args.snapshot}))
             return 0

@@ -93,39 +93,58 @@ def vacuum(manifest: Manifest | str, keep_generations: int = 1,
     if not dry_run and manifest.path and (doomed or lineage_changed):
         from ..state.manifest import ConcurrentCommitError
 
-        deleted_set = set(doomed)
+        caller_obj = manifest
         for attempt in range(5):
             try:
                 manifest.commit()
                 break
             except ConcurrentCommitError:
                 # a writer committed while we were deleting: reload the
-                # winner's state and re-apply the lineage trim there — the
-                # files are already gone, so drop every lineage entry whose
-                # whole fileset we deleted (current refs always survive:
-                # doomed excludes them by construction)
+                # winner's state and re-apply the lineage trim there — drop
+                # every lineage entry whose whole fileset is GONE FROM DISK
+                # (covers both this run's deletions and dangling entries a
+                # crashed earlier vacuum left); current refs always survive.
                 if attempt == 4:
                     raise
                 manifest = Manifest.load(manifest.path)
+                retrimmed = False
                 for st in manifest.partitions.values():
-                    st["files"] = [
+                    kept = [
                         e for e in st.get("files", [])
-                        if (set(e["path"].split(";")) - deleted_set
+                        if (any(os.path.exists(pth)
+                                for pth in e["path"].split(";"))
                             or set(e["path"].split(";"))
                             & set(st.get("current", [])))
                     ]
+                    retrimmed = retrimmed or len(kept) != len(st.get("files", []))
+                    st["files"] = kept
+                if not retrimmed:
+                    # the winner's state already reflects everything this
+                    # vacuum did — committing would retain a no-op snapshot
+                    break
+        if caller_obj is not manifest:
+            # vacuum(Manifest-object) callers keep using their object: sync
+            # it to the state that was actually committed (the retry path
+            # committed via a reloaded instance)
+            caller_obj.__dict__.update(manifest.__dict__)
+            manifest = caller_obj
         # Drop retained snapshot manifests that the deletions above made
         # unreadable (some of their fileset is gone). Snapshots whose files
         # survive (keep_generations > 1) remain time-travel-readable.
+        # Tolerant of a CONCURRENT vacuum removing the same tokens between
+        # our listing and our read/remove.
         live = set(Manifest.snapshots(manifest.path)[-1:])  # just committed
         for sid in Manifest.snapshots(manifest.path):
             if sid in live:
                 continue
-            snap = Manifest.load_snapshot(manifest.path, sid)
-            ok = all(os.path.exists(f)
-                     for fs in snap.current_files().values() for f in fs)
-            if not ok:
-                os.remove(snap.path)
+            try:
+                snap = Manifest.load_snapshot(manifest.path, sid)
+                ok = all(os.path.exists(f)
+                         for fs in snap.current_files().values() for f in fs)
+                if not ok:
+                    os.remove(snap.path)
+            except (FileNotFoundError, ValueError):
+                continue
     return doomed
 
 

@@ -193,7 +193,15 @@ class Manifest:
         # finds nothing, so healing is a no-op there.)
         toks = cls.snapshots(path) if path else []
         if toks and toks[-1] > m.snapshot_id:
-            m = cls.load(_snapshot_path(path, toks[-1]))
+            try:
+                healed = cls.load(_snapshot_path(path, toks[-1]))
+            except ValueError:
+                # unreadable newest token (a no-hardlink-fallback writer mid-
+                # write, or a crashed partial): serve the live state; the
+                # writer will finish or its commit's unlink-on-failure (or a
+                # later vacuum) clears the partial
+                return m
+            m = healed
             m.path = path
             try:  # best-effort pointer re-publish; readers heal regardless
                 with open(_snapshot_path(path, m.snapshot_id)) as f:
@@ -202,10 +210,11 @@ class Manifest:
                 with open(tmp, "w") as f:
                     f.write(payload)
                 # re-check before publishing: a writer may have committed a
-                # NEWER token (and pointer) while we read ours — publishing
-                # then would regress the pointer below an existing token
-                # (it would self-heal on the next load, but consumers reading
-                # the JSON directly would see a stale snapshot in the window)
+                # NEWER token (and pointer) while we read ours. This SHRINKS
+                # the regression window to the gap between this check and
+                # os.replace — it cannot close it without a filesystem lock;
+                # a stale pointer published in that residual window is
+                # corrected by the next load()'s heal.
                 latest = cls.snapshots(path)
                 if latest and latest[-1] == m.snapshot_id:
                     os.replace(tmp, path)
@@ -268,12 +277,35 @@ class Manifest:
                     # no-hardlink filesystem (FUSE/object-store mounts):
                     # O_EXCL keeps the put-if-absent exclusivity; content
                     # atomicity degrades to best-effort (a concurrent
-                    # load_snapshot could transiently see partial JSON)
-                    with open(spath, "x") as f:
-                        f.write(payload)
+                    # load_snapshot could transiently see partial JSON). A
+                    # FAILED write (ENOSPC etc.) must not leave a partial
+                    # token that would conflict with every future commit of
+                    # this id — unlink it before re-raising.
+                    try:
+                        with open(spath, "x") as f:
+                            f.write(payload)
+                    except FileExistsError:
+                        raise
+                    except OSError:
+                        try:
+                            os.unlink(spath)
+                        except OSError:
+                            pass
+                        raise
             except FileExistsError:
-                with open(spath) as f:
-                    existing = json.load(f)
+                try:
+                    with open(spath) as f:
+                        existing = json.load(f)
+                except (ValueError, OSError):
+                    # token exists but is unreadable: a fallback-path writer
+                    # mid-write (transient) or a crashed partial. Surface it
+                    # as the RETRYABLE conflict error, not a JSON crash —
+                    # the retry re-reads a finished token normally.
+                    raise ConcurrentCommitError(
+                        f"snapshot token {next_id} of {path} exists but is "
+                        "not readable (concurrent writer mid-write or crashed "
+                        "partial) — retry; delete the token if it persists"
+                    ) from None
                 if _commit_state(existing) != _commit_state(doc):
                     raise ConcurrentCommitError(
                         f"snapshot {next_id} of {path} was already committed "

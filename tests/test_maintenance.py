@@ -132,9 +132,10 @@ def test_vacuum_retries_after_losing_commit_race(tmp_path, ray_session):
     assert validate_lake(live)["duplicate_keys"] == 0
 
 
-def test_export_recount_excludes_prior_exports(tmp_path, ray_session):
-    """Re-exporting into a reused directory must report only THIS run's
-    rows, not the sum of every generation ever written there."""
+def test_export_refuses_reused_directory(tmp_path, ray_session):
+    """Exporting into a directory that already holds parquet would leave the
+    UNION of both runs on disk while any count describes one run — the CLI
+    must refuse and demand a fresh directory."""
     import json
 
     from kafka_connect_s3_ray.__main__ import main
@@ -149,10 +150,9 @@ def test_export_recount_excludes_prior_exports(tmp_path, ray_session):
     import io
     from contextlib import redirect_stdout
 
-    rows = []
-    for _ in range(2):
-        buf = io.StringIO()
-        with redirect_stdout(buf):
-            assert main(["export", "--manifest", mpath, "--out", exp]) == 0
-        rows.append(json.loads(buf.getvalue().strip().splitlines()[-1])["rows"])
-    assert rows[0] == rows[1] > 0  # second run counts only its own files
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert main(["export", "--manifest", mpath, "--out", exp]) == 0
+    rows = json.loads(buf.getvalue().strip().splitlines()[-1])["rows"]
+    assert rows > 0  # footer-metadata count of the files just written
+    assert main(["export", "--manifest", mpath, "--out", exp]) == 2  # refused

@@ -198,3 +198,28 @@ def test_commit_without_snapshot_guards_live_pointer(tmp_path):
     stale.record_commit(0, "z.parquet", 1, 1, 1, 0.1)
     with pytest.raises(ConcurrentCommitError):
         stale.commit(retain_snapshot=False)
+
+
+def test_corrupt_token_is_retryable_conflict_not_json_crash(tmp_path):
+    """A partial/unreadable snapshot token (no-hardlink fallback writer
+    mid-write, or a crashed partial) surfaces as the RETRYABLE
+    ConcurrentCommitError, and load() serves the live state instead of
+    crashing in the heal path."""
+    import pytest
+
+    from kafka_connect_s3_ray.state.manifest import ConcurrentCommitError, Manifest
+
+    p = str(tmp_path / "m.json")
+    m = Manifest(p)
+    m.record_commit(0, "a.parquet", 5, 10, 3, 0.1)
+    m.commit()
+    open(p + ".v2", "w").write('{"version": 1, "snapshot_id": 2, TRUNC')
+
+    # heal path: newest token unreadable -> live state, no ValueError
+    live = Manifest.load(p)
+    assert live.snapshot_id == 1
+
+    w = Manifest.load(p)
+    w.record_commit(0, "b.parquet", 9, 12, 2, 0.1)
+    with pytest.raises(ConcurrentCommitError, match="not readable"):
+        w.commit()
