@@ -1,0 +1,175 @@
+"""Exact distributed quantiles by histogram refinement.
+
+No reference analog (sugarcrm/kafka-connect-s3 computes no aggregates); this
+is an engine extension for the LLM-data catalog (SURVEY §2.11). The
+approximate path is ``functions.sketch.QuantileSketch``; this module answers
+the same question EXACTLY — bit-for-bit equal to a sort-and-select (and to
+DuckDB's ``quantile_disc``) — without ever sorting or shuffling the data:
+
+- pass 0: per-batch (count, min, max) partials -> driver merge (tiny);
+- refinement rounds: ONE column-pruned ``map_batches`` per round emits, per
+  quantile, a fixed-width histogram over that quantile's candidate interval
+  plus each bin's observed min/max and a below-interval count. The driver
+  sums the partials (O(n_quantiles × n_bins) ints), locates the bin holding
+  the target rank, and shrinks the interval to that bin's OBSERVED value
+  range — so a bin full of duplicates collapses to its single value in one
+  step instead of stalling the bisection;
+- final pass: once a candidate interval holds ≤ ``max_collect`` rows, one
+  filter pass collects just those rows and selects the exact rank locally.
+
+Scale story: every pass is a full scan of ONE column with no shuffle — the
+per-batch output is a few KB of partial counts — so at 100 TB this costs
+O(rounds) pruned reads and the driver holds O(n_quantiles · n_bins +
+max_collect) values. Typical convergence on real-valued data is pass 0 +
+1 refinement + 1 collect.
+
+Rank semantics match SQL ``quantile_disc``: 0-based rank
+``max(ceil(q·n) − 1, 0)`` over the non-null values (NULLs and NaNs do not
+participate, as in any SQL aggregate).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["exact_quantiles"]
+
+
+def _col_f64(batch: pa.Table, col: str) -> np.ndarray:
+    """Non-null, non-NaN float64 view of one column (SQL aggregate scope)."""
+    v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+    return v[~np.isnan(v)]
+
+
+def exact_quantiles(ds: "ray.data.Dataset", col: str, qs: list[float],
+                    n_bins: int = 4096, max_collect: int = 1_000_000,
+                    max_rounds: int = 24) -> np.ndarray:
+    """Exact ``quantile_disc``-style quantiles of ``ds[col]``.
+
+    Returns a float64 array aligned with ``qs``. Raises ValueError when the
+    column has no non-null values. ``max_rounds`` is a safety bound only:
+    each round shrinks a candidate interval to one bin's observed value
+    range, so convergence needs at most ~64/log2(n_bins) rounds even on
+    adversarial float distributions.
+    """
+    qs = [float(q) for q in qs]
+    if not qs or any(not (0.0 <= q <= 1.0) for q in qs):
+        raise ValueError(f"quantiles must be in [0, 1], got {qs}")
+
+    # ---- pass 0: global count / min / max --------------------------------
+    def minmax(batch: pa.Table) -> pa.Table:
+        v = _col_f64(batch, col)
+        if len(v) == 0:
+            return pa.table({"n": pa.array([0], pa.int64()),
+                             "lo": pa.array([np.inf], pa.float64()),
+                             "hi": pa.array([-np.inf], pa.float64())})
+        return pa.table({"n": pa.array([len(v)], pa.int64()),
+                         "lo": pa.array([float(v.min())], pa.float64()),
+                         "hi": pa.array([float(v.max())], pa.float64())})
+
+    parts = ds.map_batches(minmax, batch_format="pyarrow").to_pandas()
+    n = int(parts["n"].sum())
+    if n == 0:
+        raise ValueError(f"exact_quantiles: column {col!r} has no non-null values")
+    glo = float(parts["lo"].min())
+    ghi = float(parts["hi"].max())
+    ranks = [max(int(np.ceil(q * n)) - 1, 0) for q in qs]  # quantile_disc
+
+    # Candidate state per quantile: answer lies in [lo, hi) — hi exclusive,
+    # so the global upper edge is nextafter(max) and every interval update
+    # below keeps the invariant via nextafter(observed bin max).
+    out = np.full(len(qs), np.nan)
+    lo = np.full(len(qs), glo)
+    hi = np.full(len(qs), np.nextafter(ghi, np.inf))
+    below_lo = np.zeros(len(qs), np.int64)  # count of values < lo[i]
+    pending = list(range(len(qs)))
+
+    for _ in range(max_rounds):
+        if not pending:
+            break
+        # one shared edge matrix per round: workers and driver must bin with
+        # the IDENTICAL float boundaries, so edges are computed once here and
+        # captured by the closure (a few KB — fine to ship per task)
+        edges = np.stack([np.linspace(lo[i], hi[i], n_bins + 1) for i in pending])
+        edges[:, -1] = hi[pending]  # linspace rounding must not clip the top
+
+        def hist_pass(batch: pa.Table, edges=edges) -> pa.Table:
+            v = _col_f64(batch, col)
+            m = edges.shape[0]
+            hist = np.zeros((m, n_bins), np.int64)
+            bmin = np.full((m, n_bins), np.inf)
+            bmax = np.full((m, n_bins), -np.inf)
+            below = np.zeros(m, np.int64)
+            for j in range(m):
+                below[j] = int((v < edges[j, 0]).sum())
+                idx = np.searchsorted(edges[j], v, side="right") - 1
+                sel = (idx >= 0) & (idx < n_bins)
+                iv, ix = v[sel], idx[sel]
+                np.add.at(hist[j], ix, 1)
+                np.minimum.at(bmin[j], ix, iv)
+                np.maximum.at(bmax[j], ix, iv)
+            return pa.table({
+                "qrow": pa.array(np.arange(m, dtype=np.int32)),
+                "below": pa.array(below),
+                "hist": pa.array(hist.tolist(), pa.list_(pa.int64())),
+                "bmin": pa.array(bmin.tolist(), pa.list_(pa.float64())),
+                "bmax": pa.array(bmax.tolist(), pa.list_(pa.float64())),
+            })
+
+        agg = ds.map_batches(hist_pass, batch_format="pyarrow").to_pandas()
+        still = []
+        for row, i in enumerate(pending):
+            sub = agg[agg["qrow"] == row]  # one row per batch for quantile i
+            h = np.sum(np.stack([np.asarray(x) for x in sub["hist"]]), axis=0)
+            mn = np.min(np.stack([np.asarray(x) for x in sub["bmin"]]), axis=0)
+            mx = np.max(np.stack([np.asarray(x) for x in sub["bmax"]]), axis=0)
+            below = int(sub["below"].sum())
+            r_in = ranks[i] - below
+            cum = np.cumsum(h)
+            b = int(np.searchsorted(cum, r_in, side="right"))
+            if b >= n_bins:  # defensive: rank must land inside the interval
+                raise AssertionError(
+                    f"exact_quantiles lost rank {ranks[i]} (below={below}, "
+                    f"in-interval={int(cum[-1])}) — non-deterministic input?")
+            if mn[b] == mx[b]:  # whole bin is one value: that IS the answer
+                out[i] = mn[b]
+                continue
+            # shrink to the bin's OBSERVED range (not its nominal edges):
+            # guarantees strict progress even when duplicates pile up. The
+            # observed min is the smallest value >= the bin's lower edge, so
+            # count(v < mn[b]) == count(v < edge_b) == below + cum[:b].
+            lo[i] = mn[b]
+            hi[i] = np.nextafter(mx[b], np.inf)
+            below_lo[i] = below + (int(cum[b - 1]) if b > 0 else 0)
+            if int(h[b]) <= max_collect:
+                still.append((i, True))
+            else:
+                still.append((i, False))
+        # ---- bounded collect for the intervals that are now small --------
+        ready = [i for i, small in still if small]
+        pending = [i for i, small in still if not small]
+        if ready:
+            clo, chi = lo[ready].copy(), hi[ready].copy()
+
+            def collect(batch: pa.Table, clo=clo, chi=chi) -> pa.Table:
+                v = _col_f64(batch, col)
+                qidx, vals = [], []
+                for j in range(len(clo)):
+                    m = (v >= clo[j]) & (v < chi[j])
+                    vals.append(v[m])
+                    qidx.append(np.full(int(m.sum()), j, np.int32))
+                return pa.table({"qidx": pa.array(np.concatenate(qidx)),
+                                 "v": pa.array(np.concatenate(vals))})
+
+            got = ds.map_batches(collect, batch_format="pyarrow").to_pandas()
+            # the interval holds global ranks [below_lo, below_lo + len(vs)),
+            # so the answer sits at local offset rank - below_lo
+            for j, i in enumerate(ready):
+                vs = np.sort(got.loc[got["qidx"] == j, "v"].to_numpy())
+                out[i] = vs[ranks[i] - int(below_lo[i])]
+    if pending:
+        raise AssertionError(
+            f"exact_quantiles did not converge for quantiles "
+            f"{[qs[i] for i in pending]} within {max_rounds} rounds")
+    return out

@@ -890,6 +890,18 @@ def q_approx_quantiles(sf_dir: str):
                      "value_quantile": pa.array(np.asarray(qs, dtype=np.float64))})
 
 
+def q_exact_quantiles(sf_dir: str):
+    """EXACT distributed quantiles (histogram refinement, zero shuffle):
+    bit-for-bit equal to DuckDB's ``quantile_disc`` — the oracle-checkable
+    counterpart to the mergeable-sketch ``approx_quantiles``."""
+    from ..functions.quantiles import exact_quantiles
+
+    qs = [0.5, 0.9, 0.99]
+    vals = exact_quantiles(_events(sf_dir, ["value"]), "value", qs)
+    return pa.table({"q": pa.array(qs, pa.float64()),
+                     "value_quantile": pa.array(vals, pa.float64())})
+
+
 def q_cosine_topk(sf_dir: str):
     """Brute-force cosine top-10 for the first 3 vectors as queries."""
     import duckdb
@@ -1041,6 +1053,7 @@ QUERIES = {
     "distinct_users_by_type": q_distinct_users_by_type,
     "approx_distinct": q_approx_distinct,
     "approx_quantiles": q_approx_quantiles,
+    "exact_quantiles": q_exact_quantiles,
     "cosine_topk": q_cosine_topk,
     "cosine_topk_ivf": q_cosine_topk_ivf,
     "cosine_topk_ivf_indexed": q_cosine_topk_ivf_indexed,
@@ -1292,6 +1305,12 @@ ORACLE_SQL = {
         "FROM events GROUP BY event_type"
     ),
     "lang_id": _lang_id_sql(),
+    "exact_quantiles": (
+        "SELECT 0.5 AS q, quantile_disc(value, 0.5) AS value_quantile "
+        "FROM events UNION ALL "
+        "SELECT 0.9, quantile_disc(value, 0.9) FROM events UNION ALL "
+        "SELECT 0.99, quantile_disc(value, 0.99) FROM events ORDER BY q"
+    ),
     # rolling_fingerprint / minhash / simhash / IVF / sketches:
     # non-SQL-expressible (seeded LSH, mergeable sketches, rolling hashes)
     # — rows-only checks; accuracy/recall evidence lives in pytest.
