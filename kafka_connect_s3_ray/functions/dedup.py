@@ -1464,3 +1464,171 @@ def _ngram_rows(t: pa.Table, id_col: str, text_col: str, n: int) -> pa.Table:
     out = pa.table({id_col: pc.cast(t.column(id_col), pa.int64()),
                     "grams": grams})
     return out.filter(pa.array(counts > 0))
+
+
+# ---------------------------------------------------------------------------
+# connected components over near-dup pairs -> cluster dedup
+# ---------------------------------------------------------------------------
+
+_CC_EDGES = pa.schema([("child", pa.int64()), ("parent", pa.int64())])
+_CC_OUT = pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64())])
+_CC_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _distinct_edges(edges: "ray.data.Dataset",
+                    n_coarse: int = N_COARSE) -> "ray.data.Dataset":
+    """Distinct (child, parent) edges via the same coarse-bucket pattern as
+    ``_distinct_pairs`` — identical edges always share a bucket, each bucket
+    is one vectorized drop_duplicates, never a per-edge groupby."""
+
+    def add_coarse(t: pa.Table) -> pa.Table:
+        c = t.column("child").to_numpy(zero_copy_only=False).astype(np.uint64)
+        p = t.column("parent").to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = _splitmix64_mix(c * _CC_MIX ^ p)
+        return t.append_column(
+            "coarse", pa.array((h % np.uint64(n_coarse)).astype(np.int32)))
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["child", "parent"]).drop(columns=["coarse"])
+
+    return (edges.map_batches(add_coarse, batch_format="pyarrow")
+            .groupby("coarse").map_groups(dedup, batch_format="pandas"))
+
+
+def _edge_fingerprint(edges: "ray.data.Dataset") -> tuple[int, int]:
+    """(count, order-insensitive checksum) of an edge set. Per-block partials
+    (two ints per block) come back to the driver; the exact big-int sum is
+    finished in Python so uint64 partial sums can never overflow an int64
+    aggregate. Used only for convergence detection between rounds."""
+
+    def fp(t: pa.Table) -> pa.Table:
+        c = t.column("child").to_numpy(zero_copy_only=False).astype(np.uint64)
+        p = t.column("parent").to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = _splitmix64_mix(c * _CC_MIX ^ p)
+        # split the uint64 sum into two int64-safe halves for the transfer
+        return pa.table({"n": pa.array([len(t)], pa.int64()),
+                         "lo": pa.array([int(h.astype(np.uint32).sum())], pa.int64()),
+                         "hi": pa.array([int((h >> np.uint64(32)).sum())], pa.int64())})
+
+    rows = edges.map_batches(fp, batch_format="pyarrow").take_all()
+    n = sum(r["n"] for r in rows)
+    s = sum(r["lo"] for r in rows) + (sum(r["hi"] for r in rows) << 32)
+    return n, s
+
+
+def _star_round(edges: "ray.data.Dataset", large: bool,
+                n_coarse: int) -> "ray.data.Dataset":
+    """One large-star or small-star round (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14 — public algorithm).
+
+    Edges arrive oriented child > parent. large-star groups every node with
+    its FULL neighborhood (both directions) and re-points neighbors larger
+    than the node at the neighborhood minimum; small-star groups each node
+    with its smaller neighbors only and points all of them (and itself) at
+    that minimum. Alternating the two converges to per-component stars rooted
+    at the component minimum. Each round is one coarse-bucketed shuffle of
+    (int64, int64) rows — never payloads."""
+
+    def emit(t: pa.Table) -> pa.Table:
+        c = t.column("child").to_numpy(zero_copy_only=False).astype(np.int64)
+        p = t.column("parent").to_numpy(zero_copy_only=False).astype(np.int64)
+        if large:
+            node = np.concatenate([c, p])
+            nbr = np.concatenate([p, c])
+        else:
+            node, nbr = c, p
+        h = _splitmix64_mix(node.astype(np.uint64))
+        return pa.table({"node": pa.array(node, pa.int64()),
+                         "nbr": pa.array(nbr, pa.int64()),
+                         "coarse": pa.array((h % np.uint64(n_coarse))
+                                            .astype(np.int32))})
+
+    def star(g: pd.DataFrame) -> pd.DataFrame:
+        node = g["node"].to_numpy()
+        nbr = g["nbr"].to_numpy()
+        m = np.minimum(g.groupby("node")["nbr"].transform("min").to_numpy(),
+                       node)
+        if large:
+            mask = nbr > node
+            child, parent = nbr[mask], m[mask]
+        else:
+            first = ~pd.Series(node).duplicated().to_numpy()
+            child = np.concatenate([nbr, node[first]])
+            parent = np.concatenate([m, m[first]])
+        keep = child != parent
+        return pd.DataFrame({"child": child[keep], "parent": parent[keep]})
+
+    starred = (edges.map_batches(emit, batch_format="pyarrow")
+               .groupby("coarse").map_groups(star, batch_format="pandas"))
+    return _distinct_edges(starred, n_coarse)
+
+
+def connected_components(pairs: "ray.data.Dataset",
+                         left_col: str = "left_id",
+                         right_col: str = "right_id",
+                         n_coarse: int = N_COARSE,
+                         max_rounds: int = 64) -> "ray.data.Dataset":
+    """Connected components over an undirected pair/edge Dataset via the
+    alternating large-star/small-star algorithm (Kiveris et al., SoCC'14).
+    Returns (doc_id, cluster_id) for every node that appears in an edge,
+    cluster_id = the component's minimum node id — the transitive closure a
+    keep-one-per-duplicate-cluster dedup needs (pairwise output alone splits
+    a cluster {a,b,c} found as (a,b),(b,c) into two keeps).
+
+    Scale: each round shuffles only (int64, int64) edge rows in ``n_coarse``
+    coarse buckets; rounds converge in O(log^2 n) (typically 2-3 for near-dup
+    graphs, whose components are tiny); the driver sees two ints per block
+    per round (the convergence fingerprint), never edges. Edges are
+    materialized between rounds — the edge set is O(candidate pairs), orders
+    of magnitude smaller than the corpus."""
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        l = pc.cast(t.column(left_col), pa.int64())
+        r = pc.cast(t.column(right_col), pa.int64())
+        child = pc.max_element_wise(l, r)
+        parent = pc.min_element_wise(l, r)
+        out = pa.table({"child": child, "parent": parent})
+        return out.filter(pc.not_equal(child, parent))
+
+    edges = _distinct_edges(
+        pairs.map_batches(to_edges, batch_format="pyarrow"), n_coarse
+    ).materialize()
+    prev = _edge_fingerprint(edges)
+    if prev[0] == 0:
+        return ray.data.from_arrow(_CC_OUT.empty_table())
+    for _ in range(max_rounds):
+        for large in (True, False):
+            edges = _star_round(edges, large, n_coarse).materialize()
+        cur = _edge_fingerprint(edges)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds")
+
+    def comp_rows(t: pa.Table) -> pa.Table:
+        c = t.column("child").to_numpy(zero_copy_only=False).astype(np.int64)
+        p = t.column("parent").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": pa.array(np.concatenate([c, p]), pa.int64()),
+                         "cluster_id": pa.array(np.concatenate([p, p]),
+                                                pa.int64())})
+
+    # root rows (p, p) repeat across blocks/edges -> same coarse-bucket
+    # distinct pattern (doc_id alone determines the row: child->its root,
+    # root->itself, and at convergence each child has exactly one parent)
+    rows = edges.map_batches(comp_rows, batch_format="pyarrow")
+
+    def add_coarse(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = _splitmix64_mix(d)
+        return t.append_column(
+            "coarse", pa.array((h % np.uint64(n_coarse)).astype(np.int32)))
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["doc_id"]).drop(columns=["coarse"])
+
+    return (rows.map_batches(add_coarse, batch_format="pyarrow")
+            .groupby("coarse").map_groups(dedup, batch_format="pandas"))

@@ -800,6 +800,24 @@ def q_ngram_jaccard(sf_dir: str):
                      "jaccard": pa.array(out["jaccard"].round(6), pa.float64())})
 
 
+def q_near_dup_clusters(sf_dir: str):
+    """Transitive closure over the exact word-bigram near-dup pairs:
+    distributed connected components (alternating large-star/small-star,
+    Kiveris et al. SoCC'14) over the ``ngram_jaccard`` edge set, returning
+    (doc_id, cluster_id=min doc in component) — the mapping a keep-one-per-
+    duplicate-CLUSTER dedup needs (pairs alone split {a,b,c} discovered as
+    (a,b),(b,c)). Matches a DuckDB WITH RECURSIVE reachability oracle over
+    the same pairs."""
+    from ..functions.dedup import connected_components, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(_docs(sf_dir, ["doc_id", "text"]),
+                                n=2, threshold=0.3)
+    out = connected_components(pairs).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return pa.table({"doc_id": pa.array(out["doc_id"], pa.int64()),
+                     "cluster_id": pa.array(out["cluster_id"], pa.int64())})
+
+
 def q_curation_chain(sf_dir: str):
     """End-to-end curation (quality gates -> exact dedup -> verified near-dup
     removal -> token counting) over documents; returns the per-stage survivor
@@ -1048,6 +1066,7 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "near_dup_verified": q_near_dup_verified,
     "ngram_jaccard": q_ngram_jaccard,
+    "near_dup_clusters": q_near_dup_clusters,
     "curation_chain": q_curation_chain,
     "media_features": q_media_features,
     "distinct_users_by_type": q_distinct_users_by_type,
@@ -1095,6 +1114,23 @@ def _lang_id_sql() -> str:
         + " ".join(cases)
         + f" ELSE '{langs[-1]}' END AS lang_pred FROM s"
     )
+
+# Word-bigram Jaccard pair CTEs at threshold 0.3 — the same grams/pairs text
+# as the ORACLE_SQL["ngram_jaccard"] entry (kept verbatim there since that
+# oracle also projects the jaccard value), packaged as named CTEs so the
+# near_dup_clusters closure oracle runs over the identical edge set.
+_NGRAM_PAIRS_CTES = (
+    "wrd AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') "
+    "AS ws FROM documents WHERE text IS NOT NULL AND trim(text) <> ''), "
+    "g AS (SELECT doc_id, list_distinct(list_transform("
+    "generate_series(1, array_length(ws) - 1), "
+    "i -> ws[i] || ' ' || ws[i+1])) AS grams "
+    "FROM wrd WHERE array_length(ws) >= 2), "
+    "np AS (SELECT a.doc_id AS left_id, b.doc_id AS right_id "
+    "FROM g a JOIN g b ON a.doc_id < b.doc_id "
+    "WHERE CAST(array_length(list_intersect(a.grams, b.grams)) AS DOUBLE) "
+    "/ array_length(list_distinct(list_concat(a.grams, b.grams))) >= 0.30)"
+)
 
 ORACLE_SQL = {
     "watermark_filter": (
@@ -1344,6 +1380,25 @@ def _rolling_fp_sql(window: int = 8) -> str:
         f"AS rolling_fp FROM h"
     )
 
+
+# Connected components as SQL: undirected reachability closure over the
+# word-bigram near-dup edges (recursive CTE; UNION dedups the frontier), then
+# min reachable node per node = the component minimum — exactly what the
+# engine's alternating large-star/small-star rounds converge to. `reach`
+# includes the node itself via any 2-cycle u->v->u, and least() covers the
+# degenerate single-edge direction, so cluster_id is total.
+ORACLE_SQL["near_dup_clusters"] = (
+    "WITH RECURSIVE " + _NGRAM_PAIRS_CTES + ", "
+    "e AS (SELECT left_id AS u, right_id AS v FROM np "
+    "UNION SELECT right_id, left_id FROM np), "
+    "walk(node, reach) AS ("
+    "SELECT u, v FROM e "
+    "UNION "
+    "SELECT wk.node, e2.v FROM walk wk JOIN e e2 ON e2.u = wk.reach) "
+    "SELECT node AS doc_id, "
+    "CAST(least(node, min(reach)) AS BIGINT) AS cluster_id "
+    "FROM walk GROUP BY node ORDER BY doc_id"
+)
 
 ORACLE_SQL["rolling_fingerprint"] = _rolling_fp_sql()
 
