@@ -178,3 +178,49 @@ def top_k_tokens(ds, text_col: str = "text", k: int = 20,
     tops = tops.sort_values(["n", "token"], ascending=[False, True],
                             kind="mergesort").head(k)
     return tops.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# regex redaction (PII scrubbing)
+# ---------------------------------------------------------------------------
+
+# Default PII rules, applied IN ORDER (order matters: an earlier replacement
+# can consume text a later pattern would have matched, in both engines).
+# RE2 syntax only — pyarrow's replace_substring_regex and DuckDB's
+# regexp_replace both run RE2, which is what makes the scrub SQL-replayable.
+PII_RULES: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<ID>"),                      # SSN-shaped
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),                # IPv4-shaped
+    (r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),                   # phone-shaped
+]
+
+
+def regex_redact(batch: pa.Table, rules: list[tuple[str, str]] | None = None,
+                 text_col: str = "text", out_col: str | None = None,
+                 count_col: str = "n_redactions") -> pa.Table:
+    """Sequentially apply (pattern -> replacement) rules to ``text_col`` and
+    count total replacements — the scrub/normalize stage a training-data
+    pipeline runs before tokenization (PII removal, boilerplate strip).
+
+    Vectorized end to end: one RE2 count + one RE2 replace kernel pass per
+    rule per batch, no per-row Python. Each rule's count is taken on the text
+    state AFTER the previous rules applied, mirroring the nested
+    regexp_replace stages of the SQL oracle exactly. NULL text stays NULL
+    with a NULL count (SQL semantics). Use inside ``map_batches`` — rules are
+    plain strings so there is no per-actor state to build."""
+    rules = PII_RULES if rules is None else rules
+    out_col = text_col if out_col is None else out_col
+    t = batch.column(text_col)
+    if t.type != pa.string() and t.type != pa.large_string():
+        t = pc.cast(t, pa.string())
+    total = pa.nulls(len(batch), pa.int64())
+    total = pc.if_else(pc.is_valid(t), pa.scalar(0, pa.int64()), total)
+    for pattern, repl in rules:
+        total = pc.add(total, pc.cast(
+            pc.count_substring_regex(t, pattern), pa.int64()))
+        t = pc.replace_substring_regex(t, pattern, repl)
+    cols = {name: batch.column(name) for name in batch.column_names}
+    cols[out_col] = t
+    cols[count_col] = total
+    return pa.table(cols)

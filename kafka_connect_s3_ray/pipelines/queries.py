@@ -725,6 +725,40 @@ def q_lang_id(sf_dir: str):
     return out.select_columns(["doc_id", "lang_pred"])
 
 
+# PII scrub rules for the catalog entry: the default PII set plus a bare
+# digit-run rule so the scrub is NON-VACUOUS on the fixture (events.props
+# carries JSON numbers; the fixture has no planted emails/SSNs — those rules
+# are proven on planted strings in pytest instead). Order matters and is
+# mirrored exactly by the generated SQL.
+def _pii_rules() -> list[tuple[str, str]]:
+    from ..functions.text import PII_RULES
+
+    return PII_RULES + [(r"\d+", "<NUM>")]
+
+
+def q_pii_redact(sf_dir: str):
+    """Regex redaction over error-event props: sequential RE2 scrub rules +
+    per-row replacement counts, one vectorized Arrow kernel pass per rule —
+    the PII/boilerplate scrub stage of a training-data pipeline. SQL oracle
+    is GENERATED from the same rule list (both engines run RE2)."""
+    from ..functions.text import regex_redact
+
+    rules = _pii_rules()
+
+    def scrub(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "error"))
+        t = regex_redact(t, rules, text_col="props", out_col="props_clean")
+        return t.select(["event_id", "props_clean", "n_redactions"])
+
+    out = (_events(sf_dir, ["event_id", "event_type", "props"])
+           .map_batches(scrub, batch_format="pyarrow").to_pandas())
+    out = out.sort_values("event_id").reset_index(drop=True)
+    return pa.table({
+        "event_id": pa.array(out["event_id"], pa.int64()),
+        "props_clean": pa.array(out["props_clean"], pa.string()),
+        "n_redactions": pa.array(out["n_redactions"], pa.int64())})
+
+
 def q_rolling_fingerprint(sf_dir: str):
     out = _docs(sf_dir).map_batches(rolling_hash_fingerprint, batch_format="pyarrow")
 
@@ -1060,6 +1094,7 @@ QUERIES = {
     "train_val_split": q_train_val_split,
     "keyed_sample": q_keyed_sample,
     "top_terms": q_top_terms,
+    "pii_redact": q_pii_redact,
     "rolling_fingerprint": q_rolling_fingerprint,
     "minhash_near_dup": q_minhash_near_dup,
     "simhash_near_dup": q_simhash_near_dup,
@@ -1399,6 +1434,28 @@ ORACLE_SQL["near_dup_clusters"] = (
     "CAST(least(node, min(reach)) AS BIGINT) AS cluster_id "
     "FROM walk GROUP BY node ORDER BY doc_id"
 )
+
+def _pii_redact_sql() -> str:
+    """The redaction chain in SQL, generated from the SAME rule list as the
+    engine (q_pii_redact): one nested SELECT per rule, each counting on the
+    text state BEFORE its own replacement — exactly regex_redact's sequential
+    semantics. Both engines run RE2, so counts and replacements agree."""
+    sel = ("SELECT event_id, props AS t, CAST(0 AS BIGINT) AS c FROM events "
+           "WHERE event_type = 'error' AND props IS NOT NULL")
+    for pat, repl in _pii_rules():
+        p = pat.replace("'", "''")
+        sel = (f"SELECT event_id, regexp_replace(t, '{p}', '{repl}', 'g') "
+               f"AS t, c + len(regexp_extract_all(t, '{p}')) AS c "
+               f"FROM ({sel})")
+    return (
+        "SELECT event_id, t AS props_clean, CAST(c AS BIGINT) AS n_redactions "
+        f"FROM ({sel}) UNION ALL "
+        "SELECT event_id, NULL, NULL FROM events "
+        "WHERE event_type = 'error' AND props IS NULL ORDER BY event_id"
+    )
+
+
+ORACLE_SQL["pii_redact"] = _pii_redact_sql()
 
 ORACLE_SQL["rolling_fingerprint"] = _rolling_fp_sql()
 

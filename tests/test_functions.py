@@ -292,3 +292,53 @@ def test_fused_verified_empty_docs(ray_session):
     out = minhash_near_dup_verified(ds, threshold=0.6)
     assert {"left_id", "right_id", "jaccard"} <= set(out.schema().names)
     assert out.count() == 0
+
+
+def test_regex_redact_planted_pii_and_nulls():
+    """The default PII rules scrub planted emails/SSNs/IPs/phones (the
+    fixture has none — the catalog entry proves digits; this proves the PII
+    set), counts are sequential-state counts, and NULL text stays NULL with
+    a NULL count."""
+    import pyarrow as pa
+
+    from kafka_connect_s3_ray.functions.text import PII_RULES, regex_redact
+
+    t = pa.table({"text": pa.array([
+        "mail me at jo.doe+x@corp.example.com or 10.0.0.1",
+        "ssn 123-45-6789 call +1 (415) 555-0100",
+        "clean row",
+        None,
+    ])})
+    out = regex_redact(t, PII_RULES)
+    got = out.column("text").to_pylist()
+    assert got[0] == "mail me at <EMAIL> or <IP>"
+    assert got[1] == "ssn <ID> call <PHONE>"
+    assert got[2] == "clean row"
+    assert got[3] is None
+    assert out.column("n_redactions").to_pylist() == [2, 2, 0, None]
+
+
+def test_regex_redact_rule_order_is_sequential():
+    """An earlier rule consumes text a later rule would match — counts must
+    reflect the post-replacement state (the SQL oracle's nested stages)."""
+    import pyarrow as pa
+
+    from kafka_connect_s3_ray.functions.text import regex_redact
+
+    t = pa.table({"text": pa.array(["abc abc"])})
+    out = regex_redact(t, [("abc", "X"), ("X", "Y"), ("abc", "Z")])
+    assert out.column("text").to_pylist() == ["Y Y"]
+    # 2 (abc) + 2 (X) + 0 (abc already gone)
+    assert out.column("n_redactions").to_pylist() == [4]
+
+
+def test_regex_redact_keeps_other_columns_and_out_col():
+    import pyarrow as pa
+
+    from kafka_connect_s3_ray.functions.text import regex_redact
+
+    t = pa.table({"id": [1, 2], "text": ["a1", "b22"]})
+    out = regex_redact(t, [(r"\d+", "#")], out_col="clean")
+    assert out.column_names == ["id", "text", "clean", "n_redactions"]
+    assert out.column("text").to_pylist() == ["a1", "b22"]
+    assert out.column("clean").to_pylist() == ["a#", "b#"]
