@@ -224,3 +224,115 @@ def regex_redact(batch: pa.Table, rules: list[tuple[str, str]] | None = None,
     cols[out_col] = t
     cols[count_col] = total
     return pa.table(cols)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document
+# ---------------------------------------------------------------------------
+
+_TF_ROWS = pa.schema([("doc_id", pa.int64()), ("token", pa.string()),
+                      ("tf", pa.int64())])
+
+
+def _n_docs_with_tokens(docs, text_col: str) -> int:
+    """Count docs with >= 1 whitespace token (the tf-idf corpus size N) —
+    one per-block int back to the driver, never rows."""
+
+    def cnt(t: pa.Table) -> pa.Table:
+        s = pc.utf8_trim_whitespace(pc.cast(t.column(text_col), pa.string()))
+        ok = pc.and_kleene(pc.is_valid(s), pc.not_equal(s, ""))
+        n = pc.sum(pc.cast(ok, pa.int64())).as_py() or 0
+        return pa.table({"n": pa.array([int(n)], pa.int64())})
+
+    return sum(r["n"] for r in
+               docs.map_batches(cnt, batch_format="pyarrow").take_all())
+
+
+def tfidf_top_terms(docs, k: int = 3, id_col: str = "doc_id",
+                    text_col: str = "text", n_buckets: int = 64,
+                    num_partitions: int = 16):
+    """Top-k terms per document with tf-idf weights (tfidf = tf * ln(N/df)),
+    distributed end to end:
+
+    1. per-batch tokenize (lowercase whitespace split, the same convention
+       as ``top_k_tokens`` and its green SQL oracle) -> (doc, token, tf)
+       rows via one vectorized pandas groupby — a (doc, token) pair is
+       globally unique because a document lives in one input row;
+    2. document frequencies WITHOUT a raw-token shuffle: per-block distinct
+       tokens with partial counts, summed per token-hash bucket (a token
+       lives in exactly one bucket) — the ``top_k_tokens`` pattern;
+    3. tf rows join df rows on token through the repo's coarse-bucket
+       ``hash_join`` (one exchange, no driver state);
+    4. per-doc top-k in doc-hash buckets.
+
+    Ranking is INTEGER-ONLY — tf desc, then df asc (rarer wins), then token
+    asc — deliberately not a float tfidf sort: both engines rank on exact
+    ints, so a 1-ulp ln() difference between numpy and the SQL oracle can
+    never flip which terms are selected. The ranking agrees with tfidf
+    whenever terms differ in tf at equal df or in df at equal tf; conflicting
+    (higher-tf, commoner) vs (lower-tf, rarer) pairs resolve frequency-first.
+    The tfidf value itself is reported for the selected terms (round 6)."""
+    from itertools import chain
+
+    from ..stages.joins import hash_join
+    from .dedup import _splitmix64_mix, _stable_token_hash
+
+    def tf_rows(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column(id_col), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        texts = t.column(text_col).to_pylist()
+        toks = [("" if x is None else x).lower().split() for x in texts]
+        lens = np.fromiter((len(x) for x in toks), np.int64, len(toks))
+        if int(lens.sum()) == 0:
+            return _TF_ROWS.empty_table()
+        flat = np.array(list(chain.from_iterable(toks)), object)
+        doc = np.repeat(ids, lens)
+        cnt = (pd.DataFrame({"doc_id": doc, "token": flat})
+               .groupby(["doc_id", "token"], sort=False)
+               .size().reset_index(name="tf"))
+        return pa.table({"doc_id": pa.array(cnt["doc_id"], pa.int64()),
+                         "token": pa.array(cnt["token"], pa.string()),
+                         "tf": pa.array(cnt["tf"], pa.int64())})
+
+    tfr = docs.map_batches(tf_rows, batch_format="pyarrow")
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        toks = t.column("token").to_numpy(zero_copy_only=False)
+        if len(toks) == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "dfp": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64())})
+        uniq, counts = np.unique(toks.astype(object), return_counts=True)
+        bucket = (_stable_token_hash(uniq) % np.uint64(n_buckets)).astype(
+            np.int64)
+        return pa.table({"token": pa.array(uniq, pa.string()),
+                         "dfp": pa.array(counts.astype(np.int64), pa.int64()),
+                         "bucket": pa.array(bucket, pa.int64())})
+
+    def df_sum(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("token", as_index=False)["dfp"].sum()
+        return s.rename(columns={"dfp": "df"})[["token", "df"]]
+
+    dfd = (tfr.map_batches(df_partial, batch_format="pyarrow")
+           .groupby("bucket").map_groups(df_sum, batch_format="pandas"))
+
+    n_docs = _n_docs_with_tokens(docs, text_col)
+    joined = hash_join(tfr, dfd, on="token", num_partitions=num_partitions)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = (_splitmix64_mix(d) % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("dbucket", pa.array(b))
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "tf", "df", "token"],
+                          ascending=[True, False, True, True],
+                          kind="mergesort")
+        g = g.groupby("doc_id", sort=False).head(k)
+        tfidf = g["tf"].to_numpy() * np.log(
+            float(n_docs) / g["df"].to_numpy().astype(np.float64))
+        return (g.drop(columns=["dbucket"])
+                .assign(tfidf=np.round(tfidf, 6)))
+
+    return (joined.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("dbucket").map_groups(topk, batch_format="pandas"))

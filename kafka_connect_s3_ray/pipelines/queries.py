@@ -725,6 +725,21 @@ def q_lang_id(sf_dir: str):
     return out.select_columns(["doc_id", "lang_pred"])
 
 
+def q_tfidf_terms(sf_dir: str):
+    """Top-3 tf-idf terms per document (tfidf = tf * ln(N/df)): tokenize ->
+    per-doc tf -> bucket-summed df -> coarse-bucket hash join -> per-doc
+    top-k. Selection ranks on exact ints (tf desc, df asc, token asc) so
+    float ln() can never flip which rows both engines pick; the tfidf value
+    is compared at round-6/rtol like every float column."""
+    from ..functions.text import tfidf_top_terms
+
+    out = tfidf_top_terms(_docs(sf_dir, ["doc_id", "text"]), k=3).to_pandas()
+    out = out.sort_values(["doc_id", "token"]).reset_index(drop=True)
+    return pa.table({"doc_id": pa.array(out["doc_id"], pa.int64()),
+                     "token": pa.array(out["token"], pa.string()),
+                     "tfidf": pa.array(out["tfidf"], pa.float64())})
+
+
 # PII scrub rules for the catalog entry: the default PII set plus a bare
 # digit-run rule so the scrub is NON-VACUOUS on the fixture (events.props
 # carries JSON numbers; the fixture has no planted emails/SSNs — those rules
@@ -1095,6 +1110,7 @@ QUERIES = {
     "keyed_sample": q_keyed_sample,
     "top_terms": q_top_terms,
     "pii_redact": q_pii_redact,
+    "tfidf_terms": q_tfidf_terms,
     "rolling_fingerprint": q_rolling_fingerprint,
     "minhash_near_dup": q_minhash_near_dup,
     "simhash_near_dup": q_simhash_near_dup,
@@ -1456,6 +1472,29 @@ def _pii_redact_sql() -> str:
 
 
 ORACLE_SQL["pii_redact"] = _pii_redact_sql()
+
+# tf-idf: the same lowercase-whitespace tokenization as the green top_terms
+# oracle; df counts distinct (doc, token) rows; ranking is the engine's
+# integer (tf DESC, df ASC, token ASC) so selection is float-free, and the
+# reported tfidf uses the same ln(N/df) expression shape as the engine.
+ORACLE_SQL["tfidf_terms"] = (
+    "WITH c AS (SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents), "
+    "tok AS (SELECT doc_id, u.tk AS token FROM c, "
+    "unnest(list_filter(regexp_split_to_array(t, '\\s+'), x -> x <> '')) "
+    "AS u(tk)), "
+    "tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf "
+    "FROM tok GROUP BY doc_id, token), "
+    "df AS (SELECT token, CAST(count(*) AS BIGINT) AS df "
+    "FROM tf GROUP BY token), "
+    "n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM tok), "
+    "r AS (SELECT f.doc_id, f.token, f.tf, d.df, "
+    "row_number() OVER (PARTITION BY f.doc_id "
+    "ORDER BY f.tf DESC, d.df ASC, f.token ASC) AS rn "
+    "FROM tf f JOIN df d USING (token)) "
+    "SELECT r.doc_id, r.token, "
+    "round(r.tf * ln(CAST(n.n AS DOUBLE) / r.df), 6) AS tfidf "
+    "FROM r, n WHERE rn <= 3 ORDER BY doc_id, token"
+)
 
 ORACLE_SQL["rolling_fingerprint"] = _rolling_fp_sql()
 

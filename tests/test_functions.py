@@ -342,3 +342,31 @@ def test_regex_redact_keeps_other_columns_and_out_col():
     assert out.column_names == ["id", "text", "clean", "n_redactions"]
     assert out.column("text").to_pylist() == ["a1", "b22"]
     assert out.column("clean").to_pylist() == ["a#", "b#"]
+
+
+def test_tfidf_top_terms_hand_computed():
+    """Three tiny docs with a known vocabulary: df/tf/N and the integer
+    ranking (tf desc, df asc, token asc) are verified against hand math."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+
+    from kafka_connect_s3_ray.functions.text import tfidf_top_terms
+
+    docs = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["cat cat dog", "dog fish", None],
+    }))
+    out = tfidf_top_terms(docs, k=2).to_pandas().sort_values(
+        ["doc_id", "token"]).reset_index(drop=True)
+    # N = 2 docs with tokens; df: cat=1, dog=2, fish=1
+    # doc 1 ranking: cat (tf=2) then dog (tf=1); doc 2: fish (tf=1, df=1)
+    # beats dog (tf=1, df=2) on the rarity tiebreak
+    assert list(zip(out["doc_id"], out["token"])) == [
+        (1, "cat"), (1, "dog"), (2, "dog"), (2, "fish")]
+    want = {("1", "cat"): 2 * np.log(2 / 1), ("1", "dog"): 1 * np.log(2 / 2),
+            ("2", "dog"): 1 * np.log(2 / 2), ("2", "fish"): 1 * np.log(2 / 1)}
+    for _, row in out.iterrows():
+        assert abs(row["tfidf"] - want[(str(row["doc_id"]), row["token"])]) < 1e-6
+    assert list(out.columns) == ["doc_id", "token", "tf", "df", "tfidf"]
