@@ -17,6 +17,7 @@ import pyarrow.parquet as pq
 import ray.data
 
 from ..schema import KEY_COLUMNS
+from ..state.bloom import bloom_path
 from ..state.manifest import Manifest
 
 
@@ -81,6 +82,10 @@ def vacuum(manifest: Manifest | str, keep_generations: int = 1,
                     doomed.append(path)
                     if not dry_run:
                         os.remove(path)
+                        try:  # the file's bloom sidecar dies with it
+                            os.remove(bloom_path(path))
+                        except OSError:
+                            pass
         if not dry_run:
             # lineage keeps only the retained generations (plus current refs)
             kept = [e for e in files
@@ -179,11 +184,22 @@ def lookup(manifest: Manifest | str, conv_id: str,
         flt = flt & (pc.field("turn_idx") == turn_idx)
     import pyarrow.dataset as pads
 
+    from ..state.bloom import file_might_contain
+
     base_tbls, delta_tbls = [], []
     for f in files:
+        # bloom sidecar prunes whole files before any footer is opened;
+        # missing/corrupt sidecar degrades to "might contain"
+        if not file_might_contain(f, conv_id):
+            continue
         t = pads.dataset(f).to_table(filter=flt)  # row-group stats prune
         (delta_tbls if _is_delta(f) else base_tbls).append(t)
     if not base_tbls and not delta_tbls:
+        if files:
+            # committed partition, key definitely absent (every file's bloom
+            # rejected it): an EMPTY table with the partition's schema, same
+            # contract as reading the files and matching nothing
+            return pq.read_schema(files[0]).empty_table()
         return None
     base = pa.concat_tables(base_tbls) if base_tbls else None
     if delta_tbls:

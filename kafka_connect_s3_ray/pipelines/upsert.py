@@ -47,6 +47,7 @@ import ray.data
 from ..schema import KEY_COLUMNS as KEY_COLUMNS_DEFAULT
 from ..schema import PROVENANCE_COLUMNS, schema_fingerprint, unify_with_nulls
 from ..stages.merge import align_to_schema, compact_events, lww_merge
+from ..state.bloom import write_bloom_sidecar
 from ..stages.partitioner import PART_COLUMN, SALT_COLUMN, PartitionAssigner
 from ..state.manifest import EMPTY_WATERMARK, Manifest, is_delta_file
 
@@ -123,6 +124,7 @@ def _commit_delta(p: int, events: pa.Table, wm: int, out_dir: str,
     tmp = _tmp_path(path)
     pq.write_table(delta, tmp, compression="zstd")
     os.replace(tmp, path)
+    write_bloom_sidecar(path, delta.column("conv_id"))
     return _stats_row(p, [path], new_wm, len(delta), len(events),
                       time.monotonic() - t0, "delta")
 
@@ -287,6 +289,7 @@ def _commit_partition(p: int, events: pa.Table, lake_files: list[str], wm: int,
         # is key-sorted), no wall-clock metadata.
         pq.write_table(piece, tmp, row_group_size=row_group_size, compression="zstd")
         os.replace(tmp, path)  # data committed before the manifest (cursor) is
+        write_bloom_sidecar(path, piece.column("conv_id"))
         paths.append(path)
     return _stats_row(p, paths, new_wm, len(merged), n_events,
                       time.monotonic() - t0, "rewrite")
@@ -341,15 +344,24 @@ def _commit_partition_streaming(p: int, events: pa.Table, lake_files: list[str],
     tmp = None
     rows_in_file = 0
     total_rows = 0
+    file_keys: list[pa.Array] = []  # this file's distinct conv_ids (bloom)
 
     final_path = None
+
+    def close_current():
+        writer.close()
+        os.replace(tmp, final_path)
+        write_bloom_sidecar(
+            final_path,
+            pa.chunked_array(file_keys) if file_keys
+            else pa.array([], pa.string()))
+        file_keys.clear()
+        paths.append(final_path)
 
     def roll():
         nonlocal writer, tmp, rows_in_file, final_path
         if writer is not None:
-            writer.close()
-            os.replace(tmp, final_path)
-            paths.append(final_path)
+            close_current()
         suffix = f"-{len(paths):04d}"
         final_path = os.path.join(pdir, f"commit-{new_wm:012d}{suffix}.parquet")
         tmp = _tmp_path(final_path)
@@ -362,11 +374,11 @@ def _commit_partition_streaming(p: int, events: pa.Table, lake_files: list[str],
         if rows_in_file and rows_in_file + len(piece) > max_file_rows:
             roll()
         writer.write_table(piece, row_group_size=row_group_size)
+        # arrow-native per-piece dedup: no object conversion in the hot loop
+        file_keys.append(pc.unique(piece.column("conv_id").combine_chunks()))
         rows_in_file += len(piece)
         total_rows += len(piece)
-    writer.close()
-    os.replace(tmp, final_path)
-    paths.append(final_path)
+    close_current()
 
     return _stats_row(p, paths, new_wm, total_rows, n_events,
                       time.monotonic() - t0, "rewrite")
