@@ -969,6 +969,53 @@ def q_exact_quantiles(sf_dir: str):
                      "value_quantile": pa.array(vals, pa.float64())})
 
 
+def q_embedding_centroids(sf_dir: str):
+    """Element-wise mean embedding per label, long form (label, dim,
+    centroid): per-block scatter-sum partials, driver finish — zero
+    exchanges. Scalar float output keeps the compare oracle-clean (list
+    columns stringify)."""
+    from ..functions.profile import embedding_centroids
+
+    emb = _read_bounded(os.path.join(sf_dir, "embeddings.parquet"),
+                        ["label", "embedding"])
+    return embedding_centroids(emb)
+
+
+def q_value_histogram(sf_dir: str):
+    """Fixed 40-bin histogram of event values over [0, 400): per-block
+    bincount partials, driver sum. floor/clip arithmetic mirrors the SQL
+    least/greatest/floor expression bit for bit."""
+    from ..functions.profile import value_histogram
+
+    return value_histogram(_events(sf_dir, ["value"]), "value",
+                           lo=0.0, hi=400.0, n_bins=40)
+
+
+def q_quality_filtered(sf_dir: str):
+    """Median-threshold quality gate: keep documents whose whitespace token
+    count >= the exact corpus median (computed by the distributed
+    histogram-refinement quantile kernel — the same one the green
+    exact_quantiles entry checks against quantile_disc)."""
+    from ..functions.quantiles import exact_quantiles
+    from ..functions.text import add_token_counts
+
+    counted = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        add_token_counts, batch_format="pyarrow")
+    med = float(exact_quantiles(counted, "n_tokens_ws", [0.5])[0])
+
+    def keep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(
+            pc.cast(t.column("n_tokens_ws"), pa.float64()), med))
+        return pa.table({"doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+                         "n_tokens_ws": pc.cast(t.column("n_tokens_ws"),
+                                                pa.int64())})
+
+    out = counted.map_batches(keep, batch_format="pyarrow").to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return pa.table({"doc_id": pa.array(out["doc_id"], pa.int64()),
+                     "n_tokens_ws": pa.array(out["n_tokens_ws"], pa.int64())})
+
+
 def q_cosine_topk(sf_dir: str):
     """Brute-force cosine top-10 for the first 3 vectors as queries."""
     import duckdb
@@ -1124,6 +1171,9 @@ QUERIES = {
     "approx_distinct": q_approx_distinct,
     "approx_quantiles": q_approx_quantiles,
     "exact_quantiles": q_exact_quantiles,
+    "embedding_centroids": q_embedding_centroids,
+    "value_histogram": q_value_histogram,
+    "quality_filtered": q_quality_filtered,
     "cosine_topk": q_cosine_topk,
     "cosine_topk_ivf": q_cosine_topk_ivf,
     "cosine_topk_ivf_indexed": q_cosine_topk_ivf_indexed,
@@ -1472,6 +1522,38 @@ def _pii_redact_sql() -> str:
 
 
 ORACLE_SQL["pii_redact"] = _pii_redact_sql()
+
+# centroids: lateral generate_series over each vector's indices; avg in
+# DOUBLE; dim is 0-based on both sides. Values carry ~1e-13 summation-order
+# noise against the engine's partial sums — round(6) absorbs it.
+ORACLE_SQL["embedding_centroids"] = (
+    # two select-list unnests of equal length zip row-wise in DuckDB,
+    # giving (label, 1-based index, component) rows without a lateral join
+    "WITH u AS (SELECT label, "
+    "unnest(generate_series(1, array_length(embedding))) AS i, "
+    "unnest(embedding) AS v FROM embeddings "
+    "WHERE embedding IS NOT NULL AND label IS NOT NULL) "
+    "SELECT label, CAST(i - 1 AS BIGINT) AS dim, "
+    "round(avg(CAST(v AS DOUBLE)), 6) AS centroid "
+    "FROM u GROUP BY label, i ORDER BY label, dim"
+)
+
+# histogram: identical clamp-floor arithmetic as value_histogram; empty bins
+# absent on both sides (GROUP BY vs nonzero bincount)
+ORACLE_SQL["value_histogram"] = (
+    "WITH b AS (SELECT CAST(least(greatest(floor(value / 10.0), 0), 39) "
+    "AS BIGINT) AS bin FROM events WHERE value IS NOT NULL) "
+    "SELECT bin, bin * 10.0 AS bin_lo, CAST(count(*) AS BIGINT) AS n "
+    "FROM b GROUP BY bin ORDER BY bin"
+)
+
+ORACLE_SQL["quality_filtered"] = (
+    f"WITH t AS (SELECT doc_id, CAST({_TOKENS_WS_SQL} AS BIGINT) "
+    "AS n_tokens_ws FROM documents), "
+    "m AS (SELECT quantile_disc(n_tokens_ws, 0.5) AS med FROM t) "
+    "SELECT doc_id, n_tokens_ws FROM t, m WHERE n_tokens_ws >= med "
+    "ORDER BY doc_id"
+)
 
 # tf-idf: the same lowercase-whitespace tokenization as the green top_terms
 # oracle; df counts distinct (doc, token) rows; ranking is the engine's

@@ -370,3 +370,32 @@ def test_tfidf_top_terms_hand_computed():
     for _, row in out.iterrows():
         assert abs(row["tfidf"] - want[(str(row["doc_id"]), row["token"])]) < 1e-6
     assert list(out.columns) == ["doc_id", "token", "tf", "df", "tfidf"]
+
+
+def test_value_histogram_clamps_and_drops_nulls():
+    import pandas as pd
+    import ray.data
+
+    from kafka_connect_s3_ray.functions.profile import value_histogram
+
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"v": [-5.0, 0.0, 9.99, 10.0, 95.0, 200.0, None]}))
+    out = value_histogram(ds, "v", lo=0.0, hi=100.0, n_bins=10).to_pandas()
+    # -5 clamps into bin 0, 200 into bin 9; 10.0 lands in bin 1 (left edge)
+    got = dict(zip(out["bin"], out["n"]))
+    assert got == {0: 3, 1: 1, 9: 2}
+    assert dict(zip(out["bin"], out["bin_lo"])) == {0: 0.0, 1: 10.0, 9: 90.0}
+
+
+def test_embedding_centroids_hand_computed():
+    import pandas as pd
+    import ray.data
+
+    from kafka_connect_s3_ray.functions.profile import embedding_centroids
+
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "label": [0, 0, 1],
+        "embedding": [[1.0, 2.0], [3.0, 4.0], [10.0, 20.0]]}))
+    out = embedding_centroids(ds).to_pandas()
+    assert out.values.tolist() == [[0, 0, 2.0], [0, 1, 3.0],
+                                   [1, 0, 10.0], [1, 1, 20.0]]
