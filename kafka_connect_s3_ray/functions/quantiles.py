@@ -33,7 +33,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["exact_quantiles"]
+__all__ = ["exact_quantiles", "grouped_exact_quantiles"]
 
 
 def _col_f64(batch: pa.Table, col: str) -> np.ndarray:
@@ -172,4 +172,144 @@ def exact_quantiles(ds: "ray.data.Dataset", col: str, qs: list[float],
         raise AssertionError(
             f"exact_quantiles did not converge for quantiles "
             f"{[qs[i] for i in pending]} within {max_rounds} rounds")
+    return out
+
+
+def grouped_exact_quantiles(ds: "ray.data.Dataset", group_col: str, col: str,
+                            q: float, n_bins: int = 4096,
+                            max_collect: int = 1_000_000,
+                            max_rounds: int = 24) -> "dict":
+    """Exact per-group ``quantile_disc(col, q)`` — the grouped counterpart of
+    ``exact_quantiles``, sharing its refinement structure: every round is ONE
+    column-pruned scan emitting per-(group, pending) histogram partials; no
+    per-group sort, no shuffle, driver state = O(groups x n_bins) ints.
+
+    Returns {group_value: quantile}. Designed for LOW-CARDINALITY group
+    columns (an event_type / lang / label — the per-batch kernel loops over
+    pending groups); a high-cardinality grouped quantile should use the
+    mergeable ``QuantileSketch`` per group instead. NULL group rows are
+    excluded (SQL GROUP BY drops no rows, but a NULL group is its own SQL
+    group — callers wanting it can fill_null first; the fixtures have none)."""
+    if not (0.0 <= float(q) <= 1.0):
+        raise ValueError(f"quantile must be in [0, 1], got {q}")
+
+    def _gv(batch: pa.Table):
+        g = batch.column(group_col).to_numpy(zero_copy_only=False)
+        v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = ~np.isnan(v)
+        keep &= ~batch.column(group_col).is_null().to_numpy(
+            zero_copy_only=False)
+        return g[keep], v[keep]
+
+    # ---- pass 0: per-group count / min / max ------------------------------
+    def minmax(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        g, v = _gv(batch)
+        if len(v) == 0:
+            return pa.table({"g": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "lo": pa.array([], pa.float64()),
+                             "hi": pa.array([], pa.float64())})
+        f = pd.DataFrame({"g": g.astype(str), "v": v}).groupby("g")["v"]
+        agg = f.agg(["size", "min", "max"]).reset_index()
+        return pa.table({"g": pa.array(agg["g"], pa.string()),
+                         "n": pa.array(agg["size"].astype(np.int64)),
+                         "lo": pa.array(agg["min"], pa.float64()),
+                         "hi": pa.array(agg["max"], pa.float64())})
+
+    parts = ds.map_batches(minmax, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return {}
+    top = parts.groupby("g").agg(n=("n", "sum"), lo=("lo", "min"),
+                                 hi=("hi", "max")).reset_index()
+    groups = top["g"].tolist()
+    n = top["n"].to_numpy()
+    ranks = np.maximum(np.ceil(float(q) * n).astype(np.int64) - 1, 0)
+    lo = top["lo"].to_numpy().copy()
+    hi = np.nextafter(top["hi"].to_numpy(), np.inf)
+    below_lo = np.zeros(len(groups), np.int64)
+    out: dict = {}
+    pending = list(range(len(groups)))
+
+    for _ in range(max_rounds):
+        if not pending:
+            break
+        edges = np.stack([np.linspace(lo[i], hi[i], n_bins + 1)
+                          for i in pending])
+        edges[:, -1] = hi[pending]
+        pgroups = [groups[i] for i in pending]
+
+        def hist_pass(batch: pa.Table, edges=edges, pgroups=pgroups) -> pa.Table:
+            g, v = _gv(batch)
+            gs = g.astype(str)
+            m = len(pgroups)
+            hist = np.zeros((m, n_bins), np.int64)
+            bmin = np.full((m, n_bins), np.inf)
+            bmax = np.full((m, n_bins), -np.inf)
+            below = np.zeros(m, np.int64)
+            for j, gname in enumerate(pgroups):
+                vv = v[gs == gname]
+                below[j] = int((vv < edges[j, 0]).sum())
+                idx = np.searchsorted(edges[j], vv, side="right") - 1
+                sel = (idx >= 0) & (idx < n_bins)
+                iv, ix = vv[sel], idx[sel]
+                np.add.at(hist[j], ix, 1)
+                np.minimum.at(bmin[j], ix, iv)
+                np.maximum.at(bmax[j], ix, iv)
+            return pa.table({
+                "qrow": pa.array(np.arange(m, dtype=np.int32)),
+                "below": pa.array(below),
+                "hist": pa.array(hist.tolist(), pa.list_(pa.int64())),
+                "bmin": pa.array(bmin.tolist(), pa.list_(pa.float64())),
+                "bmax": pa.array(bmax.tolist(), pa.list_(pa.float64())),
+            })
+
+        agg = ds.map_batches(hist_pass, batch_format="pyarrow").to_pandas()
+        still = []
+        for row, i in enumerate(pending):
+            sub = agg[agg["qrow"] == row]
+            h = np.sum(np.stack([np.asarray(x) for x in sub["hist"]]), axis=0)
+            mn = np.min(np.stack([np.asarray(x) for x in sub["bmin"]]), axis=0)
+            mx = np.max(np.stack([np.asarray(x) for x in sub["bmax"]]), axis=0)
+            below = int(sub["below"].sum())
+            cum = np.cumsum(h)
+            b = int(np.searchsorted(cum, ranks[i] - below, side="right"))
+            if b >= n_bins:
+                raise AssertionError(
+                    f"grouped_exact_quantiles lost rank for group {groups[i]}")
+            if mn[b] == mx[b]:
+                out[groups[i]] = float(mn[b])
+                continue
+            lo[i] = mn[b]
+            hi[i] = np.nextafter(mx[b], np.inf)
+            below_lo[i] = below + (int(cum[b - 1]) if b > 0 else 0)
+            still.append((i, int(h[b]) <= max_collect))
+        ready = [i for i, small in still if small]
+        pending = [i for i, small in still if not small]
+        if ready:
+            clo, chi = lo[ready].copy(), hi[ready].copy()
+            rgroups = [groups[i] for i in ready]
+
+            def collect(batch: pa.Table, clo=clo, chi=chi,
+                        rgroups=rgroups) -> pa.Table:
+                g, v = _gv(batch)
+                gs = g.astype(str)
+                qidx, vals = [], []
+                for j, gname in enumerate(rgroups):
+                    vv = v[gs == gname]
+                    msk = (vv >= clo[j]) & (vv < chi[j])
+                    vals.append(vv[msk])
+                    qidx.append(np.full(int(msk.sum()), j, np.int32))
+                return pa.table({"qidx": pa.array(np.concatenate(qidx)),
+                                 "v": pa.array(np.concatenate(vals))})
+
+            got = ds.map_batches(collect, batch_format="pyarrow").to_pandas()
+            for j, i in enumerate(ready):
+                vs = np.sort(got.loc[got["qidx"] == j, "v"].to_numpy())
+                out[groups[i]] = float(vs[ranks[i] - int(below_lo[i])])
+    if pending:
+        raise AssertionError(
+            f"grouped_exact_quantiles did not converge for groups "
+            f"{[groups[i] for i in pending]} within {max_rounds} rounds")
     return out

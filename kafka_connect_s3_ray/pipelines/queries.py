@@ -969,6 +969,21 @@ def q_exact_quantiles(sf_dir: str):
                      "value_quantile": pa.array(vals, pa.float64())})
 
 
+def q_grouped_quantiles(sf_dir: str):
+    """EXACT per-event-type p90 of value via the grouped histogram-refinement
+    kernel: every round is ONE column-pruned scan emitting per-(group,
+    pending) histogram partials — no per-group sort, no shuffle. Bit-for-bit
+    equal to DuckDB's ``quantile_disc(value, 0.9) GROUP BY event_type``."""
+    from ..functions.quantiles import grouped_exact_quantiles
+
+    vals = grouped_exact_quantiles(
+        _events(sf_dir, ["event_type", "value"]), "event_type", "value", 0.9)
+    keys = sorted(vals)
+    return pa.table({"event_type": pa.array(keys, pa.string()),
+                     "value_p90": pa.array([vals[k] for k in keys],
+                                           pa.float64())})
+
+
 def q_embedding_centroids(sf_dir: str):
     """Element-wise mean embedding per label, long form (label, dim,
     centroid): per-block scatter-sum partials, driver finish — zero
@@ -1171,6 +1186,7 @@ QUERIES = {
     "approx_distinct": q_approx_distinct,
     "approx_quantiles": q_approx_quantiles,
     "exact_quantiles": q_exact_quantiles,
+    "grouped_quantiles": q_grouped_quantiles,
     "embedding_centroids": q_embedding_centroids,
     "value_histogram": q_value_histogram,
     "quality_filtered": q_quality_filtered,
@@ -1447,6 +1463,10 @@ ORACLE_SQL = {
         "FROM events UNION ALL "
         "SELECT 0.9, quantile_disc(value, 0.9) FROM events UNION ALL "
         "SELECT 0.99, quantile_disc(value, 0.99) FROM events ORDER BY q"
+    ),
+    "grouped_quantiles": (
+        "SELECT event_type, quantile_disc(value, 0.9) AS value_p90 "
+        "FROM events GROUP BY event_type ORDER BY event_type"
     ),
     # rolling_fingerprint / minhash / simhash / IVF / sketches:
     # non-SQL-expressible (seeded LSH, mergeable sketches, rolling hashes)

@@ -40,8 +40,12 @@ def _got(pairs, **kw):
     return dict(zip(out["doc_id"].astype(int), out["cluster_id"].astype(int)))
 
 
+# driver_cap=0 forces the distributed alternating-star path; the default
+# takes the small-edge-set driver union-find fast path — both must agree
+# with the reference on every graph
+@pytest.mark.parametrize("cap", [0, 1_000_000])
 @pytest.mark.parametrize("seed", [0, 1, 2, 3])
-def test_components_match_union_find_on_random_graphs(seed):
+def test_components_match_union_find_on_random_graphs(seed, cap):
     rng = np.random.default_rng(seed)
     n = int(rng.integers(10, 500))
     m = int(rng.integers(1, 3 * n))
@@ -50,13 +54,14 @@ def test_components_match_union_find_on_random_graphs(seed):
     pairs = list(zip(a[keep].tolist(), b[keep].tolist()))
     if not pairs:
         pytest.skip("degenerate draw")
-    assert _got(pairs) == _uf(pairs)
+    assert _got(pairs, driver_cap=cap) == _uf(pairs)
 
 
-def test_components_chain_worst_case_diameter():
+@pytest.mark.parametrize("cap", [0, 1_000_000])
+def test_components_chain_worst_case_diameter(cap):
     # a path graph maximizes rounds needed; star convergence must still hold
     pairs = [(i, i + 1) for i in range(300)]
-    got = _got(pairs)
+    got = _got(pairs, driver_cap=cap)
     assert set(got) == set(range(301))
     assert set(got.values()) == {0}
 

@@ -8,7 +8,8 @@ import pytest
 
 import ray.data
 
-from kafka_connect_s3_ray.functions.quantiles import exact_quantiles
+from kafka_connect_s3_ray.functions.quantiles import (exact_quantiles,
+                                                      grouped_exact_quantiles)
 
 QS = [0.0, 0.25, 0.5, 0.9, 0.99, 1.0]
 
@@ -72,6 +73,54 @@ def test_bad_quantile_raises(ray_session):
     ds = ray.data.from_arrow(pa.table({"v": pa.array([1.0], pa.float64())}))
     with pytest.raises(ValueError, match="must be in"):
         exact_quantiles(ds, "v", [1.5])
+
+
+def _gds(groups, vals, blocks: int = 7) -> "ray.data.Dataset":
+    return ray.data.from_arrow(pa.table({
+        "g": pa.array(groups, pa.string()),
+        "v": pa.array(vals, pa.float64()),
+    })).repartition(blocks)
+
+
+@pytest.mark.parametrize("q", [0.0, 0.5, 0.9, 1.0])
+def test_grouped_matches_per_group_sort_select(q, ray_session):
+    rng = np.random.RandomState(5)
+    groups = rng.choice(["a", "b", "c"], 20_000)
+    vals = np.round(rng.lognormal(1, 2, 20_000), 3)
+    got = grouped_exact_quantiles(_gds(groups, vals), "g", "v", q, n_bins=64)
+    for gname in ("a", "b", "c"):
+        exp = _expected(vals[groups == gname], [q])[0]
+        assert got[gname] == exp, (gname, q)
+
+
+def test_grouped_collect_path_and_skew(ray_session):
+    """One giant group plus one 3-row group, max_collect tiny: both the
+    bounded-collect branch and the per-group rank bookkeeping must hold."""
+    rng = np.random.RandomState(13)
+    groups = np.r_[np.repeat("big", 40_000), np.repeat("tiny", 3)]
+    vals = np.r_[rng.uniform(0, 1, 40_000), [3.0, 1.0, 2.0]]
+    got = grouped_exact_quantiles(_gds(groups, vals), "g", "v", 0.5,
+                                  n_bins=8, max_collect=1_000)
+    assert got["big"] == _expected(vals[:40_000], [0.5])[0]
+    assert got["tiny"] == 2.0
+
+
+def test_grouped_nulls_excluded(ray_session):
+    """NULL values leave their group's n; NULL group rows are dropped."""
+    ds = ray.data.from_arrow(pa.table({
+        "g": pa.array(["a", "a", "a", None, "b"], pa.string()),
+        "v": pa.array([1.0, None, 3.0, 9.0, 5.0], pa.float64()),
+    }))
+    got = grouped_exact_quantiles(ds, "g", "v", 1.0)
+    assert got == {"a": 3.0, "b": 5.0}
+
+
+def test_grouped_empty_and_bad_q(ray_session):
+    ds = ray.data.from_arrow(pa.table({
+        "g": pa.array([], pa.string()), "v": pa.array([], pa.float64())}))
+    assert grouped_exact_quantiles(ds, "g", "v", 0.5) == {}
+    with pytest.raises(ValueError, match="must be in"):
+        grouped_exact_quantiles(ds, "g", "v", -0.1)
 
 
 def test_matches_duckdb_quantile_disc(ray_session):

@@ -80,6 +80,7 @@ SQL_CHECKED = [
     "train_val_split", "keyed_sample", "top_terms",
     "minhash_near_dup", "near_dup_verified", "curation_chain",
     "simhash_near_dup", "approx_distinct", "exact_quantiles",
+    "grouped_quantiles",
     "tumbling_window", "sliding_window", "session_windows", "broadcast_join", "asof_join",
     "range_join",
     "hash_join", "anti_join", "pricing_summary", "topk_per_group",
