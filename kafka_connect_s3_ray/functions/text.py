@@ -336,3 +336,107 @@ def tfidf_top_terms(docs, k: int = 3, id_col: str = "doc_id",
 
     return (joined.map_batches(add_bucket, batch_format="pyarrow")
             .groupby("dbucket").map_groups(topk, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (train/eval word-n-gram overlap)
+# ---------------------------------------------------------------------------
+
+_DECON_SCHEMA = pa.schema([("doc_id", pa.int64()),
+                           ("n_contaminated", pa.int64())])
+
+
+def _word_ngrams_batch(texts: list, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc DISTINCT word n-grams (lowercase whitespace tokens joined by
+    one space) for a whole batch, vectorized: one flat object-array join
+    builds every window with n-1 elementwise concats, windows crossing doc
+    boundaries are masked (the ``_shingle_sets_batch`` layout), and per-doc
+    dedup is one pandas drop_duplicates. Returns (grams, doc_idx) aligned
+    arrays; docs shorter than n words contribute nothing."""
+    from itertools import chain
+
+    nd = len(texts)
+    toks = [("" if t is None else t).lower().split() for t in texts]
+    lens = np.fromiter((len(w) for w in toks), np.int64, nd)
+    total = int(lens.sum())
+    if total < n:
+        return np.empty(0, object), np.empty(0, np.int64)
+    flat = np.array(list(chain.from_iterable(toks)), object)
+    nwin = total - n + 1
+    grams = flat[:nwin]
+    for j in range(1, n):
+        grams = grams + " " + flat[j:j + nwin]
+    starts = np.cumsum(lens) - lens
+    win_doc = np.repeat(np.arange(nd), lens)[:nwin]
+    valid = np.arange(nwin) - starts[win_doc] <= lens[win_doc] - n
+    df = pd.DataFrame({"d": win_doc[valid], "g": grams[valid]})
+    df = df.drop_duplicates()
+    return df["g"].to_numpy(), df["d"].to_numpy()
+
+
+def benchmark_ngram_set(bench, n: int = 3, text_col: str = "text") -> np.ndarray:
+    """Distinct word n-grams of the (SMALL) benchmark/eval corpus — the
+    broadcast side of ``decontaminate``. Per-block distinct first, so the
+    driver only ever merges vocabulary-sized partials, never token streams;
+    a benchmark is eval-set-sized by definition, so the result fits one
+    ``ray.put``. Returns a sorted unique string array."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        g, _ = _word_ngrams_batch(t.column(text_col).to_pylist(), n)
+        u = np.unique(g.astype(str)) if len(g) else np.empty(0, object)
+        return pa.table({"g": pa.array(u, pa.string())})
+
+    parts = bench.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return np.empty(0, object)
+    return np.unique(parts["g"].to_numpy())
+
+
+class ContaminationScorer:
+    """Actor-pool stage flagging training docs that share >= 1 word n-gram
+    with a benchmark set — the train/test decontamination step every
+    LLM-data pipeline runs before a corpus ships. The benchmark gram set is
+    resolved from the object store ONCE per actor (broadcast pattern: the
+    small side never re-ships per batch); membership is one hash-based
+    pd.Index probe per batch. Emits (doc_id, n_contaminated) for hits only,
+    so output is contamination-sized, not corpus-sized."""
+
+    def __init__(self, bench_ref, n: int = 3, id_col: str = "doc_id",
+                 text_col: str = "text"):
+        import ray
+
+        grams = ray.get(bench_ref) if isinstance(
+            bench_ref, ray.ObjectRef) else bench_ref
+        self.index = pd.Index(np.asarray(grams, object))
+        self.n, self.id_col, self.text_col = int(n), id_col, text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column(self.id_col), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        g, d = _word_ngrams_batch(batch.column(self.text_col).to_pylist(),
+                                  self.n)
+        if len(g) == 0 or len(self.index) == 0:
+            return _DECON_SCHEMA.empty_table()
+        member = self.index.get_indexer(g) >= 0
+        hits = np.bincount(d[member], minlength=len(ids)).astype(np.int64)
+        keep = hits > 0
+        return pa.table({"doc_id": pa.array(ids[keep], pa.int64()),
+                         "n_contaminated": pa.array(hits[keep], pa.int64())})
+
+
+def decontaminate(docs, bench, n: int = 3, id_col: str = "doc_id",
+                  text_col: str = "text", concurrency: int = 2):
+    """Contamination report for ``docs`` against benchmark corpus ``bench``:
+    (doc_id, n_contaminated = count of the doc's DISTINCT word n-grams that
+    appear anywhere in the benchmark), rows only for contaminated docs.
+    One streaming pass over the training corpus, zero shuffles: the
+    benchmark gram set broadcasts via ray.put and each scoring actor
+    resolves it once. Dropping the flagged docs is a ``filter``/anti-join
+    away; this emits the report so callers can audit before deleting."""
+    import ray
+
+    ref = ray.put(benchmark_ngram_set(bench, n=n, text_col=text_col))
+    return docs.map_batches(
+        ContaminationScorer, batch_format="pyarrow", concurrency=concurrency,
+        fn_constructor_kwargs={"bench_ref": ref, "n": n, "id_col": id_col,
+                               "text_col": text_col})

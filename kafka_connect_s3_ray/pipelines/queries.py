@@ -720,6 +720,33 @@ def q_top_terms(sf_dir: str):
     return top_k_tokens(_docs(sf_dir, ["text"]), k=25, n_buckets=32)
 
 
+def q_decontaminate(sf_dir: str):
+    """Train/eval decontamination report: docs with doc_id % 20 == 0 stand in
+    for a held-out benchmark; every other doc is scored by how many of its
+    DISTINCT word trigrams appear anywhere in the benchmark. The benchmark
+    gram set broadcasts once (ray.put -> actor __init__); the training corpus
+    streams through one zero-shuffle map_batches. Output is hits only
+    (contamination-sized, not corpus-sized)."""
+    from ..functions.text import decontaminate
+
+    def side(keep_bench: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = pc.cast(t.column("doc_id"), pa.int64()).to_numpy(
+                zero_copy_only=False)
+            mask = (ids % 20 == 0) if keep_bench else (ids % 20 != 0)
+            return t.filter(pa.array(mask))
+        return f
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    bench = docs.map_batches(side(True), batch_format="pyarrow")
+    train = docs.map_batches(side(False), batch_format="pyarrow")
+    out = decontaminate(train, bench, n=3).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return pa.table({"doc_id": pa.array(out["doc_id"], pa.int64()),
+                     "n_contaminated": pa.array(out["n_contaminated"],
+                                                pa.int64())})
+
+
 def q_lang_id(sf_dir: str):
     out = _docs(sf_dir).map_batches(LanguageId, batch_format="pyarrow", concurrency=2)
     return out.select_columns(["doc_id", "lang_pred"])
@@ -1172,6 +1199,7 @@ QUERIES = {
     "keyed_sample": q_keyed_sample,
     "top_terms": q_top_terms,
     "pii_redact": q_pii_redact,
+    "decontaminate": q_decontaminate,
     "tfidf_terms": q_tfidf_terms,
     "rolling_fingerprint": q_rolling_fingerprint,
     "minhash_near_dup": q_minhash_near_dup,
@@ -1467,6 +1495,21 @@ ORACLE_SQL = {
     "grouped_quantiles": (
         "SELECT event_type, quantile_disc(value, 0.9) AS value_p90 "
         "FROM events GROUP BY event_type ORDER BY event_type"
+    ),
+    # decontaminate: same tokenization contract as top_terms/token_count
+    # (lowercase whitespace split); grams are word trigrams joined by one
+    # space; benchmark = doc_id % 20 == 0, scored side = the rest.
+    "decontaminate": (
+        "WITH toks AS ("
+        "SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w "
+        "FROM documents WHERE text IS NOT NULL AND trim(text) <> ''"
+        "), grams AS ("
+        "SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g "
+        "FROM toks, unnest(generate_series(1, array_length(w) - 2)) AS t(i)"
+        "), bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0) "
+        "SELECT g.doc_id, CAST(count(DISTINCT g.g) AS BIGINT) AS n_contaminated "
+        "FROM grams g JOIN bench b USING (g) "
+        "WHERE g.doc_id % 20 <> 0 GROUP BY g.doc_id ORDER BY doc_id"
     ),
     # rolling_fingerprint / minhash / simhash / IVF / sketches:
     # non-SQL-expressible (seeded LSH, mergeable sketches, rolling hashes)

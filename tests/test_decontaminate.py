@@ -1,0 +1,82 @@
+"""decontaminate: benchmark n-gram membership must flag exactly the docs
+sharing a word n-gram with the benchmark corpus, counting each doc's
+DISTINCT contaminated grams once (SQL count(DISTINCT g) semantics)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from kafka_connect_s3_ray.functions.text import (ContaminationScorer,
+                                                 _word_ngrams_batch,
+                                                 benchmark_ngram_set,
+                                                 decontaminate)
+
+
+def _docs(rows, blocks=3):
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    })).repartition(blocks)
+
+
+def _ngrams_ref(text, n):
+    w = (text or "").lower().split()
+    return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+
+
+@pytest.mark.parametrize("n", [2, 3, 5])
+def test_batch_ngrams_match_per_doc_reference(n, ray_session):
+    rng = np.random.RandomState(n)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(vocab, rng.randint(0, 12)))
+             for _ in range(50)] + [None, "", "  ", "one two"]
+    grams, didx = _word_ngrams_batch(texts, n)
+    got = {}
+    for g, d in zip(grams, didx):
+        got.setdefault(int(d), set()).add(g)
+    for i, t in enumerate(texts):
+        assert got.get(i, set()) == _ngrams_ref(t, n), i
+    # per-doc distinct: no (doc, gram) pair appears twice
+    assert len(grams) == len({(int(d), g) for d, g in zip(didx, grams)})
+
+
+def test_planted_contamination_flagged_exactly(ray_session):
+    bench = _docs([(0, "the quick brown fox jumps"),
+                   (20, "pack my box with five dozen jugs")])
+    train = _docs([
+        (1, "a quick brown fox ran away"),        # shares 'quick brown fox'
+        (2, "my box with five dozen jugs of ale"  # shares 3 benchmark grams
+        ), (3, "completely unrelated words here"),
+        (4, "the quick brown fox jumps the quick brown fox jumps"),  # dup grams count once
+    ])
+    out = decontaminate(train, bench, n=3).to_pandas()
+    got = dict(zip(out["doc_id"], out["n_contaminated"]))
+    assert got == {1: 1, 2: 4, 4: 3}
+    # 2: 'my box with','box with five','with five dozen','five dozen jugs'
+    # 4: the 3 distinct grams of the 5-word benchmark doc, each counted once
+
+
+def test_no_benchmark_or_no_overlap_empty(ray_session):
+    train = _docs([(1, "alpha beta gamma delta")])
+    out = decontaminate(train, _docs([(0, "x y")]), n=3)
+    # Ray to_pandas() drops columns on an empty dataset — check the schema
+    assert out.schema().names == ["doc_id", "n_contaminated"]
+    assert out.count() == 0
+    out2 = decontaminate(train, _docs([(0, "zz yy xx ww")]), n=3).to_pandas()
+    assert len(out2) == 0
+
+
+def test_benchmark_set_is_distinct_sorted(ray_session):
+    bench = _docs([(0, "a b c a b c"), (20, "b c d")], blocks=2)
+    grams = benchmark_ngram_set(bench, n=2)
+    assert list(grams) == ["a b", "b c", "c a", "c d"]
+
+
+def test_scorer_accepts_plain_array(ray_session):
+    """The broadcast ref can be a raw array in unit scope (no ray.put)."""
+    s = ContaminationScorer(np.array(["a b c"], object), n=3)
+    out = s(pa.table({"doc_id": pa.array([7], pa.int64()),
+                      "text": pa.array(["x a b c y"], pa.string())}))
+    assert out.to_pydict() == {"doc_id": [7], "n_contaminated": [1]}
