@@ -135,7 +135,7 @@ def run_bench() -> dict:
         "change_data_feed", "train_val_split", "top_terms",
         "near_dup_clusters", "pii_redact", "tfidf_terms",
         "embedding_centroids", "value_histogram", "quality_filtered",
-        "grouped_quantiles", "decontaminate",
+        "grouped_quantiles", "decontaminate", "json_props_agg",
     ]
     panel_results: dict = {}
     panel_trials = int(os.environ.get("BENCH_PANEL_TRIALS", "2"))

@@ -1570,7 +1570,12 @@ def _components_driver(edges: "ray.data.Dataset") -> "ray.data.Dataset":
     path-halving find + min-root union, one pass over a numpy edge list.
     Each alternating-star round costs several Ray stages of fixed overhead;
     below the cap that overhead dominates the actual work by ~10x."""
-    tbl = pa.concat_tables(ray.get(edges.to_arrow_refs()))
+    # select() normalizes column order and drops empty blocks whose schema
+    # drifted (an upstream stage's no-match bucket can emit a column-less or
+    # reordered empty table; concat_tables refuses mixed schemas)
+    blocks = [t.select(["child", "parent"])
+              for t in ray.get(edges.to_arrow_refs()) if t.num_rows]
+    tbl = pa.concat_tables(blocks)
     c = tbl.column("child").to_numpy(zero_copy_only=False).astype(np.int64)
     p = tbl.column("parent").to_numpy(zero_copy_only=False).astype(np.int64)
     parent: dict = {}

@@ -720,6 +720,30 @@ def q_top_terms(sf_dir: str):
     return top_k_tokens(_docs(sf_dir, ["text"]), k=25, n_buckets=32)
 
 
+def q_json_props_agg(sf_dir: str):
+    """Semi-structured extraction + aggregate: parse the JSON ``props``
+    column (one vectorized C++ parse per batch via pyarrow.json — no per-row
+    json.loads), extract int field ``k``, and sum it per event_type with
+    per-batch combiners + the tiny driver finish. SQL side uses DuckDB's
+    native json_extract on the same strings."""
+    from ..functions.jsoncol import json_extract
+
+    def part(t: pa.Table) -> pa.Table:
+        t = json_extract(t, "props", {"k": pa.int64()}, drop=True)
+        df = (t.to_pandas().groupby("event_type", as_index=False)
+              .agg(n_p=("k", "size"), k_p=("k", "sum")))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = _events(sf_dir, ["event_type", "props"]).map_batches(
+        part, batch_format="pyarrow")
+    out = _sum_partials(parts, "event_type",
+                        {"n_p": "n", "k_p": "sum_k"}).to_pandas()
+    out = out.sort_values("event_type").reset_index(drop=True)
+    return pa.table({"event_type": pa.array(out["event_type"], pa.string()),
+                     "n": pa.array(out["n"], pa.int64()),
+                     "sum_k": pa.array(out["sum_k"], pa.int64())})
+
+
 def q_decontaminate(sf_dir: str):
     """Train/eval decontamination report: docs with doc_id % 20 == 0 stand in
     for a held-out benchmark; every other doc is scored by how many of its
@@ -1200,6 +1224,7 @@ QUERIES = {
     "top_terms": q_top_terms,
     "pii_redact": q_pii_redact,
     "decontaminate": q_decontaminate,
+    "json_props_agg": q_json_props_agg,
     "tfidf_terms": q_tfidf_terms,
     "rolling_fingerprint": q_rolling_fingerprint,
     "minhash_near_dup": q_minhash_near_dup,
@@ -1510,6 +1535,11 @@ ORACLE_SQL = {
         "SELECT g.doc_id, CAST(count(DISTINCT g.g) AS BIGINT) AS n_contaminated "
         "FROM grams g JOIN bench b USING (g) "
         "WHERE g.doc_id % 20 <> 0 GROUP BY g.doc_id ORDER BY doc_id"
+    ),
+    "json_props_agg": (
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) "
+        "AS sum_k FROM events GROUP BY event_type ORDER BY event_type"
     ),
     # rolling_fingerprint / minhash / simhash / IVF / sketches:
     # non-SQL-expressible (seeded LSH, mergeable sketches, rolling hashes)

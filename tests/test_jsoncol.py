@@ -1,0 +1,73 @@
+"""json_extract: the newline-framed vectorized parse must behave like SQL
+json_extract — typed columns, NULL for missing keys and NULL rows, loud
+errors for malformed payloads (never silent misalignment)."""
+
+import pyarrow as pa
+import pytest
+
+from kafka_connect_s3_ray.functions.jsoncol import json_extract
+
+
+def _t(vals):
+    return pa.table({"id": pa.array(range(len(vals)), pa.int64()),
+                     "props": pa.array(vals, pa.string())})
+
+
+def test_extracts_typed_fields():
+    out = json_extract(_t(['{"k": 7, "s": "x"}', '{"k": -2}']),
+                       "props", {"k": pa.int64(), "s": pa.string()})
+    assert out.column("k").to_pylist() == [7, -2]
+    assert out.column("s").to_pylist() == ["x", None]
+    assert out.column("k").type == pa.int64()
+    assert "props" in out.column_names  # drop defaults to False
+
+
+def test_null_row_and_missing_key_yield_null():
+    out = json_extract(_t([None, "{}", '{"k": 1}']), "props",
+                       {"k": pa.int64()}, drop=True)
+    assert out.column("k").to_pylist() == [None, None, 1]
+    assert "props" not in out.column_names
+
+
+def test_all_null_batch_keeps_types():
+    out = json_extract(_t([None, None]), "props", {"k": pa.int64()})
+    assert out.column("k").type == pa.int64()
+    assert out.column("k").null_count == 2
+
+
+def test_empty_batch():
+    out = json_extract(_t([]), "props", {"k": pa.int64()})
+    assert len(out) == 0 and out.column("k").type == pa.int64()
+
+
+def test_malformed_json_raises():
+    with pytest.raises(ValueError, match="malformed"):
+        json_extract(_t(['{"k": }']), "props", {"k": pa.int64()})
+
+
+def test_pretty_printed_objects_still_align():
+    # Arrow's JSON reader is block-based, not strict NDJSON: an object
+    # spanning lines parses as ONE row, so framing survives pretty-printing
+    out = json_extract(_t(['{\n  "k": 1\n}', '{"k": 2}']), "props",
+                       {"k": pa.int64()})
+    assert out.column("k").to_pylist() == [1, 2]
+
+
+def test_raw_newline_in_string_value_raises():
+    # a literal newline inside a JSON string is invalid JSON; the parse
+    # fails loudly instead of silently misaligning rows
+    with pytest.raises(ValueError):
+        json_extract(_t(['{"s": "a\nb", "k": 1}', '{"k": 2}']), "props",
+                     {"k": pa.int64()})
+
+
+def test_matches_duckdb_json_extract():
+    import duckdb
+
+    vals = ['{"k": 5}', '{"k": 0}', "{}", None, '{"k": 123, "z": "q"}']
+    out = json_extract(_t(vals), "props", {"k": pa.int64()})
+    exp = duckdb.sql(
+        "SELECT CAST(json_extract(p, '$.k') AS BIGINT) AS k "
+        "FROM (SELECT unnest(?) AS p)", params=[vals]).df()["k"]
+    assert out.column("k").to_pylist() == [
+        None if v != v else int(v) for v in exp]
