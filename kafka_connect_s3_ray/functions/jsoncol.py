@@ -35,6 +35,11 @@ def json_extract(batch: pa.Table, col: str, fields: dict[str, pa.DataType],
     (framing depends on one-object-per-line; standard serializers never
     emit raw newlines inside a JSON string, and a mismatch is detected by
     row count rather than silently misaligned)."""
+    existing = set(batch.column_names) - ({col} if drop else set())
+    clash = [n for n in fields if n in existing]
+    if clash:
+        raise ValueError(f"json_extract: output fields {clash} collide with "
+                         f"existing columns; rename or drop them first")
     s = pc.fill_null(pc.cast(batch.column(col), pa.string()), "{}")
     schema = pa.schema(list(fields.items()))
     if len(batch) == 0:
@@ -42,6 +47,14 @@ def json_extract(batch: pa.Table, col: str, fields: dict[str, pa.DataType],
         for name, typ in fields.items():
             out = out.append_column(name, pa.array([], typ))
         return out
+    # a whitespace-only cell would frame to ZERO lines (the reader skips
+    # blanks), which could cancel against a multi-object cell and defeat the
+    # row-count alignment check below — reject it as the malformed JSON it is
+    blank = pc.and_(pc.is_valid(batch.column(col)),
+                    pc.equal(pc.utf8_trim_whitespace(s), ""))
+    if pc.any(blank).as_py():
+        raise ValueError(f"json_extract: column {col!r} holds empty/"
+                         f"whitespace-only strings — not valid JSON objects")
     payload = "\n".join(s.to_pylist()).encode("utf-8")
     try:
         parsed = pj.read_json(
@@ -54,8 +67,8 @@ def json_extract(batch: pa.Table, col: str, fields: dict[str, pa.DataType],
     if len(parsed) != len(batch):
         raise ValueError(
             f"json_extract: column {col!r} framed to {len(parsed)} JSON "
-            f"objects for {len(batch)} rows — a value embeds a raw newline "
-            f"or is not a single object")
+            f"objects for {len(batch)} rows — a value concatenates several "
+            f"objects or is not a single object")
     out = batch.drop_columns([col]) if drop else batch
     for name in fields:
         out = out.append_column(name, parsed.column(name))

@@ -407,7 +407,10 @@ class ContaminationScorer:
 
         grams = ray.get(bench_ref) if isinstance(
             bench_ref, ray.ObjectRef) else bench_ref
-        self.index = pd.Index(np.asarray(grams, object))
+        # pd.Index.get_indexer requires uniqueness; benchmark_ngram_set
+        # already dedups, but a caller-built array may not — one np.unique
+        # here beats an InvalidIndexError deep inside the first batch
+        self.index = pd.Index(np.unique(np.asarray(grams, object)))
         self.n, self.id_col, self.text_col = int(n), id_col, text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -730,18 +730,28 @@ def q_json_props_agg(sf_dir: str):
 
     def part(t: pa.Table) -> pa.Table:
         t = json_extract(t, "props", {"k": pa.int64()}, drop=True)
-        df = (t.to_pandas().groupby("event_type", as_index=False)
-              .agg(n_p=("k", "size"), k_p=("k", "sum")))
+        k = t.column("k")
+        # int64 all the way: to_pandas would degrade a nulled int64 column
+        # to float64 (exactness lost past 2^53); sum nulls-as-0 and carry a
+        # non-null count so the final can emit SQL's NULL for all-null groups
+        df = pd.DataFrame({
+            "event_type": t.column("event_type").to_pandas(),
+            "k0": pc.fill_null(k, 0).to_numpy(zero_copy_only=False),
+            "nn": pc.is_valid(k).to_numpy(zero_copy_only=False).astype(np.int64),
+        }).groupby("event_type", as_index=False).agg(
+            n_p=("k0", "size"), k_p=("k0", "sum"), nn_p=("nn", "sum"))
         return pa.Table.from_pandas(df, preserve_index=False)
 
     parts = _events(sf_dir, ["event_type", "props"]).map_batches(
         part, batch_format="pyarrow")
     out = _sum_partials(parts, "event_type",
-                        {"n_p": "n", "k_p": "sum_k"}).to_pandas()
+                        {"n_p": "n", "k_p": "sum_k", "nn_p": "nn"}).to_pandas()
     out = out.sort_values("event_type").reset_index(drop=True)
+    sum_k = [None if nn == 0 else int(s)
+             for s, nn in zip(out["sum_k"], out["nn"])]
     return pa.table({"event_type": pa.array(out["event_type"], pa.string()),
                      "n": pa.array(out["n"], pa.int64()),
-                     "sum_k": pa.array(out["sum_k"], pa.int64())})
+                     "sum_k": pa.array(sum_k, pa.int64())})
 
 
 def q_decontaminate(sf_dir: str):
@@ -765,6 +775,9 @@ def q_decontaminate(sf_dir: str):
     bench = docs.map_batches(side(True), batch_format="pyarrow")
     train = docs.map_batches(side(False), batch_format="pyarrow")
     out = decontaminate(train, bench, n=3).to_pandas()
+    if out.empty:  # Ray to_pandas() drops columns on an empty dataset
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_contaminated": pa.array([], pa.int64())})
     out = out.sort_values("doc_id").reset_index(drop=True)
     return pa.table({"doc_id": pa.array(out["doc_id"], pa.int64()),
                      "n_contaminated": pa.array(out["n_contaminated"],
@@ -1526,8 +1539,9 @@ ORACLE_SQL = {
     # space; benchmark = doc_id % 20 == 0, scored side = the rest.
     "decontaminate": (
         "WITH toks AS ("
-        "SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w "
-        "FROM documents WHERE text IS NOT NULL AND trim(text) <> ''"
+        "SELECT doc_id, list_filter(regexp_split_to_array(lower(text), "
+        "'\\s+'), x -> x <> '') AS w "
+        "FROM documents WHERE text IS NOT NULL"
         "), grams AS ("
         "SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g "
         "FROM toks, unnest(generate_series(1, array_length(w) - 2)) AS t(i)"

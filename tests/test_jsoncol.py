@@ -61,6 +61,57 @@ def test_raw_newline_in_string_value_raises():
                      {"k": pa.int64()})
 
 
+def test_multi_object_plus_blank_cell_cannot_cancel():
+    # a concatenated-objects cell (+1 parsed row) and a blank cell (-1,
+    # skipped by the block reader) would balance the row count and silently
+    # misalign; the blank cell must be rejected upfront as malformed
+    with pytest.raises(ValueError, match="whitespace-only"):
+        json_extract(_t(['{"k": 1} {"k": 2}', '']), "props",
+                     {"k": pa.int64()})
+    with pytest.raises(ValueError, match="whitespace-only"):
+        json_extract(_t([' \t ']), "props", {"k": pa.int64()})
+    # without a cancelling blank, the count check itself fires
+    with pytest.raises(ValueError, match="concatenates"):
+        json_extract(_t(['{"k": 1} {"k": 2}']), "props", {"k": pa.int64()})
+
+
+def test_field_name_collision_raises():
+    with pytest.raises(ValueError, match="collide"):
+        json_extract(_t(['{"id": 9}']), "props", {"id": pa.int64()})
+    # dropping the source column frees its name
+    out = json_extract(_t(['{"props": 3}']), "props",
+                       {"props": pa.int64()}, drop=True)
+    assert out.column("props").to_pylist() == [3]
+
+
+def test_all_null_field_group_sums_to_sql_null(tmp_path):
+    """q_json_props_agg must emit NULL (not 0) for a group whose extracted
+    field is always missing — SQL sum-over-nulls semantics."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    import kafka_connect_s3_ray.pipelines.queries as Q
+
+    t = pa.table({
+        "event_id": pa.array(range(6), pa.int64()),
+        "ts": pa.array([0] * 6, pa.timestamp("us")),
+        "user_id": pa.array([1] * 6, pa.int64()),
+        "event_type": pa.array(["a", "a", "b", "b", "c", "c"], pa.string()),
+        "value": pa.array([0.0] * 6, pa.float64()),
+        "props": pa.array(['{"k": 3}', '{"k": 4}', "{}", "{}",
+                           '{"k": 1}', "{}"], pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = Q.q_json_props_agg(str(tmp_path)).to_pydict()
+    assert got == {"event_type": ["a", "b", "c"], "n": [2, 2, 2],
+                   "sum_k": [7, None, 1]}
+    exp = duckdb.sql(
+        Q.ORACLE_SQL["json_props_agg"].replace(
+            "FROM events", f"FROM read_parquet('{tmp_path}/events.parquet')")
+    ).df()
+    assert [None if v != v else int(v) for v in exp["sum_k"]] == [7, None, 1]
+
+
 def test_matches_duckdb_json_extract():
     import duckdb
 
