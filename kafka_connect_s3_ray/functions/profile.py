@@ -94,3 +94,121 @@ def value_histogram(ds, col: str, lo: float, hi: float,
     return pa.table({"bin": pa.array(bins, pa.int64()),
                      "bin_lo": pa.array(lo + bins * w, pa.float64()),
                      "n": pa.array(fin["n"].to_numpy(), pa.int64())})
+
+
+def embedding_covariance(ds, vec_col: str = "embedding") -> pa.Table:
+    """Population covariance matrix of the embedding columns, LONG upper
+    triangle: one row per (dim_i, dim_j), i <= j, cov rounded to 6 dp (the
+    same float contract as ``embedding_centroids``). The distributed-PCA
+    building block: each block collapses to ONE (d x d) X^T X partial plus
+    column sums — a 64-dim corpus ships 4k floats per block no matter how
+    many rows it holds; the driver merges partials and applies
+    cov = S2/n - outer(s, s)/n^2. No exchange, no second pass."""
+    from .dedup import _list_flat
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, lens = _list_flat(t.column(vec_col))
+        if len(lens) == 0:
+            return pa.table({"d": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.list_(pa.float64())),
+                             "s2": pa.array([], pa.list_(pa.float64()))})
+        d = int(lens[0])
+        assert (lens == d).all(), "ragged embedding widths"
+        x = flat.astype(np.float64).reshape(-1, d)
+        return pa.table({
+            "d": pa.array([d], pa.int64()),
+            "n": pa.array([len(x)], pa.int64()),
+            "s": pa.array([x.sum(axis=0).tolist()], pa.list_(pa.float64())),
+            "s2": pa.array([(x.T @ x).ravel().tolist()],
+                           pa.list_(pa.float64()))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pa.table({"dim_i": pa.array([], pa.int64()),
+                         "dim_j": pa.array([], pa.int64()),
+                         "cov": pa.array([], pa.float64())})
+    d = int(parts["d"].iloc[0])
+    if (parts["d"] != d).any():
+        raise ValueError("embedding width differs across blocks")
+    n = int(parts["n"].sum())
+    s = np.sum(np.stack([np.asarray(v) for v in parts["s"]]), axis=0)
+    s2 = np.sum(np.stack([np.asarray(v) for v in parts["s2"]]),
+                axis=0).reshape(d, d)
+    cov = s2 / n - np.outer(s, s) / (n * n)
+    iu, ju = np.triu_indices(d)
+    return pa.table({"dim_i": pa.array(iu.astype(np.int64)),
+                     "dim_j": pa.array(ju.astype(np.int64)),
+                     "cov": pa.array(np.round(cov[iu, ju], 6), pa.float64())})
+
+
+def pca_project(ds, q: int, vec_col: str = "embedding",
+                id_col: str = "vec_id"):
+    """Project embeddings onto their top-q principal components. The
+    covariance comes from ``embedding_covariance``'s one-pass partials (the
+    full corpus is never centered in memory), the (d x d) eigendecomposition
+    runs on the driver, and the (d x q) component matrix broadcasts into a
+    streaming map_batches — the classic two-stage distributed PCA.
+    Deterministic: components are sign-fixed (largest-|loading| coordinate
+    positive, ties to the lower index) and eigenvalues sort descending.
+    Returns a Dataset of (id_col, pc_0..pc_{q-1}) float64 columns."""
+    import ray
+
+    from .dedup import _list_flat
+
+    cov_tbl = embedding_covariance(ds, vec_col=vec_col)
+    if len(cov_tbl) == 0:
+        raise ValueError("pca_project: no embeddings")
+    i = cov_tbl.column("dim_i").to_numpy(zero_copy_only=False)
+    j = cov_tbl.column("dim_j").to_numpy(zero_copy_only=False)
+    c = cov_tbl.column("cov").to_numpy(zero_copy_only=False)
+    d = int(j.max()) + 1
+    cov = np.zeros((d, d))
+    cov[i, j] = c
+    cov[j, i] = c
+    w, v = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(w)[::-1][:q]
+    comps = v[:, order]                  # (d, q)
+    flip = comps[np.abs(comps).argmax(axis=0), np.arange(comps.shape[1])] < 0
+    comps[:, flip] *= -1.0
+
+    # mean for centering, from the same partials contract (tiny second scan
+    # of only the vec column — cheaper than shipping uncentered projections)
+    def mean_part(t: pa.Table) -> pa.Table:
+        flat, lens = _list_flat(t.column(vec_col))
+        if len(lens) == 0:
+            return pa.table({"n": pa.array([0], pa.int64()),
+                             "s": pa.array([[0.0] * d, ],
+                                           pa.list_(pa.float64()))})
+        x = flat.astype(np.float64).reshape(-1, int(lens[0]))
+        return pa.table({"n": pa.array([len(x)], pa.int64()),
+                         "s": pa.array([x.sum(axis=0).tolist()],
+                                       pa.list_(pa.float64()))})
+
+    mp = ds.map_batches(mean_part, batch_format="pyarrow").to_pandas()
+    mean = (np.sum(np.stack([np.asarray(x) for x in mp["s"]]), axis=0)
+            / max(int(mp["n"].sum()), 1))
+    ref = ray.put((comps, mean))
+
+    class Project:
+        def __init__(self, ref):
+            self.comps, self.mean = ray.get(ref) if isinstance(
+                ref, ray.ObjectRef) else ref
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = pc.cast(t.column(id_col), pa.int64())
+            flat, lens = _list_flat(t.column(vec_col))
+            if len(lens) == 0:
+                cols = {id_col: pa.array([], pa.int64())}
+                for k in range(self.comps.shape[1]):
+                    cols[f"pc_{k}"] = pa.array([], pa.float64())
+                return pa.table(cols)
+            x = flat.astype(np.float64).reshape(-1, self.comps.shape[0])
+            proj = (x - self.mean) @ self.comps
+            cols = {id_col: ids}
+            for k in range(self.comps.shape[1]):
+                cols[f"pc_{k}"] = pa.array(proj[:, k], pa.float64())
+            return pa.table(cols)
+
+    return ds.map_batches(Project, batch_format="pyarrow", concurrency=2,
+                          fn_constructor_kwargs={"ref": ref})

@@ -1060,6 +1060,31 @@ def q_embedding_centroids(sf_dir: str):
     return embedding_centroids(emb)
 
 
+def q_embedding_covariance(sf_dir: str):
+    """Population covariance of the 64 embedding dims, long upper triangle:
+    per-block X^T X + column-sum partials (4k floats per block regardless of
+    rows), driver finish — the distributed-PCA building block, zero
+    exchanges. Rounded to 6 dp like the centroid entry; SQL side is
+    covar_pop over a vec_id-aligned self-join of the unnested components."""
+    from ..functions.profile import embedding_covariance
+
+    emb = _read_bounded(os.path.join(sf_dir, "embeddings.parquet"),
+                        ["embedding"])
+    return embedding_covariance(emb)
+
+
+def q_pca_projection(sf_dir: str):
+    """Top-4 principal-component projection of the embeddings (rows-only:
+    eigendecomposition is not SQL-expressible; pytest proves equality with
+    a single-machine numpy PCA). Covariance from one-pass partials, eigh on
+    the driver, (d x q) components broadcast into a streaming projection."""
+    from ..functions.profile import pca_project
+
+    out = pca_project(_emb(sf_dir), q=4).to_pandas()
+    out = out.sort_values("vec_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def q_value_histogram(sf_dir: str):
     """Fixed 40-bin histogram of event values over [0, 400): per-block
     bincount partials, driver sum. floor/clip arithmetic mirrors the SQL
@@ -1254,6 +1279,8 @@ QUERIES = {
     "exact_quantiles": q_exact_quantiles,
     "grouped_quantiles": q_grouped_quantiles,
     "embedding_centroids": q_embedding_centroids,
+    "embedding_covariance": q_embedding_covariance,
+    "pca_projection": q_pca_projection,
     "value_histogram": q_value_histogram,
     "quality_filtered": q_quality_filtered,
     "cosine_topk": q_cosine_topk,
@@ -1643,6 +1670,16 @@ ORACLE_SQL["embedding_centroids"] = (
     "SELECT label, CAST(i - 1 AS BIGINT) AS dim, "
     "round(avg(CAST(v AS DOUBLE)), 6) AS centroid "
     "FROM u GROUP BY label, i ORDER BY label, dim"
+)
+
+ORACLE_SQL["embedding_covariance"] = (
+    "WITH u AS (SELECT vec_id, "
+    "unnest(generate_series(1, array_length(embedding))) AS i, "
+    "unnest(embedding) AS v FROM embeddings WHERE embedding IS NOT NULL) "
+    "SELECT CAST(a.i - 1 AS BIGINT) AS dim_i, CAST(b.i - 1 AS BIGINT) AS "
+    "dim_j, round(covar_pop(CAST(a.v AS DOUBLE), CAST(b.v AS DOUBLE)), 6) "
+    "AS cov FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i "
+    "GROUP BY a.i, b.i ORDER BY dim_i, dim_j"
 )
 
 # histogram: identical clamp-floor arithmetic as value_histogram; empty bins

@@ -76,7 +76,7 @@ SQL_CHECKED = [
     "dedup_exact", "token_sum_by_lang", "cosine_topk", "embedding_near_dup", "lang_id",
     "distinct_users_by_type", "ngram_jaccard", "near_dup_clusters",
     "pii_redact", "decontaminate", "json_props_agg", "tfidf_terms",
-    "embedding_centroids",
+    "embedding_centroids", "embedding_covariance",
     "value_histogram",
     "quality_filtered", "rolling_fingerprint",
     "train_val_split", "keyed_sample", "top_terms",
@@ -95,6 +95,8 @@ ROWS_ONLY = [
     "cosine_topk_ivf", "cosine_topk_ivf_indexed",
     "media_features",
     "approx_quantiles",
+    "pca_projection",  # eigendecomposition: not SQL-expressible; pytest
+                       # asserts equality with single-machine numpy PCA
 ]
 
 
