@@ -136,7 +136,7 @@ def run_bench() -> dict:
         "near_dup_clusters", "pii_redact", "tfidf_terms",
         "embedding_centroids", "value_histogram", "quality_filtered",
         "grouped_quantiles", "decontaminate", "json_props_agg",
-        "embedding_covariance", "pca_projection",
+        "embedding_covariance", "pca_projection", "funnel",
     ]
     panel_results: dict = {}
     panel_trials = int(os.environ.get("BENCH_PANEL_TRIALS", "2"))

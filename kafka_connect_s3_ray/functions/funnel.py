@@ -1,0 +1,58 @@
+"""Ordered-sequence funnel analysis: for each user, the earliest time each
+funnel stage was reached, where stage k must happen STRICTLY after the
+user's stage-(k-1) time (min-over-condition chain, the standard conversion
+funnel).
+
+Distributed shape: users co-locate by hash bucket (ONE coarse exchange of
+only (user, type, ts) — the repo's topk_per_group / tfidf bucketing idiom),
+and each bucket resolves its users' whole funnel with vectorized pandas
+merges — per-stage work is O(bucket rows), no per-user Python. Output is
+one row per distinct user with a nullable timestamp per stage (users who
+never reach a stage carry NULL from there on), which is exactly the LEFT
+JOIN chain a SQL oracle writes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["funnel"]
+
+
+def funnel(ds, stages: list[str], user_col: str = "user_id",
+           type_col: str = "event_type", ts_col: str = "ts",
+           n_buckets: int = 32):
+    """Per-user funnel times over ``stages`` (strictly increasing ts chain).
+    Returns a Dataset of (user_col, t_<stage>...) — one row per distinct
+    user seen in ``ds``. Duplicate stage names would collide in the output
+    and are rejected."""
+    if len(stages) == 0 or len(set(stages)) != len(stages):
+        raise ValueError(f"stages must be non-empty and distinct: {stages}")
+    from .dedup import _splitmix64_mix
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = pc.cast(t.column(user_col), pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        b = (_splitmix64_mix(u) % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("bucket", pa.array(b))
+
+    def bucket_funnel(g: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({user_col: np.unique(g[user_col].to_numpy())})
+        prev = None  # (user, _prev) — users who reached the previous stage
+        for s in stages:
+            rows = g.loc[g[type_col] == s, [user_col, ts_col]]
+            if prev is not None:
+                rows = rows.merge(prev, on=user_col)
+                rows = rows[rows[ts_col] > rows["_prev"]]
+            t = (rows.groupby(user_col, as_index=False)[ts_col].min()
+                 .rename(columns={ts_col: f"t_{s}"}))
+            out = out.merge(t, on=user_col, how="left")
+            prev = t.rename(columns={f"t_{s}": "_prev"})
+        return out
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(bucket_funnel, batch_format="pandas"))

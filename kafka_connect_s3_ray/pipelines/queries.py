@@ -720,6 +720,24 @@ def q_top_terms(sf_dir: str):
     return top_k_tokens(_docs(sf_dir, ["text"]), k=25, n_buckets=32)
 
 
+def q_funnel(sf_dir: str):
+    """view -> click -> purchase conversion funnel: per user, the earliest
+    time each stage was reached strictly after the previous one. One coarse
+    user-hash exchange of (user, type, ts); vectorized per-bucket merges; a
+    stage never reached carries NULL (the SQL LEFT JOIN chain)."""
+    from ..functions.funnel import funnel
+
+    out = funnel(_events(sf_dir, ["user_id", "event_type", "ts"]),
+                 ["view", "click", "purchase"]).to_pandas()
+    out = out.sort_values("user_id").reset_index(drop=True)
+    return pa.table({
+        "user_id": pa.array(out["user_id"], pa.int64()),
+        "t_view": pa.array(out["t_view"]).cast(pa.timestamp("us")),
+        "t_click": pa.array(out["t_click"]).cast(pa.timestamp("us")),
+        "t_purchase": pa.array(out["t_purchase"]).cast(pa.timestamp("us")),
+    })
+
+
 def q_json_props_agg(sf_dir: str):
     """Semi-structured extraction + aggregate: parse the JSON ``props``
     column (one vectorized C++ parse per batch via pyarrow.json — no per-row
@@ -1263,6 +1281,7 @@ QUERIES = {
     "pii_redact": q_pii_redact,
     "decontaminate": q_decontaminate,
     "json_props_agg": q_json_props_agg,
+    "funnel": q_funnel,
     "tfidf_terms": q_tfidf_terms,
     "rolling_fingerprint": q_rolling_fingerprint,
     "minhash_near_dup": q_minhash_near_dup,
@@ -1581,6 +1600,20 @@ ORACLE_SQL = {
         "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
         "CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) "
         "AS sum_k FROM events GROUP BY event_type ORDER BY event_type"
+    ),
+    "funnel": (
+        "WITH u AS (SELECT DISTINCT user_id FROM events), "
+        "v AS (SELECT user_id, min(ts) AS t_view FROM events "
+        "WHERE event_type = 'view' GROUP BY user_id), "
+        "c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e "
+        "JOIN v ON e.user_id = v.user_id AND e.event_type = 'click' "
+        "AND e.ts > v.t_view GROUP BY e.user_id), "
+        "p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e "
+        "JOIN c ON e.user_id = c.user_id AND e.event_type = 'purchase' "
+        "AND e.ts > c.t_click GROUP BY e.user_id) "
+        "SELECT u.user_id, v.t_view, c.t_click, p.t_purchase FROM u "
+        "LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id) "
+        "LEFT JOIN p USING (user_id) ORDER BY user_id"
     ),
     # rolling_fingerprint / minhash / simhash / IVF / sketches:
     # non-SQL-expressible (seeded LSH, mergeable sketches, rolling hashes)

@@ -1,0 +1,103 @@
+"""funnel: the per-bucket vectorized min-over-condition chain must match
+hand-computed stage times, including strict-after tie semantics, users who
+stall mid-funnel, and out-of-order arrivals."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from kafka_connect_s3_ray.functions.funnel import funnel
+
+
+def _ds(rows, blocks=3):
+    return ray.data.from_arrow(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows], pa.string()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+    })).repartition(blocks)
+
+
+def _got(rows, stages, **kw):
+    out = funnel(_ds(rows), stages, **kw).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def test_hand_computed_chain():
+    rows = [
+        # user 1: clean view(10) -> click(20) -> purchase(30)
+        (1, "view", 10), (1, "click", 20), (1, "purchase", 30),
+        # user 2: click BEFORE first view never counts; second click does
+        (2, "click", 5), (2, "view", 10), (2, "click", 15), (2, "purchase", 40),
+        # user 3: stalls after view (purchase precedes any post-view click)
+        (3, "view", 10), (3, "purchase", 20),
+        # user 4: never views, but exists in the table
+        (4, "click", 10), (4, "purchase", 20),
+        # user 5: earliest of several valid candidates wins at each stage
+        (5, "view", 1), (5, "view", 3), (5, "click", 2), (5, "click", 4),
+        (5, "purchase", 3), (5, "purchase", 9),
+    ]
+    out = _got(rows, ["view", "click", "purchase"])
+    exp = pd.DataFrame({
+        "user_id": [1, 2, 3, 4, 5],
+        "t_view": [10, 10, 10, np.nan, 1],
+        "t_click": [20, 15, np.nan, np.nan, 2],
+        "t_purchase": [30, 40, np.nan, np.nan, 3],
+    })
+    for c in ["t_view", "t_click", "t_purchase"]:
+        got = out[c].astype("int64", errors="ignore")
+        for i in range(len(exp)):
+            e = exp[c][i]
+            v = out[c][i]
+            if np.isnan(e):
+                assert pd.isna(v), (c, i)
+            else:
+                assert v == pd.Timestamp(int(e), unit="us"), (c, i, v)
+
+
+def test_strictly_after_ties_excluded():
+    # click at the SAME ts as the first view does not advance the funnel
+    rows = [(1, "view", 10), (1, "click", 10), (1, "click", 11)]
+    out = _got(rows, ["view", "click"])
+    assert out["t_click"][0] == pd.Timestamp(11, unit="us")
+    rows2 = [(1, "view", 10), (1, "click", 10)]
+    out2 = _got(rows2, ["view", "click"])
+    assert pd.isna(out2["t_click"][0])
+
+
+def test_matches_sql_reference_on_random_sequences(ray_session):
+    import duckdb
+
+    rng = np.random.RandomState(11)
+    rows = [(int(rng.randint(0, 40)),
+             str(rng.choice(["view", "click", "purchase", "other"])),
+             int(rng.randint(0, 1000)))
+            for _ in range(2000)]
+    out = _got(rows, ["view", "click", "purchase"])
+    df = pd.DataFrame(rows, columns=["user_id", "event_type", "ts_i"])
+    df["ts"] = pd.to_datetime(df["ts_i"], unit="us")
+    exp = duckdb.sql("""
+        WITH u AS (SELECT DISTINCT user_id FROM df),
+        v AS (SELECT user_id, min(ts) t_view FROM df
+              WHERE event_type='view' GROUP BY user_id),
+        c AS (SELECT e.user_id, min(e.ts) t_click FROM df e
+              JOIN v ON e.user_id=v.user_id AND e.event_type='click'
+              AND e.ts > v.t_view GROUP BY e.user_id),
+        p AS (SELECT e.user_id, min(e.ts) t_purchase FROM df e
+              JOIN c ON e.user_id=c.user_id AND e.event_type='purchase'
+              AND e.ts > c.t_click GROUP BY e.user_id)
+        SELECT u.user_id, v.t_view, c.t_click, p.t_purchase FROM u
+        LEFT JOIN v USING(user_id) LEFT JOIN c USING(user_id)
+        LEFT JOIN p USING(user_id) ORDER BY user_id
+    """).df()
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
+
+def test_duplicate_or_empty_stages_raise(ray_session):
+    ds = _ds([(1, "view", 1)])
+    with pytest.raises(ValueError, match="distinct"):
+        funnel(ds, ["view", "view"])
+    with pytest.raises(ValueError, match="distinct"):
+        funnel(ds, [])
