@@ -8,18 +8,25 @@ DuckDB's ``quantile_disc``) — without ever sorting or shuffling the data:
 
 - pass 0: per-batch (count, min, max) partials -> driver merge (tiny);
 - refinement rounds: ONE column-pruned ``map_batches`` per round emits, per
-  quantile, a fixed-width histogram over that quantile's candidate interval
+  pending item, a fixed-width histogram over that item's candidate interval
   plus each bin's observed min/max and a below-interval count. The driver
-  sums the partials (O(n_quantiles × n_bins) ints), locates the bin holding
+  sums the partials (O(n_items × n_bins) ints), locates the bin holding
   the target rank, and shrinks the interval to that bin's OBSERVED value
   range — so a bin full of duplicates collapses to its single value in one
   step instead of stalling the bisection;
 - final pass: once a candidate interval holds ≤ ``max_collect`` rows, one
   filter pass collects just those rows and selects the exact rank locally.
 
+``exact_quantiles`` (many quantiles, one value set) and
+``grouped_exact_quantiles`` (one quantile per group) are two pass-0 fronts
+over the SAME refinement engine (``_refine``): a pending item is a
+(selector, rank) pair where the selector is either "all rows" or "rows of
+group g", so a fix to the rank/interval invariants applies to both paths by
+construction.
+
 Scale story: every pass is a full scan of ONE column with no shuffle — the
 per-batch output is a few KB of partial counts — so at 100 TB this costs
-O(rounds) pruned reads and the driver holds O(n_quantiles · n_bins +
+O(rounds) pruned reads and the driver holds O(n_items · n_bins +
 max_collect) values. Typical convergence on real-valued data is pass 0 +
 1 refinement + 1 collect.
 
@@ -42,6 +49,121 @@ def _col_f64(batch: pa.Table, col: str) -> np.ndarray:
     return v[~np.isnan(v)]
 
 
+def _refine(ds, gv, keys: list, ranks: np.ndarray, lo: np.ndarray,
+            hi: np.ndarray, n_bins: int, max_collect: int,
+            max_rounds: int, what: str) -> np.ndarray:
+    """The shared refinement engine. ``gv(batch) -> (labels_or_None, v)``
+    yields the (already null-filtered) values and, for grouped callers,
+    their string group labels; item i selects ``v`` where
+    ``labels == keys[i]`` (or all of ``v`` when ``keys[i]`` is None) and
+    seeks 0-based rank ``ranks[i]`` inside the candidate interval
+    ``[lo[i], hi[i])`` — hi exclusive, so callers seed
+    ``hi = nextafter(max, inf)`` and every shrink below keeps the invariant
+    via ``nextafter(observed bin max)``. Returns the resolved value per
+    item; raises on non-convergence (``what`` names the caller in errors).
+    """
+
+    def _sel(v: np.ndarray, labels, key) -> np.ndarray:
+        return v if key is None else v[labels == key]
+
+    m = len(keys)
+    out = np.full(m, np.nan)
+    below_lo = np.zeros(m, np.int64)  # count of values < lo[i]
+    pending = list(range(m))
+
+    for _ in range(max_rounds):
+        if not pending:
+            break
+        # one shared edge matrix per round: workers and driver must bin with
+        # the IDENTICAL float boundaries, so edges are computed once here and
+        # captured by the closure (a few KB — fine to ship per task)
+        edges = np.stack([np.linspace(lo[i], hi[i], n_bins + 1)
+                          for i in pending])
+        edges[:, -1] = hi[pending]  # linspace rounding must not clip the top
+        pkeys = [keys[i] for i in pending]
+
+        def hist_pass(batch: pa.Table, edges=edges, pkeys=pkeys) -> pa.Table:
+            labels, v = gv(batch)
+            k = len(pkeys)
+            hist = np.zeros((k, n_bins), np.int64)
+            bmin = np.full((k, n_bins), np.inf)
+            bmax = np.full((k, n_bins), -np.inf)
+            below = np.zeros(k, np.int64)
+            for j in range(k):  # k passes over the values, not a (N, k) temp
+                vv = _sel(v, labels, pkeys[j])
+                below[j] = int((vv < edges[j, 0]).sum())
+                idx = np.searchsorted(edges[j], vv, side="right") - 1
+                sel = (idx >= 0) & (idx < n_bins)
+                iv, ix = vv[sel], idx[sel]
+                np.add.at(hist[j], ix, 1)
+                np.minimum.at(bmin[j], ix, iv)
+                np.maximum.at(bmax[j], ix, iv)
+            return pa.table({
+                "qrow": pa.array(np.arange(k, dtype=np.int32)),
+                "below": pa.array(below),
+                "hist": pa.array(hist.tolist(), pa.list_(pa.int64())),
+                "bmin": pa.array(bmin.tolist(), pa.list_(pa.float64())),
+                "bmax": pa.array(bmax.tolist(), pa.list_(pa.float64())),
+            })
+
+        agg = ds.map_batches(hist_pass, batch_format="pyarrow").to_pandas()
+        still = []
+        for row, i in enumerate(pending):
+            sub = agg[agg["qrow"] == row]  # one row per batch for item i
+            h = np.sum(np.stack([np.asarray(x) for x in sub["hist"]]), axis=0)
+            mn = np.min(np.stack([np.asarray(x) for x in sub["bmin"]]), axis=0)
+            mx = np.max(np.stack([np.asarray(x) for x in sub["bmax"]]), axis=0)
+            below = int(sub["below"].sum())
+            cum = np.cumsum(h)
+            b = int(np.searchsorted(cum, ranks[i] - below, side="right"))
+            if b >= n_bins:  # defensive: rank must land inside the interval
+                raise AssertionError(
+                    f"{what} lost rank {ranks[i]} for item {keys[i]!r} "
+                    f"(below={below}, in-interval={int(cum[-1])}) — "
+                    f"non-deterministic input?")
+            if mn[b] == mx[b]:  # whole bin is one value: that IS the answer
+                out[i] = mn[b]
+                continue
+            # shrink to the bin's OBSERVED range (not its nominal edges):
+            # guarantees strict progress even when duplicates pile up. The
+            # observed min is the smallest value >= the bin's lower edge, so
+            # count(v < mn[b]) == count(v < edge_b) == below + cum[:b].
+            lo[i] = mn[b]
+            hi[i] = np.nextafter(mx[b], np.inf)
+            below_lo[i] = below + (int(cum[b - 1]) if b > 0 else 0)
+            still.append((i, int(h[b]) <= max_collect))
+        # ---- bounded collect for the intervals that are now small ---------
+        ready = [i for i, small in still if small]
+        pending = [i for i, small in still if not small]
+        if ready:
+            clo, chi = lo[ready].copy(), hi[ready].copy()
+            rkeys = [keys[i] for i in ready]
+
+            def collect(batch: pa.Table, clo=clo, chi=chi,
+                        rkeys=rkeys) -> pa.Table:
+                labels, v = gv(batch)
+                qidx, vals = [], []
+                for j in range(len(clo)):
+                    vv = _sel(v, labels, rkeys[j])
+                    msk = (vv >= clo[j]) & (vv < chi[j])
+                    vals.append(vv[msk])
+                    qidx.append(np.full(int(msk.sum()), j, np.int32))
+                return pa.table({"qidx": pa.array(np.concatenate(qidx)),
+                                 "v": pa.array(np.concatenate(vals))})
+
+            got = ds.map_batches(collect, batch_format="pyarrow").to_pandas()
+            # the interval holds ranks [below_lo, below_lo + len(vs)) of the
+            # item's values, so the answer sits at rank - below_lo locally
+            for j, i in enumerate(ready):
+                vs = np.sort(got.loc[got["qidx"] == j, "v"].to_numpy())
+                out[i] = vs[ranks[i] - int(below_lo[i])]
+    if pending:
+        raise AssertionError(
+            f"{what} did not converge for items "
+            f"{[keys[i] for i in pending]} within {max_rounds} rounds")
+    return out
+
+
 def exact_quantiles(ds: "ray.data.Dataset", col: str, qs: list[float],
                     n_bins: int = 4096, max_collect: int = 1_000_000,
                     max_rounds: int = 24) -> np.ndarray:
@@ -56,6 +178,9 @@ def exact_quantiles(ds: "ray.data.Dataset", col: str, qs: list[float],
     qs = [float(q) for q in qs]
     if not qs or any(not (0.0 <= q <= 1.0) for q in qs):
         raise ValueError(f"quantiles must be in [0, 1], got {qs}")
+
+    def gv(batch: pa.Table):
+        return None, _col_f64(batch, col)
 
     # ---- pass 0: global count / min / max --------------------------------
     def minmax(batch: pa.Table) -> pa.Table:
@@ -74,113 +199,20 @@ def exact_quantiles(ds: "ray.data.Dataset", col: str, qs: list[float],
         raise ValueError(f"exact_quantiles: column {col!r} has no non-null values")
     glo = float(parts["lo"].min())
     ghi = float(parts["hi"].max())
-    ranks = [max(int(np.ceil(q * n)) - 1, 0) for q in qs]  # quantile_disc
-
-    # Candidate state per quantile: answer lies in [lo, hi) — hi exclusive,
-    # so the global upper edge is nextafter(max) and every interval update
-    # below keeps the invariant via nextafter(observed bin max).
-    out = np.full(len(qs), np.nan)
-    lo = np.full(len(qs), glo)
-    hi = np.full(len(qs), np.nextafter(ghi, np.inf))
-    below_lo = np.zeros(len(qs), np.int64)  # count of values < lo[i]
-    pending = list(range(len(qs)))
-
-    for _ in range(max_rounds):
-        if not pending:
-            break
-        # one shared edge matrix per round: workers and driver must bin with
-        # the IDENTICAL float boundaries, so edges are computed once here and
-        # captured by the closure (a few KB — fine to ship per task)
-        edges = np.stack([np.linspace(lo[i], hi[i], n_bins + 1) for i in pending])
-        edges[:, -1] = hi[pending]  # linspace rounding must not clip the top
-
-        def hist_pass(batch: pa.Table, edges=edges) -> pa.Table:
-            v = _col_f64(batch, col)
-            m = edges.shape[0]
-            hist = np.zeros((m, n_bins), np.int64)
-            bmin = np.full((m, n_bins), np.inf)
-            bmax = np.full((m, n_bins), -np.inf)
-            below = np.zeros(m, np.int64)
-            for j in range(m):
-                below[j] = int((v < edges[j, 0]).sum())
-                idx = np.searchsorted(edges[j], v, side="right") - 1
-                sel = (idx >= 0) & (idx < n_bins)
-                iv, ix = v[sel], idx[sel]
-                np.add.at(hist[j], ix, 1)
-                np.minimum.at(bmin[j], ix, iv)
-                np.maximum.at(bmax[j], ix, iv)
-            return pa.table({
-                "qrow": pa.array(np.arange(m, dtype=np.int32)),
-                "below": pa.array(below),
-                "hist": pa.array(hist.tolist(), pa.list_(pa.int64())),
-                "bmin": pa.array(bmin.tolist(), pa.list_(pa.float64())),
-                "bmax": pa.array(bmax.tolist(), pa.list_(pa.float64())),
-            })
-
-        agg = ds.map_batches(hist_pass, batch_format="pyarrow").to_pandas()
-        still = []
-        for row, i in enumerate(pending):
-            sub = agg[agg["qrow"] == row]  # one row per batch for quantile i
-            h = np.sum(np.stack([np.asarray(x) for x in sub["hist"]]), axis=0)
-            mn = np.min(np.stack([np.asarray(x) for x in sub["bmin"]]), axis=0)
-            mx = np.max(np.stack([np.asarray(x) for x in sub["bmax"]]), axis=0)
-            below = int(sub["below"].sum())
-            r_in = ranks[i] - below
-            cum = np.cumsum(h)
-            b = int(np.searchsorted(cum, r_in, side="right"))
-            if b >= n_bins:  # defensive: rank must land inside the interval
-                raise AssertionError(
-                    f"exact_quantiles lost rank {ranks[i]} (below={below}, "
-                    f"in-interval={int(cum[-1])}) — non-deterministic input?")
-            if mn[b] == mx[b]:  # whole bin is one value: that IS the answer
-                out[i] = mn[b]
-                continue
-            # shrink to the bin's OBSERVED range (not its nominal edges):
-            # guarantees strict progress even when duplicates pile up. The
-            # observed min is the smallest value >= the bin's lower edge, so
-            # count(v < mn[b]) == count(v < edge_b) == below + cum[:b].
-            lo[i] = mn[b]
-            hi[i] = np.nextafter(mx[b], np.inf)
-            below_lo[i] = below + (int(cum[b - 1]) if b > 0 else 0)
-            if int(h[b]) <= max_collect:
-                still.append((i, True))
-            else:
-                still.append((i, False))
-        # ---- bounded collect for the intervals that are now small --------
-        ready = [i for i, small in still if small]
-        pending = [i for i, small in still if not small]
-        if ready:
-            clo, chi = lo[ready].copy(), hi[ready].copy()
-
-            def collect(batch: pa.Table, clo=clo, chi=chi) -> pa.Table:
-                v = _col_f64(batch, col)
-                qidx, vals = [], []
-                for j in range(len(clo)):
-                    m = (v >= clo[j]) & (v < chi[j])
-                    vals.append(v[m])
-                    qidx.append(np.full(int(m.sum()), j, np.int32))
-                return pa.table({"qidx": pa.array(np.concatenate(qidx)),
-                                 "v": pa.array(np.concatenate(vals))})
-
-            got = ds.map_batches(collect, batch_format="pyarrow").to_pandas()
-            # the interval holds global ranks [below_lo, below_lo + len(vs)),
-            # so the answer sits at local offset rank - below_lo
-            for j, i in enumerate(ready):
-                vs = np.sort(got.loc[got["qidx"] == j, "v"].to_numpy())
-                out[i] = vs[ranks[i] - int(below_lo[i])]
-    if pending:
-        raise AssertionError(
-            f"exact_quantiles did not converge for quantiles "
-            f"{[qs[i] for i in pending]} within {max_rounds} rounds")
-    return out
+    ranks = np.array([max(int(np.ceil(q * n)) - 1, 0) for q in qs],
+                     np.int64)  # quantile_disc
+    return _refine(ds, gv, [None] * len(qs), ranks,
+                   np.full(len(qs), glo),
+                   np.full(len(qs), np.nextafter(ghi, np.inf)),
+                   n_bins, max_collect, max_rounds, "exact_quantiles")
 
 
 def grouped_exact_quantiles(ds: "ray.data.Dataset", group_col: str, col: str,
                             q: float, n_bins: int = 4096,
                             max_collect: int = 1_000_000,
                             max_rounds: int = 24) -> "dict":
-    """Exact per-group ``quantile_disc(col, q)`` — the grouped counterpart of
-    ``exact_quantiles``, sharing its refinement structure: every round is ONE
+    """Exact per-group ``quantile_disc(col, q)`` — the grouped front of the
+    same refinement engine as ``exact_quantiles``: every round is ONE
     column-pruned scan emitting per-(group, pending) histogram partials; no
     per-group sort, no shuffle, driver state = O(groups x n_bins) ints.
 
@@ -193,25 +225,25 @@ def grouped_exact_quantiles(ds: "ray.data.Dataset", group_col: str, col: str,
     if not (0.0 <= float(q) <= 1.0):
         raise ValueError(f"quantile must be in [0, 1], got {q}")
 
-    def _gv(batch: pa.Table):
+    def gv(batch: pa.Table):
         g = batch.column(group_col).to_numpy(zero_copy_only=False)
         v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
         keep = ~np.isnan(v)
         keep &= ~batch.column(group_col).is_null().to_numpy(
             zero_copy_only=False)
-        return g[keep], v[keep]
+        return g[keep].astype(str), v[keep]
 
     # ---- pass 0: per-group count / min / max ------------------------------
     def minmax(batch: pa.Table) -> pa.Table:
         import pandas as pd
 
-        g, v = _gv(batch)
+        g, v = gv(batch)
         if len(v) == 0:
             return pa.table({"g": pa.array([], pa.string()),
                              "n": pa.array([], pa.int64()),
                              "lo": pa.array([], pa.float64()),
                              "hi": pa.array([], pa.float64())})
-        f = pd.DataFrame({"g": g.astype(str), "v": v}).groupby("g")["v"]
+        f = pd.DataFrame({"g": g, "v": v}).groupby("g")["v"]
         agg = f.agg(["size", "min", "max"]).reset_index()
         return pa.table({"g": pa.array(agg["g"], pa.string()),
                          "n": pa.array(agg["size"].astype(np.int64)),
@@ -226,90 +258,8 @@ def grouped_exact_quantiles(ds: "ray.data.Dataset", group_col: str, col: str,
     groups = top["g"].tolist()
     n = top["n"].to_numpy()
     ranks = np.maximum(np.ceil(float(q) * n).astype(np.int64) - 1, 0)
-    lo = top["lo"].to_numpy().copy()
-    hi = np.nextafter(top["hi"].to_numpy(), np.inf)
-    below_lo = np.zeros(len(groups), np.int64)
-    out: dict = {}
-    pending = list(range(len(groups)))
-
-    for _ in range(max_rounds):
-        if not pending:
-            break
-        edges = np.stack([np.linspace(lo[i], hi[i], n_bins + 1)
-                          for i in pending])
-        edges[:, -1] = hi[pending]
-        pgroups = [groups[i] for i in pending]
-
-        def hist_pass(batch: pa.Table, edges=edges, pgroups=pgroups) -> pa.Table:
-            g, v = _gv(batch)
-            gs = g.astype(str)
-            m = len(pgroups)
-            hist = np.zeros((m, n_bins), np.int64)
-            bmin = np.full((m, n_bins), np.inf)
-            bmax = np.full((m, n_bins), -np.inf)
-            below = np.zeros(m, np.int64)
-            for j, gname in enumerate(pgroups):
-                vv = v[gs == gname]
-                below[j] = int((vv < edges[j, 0]).sum())
-                idx = np.searchsorted(edges[j], vv, side="right") - 1
-                sel = (idx >= 0) & (idx < n_bins)
-                iv, ix = vv[sel], idx[sel]
-                np.add.at(hist[j], ix, 1)
-                np.minimum.at(bmin[j], ix, iv)
-                np.maximum.at(bmax[j], ix, iv)
-            return pa.table({
-                "qrow": pa.array(np.arange(m, dtype=np.int32)),
-                "below": pa.array(below),
-                "hist": pa.array(hist.tolist(), pa.list_(pa.int64())),
-                "bmin": pa.array(bmin.tolist(), pa.list_(pa.float64())),
-                "bmax": pa.array(bmax.tolist(), pa.list_(pa.float64())),
-            })
-
-        agg = ds.map_batches(hist_pass, batch_format="pyarrow").to_pandas()
-        still = []
-        for row, i in enumerate(pending):
-            sub = agg[agg["qrow"] == row]
-            h = np.sum(np.stack([np.asarray(x) for x in sub["hist"]]), axis=0)
-            mn = np.min(np.stack([np.asarray(x) for x in sub["bmin"]]), axis=0)
-            mx = np.max(np.stack([np.asarray(x) for x in sub["bmax"]]), axis=0)
-            below = int(sub["below"].sum())
-            cum = np.cumsum(h)
-            b = int(np.searchsorted(cum, ranks[i] - below, side="right"))
-            if b >= n_bins:
-                raise AssertionError(
-                    f"grouped_exact_quantiles lost rank for group {groups[i]}")
-            if mn[b] == mx[b]:
-                out[groups[i]] = float(mn[b])
-                continue
-            lo[i] = mn[b]
-            hi[i] = np.nextafter(mx[b], np.inf)
-            below_lo[i] = below + (int(cum[b - 1]) if b > 0 else 0)
-            still.append((i, int(h[b]) <= max_collect))
-        ready = [i for i, small in still if small]
-        pending = [i for i, small in still if not small]
-        if ready:
-            clo, chi = lo[ready].copy(), hi[ready].copy()
-            rgroups = [groups[i] for i in ready]
-
-            def collect(batch: pa.Table, clo=clo, chi=chi,
-                        rgroups=rgroups) -> pa.Table:
-                g, v = _gv(batch)
-                gs = g.astype(str)
-                qidx, vals = [], []
-                for j, gname in enumerate(rgroups):
-                    vv = v[gs == gname]
-                    msk = (vv >= clo[j]) & (vv < chi[j])
-                    vals.append(vv[msk])
-                    qidx.append(np.full(int(msk.sum()), j, np.int32))
-                return pa.table({"qidx": pa.array(np.concatenate(qidx)),
-                                 "v": pa.array(np.concatenate(vals))})
-
-            got = ds.map_batches(collect, batch_format="pyarrow").to_pandas()
-            for j, i in enumerate(ready):
-                vs = np.sort(got.loc[got["qidx"] == j, "v"].to_numpy())
-                out[groups[i]] = float(vs[ranks[i] - int(below_lo[i])])
-    if pending:
-        raise AssertionError(
-            f"grouped_exact_quantiles did not converge for groups "
-            f"{[groups[i] for i in pending]} within {max_rounds} rounds")
-    return out
+    vals = _refine(ds, gv, groups, ranks, top["lo"].to_numpy().copy(),
+                   np.nextafter(top["hi"].to_numpy(), np.inf),
+                   n_bins, max_collect, max_rounds,
+                   "grouped_exact_quantiles")
+    return {g: float(x) for g, x in zip(groups, vals)}
