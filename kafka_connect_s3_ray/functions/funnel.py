@@ -56,3 +56,43 @@ def funnel(ds, stages: list[str], user_col: str = "user_id",
     return (ds.map_batches(add_bucket, batch_format="pyarrow")
             .groupby("bucket")
             .map_groups(bucket_funnel, batch_format="pandas"))
+
+
+def cohort_retention(ds, user_col: str = "user_id", ts_col: str = "ts",
+                     period_us: int = 86_400_000_000, n_buckets: int = 32):
+    """Cohort retention: users cohort by the period (default: day) of their
+    FIRST event; each cell (cohort, offset) counts DISTINCT users active
+    ``offset`` periods after their cohort period. Period = floor(epoch_us /
+    period_us) — pure integer arithmetic a SQL oracle replays exactly,
+    deliberately not calendar weeks.
+
+    Shape: same single coarse user-hash exchange as ``funnel`` (a user's
+    rows land in ONE bucket, so per-bucket distinct (user, cohort, offset)
+    triples are globally distinct and per-cell partial counts sum exactly);
+    the driver merges O(cohorts x offsets) tiny partials — never user rows.
+    Returns a Dataset of (cohort, offset, n_users)."""
+    from .dedup import _splitmix64_mix
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = pc.cast(t.column(user_col), pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        b = (_splitmix64_mix(u) % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("bucket", pa.array(b))
+
+    def bucket_cells(g: pd.DataFrame) -> pd.DataFrame:
+        per = (g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+               // period_us)
+        df = pd.DataFrame({"u": g[user_col].to_numpy(), "p": per})
+        t0 = df.groupby("u")["p"].transform("min")
+        cells = pd.DataFrame({"u": df["u"], "cohort": t0,
+                              "offset": df["p"] - t0}).drop_duplicates()
+        out = (cells.groupby(["cohort", "offset"], as_index=False)
+               .size().rename(columns={"size": "n_users"}))
+        return out
+
+    parts = (ds.map_batches(add_bucket, batch_format="pyarrow")
+             .groupby("bucket")
+             .map_groups(bucket_cells, batch_format="pandas"))
+    from ..pipelines.queries import _sum_partials
+    return _sum_partials(parts, ["cohort", "offset"],
+                         {"n_users": "n_users"})

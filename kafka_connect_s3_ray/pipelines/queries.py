@@ -738,6 +738,22 @@ def q_funnel(sf_dir: str):
     })
 
 
+def q_cohort_retention(sf_dir: str):
+    """Day-cohort retention matrix: distinct users active N days after
+    their first-event day. One coarse user-hash exchange; per-bucket
+    distinct triples are globally distinct (a user lives in one bucket), so
+    cell partials sum exactly; driver merges O(days^2) tiny rows."""
+    from ..functions.funnel import cohort_retention
+
+    out = cohort_retention(
+        _events(sf_dir, ["user_id", "ts"])).to_pandas()
+    out = out.sort_values(["cohort", "offset"]).reset_index(drop=True)
+    return pa.table({
+        "cohort_day": pa.array(out["cohort"], pa.int64()),
+        "day_offset": pa.array(out["offset"], pa.int64()),
+        "n_users": pa.array(out["n_users"], pa.int64())})
+
+
 def q_json_props_agg(sf_dir: str):
     """Semi-structured extraction + aggregate: parse the JSON ``props``
     column (one vectorized C++ parse per batch via pyarrow.json — no per-row
@@ -1282,6 +1298,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "json_props_agg": q_json_props_agg,
     "funnel": q_funnel,
+    "cohort_retention": q_cohort_retention,
     "tfidf_terms": q_tfidf_terms,
     "rolling_fingerprint": q_rolling_fingerprint,
     "minhash_near_dup": q_minhash_near_dup,
@@ -1614,6 +1631,22 @@ ORACLE_SQL = {
         "SELECT u.user_id, v.t_view, c.t_click, p.t_purchase FROM u "
         "LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id) "
         "LEFT JOIN p USING (user_id) ORDER BY user_id"
+    ),
+    # cohort arithmetic: integer floor-division of epoch microseconds by the
+    # day length — deliberately not calendar date_trunc, so both engines
+    # compute the identical pure-integer expression
+    "cohort_retention": (
+        "WITH f AS (SELECT user_id, min(ts) AS t0 FROM events "
+        "GROUP BY user_id), "
+        "a AS (SELECT DISTINCT e.user_id, "
+        "epoch_us(f.t0) // 86400000000 AS cohort_day, "
+        "epoch_us(e.ts) // 86400000000 - epoch_us(f.t0) // 86400000000 "
+        "AS day_offset FROM events e JOIN f USING (user_id)) "
+        "SELECT CAST(cohort_day AS BIGINT) AS cohort_day, "
+        "CAST(day_offset AS BIGINT) AS day_offset, "
+        "CAST(count(*) AS BIGINT) AS n_users "
+        "FROM a GROUP BY cohort_day, day_offset "
+        "ORDER BY cohort_day, day_offset"
     ),
     # rolling_fingerprint / minhash / simhash / IVF / sketches:
     # non-SQL-expressible (seeded LSH, mergeable sketches, rolling hashes)

@@ -101,3 +101,48 @@ def test_duplicate_or_empty_stages_raise(ray_session):
         funnel(ds, ["view", "view"])
     with pytest.raises(ValueError, match="distinct"):
         funnel(ds, [])
+
+
+def test_cohort_retention_matches_sql(ray_session):
+    import duckdb
+
+    from kafka_connect_s3_ray.functions.funnel import cohort_retention
+
+    rng = np.random.RandomState(5)
+    rows = [(int(rng.randint(0, 60)), "x",
+             int(rng.randint(0, 20 * 86400_000_000)))
+            for _ in range(3000)]
+    got = cohort_retention(_ds(rows)).to_pandas().sort_values(
+        ["cohort", "offset"]).reset_index(drop=True)
+    df = pd.DataFrame(rows, columns=["user_id", "event_type", "ts_i"])
+    df["ts"] = pd.to_datetime(df["ts_i"], unit="us")
+    exp = duckdb.sql("""
+        WITH f AS (SELECT user_id, min(ts) t0 FROM df GROUP BY user_id),
+        a AS (SELECT DISTINCT e.user_id,
+              epoch_us(f.t0) // 86400000000 AS cohort,
+              epoch_us(e.ts) // 86400000000 - epoch_us(f.t0) // 86400000000
+              AS "offset"
+              FROM df e JOIN f USING(user_id))
+        SELECT cohort, "offset", CAST(count(*) AS BIGINT) n_users FROM a
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """).df()
+    pd.testing.assert_frame_equal(
+        got.astype({"cohort": "int64", "offset": "int64",
+                    "n_users": "int64"}),
+        exp.astype({"cohort": "int64", "offset": "int64",
+                    "n_users": "int64"}))
+
+
+def test_cohort_user_never_splits_across_cells(ray_session):
+    """A user active the same day as their first event lands ONLY in
+    offset 0, and multiple same-day events dedup to one cell count."""
+    from kafka_connect_s3_ray.functions.funnel import cohort_retention
+
+    day = 86_400_000_000
+    rows = [(1, "x", 10), (1, "x", 20),            # same day, offset 0 once
+            (1, "x", day + 5),                      # next day, offset 1
+            (2, "x", day + 7)]                      # cohort day 1, offset 0
+    got = cohort_retention(_ds(rows)).to_pandas()
+    cells = {(int(r["cohort"]), int(r["offset"])): int(r["n_users"])
+             for _, r in got.iterrows()}
+    assert cells == {(0, 0): 1, (0, 1): 1, (1, 0): 1}

@@ -75,7 +75,8 @@ SQL_CHECKED = [
     "topk_events", "exclude_filter", "token_count", "quality_stats",
     "dedup_exact", "token_sum_by_lang", "cosine_topk", "embedding_near_dup", "lang_id",
     "distinct_users_by_type", "ngram_jaccard", "near_dup_clusters",
-    "pii_redact", "decontaminate", "json_props_agg", "funnel", "tfidf_terms",
+    "pii_redact", "decontaminate", "json_props_agg", "funnel",
+    "cohort_retention", "tfidf_terms",
     "embedding_centroids", "embedding_covariance",
     "value_histogram",
     "quality_filtered", "rolling_fingerprint",
