@@ -19,7 +19,29 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["funnel"]
+__all__ = ["funnel", "cohort_retention"]
+
+
+def _user_bucketer(user_col: str, n_buckets: int):
+    """Shared bucket-assignment closure: splitmix64(user) % n_buckets.
+    NULL users are rejected loudly — SQL's NULL-is-a-distinct-group
+    semantics don't survive a NaN float round-trip (undefined uint64 cast),
+    and silently folding NULL into some bucket would miscount; callers with
+    NULL users must fill or filter first (same contract as key_hash)."""
+    from .dedup import _splitmix64_mix
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        col = t.column(user_col)
+        if col.null_count:
+            raise ValueError(
+                f"funnel/cohort: column {user_col!r} holds NULLs — fill or "
+                f"filter them first (NULL users have no hash bucket)")
+        u = pc.cast(col, pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        b = (_splitmix64_mix(u) % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("bucket", pa.array(b))
+
+    return add_bucket
 
 
 def funnel(ds, stages: list[str], user_col: str = "user_id",
@@ -28,16 +50,10 @@ def funnel(ds, stages: list[str], user_col: str = "user_id",
     """Per-user funnel times over ``stages`` (strictly increasing ts chain).
     Returns a Dataset of (user_col, t_<stage>...) — one row per distinct
     user seen in ``ds``. Duplicate stage names would collide in the output
-    and are rejected."""
+    and are rejected; NULL users are rejected (see ``_user_bucketer``)."""
     if len(stages) == 0 or len(set(stages)) != len(stages):
         raise ValueError(f"stages must be non-empty and distinct: {stages}")
-    from .dedup import _splitmix64_mix
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        u = pc.cast(t.column(user_col), pa.int64()).to_numpy(
-            zero_copy_only=False).astype(np.uint64)
-        b = (_splitmix64_mix(u) % np.uint64(n_buckets)).astype(np.int64)
-        return t.append_column("bucket", pa.array(b))
+    add_bucket = _user_bucketer(user_col, n_buckets)
 
     def bucket_funnel(g: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame({user_col: np.unique(g[user_col].to_numpy())})
@@ -70,14 +86,9 @@ def cohort_retention(ds, user_col: str = "user_id", ts_col: str = "ts",
     rows land in ONE bucket, so per-bucket distinct (user, cohort, offset)
     triples are globally distinct and per-cell partial counts sum exactly);
     the driver merges O(cohorts x offsets) tiny partials — never user rows.
-    Returns a Dataset of (cohort, offset, n_users)."""
-    from .dedup import _splitmix64_mix
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        u = pc.cast(t.column(user_col), pa.int64()).to_numpy(
-            zero_copy_only=False).astype(np.uint64)
-        b = (_splitmix64_mix(u) % np.uint64(n_buckets)).astype(np.int64)
-        return t.append_column("bucket", pa.array(b))
+    Returns a Dataset of (cohort, offset, n_users). NULL users are rejected
+    (see ``_user_bucketer``)."""
+    add_bucket = _user_bucketer(user_col, n_buckets)
 
     def bucket_cells(g: pd.DataFrame) -> pd.DataFrame:
         per = (g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)

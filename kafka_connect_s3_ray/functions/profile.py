@@ -96,25 +96,28 @@ def value_histogram(ds, col: str, lo: float, hi: float,
                      "n": pa.array(fin["n"].to_numpy(), pa.int64())})
 
 
-def embedding_covariance(ds, vec_col: str = "embedding") -> pa.Table:
-    """Population covariance matrix of the embedding columns, LONG upper
-    triangle: one row per (dim_i, dim_j), i <= j, cov rounded to 6 dp (the
-    same float contract as ``embedding_centroids``). The distributed-PCA
-    building block: each block collapses to ONE (d x d) X^T X partial plus
-    column sums — a 64-dim corpus ships 4k floats per block no matter how
-    many rows it holds; the driver merges partials and applies
-    cov = S2/n - outer(s, s)/n^2. No exchange, no second pass."""
+def _cov_moments(ds, vec_col: str):
+    """One streaming pass -> (d, n, s, s2): vector width, non-null count,
+    per-dim sums, and the (d x d) sum of outer products. NULL embeddings are
+    excluded (the SQL aggregate scope — covar_pop's oracle filters
+    embedding IS NOT NULL). Returns None when no non-null vectors exist.
+    Shared by ``embedding_covariance`` and ``pca_project`` so the mean never
+    needs a second scan."""
     from .dedup import _list_flat
 
     def partial(t: pa.Table) -> pa.Table:
-        flat, lens = _list_flat(t.column(vec_col))
+        col = t.column(vec_col)
+        if col.null_count:
+            col = col.drop_null()
+        flat, lens = _list_flat(col)
         if len(lens) == 0:
             return pa.table({"d": pa.array([], pa.int64()),
                              "n": pa.array([], pa.int64()),
                              "s": pa.array([], pa.list_(pa.float64())),
                              "s2": pa.array([], pa.list_(pa.float64()))})
         d = int(lens[0])
-        assert (lens == d).all(), "ragged embedding widths"
+        if not (lens == d).all():
+            raise ValueError("ragged embedding widths within a block")
         x = flat.astype(np.float64).reshape(-1, d)
         return pa.table({
             "d": pa.array([d], pa.int64()),
@@ -125,9 +128,7 @@ def embedding_covariance(ds, vec_col: str = "embedding") -> pa.Table:
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     if parts.empty:
-        return pa.table({"dim_i": pa.array([], pa.int64()),
-                         "dim_j": pa.array([], pa.int64()),
-                         "cov": pa.array([], pa.float64())})
+        return None
     d = int(parts["d"].iloc[0])
     if (parts["d"] != d).any():
         raise ValueError("embedding width differs across blocks")
@@ -135,6 +136,24 @@ def embedding_covariance(ds, vec_col: str = "embedding") -> pa.Table:
     s = np.sum(np.stack([np.asarray(v) for v in parts["s"]]), axis=0)
     s2 = np.sum(np.stack([np.asarray(v) for v in parts["s2"]]),
                 axis=0).reshape(d, d)
+    return d, n, s, s2
+
+
+def embedding_covariance(ds, vec_col: str = "embedding") -> pa.Table:
+    """Population covariance matrix of the embedding columns, LONG upper
+    triangle: one row per (dim_i, dim_j), i <= j, cov rounded to 6 dp (the
+    same float contract as ``embedding_centroids``). The distributed-PCA
+    building block: each block collapses to ONE (d x d) X^T X partial plus
+    column sums — a 64-dim corpus ships 4k floats per block no matter how
+    many rows it holds; the driver merges partials and applies
+    cov = S2/n - outer(s, s)/n^2. No exchange, no second pass. NULL
+    embeddings are excluded (SQL aggregate scope)."""
+    m = _cov_moments(ds, vec_col)
+    if m is None:
+        return pa.table({"dim_i": pa.array([], pa.int64()),
+                         "dim_j": pa.array([], pa.int64()),
+                         "cov": pa.array([], pa.float64())})
+    d, n, s, s2 = m
     cov = s2 / n - np.outer(s, s) / (n * n)
     iu, ju = np.triu_indices(d)
     return pa.table({"dim_i": pa.array(iu.astype(np.int64)),
@@ -144,50 +163,33 @@ def embedding_covariance(ds, vec_col: str = "embedding") -> pa.Table:
 
 def pca_project(ds, q: int, vec_col: str = "embedding",
                 id_col: str = "vec_id"):
-    """Project embeddings onto their top-q principal components. The
-    covariance comes from ``embedding_covariance``'s one-pass partials (the
-    full corpus is never centered in memory), the (d x d) eigendecomposition
-    runs on the driver, and the (d x q) component matrix broadcasts into a
-    streaming map_batches — the classic two-stage distributed PCA.
-    Deterministic: components are sign-fixed (largest-|loading| coordinate
-    positive, ties to the lower index) and eigenvalues sort descending.
+    """Project embeddings onto their top-q principal components. Covariance
+    AND mean come from ONE streaming pass of moment partials (the corpus is
+    never centered in memory and never re-scanned), the (d x d)
+    eigendecomposition runs on the driver over the 6 dp-rounded covariance
+    (the published oracle contract of ``embedding_covariance``), and the
+    (d x q) component matrix broadcasts into a streaming map_batches — the
+    classic two-stage distributed PCA. Deterministic: components are
+    sign-fixed (largest-|loading| coordinate positive, ties to the lower
+    index) and eigenvalues sort descending. NULL embeddings are dropped.
     Returns a Dataset of (id_col, pc_0..pc_{q-1}) float64 columns."""
     import ray
 
     from .dedup import _list_flat
 
-    cov_tbl = embedding_covariance(ds, vec_col=vec_col)
-    if len(cov_tbl) == 0:
+    m = _cov_moments(ds, vec_col)
+    if m is None:
         raise ValueError("pca_project: no embeddings")
-    i = cov_tbl.column("dim_i").to_numpy(zero_copy_only=False)
-    j = cov_tbl.column("dim_j").to_numpy(zero_copy_only=False)
-    c = cov_tbl.column("cov").to_numpy(zero_copy_only=False)
-    d = int(j.max()) + 1
-    cov = np.zeros((d, d))
-    cov[i, j] = c
-    cov[j, i] = c
+    d, n, s, s2 = m
+    if not (1 <= int(q) <= d):
+        raise ValueError(f"pca_project: q must be in [1, {d}], got {q}")
+    cov = np.round(s2 / n - np.outer(s, s) / (n * n), 6)
+    mean = s / n
     w, v = np.linalg.eigh(cov)          # ascending
     order = np.argsort(w)[::-1][:q]
     comps = v[:, order]                  # (d, q)
     flip = comps[np.abs(comps).argmax(axis=0), np.arange(comps.shape[1])] < 0
     comps[:, flip] *= -1.0
-
-    # mean for centering, from the same partials contract (tiny second scan
-    # of only the vec column — cheaper than shipping uncentered projections)
-    def mean_part(t: pa.Table) -> pa.Table:
-        flat, lens = _list_flat(t.column(vec_col))
-        if len(lens) == 0:
-            return pa.table({"n": pa.array([0], pa.int64()),
-                             "s": pa.array([[0.0] * d, ],
-                                           pa.list_(pa.float64()))})
-        x = flat.astype(np.float64).reshape(-1, int(lens[0]))
-        return pa.table({"n": pa.array([len(x)], pa.int64()),
-                         "s": pa.array([x.sum(axis=0).tolist()],
-                                       pa.list_(pa.float64()))})
-
-    mp = ds.map_batches(mean_part, batch_format="pyarrow").to_pandas()
-    mean = (np.sum(np.stack([np.asarray(x) for x in mp["s"]]), axis=0)
-            / max(int(mp["n"].sum()), 1))
     ref = ray.put((comps, mean))
 
     class Project:
@@ -196,6 +198,9 @@ def pca_project(ds, q: int, vec_col: str = "embedding",
                 ref, ray.ObjectRef) else ref
 
         def __call__(self, t: pa.Table) -> pa.Table:
+            valid = pc.is_valid(t.column(vec_col))
+            if not pc.all(valid).as_py():
+                t = t.filter(valid)
             ids = pc.cast(t.column(id_col), pa.int64())
             flat, lens = _list_flat(t.column(vec_col))
             if len(lens) == 0:

@@ -51,7 +51,8 @@ def _col_f64(batch: pa.Table, col: str) -> np.ndarray:
 
 def _refine(ds, gv, keys: list, ranks: np.ndarray, lo: np.ndarray,
             hi: np.ndarray, n_bins: int, max_collect: int,
-            max_rounds: int, what: str) -> np.ndarray:
+            max_rounds: int, what: str, labels: list | None = None
+            ) -> np.ndarray:
     """The shared refinement engine. ``gv(batch) -> (labels_or_None, v)``
     yields the (already null-filtered) values and, for grouped callers,
     their string group labels; item i selects ``v`` where
@@ -60,8 +61,11 @@ def _refine(ds, gv, keys: list, ranks: np.ndarray, lo: np.ndarray,
     ``[lo[i], hi[i])`` — hi exclusive, so callers seed
     ``hi = nextafter(max, inf)`` and every shrink below keeps the invariant
     via ``nextafter(observed bin max)``. Returns the resolved value per
-    item; raises on non-convergence (``what`` names the caller in errors).
+    item; raises on non-convergence (``what`` names the caller in errors,
+    ``labels`` names the items — quantile values for the ungrouped front,
+    whose selector keys are all None and would print uselessly).
     """
+    labels = keys if labels is None else labels
 
     def _sel(v: np.ndarray, labels, key) -> np.ndarray:
         return v if key is None else v[labels == key]
@@ -118,7 +122,7 @@ def _refine(ds, gv, keys: list, ranks: np.ndarray, lo: np.ndarray,
             b = int(np.searchsorted(cum, ranks[i] - below, side="right"))
             if b >= n_bins:  # defensive: rank must land inside the interval
                 raise AssertionError(
-                    f"{what} lost rank {ranks[i]} for item {keys[i]!r} "
+                    f"{what} lost rank {ranks[i]} for item {labels[i]!r} "
                     f"(below={below}, in-interval={int(cum[-1])}) — "
                     f"non-deterministic input?")
             if mn[b] == mx[b]:  # whole bin is one value: that IS the answer
@@ -160,7 +164,7 @@ def _refine(ds, gv, keys: list, ranks: np.ndarray, lo: np.ndarray,
     if pending:
         raise AssertionError(
             f"{what} did not converge for items "
-            f"{[keys[i] for i in pending]} within {max_rounds} rounds")
+            f"{[labels[i] for i in pending]} within {max_rounds} rounds")
     return out
 
 
@@ -204,7 +208,8 @@ def exact_quantiles(ds: "ray.data.Dataset", col: str, qs: list[float],
     return _refine(ds, gv, [None] * len(qs), ranks,
                    np.full(len(qs), glo),
                    np.full(len(qs), np.nextafter(ghi, np.inf)),
-                   n_bins, max_collect, max_rounds, "exact_quantiles")
+                   n_bins, max_collect, max_rounds, "exact_quantiles",
+                   labels=qs)
 
 
 def grouped_exact_quantiles(ds: "ray.data.Dataset", group_col: str, col: str,

@@ -146,3 +146,17 @@ def test_cohort_user_never_splits_across_cells(ray_session):
     cells = {(int(r["cohort"]), int(r["offset"])): int(r["n_users"])
              for _, r in got.iterrows()}
     assert cells == {(0, 0): 1, (0, 1): 1, (1, 0): 1}
+
+
+def test_null_user_rejected_loudly(ray_session):
+    from kafka_connect_s3_ray.functions.funnel import cohort_retention
+
+    ds = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([1, None], pa.int64()),
+        "event_type": pa.array(["view", "view"], pa.string()),
+        "ts": pa.array([1, 2], pa.timestamp("us")),
+    }))
+    with pytest.raises(Exception, match="NULL"):
+        funnel(ds, ["view"]).to_pandas()
+    with pytest.raises(Exception, match="NULL"):
+        cohort_retention(ds).to_pandas()

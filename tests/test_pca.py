@@ -85,3 +85,31 @@ def test_empty_raises_for_pca_and_empty_table_for_cov(ray_session):
     assert len(embedding_covariance(ds)) == 0
     with pytest.raises(ValueError, match="no embeddings"):
         pca_project(ds, q=2)
+
+
+def test_null_embeddings_excluded_like_sql(ray_session):
+    """NULL embedding rows leave the aggregate scope (the oracle filters
+    embedding IS NOT NULL) instead of crashing the width assertion, and
+    pca_project drops them from the projection output."""
+    x = _rand(n=50, d=4, seed=9)
+    rows = [r.tolist() for r in x]
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(len(rows) + 2), pa.int64()),
+        "embedding": pa.array(rows + [None, None], pa.list_(pa.float32())),
+    })).repartition(3)
+    got = embedding_covariance(ds).to_pandas()
+    ref = np.cov(x.astype(np.float64), rowvar=False, bias=True)
+    for _, r in got.iterrows():
+        assert r["cov"] == pytest.approx(
+            ref[int(r["dim_i"]), int(r["dim_j"])], abs=1.5e-6)
+    out = pca_project(ds, q=2).to_pandas()
+    assert len(out) == len(rows)
+    assert set(out["vec_id"]) == set(range(len(rows)))
+
+
+def test_q_out_of_range_raises(ray_session):
+    x = _rand(n=30, d=4, seed=1)
+    with pytest.raises(ValueError, match=r"q must be in \[1, 4\]"):
+        pca_project(_ds(x), q=5)
+    with pytest.raises(ValueError, match="q must be in"):
+        pca_project(_ds(x), q=0)
