@@ -443,3 +443,109 @@ def decontaminate(docs, bench, n: int = 3, id_col: str = "doc_id",
         ContaminationScorer, batch_format="pyarrow", concurrency=concurrency,
         fn_constructor_kwargs={"bench_ref": ref, "n": n, "id_col": id_col,
                                "text_col": text_col})
+
+
+# ---------------------------------------------------------------------------
+# unigram language-model scoring (perplexity-style quality filter)
+# ---------------------------------------------------------------------------
+
+def corpus_token_counts(docs, text_col: str = "text",
+                        n_buckets: int = 32) -> "pd.DataFrame":
+    """Global (token, count) table + implicit total — the unigram LM a
+    perplexity-style quality filter scores against. Same two bounded stages
+    as ``top_k_tokens``: per-block distinct tokens with partial counts, then
+    per-bucket exact sums (a token lives in one bucket); the driver collects
+    the vocabulary-sized result (every count, not a top-k — the LM needs the
+    full support). Vocabulary is sublinear in corpus size (Heaps' law); at a
+    scale where it outgrows the driver, score against a pruned LM instead
+    (min-count threshold in SQL and engine alike)."""
+    from .dedup import _stable_token_hash
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        flat = " ".join(x or "" for x in texts).lower().split()
+        if not flat:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64())})
+        uniq, counts = np.unique(np.array(flat, object), return_counts=True)
+        bucket = (_stable_token_hash(uniq) % np.uint64(n_buckets)).astype(
+            np.int64)
+        return pa.table({"token": pa.array(uniq, pa.string()),
+                         "n": pa.array(counts.astype(np.int64), pa.int64()),
+                         "bucket": pa.array(bucket, pa.int64())})
+
+    def bucket_sum(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("token", as_index=False)["n"].sum()
+
+    return (docs.map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket").map_groups(bucket_sum, batch_format="pandas")
+            .to_pandas())
+
+
+class UnigramLogProb:
+    """Actor-pool stage scoring each doc by the mean natural-log probability
+    of its tokens under the corpus unigram LM (token count / total tokens) —
+    the perplexity-filter building block (low mean log-prob = far from the
+    corpus distribution). The (vocab-sized) LM resolves from the object
+    store once per actor; scoring is one hash-index probe + one log pass per
+    batch. Token rows (not distinct tokens) are averaged, so a repeated
+    token weighs each occurrence, matching SQL ``avg`` over the token rows.
+    Docs with no tokens get NULL. Tokens absent from the LM (never when
+    scoring the LM's own corpus) raise rather than silently skew."""
+
+    def __init__(self, lm_ref, text_col: str = "text",
+                 id_col: str = "doc_id"):
+        import ray
+
+        lm = ray.get(lm_ref) if isinstance(lm_ref, ray.ObjectRef) else lm_ref
+        tokens, counts = lm
+        self.index = pd.Index(tokens)
+        self.logp = np.log(counts / counts.sum())
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from itertools import chain
+
+        ids = pc.cast(batch.column(self.id_col), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        toks = [("" if x is None else x).lower().split()
+                for x in batch.column(self.text_col).to_pylist()]
+        lens = np.fromiter((len(x) for x in toks), np.int64, len(toks))
+        out = np.full(len(ids), np.nan)
+        if int(lens.sum()) > 0:
+            flat = np.array(list(chain.from_iterable(toks)), object)
+            pos = self.index.get_indexer(flat)
+            if (pos < 0).any():
+                missing = flat[pos < 0][:3]
+                raise ValueError(f"UnigramLogProb: tokens missing from the "
+                                 f"LM, e.g. {list(missing)!r}")
+            doc = np.repeat(np.arange(len(ids)), lens)
+            sums = np.zeros(len(ids))
+            np.add.at(sums, doc, self.logp[pos])
+            nz = lens > 0
+            out[nz] = sums[nz] / lens[nz]
+        # from_pandas=True: NaN (token-less doc) becomes SQL NULL, not a
+        # float NaN — avg() over zero rows is NULL in the oracle
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "mean_logprob": pa.array(np.round(out, 6), pa.float64(),
+                                     from_pandas=True)})
+
+
+def unigram_logprob(docs, text_col: str = "text", id_col: str = "doc_id",
+                    concurrency: int = 2):
+    """Score every doc against the corpus's own unigram LM: one bounded
+    counting pass builds the LM, ``ray.put`` broadcasts it, one streaming
+    pass scores. Returns a Dataset of (doc_id, mean_logprob) — NULL for
+    token-less docs; round-6 floats per the repo's oracle contract."""
+    import ray
+
+    lm = corpus_token_counts(docs, text_col=text_col)
+    lm = lm.sort_values("token").reset_index(drop=True)
+    ref = ray.put((lm["token"].to_numpy(object),
+                   lm["n"].to_numpy().astype(np.float64)))
+    return docs.map_batches(
+        UnigramLogProb, batch_format="pyarrow", concurrency=concurrency,
+        fn_constructor_kwargs={"lm_ref": ref, "text_col": text_col,
+                               "id_col": id_col})

@@ -738,6 +738,22 @@ def q_funnel(sf_dir: str):
     })
 
 
+def q_unigram_logprob(sf_dir: str):
+    """Perplexity-style quality score: each doc's mean ln-probability under
+    the corpus's own unigram LM. One bounded counting pass builds the LM
+    (per-block distinct partials, per-bucket exact sums), ray.put broadcasts
+    it, one streaming pass scores — the CCNet-style LM filter shape. NULL
+    for token-less docs; round-6 floats per the repo's oracle contract."""
+    from ..functions.text import unigram_logprob
+
+    out = unigram_logprob(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return pa.table({"doc_id": pa.array(out["doc_id"], pa.int64()),
+                     "mean_logprob": pa.array(out["mean_logprob"],
+                                              pa.float64(),
+                                              from_pandas=True)})
+
+
 def q_cohort_retention(sf_dir: str):
     """Day-cohort retention matrix: distinct users active N days after
     their first-event day. One coarse user-hash exchange; per-bucket
@@ -1299,6 +1315,7 @@ QUERIES = {
     "json_props_agg": q_json_props_agg,
     "funnel": q_funnel,
     "cohort_retention": q_cohort_retention,
+    "unigram_logprob": q_unigram_logprob,
     "tfidf_terms": q_tfidf_terms,
     "rolling_fingerprint": q_rolling_fingerprint,
     "minhash_near_dup": q_minhash_near_dup,
@@ -1647,6 +1664,22 @@ ORACLE_SQL = {
         "CAST(count(*) AS BIGINT) AS n_users "
         "FROM a GROUP BY cohort_day, day_offset "
         "ORDER BY cohort_day, day_offset"
+    ),
+    # unigram LM: same lowercase-whitespace tokenization contract as
+    # top_terms; p(tok) = corpus count / total tokens; avg over TOKEN ROWS
+    # (a repeated token weighs each occurrence); all-NULL group -> NULL
+    "unigram_logprob": (
+        "WITH toks AS (SELECT doc_id, unnest(list_filter("
+        "regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS tok "
+        "FROM documents WHERE text IS NOT NULL), "
+        "lm AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok), "
+        "tot AS (SELECT sum(n) AS t FROM lm), "
+        "scored AS (SELECT tk.doc_id, ln(lm.n / (SELECT t FROM tot)) AS lp "
+        "FROM toks tk JOIN lm USING (tok)) "
+        "SELECT d.doc_id, round(avg(s.lp), 6) AS mean_logprob "
+        "FROM (SELECT doc_id FROM documents) d "
+        "LEFT JOIN scored s USING (doc_id) "
+        "GROUP BY d.doc_id ORDER BY d.doc_id"
     ),
     # rolling_fingerprint / minhash / simhash / IVF / sketches:
     # non-SQL-expressible (seeded LSH, mergeable sketches, rolling hashes)

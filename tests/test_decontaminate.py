@@ -80,3 +80,32 @@ def test_scorer_accepts_plain_array(ray_session):
     out = s(pa.table({"doc_id": pa.array([7], pa.int64()),
                       "text": pa.array(["x a b c y"], pa.string())}))
     assert out.to_pydict() == {"doc_id": [7], "n_contaminated": [1]}
+
+
+# ---------------------------------------------------------------------------
+# unigram LM scoring (same tokenization family as decontamination)
+# ---------------------------------------------------------------------------
+
+def test_unigram_logprob_hand_computed(ray_session):
+    from kafka_connect_s3_ray.functions.text import unigram_logprob
+
+    # corpus: tokens a a a b  -> p(a)=3/4, p(b)=1/4
+    docs = _docs([(1, "a a a"), (2, "b"), (3, None), (4, "   ")])
+    out = unigram_logprob(docs).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    import math
+    assert out["mean_logprob"][0] == round(math.log(3 / 4), 6)
+    assert out["mean_logprob"][1] == round(math.log(1 / 4), 6)
+    assert out["mean_logprob"].isna()[2] and out["mean_logprob"].isna()[3]
+
+
+def test_unigram_scorer_rejects_oov(ray_session):
+    import numpy as np
+    import pytest as _pt
+
+    from kafka_connect_s3_ray.functions.text import UnigramLogProb
+
+    s = UnigramLogProb((np.array(["a"], object), np.array([2.0])))
+    with _pt.raises(ValueError, match="missing from the LM"):
+        s(pa.table({"doc_id": pa.array([1], pa.int64()),
+                    "text": pa.array(["a z"], pa.string())}))
