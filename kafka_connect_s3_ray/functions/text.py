@@ -138,19 +138,15 @@ def rolling_hash_fingerprint(batch: pa.Table, text_col: str = "text",
     return batch.append_column("rolling_fp", pa.array(out, pa.uint64()))
 
 
-def top_k_tokens(ds, text_col: str = "text", k: int = 20,
-                 n_buckets: int = 32) -> pd.DataFrame:
-    """EXACT global top-k vocabulary (most frequent whitespace tokens,
-    lowercased) without a per-token global shuffle.
-
-    Three bounded stages: (1) each block collapses to its DISTINCT tokens
-    with partial counts (np.unique — block output is vocabulary-sized, not
-    token-sized); (2) tokens co-locate by hash bucket and each bucket sums
-    its partials and keeps ITS top-k — exact, because a token lives in
-    exactly one bucket, so the global top-k is a subset of the union of
-    per-bucket top-ks; (3) the driver merges <= n_buckets * k tiny rows.
-    Ties break by token ascending at every stage so the result is
-    deterministic and matches the SQL oracle's ORDER BY n DESC, token."""
+def _token_count_partial(text_col: str, n_buckets: int):
+    """The shared per-block token-count partial (tokenize lowercase
+    whitespace, np.unique to distinct tokens + counts, stable hash bucket) —
+    ONE tokenization contract for every vocabulary consumer (top_k_tokens,
+    corpus_token_counts, and the oracle SQL generated from it). Python
+    str.split() and the oracles' RE2 ``\\s+`` agree on ASCII whitespace;
+    exotic Unicode whitespace (NBSP, thin space, vertical tab) would split
+    differently — the fixtures are ASCII-spaced, and any non-ASCII corpus
+    should normalize whitespace upstream."""
     from .dedup import _stable_token_hash
 
     def partial(t: pa.Table) -> pa.Table:
@@ -165,6 +161,24 @@ def top_k_tokens(ds, text_col: str = "text", k: int = 20,
         return pa.table({"token": pa.array(uniq, pa.string()),
                          "n": pa.array(counts.astype(np.int64), pa.int64()),
                          "bucket": pa.array(bucket, pa.int64())})
+
+    return partial
+
+
+def top_k_tokens(ds, text_col: str = "text", k: int = 20,
+                 n_buckets: int = 32) -> pd.DataFrame:
+    """EXACT global top-k vocabulary (most frequent whitespace tokens,
+    lowercased) without a per-token global shuffle.
+
+    Three bounded stages: (1) each block collapses to its DISTINCT tokens
+    with partial counts (np.unique — block output is vocabulary-sized, not
+    token-sized); (2) tokens co-locate by hash bucket and each bucket sums
+    its partials and keeps ITS top-k — exact, because a token lives in
+    exactly one bucket, so the global top-k is a subset of the union of
+    per-bucket top-ks; (3) the driver merges <= n_buckets * k tiny rows.
+    Ties break by token ascending at every stage so the result is
+    deterministic and matches the SQL oracle's ORDER BY n DESC, token."""
+    partial = _token_count_partial(text_col, n_buckets)
 
     def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
         s = g.groupby("token", as_index=False)["n"].sum()
@@ -459,21 +473,7 @@ def corpus_token_counts(docs, text_col: str = "text",
     full support). Vocabulary is sublinear in corpus size (Heaps' law); at a
     scale where it outgrows the driver, score against a pruned LM instead
     (min-count threshold in SQL and engine alike)."""
-    from .dedup import _stable_token_hash
-
-    def partial(t: pa.Table) -> pa.Table:
-        texts = t.column(text_col).to_pylist()
-        flat = " ".join(x or "" for x in texts).lower().split()
-        if not flat:
-            return pa.table({"token": pa.array([], pa.string()),
-                             "n": pa.array([], pa.int64()),
-                             "bucket": pa.array([], pa.int64())})
-        uniq, counts = np.unique(np.array(flat, object), return_counts=True)
-        bucket = (_stable_token_hash(uniq) % np.uint64(n_buckets)).astype(
-            np.int64)
-        return pa.table({"token": pa.array(uniq, pa.string()),
-                         "n": pa.array(counts.astype(np.int64), pa.int64()),
-                         "bucket": pa.array(bucket, pa.int64())})
+    partial = _token_count_partial(text_col, n_buckets)
 
     def bucket_sum(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby("token", as_index=False)["n"].sum()
@@ -501,6 +501,11 @@ class UnigramLogProb:
         lm = ray.get(lm_ref) if isinstance(lm_ref, ray.ObjectRef) else lm_ref
         tokens, counts = lm
         self.index = pd.Index(tokens)
+        if not self.index.is_unique:
+            # counts must stay aligned with tokens, so a blind np.unique
+            # can't repair this — fail at construction, not mid-batch
+            raise ValueError("UnigramLogProb: LM tokens must be unique "
+                             "(merge duplicate shards' counts first)")
         self.logp = np.log(counts / counts.sum())
         self.text_col, self.id_col = text_col, id_col
 
@@ -521,14 +526,14 @@ class UnigramLogProb:
                 raise ValueError(f"UnigramLogProb: tokens missing from the "
                                  f"LM, e.g. {list(missing)!r}")
             doc = np.repeat(np.arange(len(ids)), lens)
-            sums = np.zeros(len(ids))
-            np.add.at(sums, doc, self.logp[pos])
+            sums = np.bincount(doc, weights=self.logp[pos],
+                               minlength=len(ids))
             nz = lens > 0
             out[nz] = sums[nz] / lens[nz]
         # from_pandas=True: NaN (token-less doc) becomes SQL NULL, not a
         # float NaN — avg() over zero rows is NULL in the oracle
         return pa.table({
-            "doc_id": pa.array(ids, pa.int64()),
+            self.id_col: pa.array(ids, pa.int64()),
             "mean_logprob": pa.array(np.round(out, 6), pa.float64(),
                                      from_pandas=True)})
 
@@ -537,10 +542,16 @@ def unigram_logprob(docs, text_col: str = "text", id_col: str = "doc_id",
                     concurrency: int = 2):
     """Score every doc against the corpus's own unigram LM: one bounded
     counting pass builds the LM, ``ray.put`` broadcasts it, one streaming
-    pass scores. Returns a Dataset of (doc_id, mean_logprob) — NULL for
-    token-less docs; round-6 floats per the repo's oracle contract."""
+    pass scores. Returns a Dataset of (id_col, mean_logprob) — NULL for
+    token-less docs; round-6 floats per the repo's oracle contract.
+
+    The input executes twice (count, then score), so it is materialized
+    first: a non-deterministic upstream (sample/shuffle) would otherwise
+    produce a second corpus whose unseen tokens trip the OOV guard, and
+    even a deterministic one would pay the read twice."""
     import ray
 
+    docs = docs.materialize()
     lm = corpus_token_counts(docs, text_col=text_col)
     lm = lm.sort_values("token").reset_index(drop=True)
     ref = ray.put((lm["token"].to_numpy(object),
