@@ -137,7 +137,7 @@ def run_bench() -> dict:
         "embedding_centroids", "value_histogram", "quality_filtered",
         "grouped_quantiles", "decontaminate", "json_props_agg",
         "embedding_covariance", "pca_projection", "funnel",
-        "cohort_retention", "unigram_logprob",
+        "cohort_retention", "unigram_logprob", "semi_join_bloom",
     ]
     panel_results: dict = {}
     panel_trials = int(os.environ.get("BENCH_PANEL_TRIALS", "2"))

@@ -553,6 +553,37 @@ def q_semi_join(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "event_type"])
 
 
+def q_semi_join_bloom(sf_dir: str):
+    """Large-large semi join with a bloom prefilter: customers having >= 1
+    order over 450k. Each right block builds a fixed-geometry partial
+    bitmap, the driver ORs them, the merged bitmap broadcasts into a
+    vectorized membership filter over the left — definitely-absent
+    customers drop before any exchange; the exact semi verify then runs on
+    the (much smaller) survivor set, so the composition is exact while the
+    big side's keys never leave their blocks."""
+    from ..stages.joins import bloom_prefilter, semi_join
+
+    cust = _read_bounded(os.path.join(sf_dir, "customer.parquet"),
+                         ["c_custkey", "c_name"])
+    orders = _read_bounded(os.path.join(sf_dir, "orders.parquet"),
+                           ["o_custkey", "o_totalprice"])
+    big = orders.map_batches(
+        lambda t: t.filter(pc.greater(t.column("o_totalprice"), 450000.0)),
+        batch_format="pyarrow")
+    pref = bloom_prefilter(cust, big, on="c_custkey", right_on="o_custkey",
+                           m_bits=1 << 18)
+    keys = np.unique(pa.concat_tables(
+        ray.get(big.select_columns(["o_custkey"]).to_arrow_refs()))
+        .column("o_custkey").to_numpy(zero_copy_only=False))
+    out = semi_join(pref, keys, on="c_custkey").to_pandas()
+    if out.empty:
+        return pa.table({"c_custkey": pa.array([], pa.int64()),
+                         "c_name": pa.array([], pa.string())})
+    out = out.sort_values("c_custkey").reset_index(drop=True)
+    return pa.table({"c_custkey": pa.array(out["c_custkey"], pa.int64()),
+                     "c_name": pa.array(out["c_name"], pa.string())})
+
+
 # ---------------------------------------------------------------------------
 # document / text operators
 # ---------------------------------------------------------------------------
@@ -1299,6 +1330,7 @@ QUERIES = {
     "range_join": q_range_join,
     "hash_join": q_hash_join,
     "anti_join": q_semi_join,
+    "semi_join_bloom": q_semi_join_bloom,
     "pricing_summary": q_pricing_summary,
     "topk_per_group": q_topk_per_group,
     "exclude_filter": q_exclude_filter,
@@ -1604,6 +1636,11 @@ ORACLE_SQL = {
         "FROM events GROUP BY event_type"
     ),
     "lang_id": _lang_id_sql(),
+    "semi_join_bloom": (
+        "SELECT c_custkey, c_name FROM customer c WHERE EXISTS ("
+        "SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+        "AND o.o_totalprice > 450000) ORDER BY c_custkey"
+    ),
     "exact_quantiles": (
         "SELECT 0.5 AS q, quantile_disc(value, 0.5) AS value_quantile "
         "FROM events UNION ALL "

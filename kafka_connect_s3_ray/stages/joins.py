@@ -505,3 +505,54 @@ def range_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     both = left.map_batches(tag("l"), batch_format="pyarrow").union(
         right.map_batches(tag("r"), batch_format="pyarrow"))
     return both.groupby("_coarse").map_groups(walk_bucket, batch_format="pyarrow")
+
+
+def bloom_prefilter(left: "ray.data.Dataset", right: "ray.data.Dataset",
+                    on: str, right_on: str | None = None,
+                    m_bits: int = 1 << 20, k: int = 7) -> "ray.data.Dataset":
+    """Filter ``left`` to rows whose join key MIGHT appear in ``right`` —
+    the classic bloom-prefilter that shrinks a large-large join's exchange
+    volume. Definitely-absent keys are dropped; false positives pass
+    through, so the downstream exact join (hash/semi) stays required and
+    the composition is EXACT.
+
+    Distribution: each right block builds a fixed-geometry partial bitmap
+    (``m_bits``/``k`` must be uniform for partials to OR together), the
+    driver ORs <= blocks x m_bits/8 bytes, and the merged bitmap broadcasts
+    via ``ray.put`` into a vectorized membership filter over left — no
+    shuffle, right's keys never leave their blocks. Default 1 MiB-bit
+    bitmap holds ~100k distinct keys at ~1% FP; size m_bits to the
+    expected right-side key cardinality (FPs cost exchange volume, never
+    correctness). NULL left keys never match (SQL join semantics); NULL
+    right keys set no bits."""
+    from ..state.bloom import bloom_contains_many, build_bloom_bits
+
+    right_on = on if right_on is None else right_on
+
+    def part(t: pa.Table) -> pa.Table:
+        keys = pc.unique(pc.drop_null(t.column(right_on)))
+        bm = build_bloom_bits(
+            pc.cast(keys, pa.string()).to_numpy(zero_copy_only=False),
+            m_bits, k)
+        return pa.table({"bm": pa.array([bm.tobytes()], pa.binary())})
+
+    parts = right.map_batches(part, batch_format="pyarrow").to_pandas()
+    merged = np.zeros(-(-m_bits // 8), np.uint8)
+    for blob in parts["bm"]:
+        merged |= np.frombuffer(blob, np.uint8)
+    ref = ray.put(merged)
+
+    # a PLAIN task-pool function, deliberately not an actor pool: the
+    # broadcast bitmap resolves zero-copy from the local plasma store per
+    # batch (uint8 array — nothing to deserialize), so per-actor caching
+    # buys nothing, and an extra reserved actor pool in a chain of stages
+    # can starve upstream task operators on small CPU budgets
+    def filt(t: pa.Table) -> pa.Table:
+        bm = ray.get(ref)
+        col = t.column(on)
+        keys = pc.cast(col, pa.string()).to_numpy(zero_copy_only=False)
+        mask = bloom_contains_many(bm, m_bits, k, keys.astype(object))
+        mask &= ~pc.is_null(col).to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(mask))
+
+    return left.map_batches(filt, batch_format="pyarrow")

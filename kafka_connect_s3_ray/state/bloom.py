@@ -118,3 +118,41 @@ def file_might_contain(data_path: str, key: str) -> bool:
             return bloom_contains(f.read(), key)
     except (OSError, ValueError):
         return True
+
+
+# ---------------------------------------------------------------------------
+# fixed-geometry partial blooms (mergeable) + vectorized membership — the
+# join-prefilter building blocks. Sidecar blooms above size m from each
+# file's own key count (deterministic bytes per file); a DISTRIBUTED bloom
+# must instead fix (m, k) up front so per-block partial bitmaps OR together.
+# ---------------------------------------------------------------------------
+
+def build_bloom_bits(keys: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """Packed uint8 bitmap of a fixed-geometry bloom over ``keys`` (object
+    array of strings; caller dedups or not — sets are idempotent). Partial
+    bitmaps with the same (m_bits, k) merge by bitwise OR."""
+    bits = np.zeros(m_bits, dtype=bool)
+    if len(keys):
+        h1, h2 = _hashes(keys)
+        for i in range(k):
+            with np.errstate(over="ignore"):
+                bits[((h1 + np.uint64(i) * h2) % np.uint64(m_bits)).astype(
+                    np.int64)] = True
+    return np.packbits(bits)
+
+
+def bloom_contains_many(bitmap: np.ndarray, m_bits: int, k: int,
+                        keys: np.ndarray) -> np.ndarray:
+    """Vectorized membership of ``keys`` against a packed fixed-geometry
+    bitmap: True = might contain, False = definitely absent. One
+    (hash, index, gather) pass per hash function — no per-key Python."""
+    if len(keys) == 0:
+        return np.zeros(0, dtype=bool)
+    h1, h2 = _hashes(keys)
+    member = np.ones(len(keys), dtype=bool)
+    for i in range(k):
+        with np.errstate(over="ignore"):
+            pos = ((h1 + np.uint64(i) * h2) % np.uint64(m_bits)).astype(
+                np.int64)
+        member &= (bitmap[pos >> 3] >> (7 - (pos & 7))) & 1 == 1
+    return member

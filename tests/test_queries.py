@@ -86,7 +86,8 @@ SQL_CHECKED = [
     "grouped_quantiles",
     "tumbling_window", "sliding_window", "session_windows", "broadcast_join", "asof_join",
     "range_join",
-    "hash_join", "anti_join", "pricing_summary", "topk_per_group",
+    "hash_join", "anti_join", "semi_join_bloom", "pricing_summary",
+    "topk_per_group",
     "cdc_transcripts",
 ]
 # the four legitimately non-SQL-checkable entries: IVF k-means assignment is
