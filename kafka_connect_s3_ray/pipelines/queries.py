@@ -1093,6 +1093,21 @@ def q_approx_distinct(sf_dir: str):
     return pa.table({"approx_distinct_users": pa.array([float(round(est, 1))])})
 
 
+def q_grouped_approx_distinct(sf_dir: str):
+    """Per-event-type HLL distinct users: one sketch per (batch, group)
+    crosses the shuffle, driver max-merges and estimates. The exact
+    counterpart is distinct_users_by_type; the oracle replays the engine's
+    own splitmix64/register/estimate arithmetic in HUGEINT SQL, grouped."""
+    from ..functions.sketch import grouped_approx_distinct
+
+    out = grouped_approx_distinct(
+        _events(sf_dir, ["event_type", "user_id"]), "event_type", "user_id")
+    return pa.table({
+        "event_type": pa.array(out["g"], pa.string()),
+        "approx_n_users": pa.array(np.round(out["estimate"].to_numpy(), 1),
+                                   pa.float64())})
+
+
 def q_approx_quantiles(sf_dir: str):
     """Mergeable quantile-sketch aggregate over event values."""
     from ..functions.sketch import approx_quantiles
@@ -1360,6 +1375,7 @@ QUERIES = {
     "media_features": q_media_features,
     "distinct_users_by_type": q_distinct_users_by_type,
     "approx_distinct": q_approx_distinct,
+    "grouped_approx_distinct": q_grouped_approx_distinct,
     "approx_quantiles": q_approx_quantiles,
     "exact_quantiles": q_exact_quantiles,
     "grouped_quantiles": q_grouped_quantiles,
@@ -2145,6 +2161,42 @@ def _approx_distinct_sql() -> str:
 
 
 ORACLE_SQL["approx_distinct"] = _approx_distinct_sql()
+
+
+def _grouped_approx_distinct_sql() -> str:
+    """The grouped HLL estimate in SQL — ``_approx_distinct_sql`` with the
+    group column carried through every CTE and the register/estimate stages
+    grouped. Same arithmetic, same constants; generated from the same
+    helpers so the two replays cannot drift."""
+    p, m = 12, 4096
+    alpha = repr(0.7213 / (1 + 1.079 / m))
+    xoru, shr, mulc = _sql_xoru, _sql_shr, _sql_mulc
+
+    ladder = " ".join(
+        f"WHEN rest >= {1 << (64 - k)}::HUGEINT THEN {k}"
+        for k in range(1, 64 - p))
+    C1, C2 = _SM_C1, _SM_C2
+    return (
+        f"WITH h0 AS (SELECT event_type AS g, {_sql_u64('user_id')} AS x0 "
+        f"FROM events WHERE event_type IS NOT NULL), "
+        f"m1 AS (SELECT g, {mulc(xoru('x0', shr('x0', 30)), C1)} AS x1 FROM h0), "
+        f"m2 AS (SELECT g, {mulc(xoru('x1', shr('x1', 27)), C2)} AS x2 FROM m1), "
+        f"m3 AS (SELECT g, {xoru('x2', shr('x2', 31))} AS h FROM m2), "
+        f"r AS (SELECT g, h // {1 << (64 - p)}::HUGEINT AS idx, "
+        f"(h * {1 << p}::HUGEINT) % {_MS_SQL} AS rest FROM m3), "
+        f"rk AS (SELECT g, idx, CASE {ladder} ELSE {64 - p} END AS rank FROM r), "
+        f"reg AS (SELECT g, idx, max(rank) AS rr FROM rk GROUP BY g, idx), "
+        f"s AS (SELECT g, sum(power(2.0, -rr)) + ({m} - count(*)) * 1.0 "
+        f"AS denom, {m} - count(*) AS zeros FROM reg GROUP BY g), "
+        f"e AS (SELECT g, CAST({alpha} AS DOUBLE) * {m} * {m} / denom "
+        f"AS raw, zeros FROM s) "
+        f"SELECT g AS event_type, round(CASE WHEN raw <= 2.5 * {m} "
+        f"AND zeros > 0 THEN {m} * ln({m}.0 / zeros) ELSE raw END, 1) "
+        f"AS approx_n_users FROM e ORDER BY event_type"
+    )
+
+
+ORACLE_SQL["grouped_approx_distinct"] = _grouped_approx_distinct_sql()
 
 
 def _splitmix64_ctes(key: str, src: str, carry: str) -> str:

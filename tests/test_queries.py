@@ -82,7 +82,8 @@ SQL_CHECKED = [
     "quality_filtered", "rolling_fingerprint",
     "train_val_split", "keyed_sample", "top_terms",
     "minhash_near_dup", "near_dup_verified", "curation_chain",
-    "simhash_near_dup", "approx_distinct", "exact_quantiles",
+    "simhash_near_dup", "approx_distinct", "grouped_approx_distinct",
+    "exact_quantiles",
     "grouped_quantiles",
     "tumbling_window", "sliding_window", "session_windows", "broadcast_join", "asof_join",
     "range_join",

@@ -95,3 +95,28 @@ def test_quantile_rank_error_bound_at_driver_scale():
             rank = np.searchsorted(vals, v, side="right") / len(vals)
             # ~1/k per merge level; 2 levels here (batch sketch + final merge)
             assert abs(rank - q) <= 4.0 / k + 2e-3, (sf, q, v, rank)
+
+
+def test_grouped_approx_distinct_accuracy_and_nulls(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from kafka_connect_s3_ray.functions.sketch import grouped_approx_distinct
+
+    rng = np.random.RandomState(4)
+    true = {"a": 3000, "b": 700, "c": 12}
+    gs, vs = [], []
+    for gname, n in true.items():
+        ids = rng.choice(np.arange(n), n * 4)  # repeats: distinct != rows
+        gs += [gname] * len(ids)
+        vs += ids.tolist()
+    ds = ray.data.from_arrow(pa.table({
+        "g": pa.array(gs + [None], pa.string()),
+        "v": pa.array(vs + [99], pa.int64()),
+    })).repartition(6)
+    out = grouped_approx_distinct(ds, "g", "v", p=12)
+    got = dict(zip(out["g"], out["estimate"]))
+    assert set(got) == set(true)  # NULL group excluded
+    for gname, n in true.items():
+        sigma = 1.04 / np.sqrt(4096) * n
+        assert abs(got[gname] - n) <= max(3 * sigma, 3), (gname, got[gname])
