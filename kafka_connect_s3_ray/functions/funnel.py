@@ -19,7 +19,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["funnel", "cohort_retention"]
+__all__ = ["funnel", "cohort_retention", "event_transitions"]
 
 
 def _user_bucketer(user_col: str, n_buckets: int):
@@ -107,3 +107,37 @@ def cohort_retention(ds, user_col: str = "user_id", ts_col: str = "ts",
     from ..pipelines.queries import _sum_partials
     return _sum_partials(parts, ["cohort", "offset"],
                          {"n_users": "n_users"})
+
+
+def event_transitions(ds, user_col: str = "user_id",
+                      type_col: str = "event_type", ts_col: str = "ts",
+                      id_col: str = "event_id", n_buckets: int = 32):
+    """Markov transition counts: for each user's event stream ordered by
+    (ts, id) — the id tiebreak makes ordering total, hence deterministic —
+    count every consecutive (from_type, to_type) pair, summed corpus-wide.
+    The sequence-mining primitive behind session-flow / next-event models.
+
+    Shape: the same single user-hash exchange as ``funnel`` (a user's rows
+    land in one bucket, so consecutive pairs never span buckets); each
+    bucket sorts its rows once with one lexsort and counts pairs
+    vectorized; the driver sums O(types^2) tiny partials. Returns a
+    Dataset of (from_type, to_type, n)."""
+    add_bucket = _user_bucketer(user_col, n_buckets)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        u = g[user_col].to_numpy()
+        ts = g[ts_col].to_numpy()
+        ei = g[id_col].to_numpy()
+        et = g[type_col].to_numpy()
+        order = np.lexsort((ei, ts, u))
+        u, et = u[order], et[order]
+        same = u[1:] == u[:-1]  # consecutive rows of the SAME user
+        d = pd.DataFrame({"from_type": et[:-1][same], "to_type": et[1:][same]})
+        return (d.groupby(["from_type", "to_type"], as_index=False)
+                .size().rename(columns={"size": "n"}))
+
+    parts = (ds.map_batches(add_bucket, batch_format="pyarrow")
+             .groupby("bucket")
+             .map_groups(bucket_pairs, batch_format="pandas"))
+    from ..pipelines.queries import _sum_partials
+    return _sum_partials(parts, ["from_type", "to_type"], {"n": "n"})

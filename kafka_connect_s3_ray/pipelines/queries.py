@@ -769,6 +769,21 @@ def q_funnel(sf_dir: str):
     })
 
 
+def q_event_transitions(sf_dir: str):
+    """Corpus-wide Markov transition counts over per-user event streams
+    ordered by (ts, event_id): one user-hash exchange, one lexsort + pair
+    count per bucket, driver sums O(types^2) partials."""
+    from ..functions.funnel import event_transitions
+
+    out = event_transitions(
+        _events(sf_dir, ["event_id", "user_id", "event_type", "ts"])
+    ).to_pandas()
+    out = out.sort_values(["from_type", "to_type"]).reset_index(drop=True)
+    return pa.table({"from_type": pa.array(out["from_type"], pa.string()),
+                     "to_type": pa.array(out["to_type"], pa.string()),
+                     "n": pa.array(out["n"], pa.int64())})
+
+
 def q_unigram_logprob(sf_dir: str):
     """Perplexity-style quality score: each doc's mean ln-probability under
     the corpus's own unigram LM. One bounded counting pass builds the LM
@@ -1363,6 +1378,7 @@ QUERIES = {
     "funnel": q_funnel,
     "cohort_retention": q_cohort_retention,
     "unigram_logprob": q_unigram_logprob,
+    "event_transitions": q_event_transitions,
     "tfidf_terms": q_tfidf_terms,
     "rolling_fingerprint": q_rolling_fingerprint,
     "minhash_near_dup": q_minhash_near_dup,
@@ -1717,6 +1733,15 @@ ORACLE_SQL = {
         "CAST(count(*) AS BIGINT) AS n_users "
         "FROM a GROUP BY cohort_day, day_offset "
         "ORDER BY cohort_day, day_offset"
+    ),
+    # transitions: lead() over the same total order (ts, event_id tiebreak)
+    # the engine lexsorts by — the id makes ordering deterministic
+    "event_transitions": (
+        "WITH s AS (SELECT event_type, lead(event_type) OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id) AS nxt FROM events) "
+        "SELECT event_type AS from_type, nxt AS to_type, "
+        "CAST(count(*) AS BIGINT) AS n FROM s WHERE nxt IS NOT NULL "
+        "GROUP BY from_type, nxt ORDER BY from_type, to_type"
     ),
     # unigram LM: same lowercase-whitespace tokenization contract as
     # top_terms; p(tok) = corpus count / total tokens; avg over TOKEN ROWS

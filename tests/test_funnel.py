@@ -160,3 +160,45 @@ def test_null_user_rejected_loudly(ray_session):
         funnel(ds, ["view"]).to_pandas()
     with pytest.raises(Exception, match="NULL"):
         cohort_retention(ds).to_pandas()
+
+
+def test_event_transitions_hand_computed_and_vs_sql(ray_session):
+    import duckdb
+
+    from kafka_connect_s3_ray.functions.funnel import event_transitions
+
+    def _eds(rows, blocks=3):
+        return ray.data.from_arrow(pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+        })).repartition(blocks)
+
+    # user 1: a->b->a (out-of-order arrival; ts orders);
+    # user 2: tie at ts=5 broken by event_id (10 then 11): b->b
+    rows = [(1, 1, "b", 20), (2, 1, "a", 10), (3, 1, "a", 30),
+            (10, 2, "b", 5), (11, 2, "b", 5)]
+    out = event_transitions(_eds(rows)).to_pandas()
+    got = {(r["from_type"], r["to_type"]): int(r["n"])
+           for _, r in out.iterrows()}
+    assert got == {("a", "b"): 1, ("b", "a"): 1, ("b", "b"): 1}
+
+    rng = np.random.RandomState(17)
+    rows = [(i, int(rng.randint(0, 30)),
+             str(rng.choice(["x", "y", "z"])), int(rng.randint(0, 50)))
+            for i in range(1500)]
+    out = event_transitions(_eds(rows, blocks=5)).to_pandas().sort_values(
+        ["from_type", "to_type"]).reset_index(drop=True)
+    df = pd.DataFrame(rows, columns=["event_id", "user_id",
+                                     "event_type", "ts_i"])
+    df["ts"] = pd.to_datetime(df["ts_i"], unit="us")
+    exp = duckdb.sql("""
+        WITH s AS (SELECT event_type, lead(event_type) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id) AS nxt FROM df)
+        SELECT event_type AS from_type, nxt AS to_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2
+    """).df()
+    pd.testing.assert_frame_equal(
+        out.astype({"n": "int64"}), exp.astype({"n": "int64"}))

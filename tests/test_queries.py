@@ -76,7 +76,8 @@ SQL_CHECKED = [
     "dedup_exact", "token_sum_by_lang", "cosine_topk", "embedding_near_dup", "lang_id",
     "distinct_users_by_type", "ngram_jaccard", "near_dup_clusters",
     "pii_redact", "decontaminate", "json_props_agg", "funnel",
-    "cohort_retention", "unigram_logprob", "tfidf_terms",
+    "cohort_retention", "unigram_logprob", "event_transitions",
+    "tfidf_terms",
     "embedding_centroids", "embedding_covariance",
     "value_histogram",
     "quality_filtered", "rolling_fingerprint",
