@@ -34,8 +34,9 @@ def _user_bucketer(user_col: str, n_buckets: int):
         col = t.column(user_col)
         if col.null_count:
             raise ValueError(
-                f"funnel/cohort: column {user_col!r} holds NULLs — fill or "
-                f"filter them first (NULL users have no hash bucket)")
+                f"user-keyed sequence op (funnel/cohort/transitions): column "
+                f"{user_col!r} holds NULLs — fill or filter them first "
+                f"(NULL users have no hash bucket)")
         u = pc.cast(col, pa.int64()).to_numpy(
             zero_copy_only=False).astype(np.uint64)
         b = (_splitmix64_mix(u) % np.uint64(n_buckets)).astype(np.int64)
@@ -133,7 +134,12 @@ def event_transitions(ds, user_col: str = "user_id",
         u, et = u[order], et[order]
         same = u[1:] == u[:-1]  # consecutive rows of the SAME user
         d = pd.DataFrame({"from_type": et[:-1][same], "to_type": et[1:][same]})
-        return (d.groupby(["from_type", "to_type"], as_index=False)
+        # SQL-oracle NULL contract: a NULL *from* state is a real group
+        # (groupby dropna=False keeps it), while a NULL *to* drops the pair
+        # (the oracle's WHERE nxt IS NOT NULL)
+        d = d[d["to_type"].notna()]
+        return (d.groupby(["from_type", "to_type"], as_index=False,
+                          dropna=False)
                 .size().rename(columns={"size": "n"}))
 
     parts = (ds.map_batches(add_bucket, batch_format="pyarrow")

@@ -191,11 +191,18 @@ def grouped_approx_distinct(ds: "ray.data.Dataset", group_col: str,
     are excluded (the grouped-quantiles contract)."""
 
     def per_batch(batch: pa.Table) -> pa.Table:
-        gc = batch.column(group_col)
-        g = gc.to_numpy(zero_copy_only=False)
+        import pyarrow.compute as pac
+
+        # filter IN ARROW before to_numpy: a NULL in an int64 value column
+        # would otherwise degrade the whole numpy array to float64 and flip
+        # HllSketch.add onto the string-hash path ('123.0' != splitmix(123)
+        # across batches). NULL values leave the count (SQL count(DISTINCT)
+        # ignores NULL); NULL groups are excluded like grouped quantiles.
+        valid = pac.and_(pac.is_valid(batch.column(group_col)),
+                         pac.is_valid(batch.column(col)))
+        batch = batch.filter(valid)
+        g = batch.column(group_col).to_numpy(zero_copy_only=False).astype(str)
         v = batch.column(col).to_numpy(zero_copy_only=False)
-        keep = ~gc.is_null().to_numpy(zero_copy_only=False)
-        g, v = g[keep].astype(str), v[keep]
         names, blobs = [], []
         for name in np.unique(g):
             names.append(name)

@@ -569,7 +569,7 @@ def q_semi_join_bloom(sf_dir: str):
                            ["o_custkey", "o_totalprice"])
     big = orders.map_batches(
         lambda t: t.filter(pc.greater(t.column("o_totalprice"), 450000.0)),
-        batch_format="pyarrow")
+        batch_format="pyarrow").materialize()  # consumed twice below
     pref = bloom_prefilter(cust, big, on="c_custkey", right_on="o_custkey",
                            m_bits=1 << 18)
     keys = np.unique(pa.concat_tables(
@@ -2151,13 +2151,19 @@ def _simhash_sql() -> str:
 ORACLE_SQL["simhash_near_dup"] = _simhash_sql()
 
 
-def _approx_distinct_sql() -> str:
+def _approx_distinct_sql(group_col: str | None = None,
+                         out_col: str = "approx_distinct_users") -> str:
     """The HLL estimate in SQL from the engine's own arithmetic: splitmix64
     of the int64 values (HUGEINT mod-2^64, staged xor/shift/multiply), p=12
     register index = h >> 52, rank = min(leading-zeros(h << 12) + 1, 52) via
     an exact comparison ladder (no float log2 — doubles round 2^63-1 up to
     2^63), register max, and the standard alpha_m m^2 / sum(2^-reg) estimate
-    with the small-range zeros correction."""
+    with the small-range zeros correction.
+
+    ONE generator for both the global and the grouped replay: when
+    ``group_col`` is set, the group is carried through every CTE and the
+    register/estimate stages GROUP BY it — the two oracles literally cannot
+    drift because there is a single SQL body."""
     p, m = 12, 4096
     alpha = repr(0.7213 / (1 + 1.079 / m))
     xoru, shr, mulc = _sql_xoru, _sql_shr, _sql_mulc
@@ -2166,62 +2172,39 @@ def _approx_distinct_sql() -> str:
         f"WHEN rest >= {1 << (64 - k)}::HUGEINT THEN {k}"
         for k in range(1, 64 - p))
     C1, C2 = _SM_C1, _SM_C2
+    if group_col:
+        sel, by = "g, ", f" GROUP BY g"
+        src = (f"SELECT {group_col} AS g, {_sql_u64('user_id')} AS x0 "
+               f"FROM events WHERE {group_col} IS NOT NULL "
+               f"AND user_id IS NOT NULL")
+        final = (f"SELECT g AS {group_col}, {{est}} AS {out_col} FROM e "
+                 f"ORDER BY {group_col}")
+    else:
+        sel, by = "", ""
+        src = f"SELECT {_sql_u64('user_id')} AS x0 FROM events"
+        final = f"SELECT {{est}} AS {out_col} FROM e"
+    est = (f"round(CASE WHEN raw <= 2.5 * {m} AND zeros > 0 "
+           f"THEN {m} * ln({m}.0 / zeros) ELSE raw END, 1)")
     return (
-        f"WITH h0 AS (SELECT {_sql_u64('user_id')} AS x0 FROM events), "
-        f"m1 AS (SELECT {mulc(xoru('x0', shr('x0', 30)), C1)} AS x1 FROM h0), "
-        f"m2 AS (SELECT {mulc(xoru('x1', shr('x1', 27)), C2)} AS x2 FROM m1), "
-        f"m3 AS (SELECT {xoru('x2', shr('x2', 31))} AS h FROM m2), "
-        f"r AS (SELECT h // {1 << (64 - p)}::HUGEINT AS idx, "
+        f"WITH h0 AS ({src}), "
+        f"m1 AS (SELECT {sel}{mulc(xoru('x0', shr('x0', 30)), C1)} AS x1 FROM h0), "
+        f"m2 AS (SELECT {sel}{mulc(xoru('x1', shr('x1', 27)), C2)} AS x2 FROM m1), "
+        f"m3 AS (SELECT {sel}{xoru('x2', shr('x2', 31))} AS h FROM m2), "
+        f"r AS (SELECT {sel}h // {1 << (64 - p)}::HUGEINT AS idx, "
         f"(h * {1 << p}::HUGEINT) % {_MS_SQL} AS rest FROM m3), "
-        f"rk AS (SELECT idx, CASE {ladder} ELSE {64 - p} END AS rank FROM r), "
-        f"reg AS (SELECT idx, max(rank) AS rr FROM rk GROUP BY idx), "
-        f"s AS (SELECT sum(power(2.0, -rr)) + ({m} - count(*)) * 1.0 AS denom, "
-        f"{m} - count(*) AS zeros FROM reg), "
-        f"e AS (SELECT CAST({alpha} AS DOUBLE) * {m} * {m} / denom "
+        f"rk AS (SELECT {sel}idx, CASE {ladder} ELSE {64 - p} END AS rank FROM r), "
+        f"reg AS (SELECT {sel}idx, max(rank) AS rr FROM rk GROUP BY {sel}idx), "
+        f"s AS (SELECT {sel}sum(power(2.0, -rr)) + ({m} - count(*)) * 1.0 "
+        f"AS denom, {m} - count(*) AS zeros FROM reg{by}), "
+        f"e AS (SELECT {sel}CAST({alpha} AS DOUBLE) * {m} * {m} / denom "
         f"AS raw, zeros FROM s) "
-        f"SELECT round(CASE WHEN raw <= 2.5 * {m} AND zeros > 0 "
-        f"THEN {m} * ln({m}.0 / zeros) ELSE raw END, 1) "
-        f"AS approx_distinct_users FROM e"
+        + final.format(est=est)
     )
 
 
 ORACLE_SQL["approx_distinct"] = _approx_distinct_sql()
-
-
-def _grouped_approx_distinct_sql() -> str:
-    """The grouped HLL estimate in SQL — ``_approx_distinct_sql`` with the
-    group column carried through every CTE and the register/estimate stages
-    grouped. Same arithmetic, same constants; generated from the same
-    helpers so the two replays cannot drift."""
-    p, m = 12, 4096
-    alpha = repr(0.7213 / (1 + 1.079 / m))
-    xoru, shr, mulc = _sql_xoru, _sql_shr, _sql_mulc
-
-    ladder = " ".join(
-        f"WHEN rest >= {1 << (64 - k)}::HUGEINT THEN {k}"
-        for k in range(1, 64 - p))
-    C1, C2 = _SM_C1, _SM_C2
-    return (
-        f"WITH h0 AS (SELECT event_type AS g, {_sql_u64('user_id')} AS x0 "
-        f"FROM events WHERE event_type IS NOT NULL), "
-        f"m1 AS (SELECT g, {mulc(xoru('x0', shr('x0', 30)), C1)} AS x1 FROM h0), "
-        f"m2 AS (SELECT g, {mulc(xoru('x1', shr('x1', 27)), C2)} AS x2 FROM m1), "
-        f"m3 AS (SELECT g, {xoru('x2', shr('x2', 31))} AS h FROM m2), "
-        f"r AS (SELECT g, h // {1 << (64 - p)}::HUGEINT AS idx, "
-        f"(h * {1 << p}::HUGEINT) % {_MS_SQL} AS rest FROM m3), "
-        f"rk AS (SELECT g, idx, CASE {ladder} ELSE {64 - p} END AS rank FROM r), "
-        f"reg AS (SELECT g, idx, max(rank) AS rr FROM rk GROUP BY g, idx), "
-        f"s AS (SELECT g, sum(power(2.0, -rr)) + ({m} - count(*)) * 1.0 "
-        f"AS denom, {m} - count(*) AS zeros FROM reg GROUP BY g), "
-        f"e AS (SELECT g, CAST({alpha} AS DOUBLE) * {m} * {m} / denom "
-        f"AS raw, zeros FROM s) "
-        f"SELECT g AS event_type, round(CASE WHEN raw <= 2.5 * {m} "
-        f"AND zeros > 0 THEN {m} * ln({m}.0 / zeros) ELSE raw END, 1) "
-        f"AS approx_n_users FROM e ORDER BY event_type"
-    )
-
-
-ORACLE_SQL["grouped_approx_distinct"] = _grouped_approx_distinct_sql()
+ORACLE_SQL["grouped_approx_distinct"] = _approx_distinct_sql(
+    group_col="event_type", out_col="approx_n_users")
 
 
 def _splitmix64_ctes(key: str, src: str, carry: str) -> str:

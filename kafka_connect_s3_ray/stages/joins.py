@@ -529,11 +529,20 @@ def bloom_prefilter(left: "ray.data.Dataset", right: "ray.data.Dataset",
 
     right_on = on if right_on is None else right_on
 
+    def key_arr(col) -> np.ndarray:
+        """Null-free key array in the dtype the bloom hash dispatches on:
+        int64 stays integer (pure-numpy splitmix path — no per-key Python
+        encode on the hot filter path); everything else becomes utf-8
+        strings. Build and probe sides MUST agree, so both call this."""
+        col = pc.drop_null(col)
+        if pa.types.is_integer(col.type):
+            return col.to_numpy(zero_copy_only=False).astype(np.int64)
+        return pc.cast(col, pa.string()).to_numpy(
+            zero_copy_only=False).astype(object)
+
     def part(t: pa.Table) -> pa.Table:
-        keys = pc.unique(pc.drop_null(t.column(right_on)))
-        bm = build_bloom_bits(
-            pc.cast(keys, pa.string()).to_numpy(zero_copy_only=False),
-            m_bits, k)
+        bm = build_bloom_bits(key_arr(pc.unique(t.column(right_on))),
+                              m_bits, k)
         return pa.table({"bm": pa.array([bm.tobytes()], pa.binary())})
 
     parts = right.map_batches(part, batch_format="pyarrow").to_pandas()
@@ -550,9 +559,11 @@ def bloom_prefilter(left: "ray.data.Dataset", right: "ray.data.Dataset",
     def filt(t: pa.Table) -> pa.Table:
         bm = ray.get(ref)
         col = t.column(on)
-        keys = pc.cast(col, pa.string()).to_numpy(zero_copy_only=False)
-        mask = bloom_contains_many(bm, m_bits, k, keys.astype(object))
-        mask &= ~pc.is_null(col).to_numpy(zero_copy_only=False)
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        mask = np.zeros(len(t), dtype=bool)
+        # probe only the non-null rows, with the SAME dtype path as part()
+        mask[valid] = bloom_contains_many(
+            bm, m_bits, k, key_arr(t.filter(pa.array(valid)).column(on)))
         return t.filter(pa.array(mask))
 
     return left.map_batches(filt, batch_format="pyarrow")

@@ -42,10 +42,18 @@ def bloom_path(data_path: str) -> str:
 
 def _hashes(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Two independent uint64 hashes per key (Kirsch–Mitzenmacher double
-    hashing: bit_i = (h1 + i*h2) mod m). Vectorized over the key array."""
+    hashing: bit_i = (h1 + i*h2) mod m). Vectorized over the key array.
+    Integer arrays take the pure-numpy splitmix path (no per-key Python);
+    everything else hashes utf-8 token bytes. Sidecar blooms always pass
+    object/string arrays (build_bloom normalizes), so their bytes are
+    unaffected by the integer dispatch; distributed callers must use the
+    SAME dtype on build and probe sides."""
     from ..functions.dedup import _splitmix64_mix, _stable_token_hash
 
-    h1 = _stable_token_hash(keys)
+    if keys.dtype.kind in ("i", "u"):
+        h1 = _splitmix64_mix(keys.astype(np.uint64))
+    else:
+        h1 = _stable_token_hash(keys)
     with np.errstate(over="ignore"):
         h2 = _splitmix64_mix(h1 ^ _SEED2)
     return h1, h2
@@ -67,13 +75,10 @@ def build_bloom(keys, fp_rate: float = 0.01) -> bytes:
     n = max(1, len(uniq))
     m = max(64, int(np.ceil(-n * np.log(fp_rate) / (np.log(2) ** 2))))
     k = max(1, min(16, int(round(m / n * np.log(2)))))
-    bits = np.zeros(m, dtype=bool)
-    if len(uniq):
-        h1, h2 = _hashes(uniq)
-        for i in range(k):
-            with np.errstate(over="ignore"):
-                bits[((h1 + np.uint64(i) * h2) % np.uint64(m)).astype(np.int64)] = True
-    return _HDR.pack(_MAGIC, k, m, len(uniq)) + np.packbits(bits).tobytes()
+    # one bit-set kernel for sidecar AND distributed blooms (bytes unchanged:
+    # build_bloom_bits runs the identical loop this body used to inline)
+    packed = build_bloom_bits(uniq, m, k)
+    return _HDR.pack(_MAGIC, k, m, len(uniq)) + packed.tobytes()
 
 
 def bloom_contains(blob: bytes, key: str) -> bool:
@@ -84,13 +89,9 @@ def bloom_contains(blob: bytes, key: str) -> bool:
     magic, k, m, _n = _HDR.unpack_from(blob)
     if magic != _MAGIC or len(blob) != _HDR.size + -(-m // 8):
         raise ValueError("not a KB01 bloom blob")
-    bits = np.unpackbits(np.frombuffer(blob, np.uint8, offset=_HDR.size))[:m]
-    h1, h2 = _hashes(np.array([key], dtype=object))
-    for i in range(k):
-        with np.errstate(over="ignore"):
-            if not bits[int((h1[0] + np.uint64(i) * h2[0]) % np.uint64(m))]:
-                return False
-    return True
+    bitmap = np.frombuffer(blob, np.uint8, offset=_HDR.size)
+    return bool(bloom_contains_many(
+        bitmap, m, k, np.array([key], dtype=object))[0])
 
 
 def write_bloom_sidecar(data_path: str, keys) -> str:

@@ -202,3 +202,22 @@ def test_event_transitions_hand_computed_and_vs_sql(ray_session):
     """).df()
     pd.testing.assert_frame_equal(
         out.astype({"n": "int64"}), exp.astype({"n": "int64"}))
+
+
+def test_transitions_null_type_contract(ray_session):
+    """NULL from_type is a counted group; NULL to_type drops the pair —
+    exactly the oracle's lead() + WHERE nxt IS NOT NULL semantics."""
+    from kafka_connect_s3_ray.functions.funnel import event_transitions
+
+    ds = ray.data.from_arrow(pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "user_id": pa.array([1, 1, 1], pa.int64()),
+        "event_type": pa.array([None, "click", None], pa.string()),
+        "ts": pa.array([1, 2, 3], pa.timestamp("us")),
+    }))
+    out = event_transitions(ds).to_pandas()
+    # NULL->click counted; click->NULL dropped
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert pd.isna(row["from_type"]) and row["to_type"] == "click"
+    assert int(row["n"]) == 1

@@ -120,3 +120,20 @@ def test_grouped_approx_distinct_accuracy_and_nulls(ray_session):
     for gname, n in true.items():
         sigma = 1.04 / np.sqrt(4096) * n
         assert abs(got[gname] - n) <= max(3 * sigma, 3), (gname, got[gname])
+
+
+def test_grouped_approx_distinct_null_values_ignored(ray_session):
+    """A NULL value must not degrade the int64 numpy dtype (which would
+    flip the hash onto the string path) nor count as a distinct value."""
+    import pyarrow as pa
+    import ray.data
+
+    from kafka_connect_s3_ray.functions.sketch import grouped_approx_distinct
+
+    base = pa.table({"g": pa.array(["a"] * 6, pa.string()),
+                     "v": pa.array([1, 2, 3, 1, 2, 3], pa.int64())})
+    with_null = pa.table({"g": pa.array(["a"] * 7, pa.string()),
+                          "v": pa.array([1, 2, 3, 1, 2, 3, None], pa.int64())})
+    e1 = grouped_approx_distinct(ray.data.from_arrow(base), "g", "v")
+    e2 = grouped_approx_distinct(ray.data.from_arrow(with_null), "g", "v")
+    assert float(e1["estimate"][0]) == float(e2["estimate"][0])
