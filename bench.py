@@ -138,7 +138,7 @@ def run_bench() -> dict:
         "grouped_quantiles", "decontaminate", "json_props_agg",
         "embedding_covariance", "pca_projection", "funnel",
         "cohort_retention", "unigram_logprob", "semi_join_bloom",
-        "grouped_approx_distinct", "event_transitions",
+        "grouped_approx_distinct", "event_transitions", "windowed_distinct",
     ]
     panel_results: dict = {}
     panel_trials = int(os.environ.get("BENCH_PANEL_TRIALS", "2"))

@@ -1063,6 +1063,43 @@ def q_media_features(sf_dir: str):
     )
 
 
+def q_windowed_distinct(sf_dir: str):
+    """EXACT distinct users per hourly tumbling window — the
+    distinct_users_by_type pattern on a HIGH-cardinality group (one group
+    per hour): per-batch (window, user) dedup (the combiner — repeats
+    inside a batch never cross the wire), coarse-bucket pair dedup (equal
+    pairs co-locate), tiny per-window partial sums. Window arithmetic is
+    the tumbling_window oracle's integer epoch_us // 3600000000."""
+    from ..stages.joins import _coarse_of
+
+    def pairs_coarse(t: pa.Table) -> pa.Table:
+        w = (t.column("ts").to_numpy(zero_copy_only=False)
+             .astype("datetime64[us]").astype(np.int64) // 3_600_000_000)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        d = pd.DataFrame({"window": w, "user_id": uid}).drop_duplicates()
+        w2 = d["window"].to_numpy()
+        u2 = d["user_id"].to_numpy()
+        out = pa.table({"window": pa.array(w2, pa.int64()),
+                        "user_id": pa.array(u2, pa.int64())})
+        return out.append_column("coarse", pa.array(_coarse_of([w2, u2], 64)))
+
+    def partial_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["window", "user_id"])
+        return d.groupby("window", as_index=False).agg(
+            partial_users=("user_id", "size"))
+
+    out = _sum_partials(
+        _events(sf_dir, ["ts", "user_id"])
+        .map_batches(pairs_coarse, batch_format="pyarrow")
+        .groupby("coarse")
+        .map_groups(partial_distinct, batch_format="pandas"),
+        "window", {"partial_users": "n_users"},
+    ).to_pandas()
+    out = out.sort_values("window").reset_index(drop=True)
+    return pa.table({"window_id": pa.array(out["window"], pa.int64()),
+                     "n_users": pa.array(out["n_users"], pa.int64())})
+
+
 def q_distinct_users_by_type(sf_dir: str):
     """EXACT distinct counting per group (the ``unique`` wide op) without a
     high-cardinality groupby: (event_type, user) pairs dedupe inside coarse
@@ -1390,6 +1427,7 @@ QUERIES = {
     "curation_chain": q_curation_chain,
     "media_features": q_media_features,
     "distinct_users_by_type": q_distinct_users_by_type,
+    "windowed_distinct": q_windowed_distinct,
     "approx_distinct": q_approx_distinct,
     "grouped_approx_distinct": q_grouped_approx_distinct,
     "approx_quantiles": q_approx_quantiles,
@@ -1666,6 +1704,11 @@ ORACLE_SQL = {
     "distinct_users_by_type": (
         "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
         "FROM events GROUP BY event_type"
+    ),
+    "windowed_distinct": (
+        "SELECT epoch_us(ts) // 3600000000 AS window_id, "
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
+        "FROM events GROUP BY window_id ORDER BY window_id"
     ),
     "lang_id": _lang_id_sql(),
     "semi_join_bloom": (

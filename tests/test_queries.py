@@ -74,7 +74,8 @@ SQL_CHECKED = [
     "replay_order",
     "topk_events", "exclude_filter", "token_count", "quality_stats",
     "dedup_exact", "token_sum_by_lang", "cosine_topk", "embedding_near_dup", "lang_id",
-    "distinct_users_by_type", "ngram_jaccard", "near_dup_clusters",
+    "distinct_users_by_type", "windowed_distinct", "ngram_jaccard",
+    "near_dup_clusters",
     "pii_redact", "decontaminate", "json_props_agg", "funnel",
     "cohort_retention", "unigram_logprob", "event_transitions",
     "tfidf_terms",
