@@ -139,6 +139,7 @@ def run_bench() -> dict:
         "embedding_covariance", "pca_projection", "funnel",
         "cohort_retention", "unigram_logprob", "semi_join_bloom",
         "grouped_approx_distinct", "event_transitions", "windowed_distinct",
+        "stratified_sample",
     ]
     panel_results: dict = {}
     panel_trials = int(os.environ.get("BENCH_PANEL_TRIALS", "2"))

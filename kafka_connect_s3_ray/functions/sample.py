@@ -99,3 +99,39 @@ def sample_by_key(ds, key_col: str, rate: float, salt: int = 0):
         return t.filter(pa.array(key_hash(k, salt) < thr))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def stratified_sample(ds, group_col: str, key_col: str,
+                      rates: dict[str, float], default_rate: float = 1.0,
+                      salt: int = 0):
+    """Per-group keyed Bernoulli sample — the class-rebalancing step a
+    training pipeline runs (e.g. downsample 'error' events to 10% while
+    keeping every 'purchase'). Same primitive as ``sample_by_key``: keep a
+    row iff splitmix64(key) < rate[group] * 2^64, so membership is
+    deterministic, order/parallelism-independent, and whole keys stay
+    together WITHIN a group. Thresholds are computed once as integers and
+    looked up through a factorized group index (never a float map — a
+    float64 round-trip would perturb thresholds near 2^64 and diverge from
+    the SQL oracle's integer literals). NULL groups take default_rate via
+    an explicit sentinel; NULL keys raise (key_hash's contract)."""
+    for g, r in rates.items():
+        if not (0.0 <= float(r) <= 1.0):
+            raise ValueError(f"rate for group {g!r} must be in [0, 1]: {r}")
+    thr = {str(g): np.uint64(min(int(float(r) * _U64), _U64 - 1))
+           for g, r in rates.items()}
+    default_thr = np.uint64(min(int(float(default_rate) * _U64), _U64 - 1))
+
+    def keep(t: pa.Table) -> pa.Table:
+        g = t.column(group_col).to_numpy(zero_copy_only=False)
+        # NULL group -> a sortable sentinel no event-type name contains
+        # (np.unique must order the array); it maps to default_thr below
+        g = np.array(["\x00null" if x is None or x != x else str(x)
+                      for x in g], object)
+        uniq, inv = np.unique(g, return_inverse=True)
+        per_uniq = np.array([thr.get(u, default_thr) for u in uniq],
+                            np.uint64)
+        row_thr = per_uniq[inv]
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(key_hash(k, salt) < row_thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

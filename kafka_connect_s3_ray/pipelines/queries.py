@@ -742,6 +742,23 @@ def q_keyed_sample(sf_dir: str):
     return out.select_columns(["event_id", "user_id"])
 
 
+_STRAT_RATES = {"error": 0.1, "scroll": 0.25}  # downsample noise classes
+
+
+def q_stratified_sample(sf_dir: str):
+    """Class-rebalancing sample: per-event-type keyed Bernoulli rates
+    (errors to 10%, scrolls to 25%, everything else kept) — deterministic
+    membership via integer thresholds in splitmix64 hash space, whole
+    event_ids kept or dropped together within a type. The oracle embeds the
+    SAME integer thresholds the engine computed."""
+    from ..functions.sample import stratified_sample
+
+    out = stratified_sample(
+        _events(sf_dir, ["event_id", "user_id", "event_type"]),
+        "event_type", "event_id", _STRAT_RATES)
+    return out.select_columns(["event_id", "user_id", "event_type"])
+
+
 def q_top_terms(sf_dir: str):
     """Exact global top-25 vocabulary over documents: per-block partial
     counts -> per-bucket exact top-k (a token lives in one bucket) -> tiny
@@ -1408,6 +1425,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "train_val_split": q_train_val_split,
     "keyed_sample": q_keyed_sample,
+    "stratified_sample": q_stratified_sample,
     "top_terms": q_top_terms,
     "pii_redact": q_pii_redact,
     "decontaminate": q_decontaminate,
@@ -2301,8 +2319,28 @@ def _top_terms_sql(k: int = 25) -> str:
     )
 
 
+def _stratified_sample_sql() -> str:
+    """The engine's per-group thresholds replayed exactly: the CASE embeds
+    the SAME integer literals the engine computed (rate * 2^64 rounded
+    once, in one place), over the same splitmix64 CTE chain."""
+    from ..functions.sample import _U64
+
+    cases = " ".join(
+        f"WHEN '{g}' THEN {min(int(float(r) * _U64), _U64 - 1)}::HUGEINT"
+        for g, r in sorted(_STRAT_RATES.items()))
+    ctes = _splitmix64_ctes("event_id", "events",
+                            "event_id, user_id, event_type")
+    return (
+        f"WITH {ctes} "
+        f"SELECT event_id, user_id, event_type FROM m3 "
+        f"WHERE h < CASE event_type {cases} "
+        f"ELSE {_U64 - 1}::HUGEINT END ORDER BY event_id"
+    )
+
+
 ORACLE_SQL["train_val_split"] = _train_val_split_sql()
 ORACLE_SQL["keyed_sample"] = _keyed_sample_sql()
+ORACLE_SQL["stratified_sample"] = _stratified_sample_sql()
 ORACLE_SQL["top_terms"] = _top_terms_sql()
 
 

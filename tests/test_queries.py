@@ -82,7 +82,7 @@ SQL_CHECKED = [
     "embedding_centroids", "embedding_covariance",
     "value_histogram",
     "quality_filtered", "rolling_fingerprint",
-    "train_val_split", "keyed_sample", "top_terms",
+    "train_val_split", "keyed_sample", "stratified_sample", "top_terms",
     "minhash_near_dup", "near_dup_verified", "curation_chain",
     "simhash_near_dup", "approx_distinct", "grouped_approx_distinct",
     "exact_quantiles",

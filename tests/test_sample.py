@@ -118,3 +118,53 @@ def test_null_keys_raise_not_garbage():
                                             "text": ["a", "b", "c"]}))
     with pytest.raises(Exception, match="null key"):
         assign_split(ds, "doc_id").materialize()
+
+
+def test_stratified_sample_rates_and_determinism(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from kafka_connect_s3_ray.functions.sample import stratified_sample
+
+    n = 30_000
+    rng = np.random.RandomState(2)
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "event_type": pa.array(rng.choice(["keep", "down", "mid"], n),
+                               pa.string()),
+    })
+    rates = {"down": 0.1, "mid": 0.5}
+
+    def run(blocks):
+        out = stratified_sample(
+            ray.data.from_arrow(t).repartition(blocks),
+            "event_type", "event_id", rates).to_pandas()
+        return out.sort_values("event_id").reset_index(drop=True)
+
+    a, b = run(3), run(11)
+    # block-count invariance (deterministic membership)
+    assert list(a["event_id"]) == list(b["event_id"])
+    totals = pd.Series(t.column("event_type").to_pylist()).value_counts()
+    frac = a.groupby("event_type").size() / totals
+    assert abs(frac["down"] - 0.1) < 0.02
+    assert abs(frac["mid"] - 0.5) < 0.02
+    assert frac["keep"] == 1.0  # default rate keeps everything
+
+
+def test_stratified_sample_null_group_takes_default(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from kafka_connect_s3_ray.functions.sample import stratified_sample
+
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "event_type": pa.array(["down", None, None], pa.string()),
+    })
+    out = stratified_sample(ray.data.from_arrow(t), "event_type",
+                            "event_id", {"down": 0.0},
+                            default_rate=1.0).to_pandas()
+    assert sorted(out["event_id"]) == [2, 3]  # down dropped, NULLs kept
+    with pytest.raises(ValueError, match="must be in"):
+        stratified_sample(ray.data.from_arrow(t), "event_type",
+                          "event_id", {"down": 1.5})
