@@ -360,13 +360,15 @@ _DECON_SCHEMA = pa.schema([("doc_id", pa.int64()),
                            ("n_contaminated", pa.int64())])
 
 
-def _word_ngrams_batch(texts: list, n: int) -> tuple[np.ndarray, np.ndarray]:
-    """Per-doc DISTINCT word n-grams (lowercase whitespace tokens joined by
-    one space) for a whole batch, vectorized: one flat object-array join
-    builds every window with n-1 elementwise concats, windows crossing doc
-    boundaries are masked (the ``_shingle_sets_batch`` layout), and per-doc
-    dedup is one pandas drop_duplicates. Returns (grams, doc_idx) aligned
-    arrays; docs shorter than n words contribute nothing."""
+def _word_ngram_windows(texts: list, n: int) -> tuple[np.ndarray, np.ndarray,
+                                                      np.ndarray]:
+    """ALL per-doc word n-gram occurrences (lowercase whitespace tokens
+    joined by one space) for a whole batch, vectorized: one flat object-array
+    join builds every window with n-1 elementwise concats, windows crossing
+    doc boundaries are masked (the ``_shingle_sets_batch`` layout). Returns
+    (grams, doc_idx, tokens_per_doc) — grams/doc_idx aligned per occurrence
+    (duplicates KEPT), tokens_per_doc aligned to ``texts``; docs shorter than
+    n words contribute no windows."""
     from itertools import chain
 
     nd = len(texts)
@@ -374,7 +376,7 @@ def _word_ngrams_batch(texts: list, n: int) -> tuple[np.ndarray, np.ndarray]:
     lens = np.fromiter((len(w) for w in toks), np.int64, nd)
     total = int(lens.sum())
     if total < n:
-        return np.empty(0, object), np.empty(0, np.int64)
+        return np.empty(0, object), np.empty(0, np.int64), lens
     flat = np.array(list(chain.from_iterable(toks)), object)
     nwin = total - n + 1
     grams = flat[:nwin]
@@ -383,8 +385,17 @@ def _word_ngrams_batch(texts: list, n: int) -> tuple[np.ndarray, np.ndarray]:
     starts = np.cumsum(lens) - lens
     win_doc = np.repeat(np.arange(nd), lens)[:nwin]
     valid = np.arange(nwin) - starts[win_doc] <= lens[win_doc] - n
-    df = pd.DataFrame({"d": win_doc[valid], "g": grams[valid]})
-    df = df.drop_duplicates()
+    return grams[valid], win_doc[valid], lens
+
+
+def _word_ngrams_batch(texts: list, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc DISTINCT word n-grams: the occurrence windows of
+    ``_word_ngram_windows`` deduped with one pandas drop_duplicates.
+    Returns (grams, doc_idx) aligned arrays."""
+    grams, win_doc, _ = _word_ngram_windows(texts, n)
+    if len(grams) == 0:
+        return np.empty(0, object), np.empty(0, np.int64)
+    df = pd.DataFrame({"d": win_doc, "g": grams}).drop_duplicates()
     return df["g"].to_numpy(), df["d"].to_numpy()
 
 
@@ -560,3 +571,57 @@ def unigram_logprob(docs, text_col: str = "text", id_col: str = "doc_id",
         UnigramLogProb, batch_format="pyarrow", concurrency=concurrency,
         fn_constructor_kwargs={"lm_ref": ref, "text_col": text_col,
                                "id_col": id_col})
+
+
+def repetition_top_ngram(batch: pa.Table, n: int = 2, id_col: str = "doc_id",
+                         text_col: str = "text") -> pa.Table:
+    """Per-doc repetition signal (the Gopher-style "fraction of characters
+    in the most frequent word n-gram" quality gate, Rae et al. 2021 §A1.1):
+    for every doc with >= n whitespace tokens, find the most frequent word
+    n-gram (ties -> lexicographically smallest, so the result is
+    deterministic) and report how much of the doc's word mass it covers.
+
+    Emits (id_col, n_words, top_ngram, top_ngram_count, top_ngram_char_frac)
+    where char_frac = gram_chars * count / total_word_chars — an exact
+    integer ratio evaluated in float64, so the DuckDB oracle reproduces it
+    bit-for-bit without rounding (the quality_stats contract). Docs shorter
+    than n tokens emit nothing (SQL drops them the same way).
+
+    Pure per-batch kernel: a doc lives in one row, so this needs NO shuffle —
+    one streaming map_batches pass at any corpus size. Tokenization is the
+    repo-wide lowercase ``str.split()`` convention (ASCII-whitespace parity
+    with the oracles' RE2 ``\\s+``; see _token_count_partial)."""
+    texts = batch.column(text_col).to_pylist()
+    grams, win_doc, lens = _word_ngram_windows(texts, n)
+    out_schema = pa.schema([
+        pa.field(id_col, batch.schema.field(id_col).type),
+        pa.field("n_words", pa.int64()),
+        pa.field("top_ngram", pa.string()),
+        pa.field("top_ngram_count", pa.int64()),
+        pa.field("top_ngram_char_frac", pa.float64()),
+    ])
+    if len(grams) == 0:
+        return out_schema.empty_table()
+    df = pd.DataFrame({"d": win_doc, "g": grams})
+    c = df.groupby(["d", "g"], sort=False).size().reset_index(name="cnt")
+    c = c.sort_values(["d", "cnt", "g"], ascending=[True, False, True],
+                      kind="stable")
+    top = c.drop_duplicates("d")
+    d_idx = top["d"].to_numpy()
+    # total word chars per doc: one flat pass over all tokens (the gram
+    # strings count their n-1 joining spaces, subtracted below)
+    tok_chars = np.zeros(len(texts), np.int64)
+    for i, t in enumerate(texts):
+        if t:
+            toks = t.lower().split()
+            tok_chars[i] = sum(map(len, toks))
+    gram_chars = top["g"].str.len().to_numpy() - (n - 1)
+    cnt = top["cnt"].to_numpy().astype(np.int64)
+    frac = (gram_chars * cnt).astype(np.float64) / tok_chars[d_idx]
+    return pa.table({
+        id_col: batch.column(id_col).take(pa.array(d_idx)),
+        "n_words": pa.array(lens[d_idx], pa.int64()),
+        "top_ngram": pa.array(top["g"].to_numpy(), pa.string()),
+        "top_ngram_count": pa.array(cnt, pa.int64()),
+        "top_ngram_char_frac": pa.array(frac, pa.float64()),
+    }, schema=out_schema)

@@ -674,6 +674,30 @@ def q_quality_stats(sf_dir: str):
     return out.select_columns(["doc_id", "len_chars", "n_punct", "n_digit", "punct_ratio"])
 
 
+def q_repetition_signals(sf_dir: str):
+    """Gopher-style repetition quality gate: the most frequent word bigram
+    per doc and the fraction of word characters it covers (Rae et al. 2021
+    §A1.1 "top n-gram char fraction"). One streaming map_batches pass — a doc
+    lives in one row, so there is NO shuffle at any corpus size. char_frac is
+    an exact integer ratio in float64 (the quality_stats contract), so the
+    SQL oracle matches without rounding."""
+    from ..functions.text import repetition_top_ngram
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        repetition_top_ngram, batch_format="pyarrow")
+
+
+def q_knn_graph(sf_dir: str):
+    """Exact cosine 3-NN graph over the whole embeddings table (every vector
+    is a query; self excluded) — the SemDeDup building block. Corpus
+    broadcast once, one map_batches pass, zero shuffles."""
+    from ..functions.similarity import knn_graph
+
+    out = knn_graph(_emb(sf_dir), k=3).to_pandas()  # N*k rows — small
+    out["score"] = out["score"].round(6)
+    return out
+
+
 def q_dedup_exact(sf_dir: str):
     """Exact dedup: min doc_id per md5(lower(text)) content hash. Grouped by a
     COARSE bucket of the fingerprint (identical texts always co-locate), not
@@ -1302,6 +1326,12 @@ def q_cosine_topk(sf_dir: str):
 
 
 def q_cosine_topk_ivf(sf_dir: str):
+    """IVF execution path in EXHAUSTIVE-PROBE mode (nprobe == n_clusters):
+    every cluster is scanned, so the result is exactly brute force — same
+    per-pair dot products, same ``_finalize_candidates`` tie-break — which
+    makes this entry oracle-checkable bit-for-bit against the cosine SQL.
+    The approximate regime (nprobe < n_clusters) is separately evidenced by
+    the recall@10 pytest bound and the ``ivf_recall_at_10`` bench metric."""
     import duckdb
 
     emb = _emb(sf_dir)
@@ -1309,7 +1339,7 @@ def q_cosine_topk_ivf(sf_dir: str):
         f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id LIMIT 3"
     ).df()
     queries = np.stack(qdf["embedding"].to_list()).astype(np.float64)
-    out = ivf_topk(emb, queries, k=10, n_clusters=8, nprobe=6)
+    out = ivf_topk(emb, queries, k=10, n_clusters=8, nprobe=8)
     out["score"] = out["score"].round(6)
     return out[["query_id", "vec_id", "score"]]
 
@@ -1317,8 +1347,11 @@ def q_cosine_topk_ivf(sf_dir: str):
 def q_cosine_topk_ivf_indexed(sf_dir: str, tmp_root: str = "/tmp/kcs3_ray"):
     """IVF against a PERSISTED cluster-partitioned index (built+cached once
     per sf): queries read only their nprobe clusters' files — the amortized
-    scale path for repeated ANN queries. Same centroids/seed as the live IVF,
-    so results match it; rows-only check (approximate op)."""
+    scale path for repeated ANN queries. Same centroids/seed as the live IVF.
+    Run in EXHAUSTIVE-PROBE mode (nprobe == n_clusters) so the entry is
+    oracle-checkable against the brute-force cosine SQL (see
+    ``q_cosine_topk_ivf``); file-level probe pruning at nprobe < n_clusters
+    is covered by ``test_ivf_persisted_index_*``."""
     import duckdb
 
     from ..functions.similarity import build_ivf_index, ivf_topk_indexed
@@ -1335,7 +1368,7 @@ def q_cosine_topk_ivf_indexed(sf_dir: str, tmp_root: str = "/tmp/kcs3_ray"):
         f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id LIMIT 3"
     ).df()
     queries = np.stack(qdf["embedding"].to_list()).astype(np.float64)
-    out = ivf_topk_indexed(idx, queries, k=10, nprobe=6)
+    out = ivf_topk_indexed(idx, queries, k=10, nprobe=8)
     out["score"] = out["score"].round(6)
     return out[["query_id", "vec_id", "score"]]
 
@@ -1420,6 +1453,7 @@ QUERIES = {
     "exclude_filter": q_exclude_filter,
     "token_count": q_token_count,
     "quality_stats": q_quality_stats,
+    "repetition_signals": q_repetition_signals,
     "dedup_exact": q_dedup_exact,
     "token_sum_by_lang": q_token_sum_by_lang,
     "lang_id": q_lang_id,
@@ -1457,6 +1491,7 @@ QUERIES = {
     "value_histogram": q_value_histogram,
     "quality_filtered": q_quality_filtered,
     "cosine_topk": q_cosine_topk,
+    "knn_graph": q_knn_graph,
     "cosine_topk_ivf": q_cosine_topk_ivf,
     "cosine_topk_ivf_indexed": q_cosine_topk_ivf_indexed,
     "cdc_transcripts": q_cdc_transcripts,
@@ -1824,6 +1859,52 @@ ORACLE_SQL = {
     # non-SQL-expressible (seeded LSH, mergeable sketches, rolling hashes)
     # — rows-only checks; accuracy/recall evidence lives in pytest.
 }
+
+
+# The IVF entries run in exhaustive-probe mode (nprobe == n_clusters), which
+# makes them EXACT — scanning every cluster scores every vector through the
+# same normalized-dot kernel and the shared _finalize_candidates tie-break —
+# so the brute-force cosine SQL is their oracle too. nprobe < n_clusters
+# (the approximate regime) is evidenced by the recall@10 pytest bound and
+# the ivf_recall_at_10 bench metric instead.
+ORACLE_SQL["cosine_topk_ivf"] = ORACLE_SQL["cosine_topk"]
+ORACLE_SQL["cosine_topk_ivf_indexed"] = ORACLE_SQL["cosine_topk"]
+
+# Exact 3-NN graph: every vector vs every other, rank by (score DESC, id) —
+# the engine resolves exact float ties by ascending neighbor id via a stable
+# argsort over the id-sorted corpus, which is precisely this row_number().
+ORACLE_SQL["knn_graph"] = (
+    "WITH s AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, "
+    "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+    "CAST(b.embedding AS DOUBLE[])) AS score "
+    "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id), "
+    "r AS (SELECT vec_id, neighbor_id, score, row_number() OVER "
+    "(PARTITION BY vec_id ORDER BY score DESC, neighbor_id) AS rn FROM s) "
+    "SELECT vec_id, neighbor_id, round(score, 6) AS score FROM r WHERE rn <= 3"
+)
+
+# Top word-bigram repetition signal. Tokenization = the repo-wide RE2 \s+
+# split (ASCII parity with Python str.split, see _token_count_partial);
+# DuckDB lists are 1-indexed and range(a, b) is end-exclusive, so
+# range(1, len(ws)) enumerates every adjacent pair. char_frac is the same
+# integer-ratio float64 division the engine computes — no rounding needed.
+ORACLE_SQL["repetition_signals"] = (
+    "WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), "
+    "'\\s+'), x -> x <> '') AS ws FROM documents), "
+    "t AS (SELECT doc_id, ws, len(ws) AS n_words, "
+    "CAST(list_sum(list_transform(ws, x -> length(x))) AS BIGINT) AS tot_chars "
+    "FROM w WHERE len(ws) >= 2), "
+    "b AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)), "
+    "i -> ws[i] || ' ' || ws[i + 1])) AS g FROM t), "
+    "c AS (SELECT doc_id, g, count(*) AS cnt FROM b GROUP BY doc_id, g), "
+    "r AS (SELECT doc_id, g, cnt, row_number() OVER (PARTITION BY doc_id "
+    "ORDER BY cnt DESC, g) AS rn FROM c) "
+    "SELECT t.doc_id, CAST(t.n_words AS BIGINT) AS n_words, r.g AS top_ngram, "
+    "CAST(r.cnt AS BIGINT) AS top_ngram_count, "
+    "CAST((length(r.g) - 1) * r.cnt AS DOUBLE) / t.tot_chars "
+    "AS top_ngram_char_frac "
+    "FROM t JOIN r ON t.doc_id = r.doc_id AND r.rn = 1"
+)
 
 
 def _rolling_fp_sql(window: int = 8) -> str:

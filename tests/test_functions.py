@@ -213,8 +213,10 @@ def test_ivf_topk_high_recall(emb):
             & set(zip(approx["query_id"], approx["vec_id"]))
         ) / len(exact)
 
-    # quality gate: the catalog query runs nprobe=6/8 — regressions below 0.9
-    # recall@5 must fail here (measured 0.93 on this fixture)
+    # quality gate for the approximate regime (the catalog queries run
+    # exhaustive-probe nprobe=8 and are oracle-checked; nprobe=6 is the
+    # approximate path) — regressions below 0.9 recall@5 must fail here
+    # (measured 0.93 on this fixture)
     assert recall(6) >= 0.9
     # probing every cluster = exhaustive scan; must equal brute force exactly
     assert recall(8) == 1.0

@@ -92,12 +92,15 @@ SQL_CHECKED = [
     "hash_join", "anti_join", "semi_join_bloom", "pricing_summary",
     "topk_per_group",
     "cdc_transcripts",
-]
-# the four legitimately non-SQL-checkable entries: IVF k-means assignment is
-# float-argmax-sensitive (summation order flips clusters), the quantile
-# sketch's thinning depends on batch boundaries, and media decode is binary.
-ROWS_ONLY = [
+    # exhaustive-probe IVF (nprobe == n_clusters) is exact: scanning every
+    # cluster makes clustering irrelevant to the result, so the brute-force
+    # cosine SQL is the oracle
     "cosine_topk_ivf", "cosine_topk_ivf_indexed",
+    "repetition_signals", "knn_graph",
+]
+# the legitimately non-SQL-checkable entries: the quantile sketch's thinning
+# depends on batch boundaries, and media decode is binary.
+ROWS_ONLY = [
     "media_features",
     "approx_quantiles",
     "pca_projection",  # eigendecomposition: not SQL-expressible; pytest

@@ -1,0 +1,117 @@
+"""Unit tests for the repetition quality signal (top word n-gram fraction)
+and the exact kNN graph — hand-computed expectations, deterministic
+tie-breaks, null/short-doc contracts, and batch invariance."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from kafka_connect_s3_ray.functions.similarity import knn_graph
+from kafka_connect_s3_ray.functions.text import repetition_top_ngram
+
+
+def _rep(texts, n=2):
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    return repetition_top_ngram(t, n=n).to_pandas()
+
+
+def test_repetition_hand_computed():
+    out = _rep(["a b a b c", "x y", None, "", "w"])
+    # doc0: bigrams {a b: 2, b a: 1, b c: 1}; word chars = 5 -> 2*2/5
+    # doc1: one bigram "x y"; chars = 2 -> 2*1/2
+    # docs 2/3/4: <2 tokens -> dropped (same as the SQL's len(ws) >= 2)
+    assert out["doc_id"].tolist() == [0, 1]
+    assert out["top_ngram"].tolist() == ["a b", "x y"]
+    assert out["top_ngram_count"].tolist() == [2, 1]
+    assert out["n_words"].tolist() == [5, 2]
+    assert out["top_ngram_char_frac"].tolist() == [2 * 2 / 5, 1.0]
+
+
+def test_repetition_tie_breaks_lexicographically():
+    # "b c" and "a d" both occur twice -> the lexicographically smaller
+    # bigram wins, matching the SQL ORDER BY cnt DESC, g
+    out = _rep(["b c b c a d a d"])
+    assert out["top_ngram"].tolist() == ["a d"]
+    assert out["top_ngram_count"].tolist() == [2]
+
+
+def test_repetition_lowercases_like_the_oracle():
+    out = _rep(["A b a B"])
+    assert out["top_ngram"].tolist() == ["a b"]
+    assert out["top_ngram_count"].tolist() == [2]
+
+
+def test_repetition_trigram_mode():
+    out = _rep(["p q r p q r p q"], n=3)
+    # trigrams: p q r (x2), q r p (x2 -> wait: p q r | q r p | r p q | p q r
+    # | q r p? tokens = p q r p q r p q -> windows: pqr qrp rpq pqr qrp rpq?
+    # 8 tokens -> 6 windows: pqr, qrp, rpq, pqr, qrp, rpq is wrong for the
+    # tail (last window = r p q). Counts: pqr=2, qrp=2, rpq=2 -> tie -> 'p q r'
+    assert out["top_ngram"].tolist() == ["p q r"]
+    assert out["top_ngram_count"].tolist() == [2]
+    # gram chars = 3, count 2, total word chars = 8
+    assert out["top_ngram_char_frac"].tolist() == [3 * 2 / 8]
+
+
+def _emb_ds(ids, vecs):
+    return ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+    }))
+
+
+def test_knn_graph_excludes_self_and_ranks():
+    ids = [1, 2, 3, 4]
+    vecs = [[1, 0], [0.9, 0.1], [0, 1], [-1, 0]]
+    out = knn_graph(_emb_ds(ids, vecs), k=2).to_pandas()
+    out = out.sort_values(["vec_id", "score"],
+                          ascending=[True, False]).reset_index(drop=True)
+    assert (out.groupby("vec_id").size() == 2).all()
+    assert not (out["vec_id"] == out["neighbor_id"]).any()
+    # brute-force reference
+    m = np.array(vecs, dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    for qi, qid in enumerate(ids):
+        order = sorted((-(sims[qi, j]), ids[j]) for j in range(4) if j != qi)
+        want = [i for _, i in order[:2]]
+        got = out[out["vec_id"] == qid]["neighbor_id"].tolist()
+        assert got == want, (qid, got, want)
+
+
+def test_knn_graph_exact_tie_orders_by_neighbor_id():
+    # vec 5 duplicates vec 2: from vec 1's view both score identically ->
+    # the stable argsort must order the tie by ascending neighbor id
+    ids = [1, 2, 3, 5]
+    vecs = [[1, 0], [0.6, 0.8], [0, 1], [0.6, 0.8]]
+    out = knn_graph(_emb_ds(ids, vecs), k=2).to_pandas()
+    got = out[out["vec_id"] == 1]["neighbor_id"].tolist()
+    assert got == [2, 5]
+    # the duplicate pair are each other's perfect (score 1.0) neighbors
+    top2 = out[out["vec_id"] == 2].iloc[0]
+    assert top2["neighbor_id"] == 5 and top2["score"] == pytest.approx(1.0)
+
+
+def test_knn_graph_batch_invariance():
+    rng = np.random.default_rng(7)
+    ids = list(range(40))
+    vecs = rng.normal(size=(40, 8))
+    a = knn_graph(_emb_ds(ids, vecs), k=3, batch_size=7).to_pandas()
+    b = knn_graph(_emb_ds(ids, vecs), k=3, batch_size=1024).to_pandas()
+    key = ["vec_id", "neighbor_id"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_knn_graph_k_clamped_to_corpus():
+    ids = [1, 2]
+    out = knn_graph(_emb_ds(ids, [[1, 0], [0, 1]]), k=5).to_pandas()
+    # only one possible neighbor each
+    assert len(out) == 2
+    assert not (out["vec_id"] == out["neighbor_id"]).any()
