@@ -47,10 +47,8 @@ def test_repetition_lowercases_like_the_oracle():
 
 def test_repetition_trigram_mode():
     out = _rep(["p q r p q r p q"], n=3)
-    # trigrams: p q r (x2), q r p (x2 -> wait: p q r | q r p | r p q | p q r
-    # | q r p? tokens = p q r p q r p q -> windows: pqr qrp rpq pqr qrp rpq?
-    # 8 tokens -> 6 windows: pqr, qrp, rpq, pqr, qrp, rpq is wrong for the
-    # tail (last window = r p q). Counts: pqr=2, qrp=2, rpq=2 -> tie -> 'p q r'
+    # 8 tokens -> 6 trigram windows: "p q r", "q r p", "r p q" twice each —
+    # a three-way tie at count 2, resolved to the lexicographic min "p q r"
     assert out["top_ngram"].tolist() == ["p q r"]
     assert out["top_ngram_count"].tolist() == [2]
     # gram chars = 3, count 2, total word chars = 8
@@ -115,3 +113,25 @@ def test_knn_graph_k_clamped_to_corpus():
     # only one possible neighbor each
     assert len(out) == 2
     assert not (out["vec_id"] == out["neighbor_id"]).any()
+
+
+def test_topk_rows_deterministic_matches_full_sort():
+    from kafka_connect_s3_ray.functions.similarity import (
+        _topk_rows_deterministic,
+    )
+
+    rng = np.random.default_rng(11)
+    # k <= 16 takes the argmax-sweep path; k > 16 the argpartition path
+    # (with boundary-tie fallback); pad pushing m >= N the full-sort path
+    for k, pad in [(3, 4), (5, 2), (1, 1), (20, 8), (18, 500)]:
+        sims = rng.normal(size=(17, 200))
+        # plant heavy exact ties, including ties wider than pad that force
+        # the boundary fallback
+        sims[:, 40:80] = 0.5
+        sims[3, :] = 1.0
+        sims[5, 190:] = sims[5, 0]
+        idx, sc = _topk_rows_deterministic(sims, k, pad=pad)
+        full = np.argsort(-sims, axis=1, kind="stable")[:, :k]
+        np.testing.assert_array_equal(idx, full)
+        np.testing.assert_array_equal(
+            sc, np.take_along_axis(sims, full, axis=1))
