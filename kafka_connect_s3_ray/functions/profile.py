@@ -96,6 +96,61 @@ def value_histogram(ds, col: str, lo: float, hi: float,
                      "n": pa.array(fin["n"].to_numpy(), pa.int64())})
 
 
+def zscore_outliers(ds, group_col: str, val_col: str,
+                    threshold: float = 3.0):
+    """Per-group z-score outlier detection: rows where
+    ``|round((v - mu_g) / sd_g, 6)| > threshold`` with population moments per
+    group. One tiny-partials pass ((group, n, sum, sumsq) per block — never
+    data rows), a driver-side merge into per-group (mu, sd), then a broadcast
+    streaming filter pass: zero all-to-all exchange at any corpus size, the
+    same two-stage shape as ``pca_project``. The compare runs on the ROUNDED
+    z on both engine and oracle, so float summation-order noise below 1e-6
+    cannot flip a row across the threshold. NULL values and NULL groups are
+    excluded (SQL aggregate + equi-join scope); groups with sd = 0 emit no
+    rows (NULL z in SQL). Returns a Dataset of
+    (group_col, id-and-value passthrough columns, z)."""
+    import ray
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t.column(group_col)),
+                             pc.is_valid(t.column(val_col))))
+        g = t.column(group_col).to_pandas()
+        v = t.column(val_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = ~np.isnan(v)
+        df = pd.DataFrame({"g": g[keep].to_numpy(), "v": v[keep]})
+        df["v2"] = df["v"] * df["v"]
+        out = df.groupby("g", as_index=False).agg(
+            n=("v", "size"), s=("v", "sum"), s2=("v2", "sum"))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        raise ValueError("zscore_outliers: no non-null rows")
+    fin = parts.groupby("g", as_index=False).agg(
+        n=("n", "sum"), s=("s", "sum"), s2=("s2", "sum"))
+    mu = fin["s"].to_numpy() / fin["n"].to_numpy()
+    var = fin["s2"].to_numpy() / fin["n"].to_numpy() - mu * mu
+    sd = np.sqrt(np.maximum(var, 0.0))
+    stats = {g: (m, d) for g, m, d in zip(fin["g"], mu, sd) if d > 0.0}
+    ref = ray.put(stats)
+
+    def score(t: pa.Table) -> pa.Table:
+        st = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        t = t.filter(pc.and_(pc.is_valid(t.column(group_col)),
+                             pc.is_valid(t.column(val_col))))
+        g = t.column(group_col).to_pandas()
+        v = t.column(val_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        mu = g.map({k: m for k, (m, _) in st.items()}).to_numpy(np.float64)
+        sd = g.map({k: d for k, (_, d) in st.items()}).to_numpy(np.float64)
+        with np.errstate(invalid="ignore"):
+            z = np.round((v - mu) / sd, 6)
+        keep = np.abs(z) > threshold  # NaN compares False: sd=0 groups drop
+        return t.filter(pa.array(keep)).append_column(
+            "z", pa.array(z[keep], pa.float64()))
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def _cov_moments(ds, vec_col: str):
     """One streaming pass -> (d, n, s, s2): vector width, non-null count,
     per-dim sums, and the (d x d) sum of outer products. NULL embeddings are

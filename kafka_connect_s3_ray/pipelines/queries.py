@@ -1284,6 +1284,19 @@ def q_value_histogram(sf_dir: str):
                            lo=0.0, hi=400.0, n_bins=40)
 
 
+def q_zscore_outliers(sf_dir: str):
+    """Per-event-type 3-sigma outliers: tiny moment partials per block ->
+    driver merge -> broadcast (mu, sd) filter pass — no exchange. Both sides
+    compare the 6 dp-ROUNDED z against the threshold, so summation-order
+    float noise can never flip a boundary row."""
+    from ..functions.profile import zscore_outliers
+
+    out = zscore_outliers(
+        _events(sf_dir, ["event_id", "event_type", "value"]),
+        "event_type", "value", threshold=3.0)
+    return out.select_columns(["event_id", "event_type", "value", "z"])
+
+
 def q_quality_filtered(sf_dir: str):
     """Median-threshold quality gate: keep documents whose whitespace token
     count >= the exact corpus median (computed by the distributed
@@ -1489,6 +1502,7 @@ QUERIES = {
     "embedding_covariance": q_embedding_covariance,
     "pca_projection": q_pca_projection,
     "value_histogram": q_value_histogram,
+    "zscore_outliers": q_zscore_outliers,
     "quality_filtered": q_quality_filtered,
     "cosine_topk": q_cosine_topk,
     "knn_graph": q_knn_graph,
@@ -2008,6 +2022,24 @@ ORACLE_SQL["value_histogram"] = (
     "AS BIGINT) AS bin FROM events WHERE value IS NOT NULL) "
     "SELECT bin, bin * 10.0 AS bin_lo, CAST(count(*) AS BIGINT) AS n "
     "FROM b GROUP BY bin ORDER BY bin"
+)
+
+# z-score outliers: the oracle replays the ENGINE's moment algebra
+# (s2/n - mu^2, not stddev_pop's stable update) so the only divergence is
+# float summation order, absorbed by the shared round-6 compare; the JOIN
+# drops NULL event_type and the WHERE drops NULL values/z, matching the
+# engine's explicit null filters.
+ORACLE_SQL["zscore_outliers"] = (
+    "WITH s AS (SELECT event_type, count(value) AS n, sum(value) AS s, "
+    "sum(value * value) AS s2 FROM events "
+    "WHERE event_type IS NOT NULL AND value IS NOT NULL GROUP BY event_type), "
+    "m AS (SELECT event_type, s / n AS mu, "
+    "sqrt(greatest(s2 / n - (s / n) * (s / n), 0)) AS sd FROM s), "
+    "z AS (SELECT e.event_id, e.event_type, e.value, "
+    "round((e.value - m.mu) / m.sd, 6) AS z "
+    "FROM events e JOIN m USING (event_type) "
+    "WHERE m.sd > 0 AND e.value IS NOT NULL) "
+    "SELECT event_id, event_type, value, z FROM z WHERE abs(z) > 3.0"
 )
 
 ORACLE_SQL["quality_filtered"] = (
