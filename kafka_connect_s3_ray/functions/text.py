@@ -625,3 +625,84 @@ def repetition_top_ngram(batch: pa.Table, n: int = 2, id_col: str = "doc_id",
         "top_ngram_count": pa.array(cnt, pa.int64()),
         "top_ngram_char_frac": pa.array(frac, pa.float64()),
     }, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval
+# ---------------------------------------------------------------------------
+
+
+def _term_tf(t: pa.Table, terms: list[str], text_col: str):
+    """Vectorized per-doc term frequencies: flatten lowercase whitespace
+    tokens once (Arrow kernel, zero Python per token), then one np.isin +
+    bincount per query term. Returns (dl, tf) with dl = exact whitespace
+    token count (NULL text -> 0) and tf shape (n_docs, n_terms)."""
+    text = pc.fill_null(pc.cast(t.column(text_col), pa.string()), "")
+    dl = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64()).to_numpy(
+        zero_copy_only=False)
+    toks = pc.utf8_split_whitespace(pc.utf8_lower(text))
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten().to_numpy(zero_copy_only=False)
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    doc = np.repeat(np.arange(len(dl)), lens)
+    tf = np.zeros((len(dl), len(terms)), np.int64)
+    # Arrow's split can emit '' fragments around whitespace runs; they never
+    # equal a real term, and dl comes from the \S+ count, so they're inert
+    for j, term in enumerate(terms):
+        hit = flat == term
+        if hit.any():
+            tf[:, j] = np.bincount(doc[hit], minlength=len(dl))
+    return dl, tf
+
+
+def bm25_search(docs, terms: list[str], k: int = 20, k1: float = 1.2,
+                b: float = 0.75, id_col: str = "doc_id",
+                text_col: str = "text"):
+    """Top-k documents by BM25 score for a fixed term query (Robertson
+    formula: idf * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl)) with
+    idf = ln(1 + (N - df + .5) / (df + .5)), always positive). Two streaming
+    passes, zero exchange: (1) tiny per-block partials (N, sum dl, per-term
+    df) merged on the driver; (2) broadcast-stats scoring with a per-block
+    top-k partial, merged on the driver (top-k is distributive). Ranking and
+    the k-cut run on the 6 dp-ROUNDED score with doc-id tiebreak on BOTH
+    engine and oracle, so float noise cannot flip the selection. N counts
+    every doc (NULL text scores 0 tokens); zero-score docs are excluded."""
+    nt = len(terms)
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        dl, tf = _term_tf(t, terms, text_col)
+        return pa.table({
+            "n": pa.array([len(dl)], pa.int64()),
+            "sum_dl": pa.array([int(dl.sum())], pa.int64()),
+            "df": pa.array([(tf > 0).sum(axis=0).tolist()],
+                           pa.list_(pa.int64()))})
+
+    parts = docs.map_batches(stats_partial, batch_format="pyarrow").to_pandas()
+    n_docs = int(parts["n"].sum())
+    if n_docs == 0:
+        raise ValueError("bm25_search: empty corpus")
+    avgdl = float(parts["sum_dl"].sum()) / n_docs
+    df = np.sum(np.stack([np.asarray(v) for v in parts["df"]]), axis=0)
+    idf = np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+    def score_topk(t: pa.Table) -> pa.Table:
+        dl, tf = _term_tf(t, terms, text_col)
+        tff = tf.astype(np.float64)
+        norm = k1 * (1.0 - b + b * dl.astype(np.float64)[:, None] / avgdl)
+        with np.errstate(invalid="ignore"):
+            s = np.where(tf > 0, idf * tff * (k1 + 1.0) / (tff + norm), 0.0)
+        score = np.round(s.sum(axis=1), 6)
+        keep = score > 0.0
+        ids = pc.cast(t.column(id_col), pa.int64()).to_numpy(
+            zero_copy_only=False)[keep]
+        score = score[keep]
+        order = np.lexsort((ids, -score))[:k]
+        return pa.table({id_col: pa.array(ids[order], pa.int64()),
+                         "score": pa.array(score[order], pa.float64())})
+
+    top = docs.map_batches(score_topk, batch_format="pyarrow").to_pandas()
+    top = top.sort_values(["score", id_col], ascending=[False, True],
+                          kind="mergesort").head(k).reset_index(drop=True)
+    return pa.table({id_col: pa.array(top[id_col], pa.int64()),
+                     "score": pa.array(top["score"], pa.float64())})

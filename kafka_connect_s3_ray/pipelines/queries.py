@@ -792,6 +792,21 @@ def q_top_terms(sf_dir: str):
     return top_k_tokens(_docs(sf_dir, ["text"]), k=25, n_buckets=32)
 
 
+_BM25_TERMS = ["merge", "window", "customer"]
+_BM25_K1, _BM25_B, _BM25_K = 1.2, 0.75, 20
+
+
+def q_bm25_search(sf_dir: str):
+    """Top-20 documents by BM25 for a fixed 3-term query: tiny corpus-stats
+    partials (N, sum dl, per-term df) -> broadcast scoring with per-block
+    top-k partials -> driver merge. Zero exchange at any corpus size. The
+    oracle replays the identical Robertson formula from the same constants."""
+    from ..functions.text import bm25_search
+
+    return bm25_search(_docs(sf_dir, ["doc_id", "text"]), _BM25_TERMS,
+                       k=_BM25_K, k1=_BM25_K1, b=_BM25_B)
+
+
 def q_funnel(sf_dir: str):
     """view -> click -> purchase conversion funnel: per user, the earliest
     time each stage was reached strictly after the previous one. One coarse
@@ -1503,6 +1518,7 @@ QUERIES = {
     "pca_projection": q_pca_projection,
     "value_histogram": q_value_histogram,
     "zscore_outliers": q_zscore_outliers,
+    "bm25_search": q_bm25_search,
     "quality_filtered": q_quality_filtered,
     "cosine_topk": q_cosine_topk,
     "knn_graph": q_knn_graph,
@@ -2023,6 +2039,44 @@ ORACLE_SQL["value_histogram"] = (
     "SELECT bin, bin * 10.0 AS bin_lo, CAST(count(*) AS BIGINT) AS n "
     "FROM b GROUP BY bin ORDER BY bin"
 )
+
+def _bm25_sql(terms: list[str], k: int, k1: float, b: float) -> str:
+    """The BM25 oracle, generated from the SAME term list and constants as
+    q_bm25_search: per-term tf over the proven list_filter tokenization, df
+    and avgdl as scalar aggregates, the Robertson score summed per doc, and
+    the k-cut ranked on the 6 dp-rounded score with doc_id tiebreak — the
+    engine's exact selection contract."""
+    tf_cols = ", ".join(
+        f"CAST(len(list_filter(ws, x -> x = '{t}')) AS DOUBLE) AS tf_{i}"
+        for i, t in enumerate(terms))
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(terms)))
+    score = " + ".join(
+        f"CASE WHEN tf_{i} > 0 THEN "
+        f"ln(1 + (n.n - d.df_{i} + 0.5) / (d.df_{i} + 0.5)) "
+        f"* tf_{i} * ({k1} + 1) "
+        f"/ (tf_{i} + {k1} * (1 - {b} + {b} * t.dl / n.avgdl)) "
+        f"ELSE 0 END"
+        for i in range(len(terms)))
+    any_tf = " + ".join(f"tf_{i}" for i in range(len(terms)))
+    return (
+        "WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array("
+        "lower(coalesce(text, '')), '\\s+'), x -> x <> '') AS ws "
+        "FROM documents), "
+        f"t AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl, {tf_cols} "
+        "FROM w), "
+        "n AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM t), "
+        f"d AS (SELECT {df_cols} FROM t), "
+        f"s AS (SELECT t.doc_id, round({score}, 6) AS score "
+        f"FROM t, n, d WHERE {any_tf} > 0), "
+        "r AS (SELECT doc_id, score, row_number() OVER "
+        "(ORDER BY score DESC, doc_id) AS rn FROM s) "
+        f"SELECT doc_id, score FROM r WHERE rn <= {k}"
+    )
+
+
+ORACLE_SQL["bm25_search"] = _bm25_sql(_BM25_TERMS, _BM25_K, _BM25_K1, _BM25_B)
 
 # z-score outliers: the oracle replays the ENGINE's moment algebra
 # (s2/n - mu^2, not stddev_pop's stable update) so the only divergence is

@@ -80,7 +80,7 @@ SQL_CHECKED = [
     "cohort_retention", "unigram_logprob", "event_transitions",
     "tfidf_terms",
     "embedding_centroids", "embedding_covariance",
-    "value_histogram", "zscore_outliers",
+    "value_histogram", "zscore_outliers", "bm25_search",
     "quality_filtered", "rolling_fingerprint",
     "train_val_split", "keyed_sample", "stratified_sample", "top_terms",
     "minhash_near_dup", "near_dup_verified", "curation_chain",

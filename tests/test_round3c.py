@@ -26,3 +26,36 @@ def test_zscore_outliers_null_and_degenerate_contracts():
     mu, sd = v.mean(), v.std()
     assert list(out["event_id"]) == [7]
     assert abs(out["z"].iloc[0] - round((100.0 - mu) / sd, 6)) < 1e-12
+
+
+def test_bm25_ranking_and_null_contracts():
+    """Rarer terms outscore common ones at equal tf; NULL/empty docs and
+    docs without any query term are excluded; the k-cut keeps the best k by
+    (score desc, doc_id asc)."""
+    from kafka_connect_s3_ray.functions.text import bm25_search
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": [
+            "rare word soup",          # 'rare' df=1 -> high idf
+            "common common filler",    # 'common' df=3 -> low idf
+            "common mix rare common",  # both terms
+            "common only",
+            "",                        # empty: excluded
+            None,                      # null: excluded
+        ],
+    })
+    out = bm25_search(ray.data.from_pandas(df), ["rare", "common"],
+                      k=3).to_pandas()
+    assert len(out) == 3
+    # doc 2 has both terms -> top; doc 0 (rare alone) beats the common-only
+    # docs despite equal tf because idf('rare') > idf('common')
+    assert out["doc_id"].iloc[0] == 2
+    assert out["doc_id"].iloc[1] == 0
+    assert (out["score"] > 0).all()
+    # single-machine replay of the Robertson formula for doc 0
+    # ('rare' is in docs 0 and 2 -> df=2)
+    N, dl, avgdl = 6, 3, (3 + 3 + 4 + 2 + 0 + 0) / 6
+    idf_rare = np.log(1 + (N - 2 + 0.5) / (2 + 0.5))
+    exp = idf_rare * 1 * 2.2 / (1 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+    assert abs(out["score"].iloc[1] - round(exp, 6)) < 1e-9
