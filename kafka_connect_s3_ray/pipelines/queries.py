@@ -792,6 +792,21 @@ def q_top_terms(sf_dir: str):
     return top_k_tokens(_docs(sf_dir, ["text"]), k=25, n_buckets=32)
 
 
+_PACK_BUDGET = 512
+
+
+def q_sequence_packing(sf_dir: str):
+    """Greedy fixed-budget sequence packing (training-shard layout): docs in
+    doc-id order fill 512-token sequences. Sequential semantics, distributed
+    exactly via a two-level scan — per-range state-transition tables, a tiny
+    driver fold, then a parallel replay (functions/packing.py). part_size
+    256 exercises the multi-partition path at test scale."""
+    from ..functions.packing import pack_sequences
+
+    return pack_sequences(_docs(sf_dir, ["doc_id", "text"]),
+                          budget=_PACK_BUDGET, part_size=256)
+
+
 _BM25_TERMS = ["merge", "window", "customer"]
 _BM25_K1, _BM25_B, _BM25_K = 1.2, 0.75, 20
 
@@ -1519,6 +1534,7 @@ QUERIES = {
     "value_histogram": q_value_histogram,
     "zscore_outliers": q_zscore_outliers,
     "bm25_search": q_bm25_search,
+    "sequence_packing": q_sequence_packing,
     "quality_filtered": q_quality_filtered,
     "cosine_topk": q_cosine_topk,
     "knn_graph": q_knn_graph,
@@ -2077,6 +2093,31 @@ def _bm25_sql(terms: list[str], k: int, k1: float, b: float) -> str:
 
 
 ORACLE_SQL["bm25_search"] = _bm25_sql(_BM25_TERMS, _BM25_K, _BM25_K1, _BM25_B)
+
+# sequence packing: the greedy fold as a linear recursive CTE — one row per
+# recursion step carries (seq_id, fill); the CASE mirrors the engine's
+# "join iff fill + n <= budget" rule exactly (oversized docs start their own
+# sequence with fill > budget, so the next doc always breaks — the engine's
+# saturated state). NULL text -> 0 tokens via coalesce on both sides.
+ORACLE_SQL["sequence_packing"] = (
+    "WITH RECURSIVE tok AS (SELECT doc_id, CAST(CASE WHEN "
+    "trim(coalesce(text, '')) = '' THEN 0 ELSE array_length("
+    "regexp_split_to_array(trim(coalesce(text, '')), '\\s+')) END AS BIGINT) "
+    "AS n_tokens FROM documents), "
+    "d AS (SELECT doc_id, n_tokens, row_number() OVER (ORDER BY doc_id) "
+    "AS rn FROM tok), "
+    "p(rn, doc_id, n_tokens, seq_id, fill) AS ("
+    "SELECT rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens "
+    "FROM d WHERE rn = 1 "
+    "UNION ALL "
+    "SELECT d.rn, d.doc_id, d.n_tokens, "
+    f"CASE WHEN p.fill + d.n_tokens <= {_PACK_BUDGET} THEN p.seq_id "
+    "ELSE p.seq_id + 1 END, "
+    f"CASE WHEN p.fill + d.n_tokens <= {_PACK_BUDGET} THEN "
+    "p.fill + d.n_tokens ELSE d.n_tokens END "
+    "FROM p JOIN d ON d.rn = p.rn + 1) "
+    "SELECT doc_id, n_tokens, seq_id FROM p"
+)
 
 # z-score outliers: the oracle replays the ENGINE's moment algebra
 # (s2/n - mu^2, not stddev_pop's stable update) so the only divergence is

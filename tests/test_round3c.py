@@ -59,3 +59,53 @@ def test_bm25_ranking_and_null_contracts():
     idf_rare = np.log(1 + (N - 2 + 0.5) / (2 + 0.5))
     exp = idf_rare * 1 * 2.2 / (1 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
     assert abs(out["score"].iloc[1] - round(exp, 6)) < 1e-9
+
+
+def _brute_pack(ntok, budget):
+    seq, fill, sid = [], None, -1
+    for n in ntok:
+        if sid < 0 or fill + n > budget:
+            sid += 1
+            fill = n
+        else:
+            fill += n
+        seq.append(sid)
+    return np.array(seq)
+
+
+def test_pack_sequences_matches_sequential_fold():
+    """The two-level scan equals the sequential greedy fold for every
+    partition size — including zero-token docs, oversized docs (> budget,
+    own sequence), and sparse non-contiguous doc ids."""
+    from kafka_connect_s3_ray.functions.packing import pack_sequences
+
+    rng = np.random.default_rng(11)
+    for trial in range(3):
+        nd = int(rng.integers(50, 300))
+        budget = int(rng.choice([16, 64]))
+        ntok = rng.integers(0, 12, nd)
+        ntok[rng.random(nd) < 0.05] = 0
+        ntok[rng.random(nd) < 0.05] = budget + int(rng.integers(1, 9))
+        ids = np.sort(rng.choice(5000, nd, replace=False)).astype(np.int64)
+        df = pd.DataFrame({"doc_id": ids,
+                           "text": [" ".join(["w"] * int(k)) for k in ntok]})
+        exp = _brute_pack(ntok, budget)
+        for ps in [7, 64, 100000]:
+            out = pack_sequences(ray.data.from_pandas(df), budget=budget,
+                                 part_size=ps).to_pandas()
+            out = out.sort_values("doc_id")
+            assert (out["n_tokens"].to_numpy() == ntok).all()
+            assert (out["seq_id"].to_numpy() == exp).all(), (trial, ps)
+
+
+def test_pack_sequences_rejects_bad_ids():
+    import pytest as _pytest
+
+    from kafka_connect_s3_ray.functions.packing import pack_sequences
+
+    dup = pd.DataFrame({"doc_id": [1, 1, 2], "text": ["a", "b", "c"]})
+    with _pytest.raises(Exception, match="duplicate"):
+        pack_sequences(ray.data.from_pandas(dup), budget=8).to_pandas()
+    nul = pd.DataFrame({"doc_id": [1.0, None], "text": ["a", "b"]})
+    with _pytest.raises(Exception, match="NULL"):
+        pack_sequences(ray.data.from_pandas(nul), budget=8).to_pandas()
