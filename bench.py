@@ -140,6 +140,7 @@ def run_bench() -> dict:
         "cohort_retention", "unigram_logprob", "semi_join_bloom",
         "grouped_approx_distinct", "event_transitions", "windowed_distinct",
         "stratified_sample", "repetition_signals", "knn_graph",
+        "zscore_outliers", "bm25_search", "sequence_packing", "seeded_shuffle",
     ]
     panel_results: dict = {}
     panel_trials = int(os.environ.get("BENCH_PANEL_TRIALS", "2"))

@@ -135,3 +135,62 @@ def stratified_sample(ds, group_col: str, key_col: str,
         return t.filter(pa.array(key_hash(k, salt) < row_thr))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def seeded_shuffle(ds, key_col: str = "doc_id", seed: int = 0,
+                   bucket_bits: int = 10):
+    """Deterministic global training shuffle: every row gets its 0-based
+    position in the order of ``splitmix64(u64(key) xor seed)`` — the same
+    permutation on any cluster shape, any block layout, any run (unlike
+    ``random_shuffle``). A new seed is a brand-new permutation.
+
+    Distributed as a bucket-offset rank (no global sort operator): the
+    bucket is the hash's TOP ``bucket_bits`` bits, so bucket order IS hash
+    order — (1) per-block bincount partials -> driver exclusive prefix
+    offsets (2^bucket_bits ints, never rows), (2) one hash-bucket exchange
+    of (key, h), each bucket sorting locally and adding its offset. Rank
+    ties are impossible for unique keys (the mixer is a bijection); equal
+    keys order by key, matching the oracle's ``ORDER BY h, key``. NULL keys
+    raise (key_hash's contract). Returns (key_col, shuffle_pos int64)."""
+    import pandas as pd
+    import ray
+
+    nb = 1 << int(bucket_bits)
+    shift = np.uint64(64 - int(bucket_bits))
+
+    def project(t: pa.Table) -> pa.Table:
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        h = key_hash(k, salt=seed)
+        return pa.table({
+            key_col: pa.array(k.astype(np.int64), pa.int64()),
+            "h": pa.array(h.view(np.int64), pa.int64()),  # bit pattern
+            "bucket": pa.array((h >> shift).astype(np.int64), pa.int64())})
+
+    meta = ds.map_batches(project, batch_format="pyarrow").materialize()
+
+    def counts(t: pa.Table) -> pa.Table:
+        b = t.column("bucket").to_numpy(zero_copy_only=False)
+        c = np.bincount(b, minlength=nb)
+        nz = np.nonzero(c)[0]
+        return pa.table({"bucket": pa.array(nz, pa.int64()),
+                         "n": pa.array(c[nz], pa.int64())})
+
+    parts = meta.map_batches(counts, batch_format="pyarrow").to_pandas()
+    tot = np.zeros(nb, np.int64)
+    if not parts.empty:
+        g = parts.groupby("bucket")["n"].sum()
+        tot[g.index.to_numpy()] = g.to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(tot)[:-1]])
+    ref = ray.put(offsets)
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        b = int(g["bucket"].iloc[0])
+        h = g["h"].to_numpy(np.int64).view(np.uint64)
+        k = g[key_col].to_numpy(np.int64)
+        order = np.lexsort((k, h))
+        pos = np.empty(len(g), np.int64)
+        pos[order] = offs[b] + np.arange(len(g))
+        return pd.DataFrame({key_col: k, "shuffle_pos": pos})
+
+    return meta.groupby("bucket").map_groups(rank, batch_format="pandas")

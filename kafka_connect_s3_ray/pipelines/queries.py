@@ -783,6 +783,22 @@ def q_stratified_sample(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "event_type"])
 
 
+_SHUFFLE_SEED = 20260818
+
+
+def q_seeded_shuffle(sf_dir: str):
+    """Deterministic global training shuffle: each doc's 0-based position in
+    splitmix64(doc_id xor seed) order — the same permutation on any cluster
+    shape, reproducible from the seed alone. Distributed as a bucket-offset
+    rank (top-hash-bits bucketing; tiny bincount partials; one exchange),
+    never a global sort operator."""
+    from ..functions.sample import seeded_shuffle
+
+    out = seeded_shuffle(_docs(sf_dir, ["doc_id"]), "doc_id",
+                         seed=_SHUFFLE_SEED)
+    return out.select_columns(["doc_id", "shuffle_pos"])
+
+
 def q_top_terms(sf_dir: str):
     """Exact global top-25 vocabulary over documents: per-block partial
     counts -> per-bucket exact top-k (a token lives in one bucket) -> tiny
@@ -1535,6 +1551,7 @@ QUERIES = {
     "zscore_outliers": q_zscore_outliers,
     "bm25_search": q_bm25_search,
     "sequence_packing": q_sequence_packing,
+    "seeded_shuffle": q_seeded_shuffle,
     "quality_filtered": q_quality_filtered,
     "cosine_topk": q_cosine_topk,
     "knn_graph": q_knn_graph,
@@ -2507,6 +2524,22 @@ def _train_val_split_sql() -> str:
         f"WITH {_splitmix64_ctes('doc_id', 'documents', 'doc_id')} "
         f"SELECT doc_id, CASE {case} ELSE '{names[-1]}' END AS split FROM m3"
     )
+
+
+def _seeded_shuffle_sql(seed: int) -> str:
+    """The shuffle permutation replayed exactly: BIGINT xor(doc_id, seed)
+    has the same bit pattern as the engine's u64(doc_id) ^ seed, the CTE
+    chain is the identical staged mixer, and the rank is
+    row_number() - 1 over (h, doc_id) — the engine's lexsort key."""
+    ctes = _splitmix64_ctes(f"xor(doc_id, {seed})", "documents", "doc_id")
+    return (
+        f"WITH {ctes} "
+        "SELECT doc_id, CAST(row_number() OVER (ORDER BY h, doc_id) - 1 "
+        "AS BIGINT) AS shuffle_pos FROM m3"
+    )
+
+
+ORACLE_SQL["seeded_shuffle"] = _seeded_shuffle_sql(_SHUFFLE_SEED)
 
 
 def _keyed_sample_sql(rate: float = 0.2) -> str:

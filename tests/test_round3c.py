@@ -98,6 +98,25 @@ def test_pack_sequences_matches_sequential_fold():
             assert (out["seq_id"].to_numpy() == exp).all(), (trial, ps)
 
 
+def test_seeded_shuffle_permutation_properties():
+    """A true 0..n-1 permutation; identical across block layouts; a
+    different seed yields a different permutation."""
+    from kafka_connect_s3_ray.functions.sample import seeded_shuffle
+
+    ids = np.arange(-50, 450, dtype=np.int64)  # negative keys too
+    df = pd.DataFrame({"doc_id": ids})
+
+    def run(nblocks, seed):
+        ds = ray.data.from_pandas(df).repartition(nblocks)
+        out = seeded_shuffle(ds, "doc_id", seed=seed).to_pandas()
+        return out.sort_values("doc_id")["shuffle_pos"].to_numpy()
+
+    a = run(1, seed=7)
+    assert sorted(a) == list(range(len(ids)))
+    assert (a == run(5, seed=7)).all()          # layout-invariant
+    assert (a != run(5, seed=8)).any()          # seed changes the order
+
+
 def test_pack_sequences_rejects_bad_ids():
     import pytest as _pytest
 
