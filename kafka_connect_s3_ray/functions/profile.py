@@ -112,6 +112,9 @@ def zscore_outliers(ds, group_col: str, val_col: str,
     import ray
 
     def partial(t: pa.Table) -> pa.Table:
+        # explicit schema: an all-filtered block must not emit a null-typed
+        # group column (from_pandas inference) and drift the block schemas
+        gtype = t.schema.field(group_col).type
         t = t.filter(pc.and_(pc.is_valid(t.column(group_col)),
                              pc.is_valid(t.column(val_col))))
         g = t.column(group_col).to_pandas()
@@ -121,7 +124,10 @@ def zscore_outliers(ds, group_col: str, val_col: str,
         df["v2"] = df["v"] * df["v"]
         out = df.groupby("g", as_index=False).agg(
             n=("v", "size"), s=("v", "sum"), s2=("v2", "sum"))
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.table({"g": pa.array(out["g"], gtype),
+                         "n": pa.array(out["n"], pa.int64()),
+                         "s": pa.array(out["s"], pa.float64()),
+                         "s2": pa.array(out["s2"], pa.float64())})
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     if parts.empty:
@@ -131,17 +137,18 @@ def zscore_outliers(ds, group_col: str, val_col: str,
     mu = fin["s"].to_numpy() / fin["n"].to_numpy()
     var = fin["s2"].to_numpy() / fin["n"].to_numpy() - mu * mu
     sd = np.sqrt(np.maximum(var, 0.0))
-    stats = {g: (m, d) for g, m, d in zip(fin["g"], mu, sd) if d > 0.0}
-    ref = ray.put(stats)
+    ok = sd > 0.0  # lookup dicts built ONCE, not per batch
+    ref = ray.put(({g: m for g, m, k in zip(fin["g"], mu, ok) if k},
+                   {g: d for g, d, k in zip(fin["g"], sd, ok) if k}))
 
     def score(t: pa.Table) -> pa.Table:
-        st = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        mu_of, sd_of = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
         t = t.filter(pc.and_(pc.is_valid(t.column(group_col)),
                              pc.is_valid(t.column(val_col))))
         g = t.column(group_col).to_pandas()
         v = t.column(val_col).to_numpy(zero_copy_only=False).astype(np.float64)
-        mu = g.map({k: m for k, (m, _) in st.items()}).to_numpy(np.float64)
-        sd = g.map({k: d for k, (_, d) in st.items()}).to_numpy(np.float64)
+        mu = g.map(mu_of).to_numpy(np.float64)
+        sd = g.map(sd_of).to_numpy(np.float64)
         with np.errstate(invalid="ignore"):
             z = np.round((v - mu) / sd, 6)
         keep = np.abs(z) > threshold  # NaN compares False: sd=0 groups drop

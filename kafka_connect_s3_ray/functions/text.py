@@ -667,8 +667,10 @@ def bm25_search(docs, terms: list[str], k: int = 20, k1: float = 1.2,
     top-k partial, merged on the driver (top-k is distributive). Ranking and
     the k-cut run on the 6 dp-ROUNDED score with doc-id tiebreak on BOTH
     engine and oracle, so float noise cannot flip the selection. N counts
-    every doc (NULL text scores 0 tokens); zero-score docs are excluded."""
-    nt = len(terms)
+    every doc (NULL text scores 0 tokens); zero-score docs are excluded.
+    Terms are matched against LOWERCASED tokens, so they are lowercased once
+    here (a mixed-case term would silently match nothing)."""
+    terms = [t.lower() for t in terms]
 
     def stats_partial(t: pa.Table) -> pa.Table:
         dl, tf = _term_tf(t, terms, text_col)
@@ -702,6 +704,9 @@ def bm25_search(docs, terms: list[str], k: int = 20, k1: float = 1.2,
                          "score": pa.array(score[order], pa.float64())})
 
     top = docs.map_batches(score_topk, batch_format="pyarrow").to_pandas()
+    if top.empty:  # no term matched: Ray's to_pandas drops empty columns
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
     top = top.sort_values(["score", id_col], ascending=[False, True],
                           kind="mergesort").head(k).reset_index(drop=True)
     return pa.table({id_col: pa.array(top[id_col], pa.int64()),

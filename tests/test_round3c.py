@@ -98,6 +98,36 @@ def test_pack_sequences_matches_sequential_fold():
             assert (out["seq_id"].to_numpy() == exp).all(), (trial, ps)
 
 
+def test_bm25_empty_result_and_case_normalization():
+    """An absent term returns a TYPED empty result (no KeyError from Ray's
+    empty to_pandas); mixed-case query terms are lowercased once rather than
+    silently matching nothing."""
+    from kafka_connect_s3_ray.functions.text import bm25_search
+
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["merge merge", "scan"]})
+    empty = bm25_search(ray.data.from_pandas(df), ["absent"], k=5).to_pandas()
+    assert list(empty.columns) == ["doc_id", "score"] and len(empty) == 0
+    upper = bm25_search(ray.data.from_pandas(df), ["Merge"], k=5).to_pandas()
+    assert list(upper["doc_id"]) == [1]
+
+
+def test_zscore_all_filtered_block_keeps_schema():
+    """Blocks whose rows are all NULL-group/NULL-value emit typed empty
+    partials — the union's schema stays (g: string, ...) and the result is
+    still exact."""
+    from kafka_connect_s3_ray.functions.profile import zscore_outliers
+
+    good = pd.DataFrame({"event_id": np.arange(8, dtype=np.int64),
+                         "grp": ["a"] * 8,
+                         "value": [1.0] * 7 + [100.0]})
+    dead = pd.DataFrame({"event_id": np.arange(8, 12, dtype=np.int64),
+                         "grp": [None] * 4,
+                         "value": [None] * 4})
+    ds = ray.data.from_pandas([good, dead])  # one all-filtered block
+    out = zscore_outliers(ds, "grp", "value", threshold=2.0).to_pandas()
+    assert list(out["event_id"]) == [7]
+
+
 def test_seeded_shuffle_permutation_properties():
     """A true 0..n-1 permutation; identical across block layouts; a
     different seed yields a different permutation."""
