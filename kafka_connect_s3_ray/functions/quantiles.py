@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 __all__ = ["exact_quantiles", "grouped_exact_quantiles"]
 
@@ -268,3 +269,73 @@ def grouped_exact_quantiles(ds: "ray.data.Dataset", group_col: str, col: str,
                    n_bins, max_collect, max_rounds,
                    "grouped_exact_quantiles")
     return {g: float(x) for g, x in zip(groups, vals)}
+
+
+def global_rank(ds, val_col: str, id_col: str, n_buckets: int = 32):
+    """Exact global rank + percentile normalization of every row by
+    ``(val_col, id_col)`` order — the quality-score -> percentile step of a
+    curation pipeline, without a global sort operator.
+
+    Distributed as a VALUE-bucketed offset rank (the value-ordered cousin of
+    ``sample.seeded_shuffle``): bucket bounds come from ``exact_quantiles``
+    at n_buckets fractions (balanced buckets even on skewed scores; a
+    constant column degenerates to one bucket, which is correct, just
+    unbalanced), per-block bincount partials give driver prefix offsets, and
+    one bucket exchange sorts locally by (val, id) and adds its offset.
+    Equal values across bucket BOUNDS stay together: assignment is
+    searchsorted(bounds, v, 'left'), so a run of duplicates lands in one
+    bucket and within-bucket lexsort settles it — rnk is exactly
+    ``row_number() OVER (ORDER BY val, id) - 1``. NULL/NaN values are
+    excluded (SQL ORDER BY scope is the non-null WHERE; the fixtures carry
+    no NaN). pct = rnk / (n - 1) rounded to 6 dp (0 for a single row).
+    Returns a Dataset of (id_col, val_col, rnk, pct) — ``rnk`` because
+    ``rank`` is a SQL keyword on the oracle side."""
+    import pandas as pd
+    import ray
+
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = np.asarray(exact_quantiles(ds, val_col, fracs), np.float64)
+
+    def project(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column(val_col)))
+        v = t.column(val_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = ~np.isnan(v)
+        ids = pc.cast(t.column(id_col), pa.int64()).to_numpy(
+            zero_copy_only=False)[keep]
+        v = v[keep]
+        b = np.searchsorted(bounds, v, side="left").astype(np.int64)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "v": pa.array(v, pa.float64()),
+                         "bucket": pa.array(b, pa.int64())})
+
+    meta = ds.map_batches(project, batch_format="pyarrow").materialize()
+
+    def counts(t: pa.Table) -> pa.Table:
+        c = np.bincount(t.column("bucket").to_numpy(zero_copy_only=False),
+                        minlength=n_buckets)
+        nz = np.nonzero(c)[0]
+        return pa.table({"bucket": pa.array(nz, pa.int64()),
+                         "n": pa.array(c[nz], pa.int64())})
+
+    parts = meta.map_batches(counts, batch_format="pyarrow").to_pandas()
+    tot = np.zeros(n_buckets, np.int64)
+    if not parts.empty:
+        g = parts.groupby("bucket")["n"].sum()
+        tot[g.index.to_numpy()] = g.to_numpy()
+    n_all = int(tot.sum())
+    offsets = np.concatenate([[0], np.cumsum(tot)[:-1]])
+    denom = float(max(n_all - 1, 1))
+    ref = ray.put(offsets)
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        b = int(g["bucket"].iloc[0])
+        v = g["v"].to_numpy(np.float64)
+        k = g[id_col].to_numpy(np.int64)
+        order = np.lexsort((k, v))
+        pos = np.empty(len(g), np.int64)
+        pos[order] = offs[b] + np.arange(len(g))
+        return pd.DataFrame({id_col: k, val_col: v, "rnk": pos,
+                             "pct": np.round(pos / denom, 6)})
+
+    return meta.groupby("bucket").map_groups(rank, batch_format="pandas")

@@ -1343,6 +1343,18 @@ def q_zscore_outliers(sf_dir: str):
     return out.select_columns(["event_id", "event_type", "value", "z"])
 
 
+def q_percentile_rank(sf_dir: str):
+    """Exact global rank + percentile normalization of event values (the
+    quality-score -> percentile curation step): quantile-bucketed offset
+    rank — exact_quantiles bounds, bincount partials, one bucket exchange —
+    never a global sort operator."""
+    from ..functions.quantiles import global_rank
+
+    out = global_rank(_events(sf_dir, ["event_id", "value"]),
+                      "value", "event_id")
+    return out.select_columns(["event_id", "value", "rnk", "pct"])
+
+
 def q_quality_filtered(sf_dir: str):
     """Median-threshold quality gate: keep documents whose whitespace token
     count >= the exact corpus median (computed by the distributed
@@ -1552,6 +1564,7 @@ QUERIES = {
     "bm25_search": q_bm25_search,
     "sequence_packing": q_sequence_packing,
     "seeded_shuffle": q_seeded_shuffle,
+    "percentile_rank": q_percentile_rank,
     "quality_filtered": q_quality_filtered,
     "cosine_topk": q_cosine_topk,
     "knn_graph": q_knn_graph,
@@ -2134,6 +2147,18 @@ ORACLE_SQL["sequence_packing"] = (
     "p.fill + d.n_tokens ELSE d.n_tokens END "
     "FROM p JOIN d ON d.rn = p.rn + 1) "
     "SELECT doc_id, n_tokens, seq_id FROM p"
+)
+
+# percentile rank: row_number over (value, event_id) minus one; pct uses the
+# engine's greatest(n-1, 1) denominator and the shared round-6 contract.
+# NULL values excluded on both sides ('rnk' because rank is a SQL keyword).
+ORACLE_SQL["percentile_rank"] = (
+    "WITH t AS (SELECT event_id, value FROM events WHERE value IS NOT NULL), "
+    "r AS (SELECT event_id, value, "
+    "row_number() OVER (ORDER BY value, event_id) - 1 AS p, "
+    "count(*) OVER () AS n FROM t) "
+    "SELECT event_id, value, CAST(p AS BIGINT) AS rnk, "
+    "round(p / CAST(greatest(n - 1, 1) AS DOUBLE), 6) AS pct FROM r"
 )
 
 # z-score outliers: the oracle replays the ENGINE's moment algebra

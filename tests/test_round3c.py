@@ -147,6 +147,28 @@ def test_seeded_shuffle_permutation_properties():
     assert (a != run(5, seed=8)).any()          # seed changes the order
 
 
+def test_global_rank_ties_and_constant_column():
+    """Duplicate values rank by id; a constant column (one degenerate
+    bucket) still yields the exact 0..n-1 ranks; pct spans [0, 1]."""
+    from kafka_connect_s3_ray.functions.quantiles import global_rank
+
+    df = pd.DataFrame({"event_id": np.arange(20, dtype=np.int64),
+                       "value": [5.0] * 10 + list(range(10))})
+    out = global_rank(ray.data.from_pandas(df).repartition(3),
+                      "value", "event_id").to_pandas()
+    out = out.sort_values("rnk").reset_index(drop=True)
+    assert list(out["rnk"]) == list(range(20))
+    exp = df.sort_values(["value", "event_id"])["event_id"].to_numpy()
+    assert (out["event_id"].to_numpy() == exp).all()
+    assert out["pct"].iloc[0] == 0.0 and out["pct"].iloc[-1] == 1.0
+
+    const = pd.DataFrame({"event_id": np.arange(7, dtype=np.int64),
+                          "value": [3.0] * 7})
+    got = global_rank(ray.data.from_pandas(const), "value",
+                      "event_id").to_pandas().sort_values("rnk")
+    assert list(got["event_id"]) == list(range(7))
+
+
 def test_pack_sequences_rejects_bad_ids():
     import pytest as _pytest
 
