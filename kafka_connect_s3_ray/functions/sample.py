@@ -137,6 +137,38 @@ def stratified_sample(ds, group_col: str, key_col: str,
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def sample_exact_k(ds, key_col: str, k: int, seed: int = 0,
+                   keep_cols: list[str] | None = None):
+    """EXACT-size deterministic sample: the k rows whose
+    ``splitmix64(u64(key) xor seed)`` is smallest — a uniform "random" k
+    without an RNG, reproducible from the seed on any cluster shape (the
+    rate-based ``sample_by_key`` gives a binomial size; this gives exactly
+    k). Distributive top-k: each block keeps its k smallest (h, key), the
+    driver merges k x blocks candidate rows — never the data. Ties are
+    impossible for unique keys (bijective mixer); equal keys break by key,
+    the oracle's ORDER BY h, key. Returns an Arrow table of
+    (key_col + keep_cols) for the selected rows."""
+    import pandas as pd
+
+    cols = [key_col] + [c for c in (keep_cols or []) if c != key_col]
+
+    def localtop(t: pa.Table) -> pa.Table:
+        ks = t.column(key_col).to_numpy(zero_copy_only=False)
+        h = key_hash(ks, salt=seed)
+        order = np.lexsort((ks.astype(np.int64), h))[:k]
+        out = t.select(cols).take(pa.array(order))
+        return out.append_column("h", pa.array(h[order].view(np.int64),
+                                               pa.int64()))
+
+    parts = ds.map_batches(localtop, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pa.table({c: pa.array([], pa.int64()) for c in cols})
+    hu = parts["h"].to_numpy(np.int64).view(np.uint64)
+    order = np.lexsort((parts[key_col].to_numpy(), hu))[:k]
+    sel = parts.iloc[order][cols].reset_index(drop=True)
+    return pa.Table.from_pandas(sel, preserve_index=False)
+
+
 def seeded_shuffle(ds, key_col: str = "doc_id", seed: int = 0,
                    bucket_bits: int = 10):
     """Deterministic global training shuffle: every row gets its 0-based

@@ -784,6 +784,19 @@ def q_stratified_sample(sf_dir: str):
 
 
 _SHUFFLE_SEED = 20260818
+_EXACT_K = 500
+
+
+def q_exact_k_sample(sf_dir: str):
+    """Exactly-500-row deterministic sample of events: the 500 smallest
+    splitmix64(event_id xor seed) hashes — exact size (unlike the binomial
+    rate-based keyed_sample), replayable from the seed, distributive
+    per-block top-k (the driver merges k x blocks candidates, never rows)."""
+    from ..functions.sample import sample_exact_k
+
+    return sample_exact_k(_events(sf_dir, ["event_id", "user_id"]),
+                          "event_id", k=_EXACT_K, seed=_SHUFFLE_SEED,
+                          keep_cols=["user_id"])
 
 
 def q_seeded_shuffle(sf_dir: str):
@@ -1565,6 +1578,7 @@ QUERIES = {
     "sequence_packing": q_sequence_packing,
     "seeded_shuffle": q_seeded_shuffle,
     "percentile_rank": q_percentile_rank,
+    "exact_k_sample": q_exact_k_sample,
     "quality_filtered": q_quality_filtered,
     "cosine_topk": q_cosine_topk,
     "knn_graph": q_knn_graph,
@@ -2565,6 +2579,18 @@ def _seeded_shuffle_sql(seed: int) -> str:
 
 
 ORACLE_SQL["seeded_shuffle"] = _seeded_shuffle_sql(_SHUFFLE_SEED)
+
+
+def _exact_k_sample_sql(k: int, seed: int) -> str:
+    """The exact-k sample replayed: same mixer, same xor'd seed, ORDER BY
+    (h, key) LIMIT k — the engine's distributive top-k selection key."""
+    ctes = _splitmix64_ctes(f"xor(event_id, {seed})", "events",
+                            "event_id, user_id")
+    return (f"WITH {ctes} SELECT event_id, user_id FROM m3 "
+            f"ORDER BY h, event_id LIMIT {k}")
+
+
+ORACLE_SQL["exact_k_sample"] = _exact_k_sample_sql(_EXACT_K, _SHUFFLE_SEED)
 
 
 def _keyed_sample_sql(rate: float = 0.2) -> str:

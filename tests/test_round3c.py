@@ -169,6 +169,25 @@ def test_global_rank_ties_and_constant_column():
     assert list(got["event_id"]) == list(range(7))
 
 
+def test_sample_exact_k_deterministic_and_exact_size():
+    """Exactly k rows, identical across block layouts, k >= n returns all
+    rows, and the selection equals the single-machine k-smallest-hash set."""
+    from kafka_connect_s3_ray.functions.sample import key_hash, sample_exact_k
+
+    ids = np.arange(200, dtype=np.int64)
+    df = pd.DataFrame({"event_id": ids, "user_id": ids % 7})
+    exp = set(ids[np.argsort(key_hash(ids, salt=3), kind="stable")[:25]])
+
+    for nblocks in [1, 6]:
+        out = sample_exact_k(ray.data.from_pandas(df).repartition(nblocks),
+                             "event_id", k=25, seed=3,
+                             keep_cols=["user_id"]).to_pandas()
+        assert len(out) == 25 and set(out["event_id"]) == exp
+    allr = sample_exact_k(ray.data.from_pandas(df), "event_id", k=500,
+                          seed=3).to_pandas()
+    assert len(allr) == 200
+
+
 def test_pack_sequences_rejects_bad_ids():
     import pytest as _pytest
 
