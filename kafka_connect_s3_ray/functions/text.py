@@ -627,6 +627,98 @@ def repetition_top_ngram(batch: pa.Table, n: int = 2, id_col: str = "doc_id",
     }, schema=out_schema)
 
 
+def pmi_pairs(docs, window: int = 5, min_count: int = 10, k: int = 20,
+              text_col: str = "text", n_buckets: int = 64) -> pa.Table:
+    """Top-k word pairs by pointwise mutual information over within-window
+    co-occurrence (collocation mining / tokenizer-merge candidates):
+    PMI(u, v) = ln((c_uv / C) * T^2 / (c_u * c_v)) with c_uv the count of
+    UNORDERED pairs (lexicographic normalization) at forward distance
+    < window inside one doc, C total such pairs, T total tokens.
+
+    Distribution: per-block vectorized pair expansion (window-1 shifted
+    compares over the flat token array — no per-pair Python) collapses to
+    per-block (u, v, partial count) rows; a pair-hash bucket exchange sums
+    them exactly (a pair lives in one bucket); the driver sees ONLY pairs
+    with c_uv >= min_count (<= C/min_count rows) plus one total per bucket,
+    and computes PMI + the k-cut there. Unigram counts reuse
+    ``corpus_token_counts`` (vocab-sized, Heaps-law bounded). Ranking is on
+    the 6 dp-rounded PMI with (u, v) tiebreak — the oracle's exact key."""
+    from itertools import chain
+
+    from .dedup import _stable_token_hash
+
+    tok = corpus_token_counts(docs, text_col)
+    T = float(tok["n"].sum())
+    cnt_of = dict(zip(tok["token"], tok["n"].astype(np.float64)))
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        toks = [("" if x is None else x).lower().split() for x in texts]
+        lens = np.fromiter((len(x) for x in toks), np.int64, len(toks))
+        empty = pa.table({"u": pa.array([], pa.string()),
+                          "v": pa.array([], pa.string()),
+                          "c": pa.array([], pa.int64()),
+                          "bucket": pa.array([], pa.int64())})
+        if int(lens.sum()) < 2:
+            return empty
+        flat = np.array(list(chain.from_iterable(toks)), object)
+        doc = np.repeat(np.arange(len(toks)), lens)
+        us, vs = [], []
+        for d in range(1, window):
+            if d >= len(flat):
+                break
+            a, b = flat[:-d], flat[d:]
+            m = doc[:-d] == doc[d:]
+            if m.any():
+                a, b = a[m], b[m]
+                swap = a > b
+                us.append(np.where(swap, b, a))
+                vs.append(np.where(swap, a, b))
+        if not us:
+            return empty
+        df = pd.DataFrame({"u": np.concatenate(us), "v": np.concatenate(vs)})
+        c = df.groupby(["u", "v"], sort=False).size().reset_index(name="c")
+        key = (c["u"] + "\x00" + c["v"]).to_numpy(object)
+        bucket = (_stable_token_hash(key) % np.uint64(n_buckets)).astype(
+            np.int64)
+        return pa.table({"u": pa.array(c["u"], pa.string()),
+                         "v": pa.array(c["v"], pa.string()),
+                         "c": pa.array(c["c"], pa.int64()),
+                         "bucket": pa.array(bucket, pa.int64())})
+
+    def bucket_sum(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["u", "v"], as_index=False)["c"].sum()
+        total = int(s["c"].sum())          # C contribution incl. rare pairs
+        s = s[s["c"] >= min_count]
+        return pd.DataFrame({"u": list(s["u"]) + [None],
+                             "v": list(s["v"]) + [None],
+                             "c": list(s["c"]) + [total],
+                             "is_total": [False] * len(s) + [True]})
+
+    rows = (docs.map_batches(pair_partial, batch_format="pyarrow")
+            .groupby("bucket").map_groups(bucket_sum, batch_format="pandas")
+            .to_pandas())
+    out_schema = {"u": pa.string(), "v": pa.string(),
+                  "pair_count": pa.int64(), "pmi": pa.float64()}
+    if rows.empty:
+        return pa.table({n: pa.array([], t) for n, t in out_schema.items()})
+    C = float(rows.loc[rows["is_total"], "c"].sum())
+    s = rows.loc[~rows["is_total"]].copy()
+    if s.empty:
+        return pa.table({n: pa.array([], t) for n, t in out_schema.items()})
+    ca = s["u"].map(cnt_of).to_numpy(np.float64)
+    cb = s["v"].map(cnt_of).to_numpy(np.float64)
+    c = s["c"].to_numpy(np.float64)
+    s["pmi"] = np.round(np.log((c / C) * T * T / (ca * cb)), 6)
+    s = s.sort_values(["pmi", "u", "v"], ascending=[False, True, True],
+                      kind="mergesort").head(k)
+    return pa.table({"u": pa.array(s["u"], pa.string()),
+                     "v": pa.array(s["v"], pa.string()),
+                     "pair_count": pa.array(s["c"].astype(np.int64),
+                                            pa.int64()),
+                     "pmi": pa.array(s["pmi"], pa.float64())})
+
+
 # ---------------------------------------------------------------------------
 # BM25 ranked retrieval
 # ---------------------------------------------------------------------------

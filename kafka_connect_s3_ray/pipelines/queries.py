@@ -836,6 +836,20 @@ def q_sequence_packing(sf_dir: str):
                           budget=_PACK_BUDGET, part_size=256)
 
 
+_PMI_WINDOW, _PMI_MIN_COUNT, _PMI_K = 5, 50, 20
+
+
+def q_pmi_pairs(sf_dir: str):
+    """Top-20 collocations by within-window PMI (tokenizer-merge / phrase
+    mining): vectorized per-block pair expansion -> pair-hash bucket sums ->
+    driver PMI over only the >= min_count survivors. The oracle replays the
+    identical PMI algebra from the same constants."""
+    from ..functions.text import pmi_pairs
+
+    return pmi_pairs(_docs(sf_dir, ["doc_id", "text"]), window=_PMI_WINDOW,
+                     min_count=_PMI_MIN_COUNT, k=_PMI_K)
+
+
 _BM25_TERMS = ["merge", "window", "customer"]
 _BM25_K1, _BM25_B, _BM25_K = 1.2, 0.75, 20
 
@@ -1579,6 +1593,7 @@ QUERIES = {
     "seeded_shuffle": q_seeded_shuffle,
     "percentile_rank": q_percentile_rank,
     "exact_k_sample": q_exact_k_sample,
+    "pmi_pairs": q_pmi_pairs,
     "quality_filtered": q_quality_filtered,
     "cosine_topk": q_cosine_topk,
     "knn_graph": q_knn_graph,
@@ -2591,6 +2606,41 @@ def _exact_k_sample_sql(k: int, seed: int) -> str:
 
 
 ORACLE_SQL["exact_k_sample"] = _exact_k_sample_sql(_EXACT_K, _SHUFFLE_SEED)
+
+
+def _pmi_pairs_sql(window: int, min_count: int, k: int) -> str:
+    """PMI collocations replayed from the same constants: positions via the
+    struct-unnest idiom, forward pairs at distance < window, lexicographic
+    pair normalization (least/greatest = the engine's np.where swap on
+    ASCII), and the identical ln((c/C)*T*T/(ca*cb)) operator shape so the
+    rounded PMI agrees to the last ulp."""
+    return (
+        "WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array("
+        "lower(coalesce(text, '')), '\\s+'), x -> x <> '') AS ws "
+        "FROM documents), "
+        "q AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1), "
+        "i -> {'pos': i, 'tk': ws[i]})) AS s FROM w), "
+        "f AS (SELECT doc_id, s.pos AS pos, s.tk AS tk FROM q), "
+        "p AS (SELECT least(a.tk, b.tk) AS u, greatest(a.tk, b.tk) AS v "
+        "FROM f a JOIN f b ON a.doc_id = b.doc_id AND b.pos > a.pos "
+        f"AND b.pos <= a.pos + {window - 1}), "
+        "c AS (SELECT u, v, count(*) AS c FROM p GROUP BY u, v), "
+        "tk AS (SELECT tk, CAST(count(*) AS DOUBLE) AS ct FROM f GROUP BY tk), "
+        "tot AS (SELECT CAST(count(*) AS DOUBLE) AS T FROM f), "
+        "ctot AS (SELECT CAST(count(*) AS DOUBLE) AS C FROM p), "
+        "s AS (SELECT c.u, c.v, c.c, "
+        "round(ln((c.c / ctot.C) * tot.T * tot.T / (ta.ct * tb.ct)), 6) "
+        "AS pmi FROM c CROSS JOIN tot CROSS JOIN ctot "
+        "JOIN tk ta ON ta.tk = c.u JOIN tk tb ON tb.tk = c.v "
+        f"WHERE c.c >= {min_count}), "
+        "r AS (SELECT u, v, c, pmi, row_number() OVER "
+        "(ORDER BY pmi DESC, u, v) AS rn FROM s) "
+        "SELECT u, v, CAST(c AS BIGINT) AS pair_count, pmi FROM r "
+        f"WHERE rn <= {k}"
+    )
+
+
+ORACLE_SQL["pmi_pairs"] = _pmi_pairs_sql(_PMI_WINDOW, _PMI_MIN_COUNT, _PMI_K)
 
 
 def _keyed_sample_sql(rate: float = 0.2) -> str:

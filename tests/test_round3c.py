@@ -169,6 +169,25 @@ def test_global_rank_ties_and_constant_column():
     assert list(got["event_id"]) == list(range(7))
 
 
+def test_pmi_pairs_hand_computed():
+    """Hand-checked PMI on a tiny corpus: pair normalization is unordered,
+    cross-doc pairs never form, and the value matches the formula."""
+    from kafka_connect_s3_ray.functions.text import pmi_pairs
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["a b a b", "b a"],  # forward pairs within window 2:
+        #   doc1: (a,b) (b,a) (a,b) -> normalized (a,b) x3; doc2: (b,a) -> x1
+    })
+    out = pmi_pairs(ray.data.from_pandas(df), window=2, min_count=1,
+                    k=5).to_pandas()
+    assert list(zip(out["u"], out["v"])) == [("a", "b")]
+    assert out["pair_count"].iloc[0] == 4
+    # T=6 tokens, c_a=3, c_b=3, C=4 pairs, c_ab=4
+    exp = np.log((4 / 4) * 6 * 6 / (3 * 3))
+    assert abs(out["pmi"].iloc[0] - round(exp, 6)) < 1e-12
+
+
 def test_sample_exact_k_deterministic_and_exact_size():
     """Exactly k rows, identical across block layouts, k >= n returns all
     rows, and the selection equals the single-machine k-smallest-hash set."""
