@@ -287,14 +287,27 @@ def global_rank(ds, val_col: str, id_col: str, n_buckets: int = 32):
     bucket and within-bucket lexsort settles it — rnk is exactly
     ``row_number() OVER (ORDER BY val, id) - 1``. NULL/NaN values are
     excluded (SQL ORDER BY scope is the non-null WHERE; the fixtures carry
-    no NaN). pct = rnk / (n - 1) rounded to 6 dp (0 for a single row).
-    Returns a Dataset of (id_col, val_col, rnk, pct) — ``rnk`` because
-    ``rank`` is a SQL keyword on the oracle side."""
+    no NaN); an ALL-null column yields an empty result, matching the
+    oracle, not a raise. pct = rnk / (n - 1) rounded to 6 dp (0 for a
+    single row). Returns a Dataset of (id_col, val_col, rnk, pct) —
+    ``rnk`` because ``rank`` is a SQL keyword on the oracle side. Shares
+    the bucket-offset scaffolding with ``sample.seeded_shuffle``
+    (rank.bucket_offsets / rank_by_bucket)."""
     import pandas as pd
-    import ray
+
+    import ray.data
+
+    from .rank import bucket_offsets, rank_by_bucket
 
     fracs = [i / n_buckets for i in range(1, n_buckets)]
-    bounds = np.asarray(exact_quantiles(ds, val_col, fracs), np.float64)
+    try:
+        bounds = np.asarray(exact_quantiles(ds, val_col, fracs), np.float64)
+    except ValueError:  # no non-null values: the oracle's empty set
+        return ray.data.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            val_col: pa.array([], pa.float64()),
+            "rnk": pa.array([], pa.int64()),
+            "pct": pa.array([], pa.float64())}))
 
     def project(t: pa.Table) -> pa.Table:
         t = t.filter(pc.is_valid(t.column(val_col)))
@@ -309,33 +322,16 @@ def global_rank(ds, val_col: str, id_col: str, n_buckets: int = 32):
                          "bucket": pa.array(b, pa.int64())})
 
     meta = ds.map_batches(project, batch_format="pyarrow").materialize()
-
-    def counts(t: pa.Table) -> pa.Table:
-        c = np.bincount(t.column("bucket").to_numpy(zero_copy_only=False),
-                        minlength=n_buckets)
-        nz = np.nonzero(c)[0]
-        return pa.table({"bucket": pa.array(nz, pa.int64()),
-                         "n": pa.array(c[nz], pa.int64())})
-
-    parts = meta.map_batches(counts, batch_format="pyarrow").to_pandas()
-    tot = np.zeros(n_buckets, np.int64)
-    if not parts.empty:
-        g = parts.groupby("bucket")["n"].sum()
-        tot[g.index.to_numpy()] = g.to_numpy()
-    n_all = int(tot.sum())
-    offsets = np.concatenate([[0], np.cumsum(tot)[:-1]])
+    offsets, n_all = bucket_offsets(meta, n_buckets)
     denom = float(max(n_all - 1, 1))
-    ref = ray.put(offsets)
 
-    def rank(g: pd.DataFrame) -> pd.DataFrame:
-        offs = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-        b = int(g["bucket"].iloc[0])
+    def rank(g: pd.DataFrame, off: int) -> pd.DataFrame:
         v = g["v"].to_numpy(np.float64)
         k = g[id_col].to_numpy(np.int64)
         order = np.lexsort((k, v))
         pos = np.empty(len(g), np.int64)
-        pos[order] = offs[b] + np.arange(len(g))
+        pos[order] = off + np.arange(len(g))
         return pd.DataFrame({id_col: k, val_col: v, "rnk": pos,
                              "pct": np.round(pos / denom, 6)})
 
-    return meta.groupby("bucket").map_groups(rank, batch_format="pandas")
+    return rank_by_bucket(meta, offsets, rank)

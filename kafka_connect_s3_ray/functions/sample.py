@@ -161,8 +161,10 @@ def sample_exact_k(ds, key_col: str, k: int, seed: int = 0,
                                                pa.int64()))
 
     parts = ds.map_batches(localtop, batch_format="pyarrow").to_pandas()
-    if parts.empty:
-        return pa.table({c: pa.array([], pa.int64()) for c in cols})
+    if parts.empty:  # typed empty: column types come from the input schema
+        sch = ds.schema()
+        types = dict(zip(sch.names, sch.types))
+        return pa.table({c: pa.array([], types[c]) for c in cols})
     hu = parts["h"].to_numpy(np.int64).view(np.uint64)
     order = np.lexsort((parts[key_col].to_numpy(), hu))[:k]
     sel = parts.iloc[order][cols].reset_index(drop=True)
@@ -180,12 +182,14 @@ def seeded_shuffle(ds, key_col: str = "doc_id", seed: int = 0,
     bucket is the hash's TOP ``bucket_bits`` bits, so bucket order IS hash
     order — (1) per-block bincount partials -> driver exclusive prefix
     offsets (2^bucket_bits ints, never rows), (2) one hash-bucket exchange
-    of (key, h), each bucket sorting locally and adding its offset. Rank
+    of (key, h), each bucket sorting locally and adding its offset (the
+    shared ``rank.bucket_offsets``/``rank_by_bucket`` scaffolding). Rank
     ties are impossible for unique keys (the mixer is a bijection); equal
     keys order by key, matching the oracle's ``ORDER BY h, key``. NULL keys
     raise (key_hash's contract). Returns (key_col, shuffle_pos int64)."""
     import pandas as pd
-    import ray
+
+    from .rank import bucket_offsets, rank_by_bucket
 
     nb = 1 << int(bucket_bits)
     shift = np.uint64(64 - int(bucket_bits))
@@ -199,30 +203,14 @@ def seeded_shuffle(ds, key_col: str = "doc_id", seed: int = 0,
             "bucket": pa.array((h >> shift).astype(np.int64), pa.int64())})
 
     meta = ds.map_batches(project, batch_format="pyarrow").materialize()
+    offsets, _ = bucket_offsets(meta, nb)
 
-    def counts(t: pa.Table) -> pa.Table:
-        b = t.column("bucket").to_numpy(zero_copy_only=False)
-        c = np.bincount(b, minlength=nb)
-        nz = np.nonzero(c)[0]
-        return pa.table({"bucket": pa.array(nz, pa.int64()),
-                         "n": pa.array(c[nz], pa.int64())})
-
-    parts = meta.map_batches(counts, batch_format="pyarrow").to_pandas()
-    tot = np.zeros(nb, np.int64)
-    if not parts.empty:
-        g = parts.groupby("bucket")["n"].sum()
-        tot[g.index.to_numpy()] = g.to_numpy()
-    offsets = np.concatenate([[0], np.cumsum(tot)[:-1]])
-    ref = ray.put(offsets)
-
-    def rank(g: pd.DataFrame) -> pd.DataFrame:
-        offs = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-        b = int(g["bucket"].iloc[0])
+    def rank(g: pd.DataFrame, off: int) -> pd.DataFrame:
         h = g["h"].to_numpy(np.int64).view(np.uint64)
         k = g[key_col].to_numpy(np.int64)
         order = np.lexsort((k, h))
         pos = np.empty(len(g), np.int64)
-        pos[order] = offs[b] + np.arange(len(g))
+        pos[order] = off + np.arange(len(g))
         return pd.DataFrame({key_col: k, "shuffle_pos": pos})
 
-    return meta.groupby("bucket").map_groups(rank, batch_format="pandas")
+    return rank_by_bucket(meta, offsets, rank)

@@ -647,7 +647,11 @@ def pmi_pairs(docs, window: int = 5, min_count: int = 10, k: int = 20,
 
     from .dedup import _stable_token_hash
 
+    out_schema = {"u": pa.string(), "v": pa.string(),
+                  "pair_count": pa.int64(), "pmi": pa.float64()}
     tok = corpus_token_counts(docs, text_col)
+    if tok.empty:  # zero tokens in the corpus: the oracle's empty set
+        return pa.table({n: pa.array([], t) for n, t in out_schema.items()})
     T = float(tok["n"].sum())
     cnt_of = dict(zip(tok["token"], tok["n"].astype(np.float64)))
 
@@ -662,27 +666,31 @@ def pmi_pairs(docs, window: int = 5, min_count: int = 10, k: int = 20,
         if int(lens.sum()) < 2:
             return empty
         flat = np.array(list(chain.from_iterable(toks)), object)
+        # int codes ordered like the strings (np.unique sorts), so the
+        # swap-normalization compares int64s — no per-pair Python compare
+        uniq, codes = np.unique(flat, return_inverse=True)
         doc = np.repeat(np.arange(len(toks)), lens)
         us, vs = [], []
         for d in range(1, window):
-            if d >= len(flat):
+            if d >= len(codes):
                 break
-            a, b = flat[:-d], flat[d:]
+            a, b = codes[:-d], codes[d:]
             m = doc[:-d] == doc[d:]
             if m.any():
                 a, b = a[m], b[m]
-                swap = a > b
-                us.append(np.where(swap, b, a))
-                vs.append(np.where(swap, a, b))
+                us.append(np.minimum(a, b))
+                vs.append(np.maximum(a, b))
         if not us:
             return empty
         df = pd.DataFrame({"u": np.concatenate(us), "v": np.concatenate(vs)})
         c = df.groupby(["u", "v"], sort=False).size().reset_index(name="c")
-        key = (c["u"] + "\x00" + c["v"]).to_numpy(object)
+        cu = uniq[c["u"].to_numpy()]
+        cv = uniq[c["v"].to_numpy()]
+        key = np.array([a + "\x00" + b for a, b in zip(cu, cv)], object)
         bucket = (_stable_token_hash(key) % np.uint64(n_buckets)).astype(
             np.int64)
-        return pa.table({"u": pa.array(c["u"], pa.string()),
-                         "v": pa.array(c["v"], pa.string()),
+        return pa.table({"u": pa.array(cu, pa.string()),
+                         "v": pa.array(cv, pa.string()),
                          "c": pa.array(c["c"], pa.int64()),
                          "bucket": pa.array(bucket, pa.int64())})
 
@@ -698,8 +706,6 @@ def pmi_pairs(docs, window: int = 5, min_count: int = 10, k: int = 20,
     rows = (docs.map_batches(pair_partial, batch_format="pyarrow")
             .groupby("bucket").map_groups(bucket_sum, batch_format="pandas")
             .to_pandas())
-    out_schema = {"u": pa.string(), "v": pa.string(),
-                  "pair_count": pa.int64(), "pmi": pa.float64()}
     if rows.empty:
         return pa.table({n: pa.array([], t) for n, t in out_schema.items()})
     C = float(rows.loc[rows["is_total"], "c"].sum())

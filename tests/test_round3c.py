@@ -188,6 +188,35 @@ def test_pmi_pairs_hand_computed():
     assert abs(out["pmi"].iloc[0] - round(exp, 6)) < 1e-12
 
 
+def test_degenerate_inputs_return_typed_empty():
+    """All-null/zero-token degenerate corpora return typed empty results
+    (the oracle's empty set), never a crash or an int64-everything schema."""
+    import pyarrow as pa
+
+    from kafka_connect_s3_ray.functions.quantiles import global_rank
+    from kafka_connect_s3_ray.functions.sample import sample_exact_k
+    from kafka_connect_s3_ray.functions.text import pmi_pairs
+
+    dead_docs = pd.DataFrame({"doc_id": [1, 2], "text": [None, ""]})
+    out = pmi_pairs(ray.data.from_pandas(dead_docs)).to_pandas()
+    assert len(out) == 0 and list(out.columns) == ["u", "v", "pair_count",
+                                                   "pmi"]
+
+    dead_vals = pd.DataFrame({"event_id": [1, 2],
+                              "value": pd.array([None, None],
+                                                dtype="float64")})
+    out = global_rank(ray.data.from_pandas(dead_vals), "value",
+                      "event_id").to_pandas()
+    assert len(out) == 0
+
+    empty = pa.table({"event_id": pa.array([], pa.int64()),
+                      "name": pa.array([], pa.string())})
+    t = sample_exact_k(ray.data.from_arrow(empty), "event_id", k=3,
+                       keep_cols=["name"])
+    assert t.num_rows == 0
+    assert pa.types.is_string(t.schema.field("name").type)
+
+
 def test_sample_exact_k_deterministic_and_exact_size():
     """Exactly k rows, identical across block layouts, k >= n returns all
     rows, and the selection equals the single-machine k-smallest-hash set."""
