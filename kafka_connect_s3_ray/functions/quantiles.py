@@ -278,9 +278,12 @@ def global_rank(ds, val_col: str, id_col: str, n_buckets: int = 32):
 
     Distributed as a VALUE-bucketed offset rank (the value-ordered cousin of
     ``sample.seeded_shuffle``): bucket bounds come from ``exact_quantiles``
-    at n_buckets fractions (balanced buckets even on skewed scores; a
-    constant column degenerates to one bucket, which is correct, just
-    unbalanced), per-block bincount partials give driver prefix offsets, and
+    at n_buckets fractions (bounds only affect bucket BALANCE, never the
+    rank, so approximate bounds would suffice — measured, though, the
+    mergeable sketch's per-batch serialize/merge costs MORE than the exact
+    refinement at panel scale, so exact stays); a constant column
+    degenerates to one bucket, which is correct, just unbalanced.
+    Per-block bincount partials give driver prefix offsets, and
     one bucket exchange sorts locally by (val, id) and adds its offset.
     Equal values across bucket BOUNDS stay together: assignment is
     searchsorted(bounds, v, 'left'), so a run of duplicates lands in one
