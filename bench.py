@@ -173,6 +173,8 @@ def run_bench() -> dict:
             "broadcast_join", "asof_join", "hash_join", "range_join",
             "pii_redact", "tfidf_terms", "value_histogram",
             "repetition_signals", "knn_graph",
+            "zscore_outliers", "bm25_search", "sequence_packing",
+            "seeded_shuffle", "percentile_rank", "pmi_pairs",
         ]
         for name in sf1_panel:
             best = None
