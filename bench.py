@@ -141,7 +141,7 @@ def run_bench() -> dict:
         "grouped_approx_distinct", "event_transitions", "windowed_distinct",
         "stratified_sample", "repetition_signals", "knn_graph",
         "zscore_outliers", "bm25_search", "sequence_packing", "seeded_shuffle",
-        "percentile_rank", "exact_k_sample", "pmi_pairs",
+        "percentile_rank", "exact_k_sample", "pmi_pairs", "grouped_packing",
     ]
     panel_results: dict = {}
     panel_trials = int(os.environ.get("BENCH_PANEL_TRIALS", "2"))

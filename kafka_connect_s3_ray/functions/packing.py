@@ -107,15 +107,22 @@ def _pack_assign(n: np.ndarray, budget: int, state: int,
 
 
 def pack_sequences(docs, budget: int = 512, part_size: int = 65536,
-                   id_col: str = "doc_id", text_col: str = "text"):
+                   id_col: str = "doc_id", text_col: str = "text",
+                   group_col: str | None = None):
     """Greedy fixed-budget sequence packing over a document Dataset, exact
     and deterministic at any parallelism. Returns a Dataset of
-    (id_col, n_tokens, seq_id) — seq_id is the 0-based global sequence index
-    in doc-id order. Token counts are exact whitespace tokens (NULL text ->
-    0, the ``\\S+`` contract shared with the token_count oracle). Requires
-    unique non-null doc ids (raised otherwise — packing order is undefined
-    under duplicates)."""
+    (id_col, [group_col,] n_tokens, seq_id) — seq_id is the 0-based
+    sequence index in doc-id order, GLOBAL by default or restarting per
+    group when ``group_col`` is given (per-domain training shards: each
+    group packs independently, exactly as if filtered and packed alone —
+    the driver fold simply resets at each group boundary). Token counts are
+    exact whitespace tokens (NULL text -> 0, the ``\\S+`` contract shared
+    with the token_count oracle). Requires unique non-null doc ids
+    (raised otherwise — packing order is undefined under duplicates) and,
+    when grouped, non-null group values."""
     import ray
+
+    keys = (["g"] if group_col else []) + ["p"]
 
     def project(t: pa.Table) -> pa.Table:
         ids = t.column(id_col)
@@ -126,8 +133,13 @@ def pack_sequences(docs, budget: int = 512, part_size: int = 65536,
         ntok = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64())
         # exact int64 floor division (floats would drift above 2^53)
         p = ids.to_numpy(zero_copy_only=False) // part_size
-        return pa.table({id_col: ids, "n_tokens": ntok,
-                         "p": pa.array(p, pa.int64())})
+        cols = {id_col: ids, "n_tokens": ntok, "p": pa.array(p, pa.int64())}
+        if group_col:
+            gcol = t.column(group_col)
+            if gcol.null_count:
+                raise ValueError(f"pack_sequences: NULL {group_col}")
+            cols["g"] = pc.cast(gcol, pa.string())
+        return pa.table(cols)
 
     meta = docs.map_batches(project, batch_format="pyarrow").materialize()
 
@@ -137,19 +149,23 @@ def pack_sequences(docs, budget: int = 512, part_size: int = 65536,
             raise ValueError(f"pack_sequences: duplicate {id_col}")
         out_state, n_seqs = _pack_table(
             g["n_tokens"].to_numpy(np.int64), budget)
-        return pd.DataFrame({"p": [int(g["p"].iloc[0])],
-                             "out_state": [out_state.tolist()],
-                             "n_seqs": [n_seqs.tolist()]})
+        row = {k: [g[k].iloc[0]] for k in keys}
+        row.update({"out_state": [out_state.tolist()],
+                    "n_seqs": [n_seqs.tolist()]})
+        return pd.DataFrame(row)
 
-    tables = meta.groupby("p").map_groups(
+    tables = meta.groupby(keys).map_groups(
         table_partial, batch_format="pandas").to_pandas()
-    tables = tables.sort_values("p").reset_index(drop=True)
+    tables = tables.sort_values(keys).reset_index(drop=True)
 
     state, offset = budget + 1, 0                   # initial: nothing open
-    incoming: dict[int, tuple[int, int]] = {}
+    prev_g = None
+    incoming: dict = {}
     for _, row in tables.iterrows():
-        p = int(row["p"])
-        incoming[p] = (state, offset)
+        if group_col and row["g"] != prev_g:        # group boundary: reset
+            state, offset, prev_g = budget + 1, 0, row["g"]
+        key = (row["g"], int(row["p"])) if group_col else int(row["p"])
+        incoming[key] = (state, offset)
         offset += int(row["n_seqs"][state])
         state = int(row["out_state"][state])
     ref = ray.put(incoming)
@@ -157,10 +173,15 @@ def pack_sequences(docs, budget: int = 512, part_size: int = 65536,
     def assign(g: pd.DataFrame) -> pd.DataFrame:
         inc = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
         g = g.sort_values(id_col, kind="mergesort")
-        st, off = inc[int(g["p"].iloc[0])]
+        key = ((g["g"].iloc[0], int(g["p"].iloc[0])) if group_col
+               else int(g["p"].iloc[0]))
+        st, off = inc[key]
         seq = _pack_assign(g["n_tokens"].to_numpy(np.int64), budget, st, off)
-        return pd.DataFrame({id_col: g[id_col].to_numpy(np.int64),
-                             "n_tokens": g["n_tokens"].to_numpy(np.int64),
-                             "seq_id": seq})
+        out = {id_col: g[id_col].to_numpy(np.int64)}
+        if group_col:
+            out[group_col] = g["g"].to_numpy()
+        out.update({"n_tokens": g["n_tokens"].to_numpy(np.int64),
+                    "seq_id": seq})
+        return pd.DataFrame(out)
 
-    return meta.groupby("p").map_groups(assign, batch_format="pandas")
+    return meta.groupby(keys).map_groups(assign, batch_format="pandas")

@@ -836,6 +836,18 @@ def q_sequence_packing(sf_dir: str):
                           budget=_PACK_BUDGET, part_size=256)
 
 
+def q_grouped_packing(sf_dir: str):
+    """Per-source sequence packing (per-domain training shards): every
+    source packs its docs independently — seq_id restarts at 0 per source —
+    through the same two-level state-table scan, with the driver fold
+    resetting at group boundaries."""
+    from ..functions.packing import pack_sequences
+
+    return pack_sequences(_docs(sf_dir, ["doc_id", "source", "text"]),
+                          budget=_PACK_BUDGET, part_size=256,
+                          group_col="source")
+
+
 _PMI_WINDOW, _PMI_MIN_COUNT, _PMI_K = 5, 50, 20
 
 
@@ -1594,6 +1606,7 @@ QUERIES = {
     "percentile_rank": q_percentile_rank,
     "exact_k_sample": q_exact_k_sample,
     "pmi_pairs": q_pmi_pairs,
+    "grouped_packing": q_grouped_packing,
     "quality_filtered": q_quality_filtered,
     "cosine_topk": q_cosine_topk,
     "knn_graph": q_knn_graph,
@@ -2188,6 +2201,29 @@ ORACLE_SQL["percentile_rank"] = (
     "count(*) OVER () AS n FROM t) "
     "SELECT event_id, value, CAST(p AS BIGINT) AS rnk, "
     "round(p / CAST(greatest(n - 1, 1) AS DOUBLE), 6) AS pct FROM r"
+)
+
+# grouped packing: the same greedy fold as sequence_packing, PARTITIONed by
+# source — the recursion seeds every source's rn=1 row at once and each
+# source's chain advances independently through the same working table.
+ORACLE_SQL["grouped_packing"] = (
+    "WITH RECURSIVE tok AS (SELECT doc_id, source, CAST(CASE WHEN "
+    "trim(coalesce(text, '')) = '' THEN 0 ELSE array_length("
+    "regexp_split_to_array(trim(coalesce(text, '')), '\\s+')) END AS BIGINT) "
+    "AS n_tokens FROM documents), "
+    "d AS (SELECT doc_id, source, n_tokens, row_number() OVER "
+    "(PARTITION BY source ORDER BY doc_id) AS rn FROM tok), "
+    "p(source, rn, doc_id, n_tokens, seq_id, fill) AS ("
+    "SELECT source, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens "
+    "FROM d WHERE rn = 1 "
+    "UNION ALL "
+    "SELECT d.source, d.rn, d.doc_id, d.n_tokens, "
+    f"CASE WHEN p.fill + d.n_tokens <= {_PACK_BUDGET} THEN p.seq_id "
+    "ELSE p.seq_id + 1 END, "
+    f"CASE WHEN p.fill + d.n_tokens <= {_PACK_BUDGET} THEN "
+    "p.fill + d.n_tokens ELSE d.n_tokens END "
+    "FROM p JOIN d ON d.source = p.source AND d.rn = p.rn + 1) "
+    "SELECT doc_id, source, n_tokens, seq_id FROM p"
 )
 
 # z-score outliers: the oracle replays the ENGINE's moment algebra

@@ -236,6 +236,32 @@ def test_sample_exact_k_deterministic_and_exact_size():
     assert len(allr) == 200
 
 
+def test_grouped_packing_equals_per_group_runs():
+    """Grouped packing must equal filtering each group and packing it alone
+    (seq_id restarts per group), across partition sizes."""
+    from kafka_connect_s3_ray.functions.packing import pack_sequences
+
+    rng = np.random.default_rng(5)
+    nd = 120
+    ids = np.arange(nd, dtype=np.int64)
+    grp = rng.choice(["x", "y", "z"], nd)
+    ntok = rng.integers(0, 30, nd)
+    df = pd.DataFrame({"doc_id": ids, "src": grp,
+                       "text": [" ".join(["w"] * int(k)) for k in ntok]})
+    for ps in [16, 100000]:
+        got = pack_sequences(ray.data.from_pandas(df), budget=64,
+                             part_size=ps, group_col="src").to_pandas()
+        got = got.sort_values("doc_id").reset_index(drop=True)
+        for g in ["x", "y", "z"]:
+            sub = df[df["src"] == g]
+            solo = pack_sequences(ray.data.from_pandas(sub), budget=64,
+                                  part_size=ps).to_pandas()
+            solo = solo.sort_values("doc_id")
+            mine = got[got["src"] == g].sort_values("doc_id")
+            assert (mine["seq_id"].to_numpy()
+                    == solo["seq_id"].to_numpy()).all(), (ps, g)
+
+
 def test_pack_sequences_rejects_bad_ids():
     import pytest as _pytest
 
