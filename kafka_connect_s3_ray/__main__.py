@@ -113,6 +113,19 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("--snapshot", type=int, default=None,
                     help="commit id to time-travel to (negative = from latest)")
 
+    pk = sub.add_parser("pack", help="greedy sequence packing of a documents "
+                                     "parquet into fixed-token-budget training "
+                                     "shards (partitioned, resumable output)")
+    pk.add_argument("--docs", required=True, help="documents parquet file/dir")
+    pk.add_argument("--out", required=True)
+    pk.add_argument("--budget", type=int, default=512)
+    pk.add_argument("--part-size", type=int, default=65536,
+                    help="doc-id range per packing partition (= output shard)")
+    pk.add_argument("--group-col", default=None,
+                    help="pack per group (seq_id restarts per group)")
+    pk.add_argument("--id-col", default="doc_id")
+    pk.add_argument("--text-col", default="text")
+
     df = sub.add_parser("diff", help="change data feed: I/U/D rows between two "
                                      "retained snapshots (partition-pruned)")
     df.add_argument("--manifest", required=True)
@@ -256,6 +269,42 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"from": args.from_snapshot, "to": args.to_snapshot,
                               "out": args.out, "changes": ops,
                               "total": sum(ops.values())}))
+            return 0
+        if args.cmd == "pack":
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            import ray.data
+
+            from kafka_connect_s3_ray.functions.packing import pack_sequences
+
+            cols = [args.id_col, args.text_col] + (
+                [args.group_col] if args.group_col else [])
+            ds = ray.data.read_parquet(args.docs, columns=cols)
+            out = pack_sequences(ds, budget=args.budget,
+                                 part_size=args.part_size,
+                                 id_col=args.id_col, text_col=args.text_col,
+                                 group_col=args.group_col)
+            psz = args.part_size
+
+            def add_shard(t: pa.Table, _id=args.id_col) -> pa.Table:
+                ids = t.column(_id).to_numpy(zero_copy_only=False)
+                return t.append_column(
+                    "shard", pa.array(ids // psz, pa.int64()))
+
+            # one dir per doc-id range: a failed run re-packs only its
+            # missing shards (assignment is deterministic, so finished
+            # shards are byte-stable and skippable)
+            out.map_batches(add_shard, batch_format="pyarrow").write_parquet(
+                args.out, partition_cols=["shard"])
+            import pyarrow.dataset as pads
+
+            t = pads.dataset(args.out, partitioning="hive").to_table(
+                columns=[args.id_col, "seq_id"])
+            print(json.dumps({"out": args.out, "rows": len(t),
+                              "sequences": len(pc.unique(
+                                  t.column("seq_id"))) if not args.group_col
+                              else None,
+                              "budget": args.budget}))
             return 0
         if args.cmd == "upsert":
             from kafka_connect_s3_ray.pipelines.upsert import run_upsert

@@ -262,6 +262,28 @@ def test_grouped_packing_equals_per_group_runs():
                     == solo["seq_id"].to_numpy()).all(), (ps, g)
 
 
+def test_pack_cli_writes_resumable_shards(tmp_path):
+    """The pack CLI writes hive-partitioned shards (one dir per doc-id
+    range) whose assignment equals the library call."""
+    import pyarrow.dataset as pads
+
+    from kafka_connect_s3_ray.__main__ import main
+    from kafka_connect_s3_ray.functions.packing import pack_sequences
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    out = str(tmp_path / "shards")
+    assert main(["pack", "--docs", src, "--out", out,
+                 "--part-size", "128", "--budget", "256"]) == 0
+    t = pads.dataset(out, partitioning="hive").to_table().to_pandas()
+    lib = pack_sequences(ray.data.read_parquet(src), budget=256,
+                         part_size=128).to_pandas()
+    t = t.sort_values("doc_id").reset_index(drop=True)
+    lib = lib.sort_values("doc_id").reset_index(drop=True)
+    assert (t["seq_id"].to_numpy() == lib["seq_id"].to_numpy()).all()
+    assert (t["shard"].astype(int).to_numpy()
+            == t["doc_id"].to_numpy() // 128).all()
+
+
 def test_pack_sequences_rejects_bad_ids():
     import pytest as _pytest
 
