@@ -142,6 +142,7 @@ def run_bench() -> dict:
         "stratified_sample", "repetition_signals", "knn_graph",
         "zscore_outliers", "bm25_search", "sequence_packing", "seeded_shuffle",
         "percentile_rank", "exact_k_sample", "pmi_pairs", "grouped_packing",
+        "order_revenue",
     ]
     panel_results: dict = {}
     panel_trials = int(os.environ.get("BENCH_PANEL_TRIALS", "2"))

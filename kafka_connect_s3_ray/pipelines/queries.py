@@ -836,6 +836,85 @@ def q_sequence_packing(sf_dir: str):
                           budget=_PACK_BUDGET, part_size=256)
 
 
+_Q3_SEG, _Q3_DATE = "BUILDING", "1998-07-01"
+
+
+def q_order_revenue(sf_dir: str):
+    """TPC-H Q3-shaped 3-table composition over the driver tables: BUILDING
+    customers' orders placed before D with line items shipped after D,
+    top-10 orders by revenue. Shape choices mirror the 100 TB plan: the
+    filtered customer side is a BROADCAST membership set (ray.put once, one
+    np.isin per batch — never a shuffle for the small side), orders joins
+    lineitem through the repo's coarse-bucket hash_join (the one real
+    exchange), revenue pre-aggregates per batch before the tiny final
+    groupby, and the ranking key is the 6 dp-rounded revenue with
+    (o_orderdate, l_orderkey) tiebreak — the oracle's exact ORDER BY."""
+    import datetime
+
+    import ray
+
+    from ..stages.joins import hash_join
+
+    d_cut = datetime.datetime.fromisoformat(_Q3_DATE)
+
+    cust = _read_bounded(os.path.join(sf_dir, "customer.parquet"),
+                         ["c_custkey", "c_mktsegment"])
+
+    def custkeys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("c_mktsegment"), _Q3_SEG))
+        return t.select(["c_custkey"])
+
+    keys = np.sort(np.concatenate([
+        b.column("c_custkey").to_numpy(zero_copy_only=False)
+        for b in cust.map_batches(custkeys, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")] or [np.array([], np.int64)]))
+    kref = ray.put(keys)
+
+    def orders_filter(t: pa.Table) -> pa.Table:
+        ks = ray.get(kref) if isinstance(kref, ray.ObjectRef) else kref
+        t = t.filter(pc.less(t.column("o_orderdate"), pa.scalar(d_cut)))
+        ck = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(np.isin(ck, ks)))
+        return t.select(["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    orders = _read_bounded(
+        os.path.join(sf_dir, "orders.parquet"),
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(orders_filter, batch_format="pyarrow")
+
+    def line_filter(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("l_shipdate"), pa.scalar(d_cut)))
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return pa.table({"l_orderkey": t.column("l_orderkey"),
+                         "rev": rev})
+
+    lines = _read_bounded(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(line_filter, batch_format="pyarrow")
+
+    joined = hash_join(orders, lines, on="o_orderkey", right_on="l_orderkey")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(["o_orderkey", "o_orderdate", "o_orderpriority"],
+                         as_index=False).agg(p=("rev", "sum"))
+
+    parts = (joined.map_batches(partial, batch_format="pandas")
+             .to_pandas())
+    fin = parts.groupby(["o_orderkey", "o_orderdate", "o_orderpriority"],
+                        as_index=False)["p"].sum()
+    fin["revenue"] = fin["p"].round(6)
+    fin = fin.sort_values(["revenue", "o_orderdate", "o_orderkey"],
+                          ascending=[False, True, True],
+                          kind="mergesort").head(10)
+    return pa.table({
+        "o_orderkey": pa.array(fin["o_orderkey"], pa.int64()),
+        "o_orderdate": pa.array(fin["o_orderdate"]),
+        "o_orderpriority": pa.array(fin["o_orderpriority"], pa.string()),
+        "revenue": pa.array(fin["revenue"], pa.float64())})
+
+
 def q_grouped_packing(sf_dir: str):
     """Per-source sequence packing (per-domain training shards): every
     source packs its docs independently — seq_id restarts at 0 per source —
@@ -1607,6 +1686,7 @@ QUERIES = {
     "exact_k_sample": q_exact_k_sample,
     "pmi_pairs": q_pmi_pairs,
     "grouped_packing": q_grouped_packing,
+    "order_revenue": q_order_revenue,
     "quality_filtered": q_quality_filtered,
     "cosine_topk": q_cosine_topk,
     "knn_graph": q_knn_graph,
@@ -2201,6 +2281,27 @@ ORACLE_SQL["percentile_rank"] = (
     "count(*) OVER () AS n FROM t) "
     "SELECT event_id, value, CAST(p AS BIGINT) AS rnk, "
     "round(p / CAST(greatest(n - 1, 1) AS DOUBLE), 6) AS pct FROM r"
+)
+
+# Q3-shaped composition: the oracle ranks on the same 6 dp-rounded revenue
+# with the same (date, orderkey) tiebreak; both sides sum
+# l_extendedprice * (1 - l_discount) in float64, summation-order noise
+# absorbed by the shared rounding.
+ORACLE_SQL["order_revenue"] = (
+    "WITH j AS (SELECT l.l_orderkey AS o_orderkey, o.o_orderdate, "
+    "o.o_orderpriority, "
+    "sum(l.l_extendedprice * (1 - l.l_discount)) AS rev "
+    "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+    "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+    f"WHERE c.c_mktsegment = '{_Q3_SEG}' "
+    f"AND o.o_orderdate < TIMESTAMP '{_Q3_DATE}' "
+    f"AND l.l_shipdate > TIMESTAMP '{_Q3_DATE}' "
+    "GROUP BY 1, 2, 3), "
+    "r AS (SELECT o_orderkey, o_orderdate, o_orderpriority, "
+    "round(rev, 6) AS revenue, row_number() OVER (ORDER BY round(rev, 6) "
+    "DESC, o_orderdate, o_orderkey) AS rn FROM j) "
+    "SELECT o_orderkey, o_orderdate, o_orderpriority, revenue FROM r "
+    "WHERE rn <= 10"
 )
 
 # grouped packing: the same greedy fold as sequence_packing, PARTITIONed by
