@@ -271,12 +271,26 @@ def main(argv: list[str] | None = None) -> int:
                               "total": sum(ops.values())}))
             return 0
         if args.cmd == "pack":
+            import shutil
+
+            import numpy as np
             import pyarrow as pa
-            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
             import ray.data
 
             from kafka_connect_s3_ray.functions.packing import pack_sequences
 
+            # TRUE resume: `shard=N` dirs already present in --out are
+            # skipped (the assignment is deterministic, so a finished shard
+            # is byte-equivalent on any rerun); new shards land in a sibling
+            # tmp dir and move into --out per shard, so a crash never leaves
+            # a partial shard dir where the next run would trust it
+            tmp = args.out.rstrip("/") + ".tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            done = set()
+            if os.path.isdir(args.out):
+                done = {int(d.split("=", 1)[1]) for d in os.listdir(args.out)
+                        if d.startswith("shard=")}
             cols = [args.id_col, args.text_col] + (
                 [args.group_col] if args.group_col else [])
             ds = ray.data.read_parquet(args.docs, columns=cols)
@@ -285,25 +299,35 @@ def main(argv: list[str] | None = None) -> int:
                                  id_col=args.id_col, text_col=args.text_col,
                                  group_col=args.group_col)
             psz = args.part_size
+            skip = np.array(sorted(done), np.int64)
 
             def add_shard(t: pa.Table, _id=args.id_col) -> pa.Table:
                 ids = t.column(_id).to_numpy(zero_copy_only=False)
-                return t.append_column(
-                    "shard", pa.array(ids // psz, pa.int64()))
+                shard = ids // psz
+                t = t.append_column("shard", pa.array(shard, pa.int64()))
+                if len(skip):
+                    t = t.filter(pa.array(~np.isin(shard, skip)))
+                return t
 
-            # one dir per doc-id range: a failed run re-packs only its
-            # missing shards (assignment is deterministic, so finished
-            # shards are byte-stable and skippable)
             out.map_batches(add_shard, batch_format="pyarrow").write_parquet(
-                args.out, partition_cols=["shard"])
-            import pyarrow.dataset as pads
-
-            t = pads.dataset(args.out, partitioning="hive").to_table(
-                columns=[args.id_col, "seq_id"])
-            print(json.dumps({"out": args.out, "rows": len(t),
-                              "sequences": len(pc.unique(
-                                  t.column("seq_id"))) if not args.group_col
-                              else None,
+                tmp, partition_cols=["shard"])
+            os.makedirs(args.out, exist_ok=True)
+            written = 0
+            if os.path.isdir(tmp):
+                for d in sorted(os.listdir(tmp)):
+                    if d.startswith("shard="):
+                        os.rename(os.path.join(tmp, d),
+                                  os.path.join(args.out, d))
+                        written += 1
+            shutil.rmtree(tmp, ignore_errors=True)
+            # footer-metadata count only — never a data readback
+            rows = 0
+            for dirpath, _, fnames in os.walk(args.out):
+                rows += sum(pq.read_metadata(os.path.join(dirpath, f)).num_rows
+                            for f in fnames if f.endswith(".parquet"))
+            print(json.dumps({"out": args.out, "rows": rows,
+                              "shards_written": written,
+                              "shards_skipped": len(done),
                               "budget": args.budget}))
             return 0
         if args.cmd == "upsert":

@@ -117,9 +117,12 @@ def pack_sequences(docs, budget: int = 512, part_size: int = 65536,
     group packs independently, exactly as if filtered and packed alone —
     the driver fold simply resets at each group boundary). Token counts are
     exact whitespace tokens (NULL text -> 0, the ``\\S+`` contract shared
-    with the token_count oracle). Requires unique non-null doc ids
-    (raised otherwise — packing order is undefined under duplicates) and,
-    when grouped, non-null group values."""
+    with the token_count oracle). Requires non-null doc ids, unique GLOBALLY
+    by default and unique WITHIN EACH GROUP when grouped (raised otherwise —
+    packing order is undefined under duplicates; a doc id repeated across
+    two groups is legal in grouped mode, where each group packs alone), and
+    non-null group values. The group column's values and dtype pass through
+    unchanged."""
     import ray
 
     keys = (["g"] if group_col else []) + ["p"]
@@ -138,7 +141,7 @@ def pack_sequences(docs, budget: int = 512, part_size: int = 65536,
             gcol = t.column(group_col)
             if gcol.null_count:
                 raise ValueError(f"pack_sequences: NULL {group_col}")
-            cols["g"] = pc.cast(gcol, pa.string())
+            cols["g"] = gcol  # original values/dtype pass through
         return pa.table(cols)
 
     meta = docs.map_batches(project, batch_format="pyarrow").materialize()

@@ -843,17 +843,15 @@ def q_order_revenue(sf_dir: str):
     """TPC-H Q3-shaped 3-table composition over the driver tables: BUILDING
     customers' orders placed before D with line items shipped after D,
     top-10 orders by revenue. Shape choices mirror the 100 TB plan: the
-    filtered customer side is a BROADCAST membership set (ray.put once, one
-    np.isin per batch — never a shuffle for the small side), orders joins
-    lineitem through the repo's coarse-bucket hash_join (the one real
-    exchange), revenue pre-aggregates per batch before the tiny final
+    filtered customer side goes through ``stages.joins.semi_join`` (a
+    broadcast membership filter — never a shuffle for the small side),
+    orders joins lineitem through the repo's coarse-bucket hash_join (the
+    one real exchange), revenue pre-aggregates per batch before the tiny
     groupby, and the ranking key is the 6 dp-rounded revenue with
     (o_orderdate, l_orderkey) tiebreak — the oracle's exact ORDER BY."""
     import datetime
 
-    import ray
-
-    from ..stages.joins import hash_join
+    from ..stages.joins import hash_join, semi_join
 
     d_cut = datetime.datetime.fromisoformat(_Q3_DATE)
 
@@ -864,23 +862,36 @@ def q_order_revenue(sf_dir: str):
         t = t.filter(pc.equal(t.column("c_mktsegment"), _Q3_SEG))
         return t.select(["c_custkey"])
 
-    keys = np.sort(np.concatenate([
+    keys = np.concatenate([
         b.column("c_custkey").to_numpy(zero_copy_only=False)
         for b in cust.map_batches(custkeys, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow")] or [np.array([], np.int64)]))
-    kref = ray.put(keys)
+        .iter_batches(batch_format="pyarrow")] or [np.array([], np.int64)])
 
-    def orders_filter(t: pa.Table) -> pa.Table:
-        ks = ray.get(kref) if isinstance(kref, ray.ObjectRef) else kref
+    empty = pa.table({"o_orderkey": pa.array([], pa.int64()),
+                      "o_orderdate": pa.array([], pa.timestamp("us")),
+                      "o_orderpriority": pa.array([], pa.string()),
+                      "revenue": pa.array([], pa.float64())})
+    if len(keys) == 0:  # no customer in segment: nothing can join
+        return empty
+
+    def orders_date(t: pa.Table) -> pa.Table:
         t = t.filter(pc.less(t.column("o_orderdate"), pa.scalar(d_cut)))
-        ck = t.column("o_custkey").to_numpy(zero_copy_only=False)
-        t = t.filter(pa.array(np.isin(ck, ks)))
-        return t.select(["o_orderkey", "o_orderdate", "o_orderpriority"])
+        return t.select(["o_orderkey", "o_custkey", "o_orderdate",
+                         "o_orderpriority"])
 
-    orders = _read_bounded(
-        os.path.join(sf_dir, "orders.parquet"),
-        ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
-    ).map_batches(orders_filter, batch_format="pyarrow")
+    # materialize the pruned small side: count() is then free metadata, the
+    # empty case short-circuits (a fully-empty Ray side reports no schema,
+    # which the join's type probe cannot use), and the join does not
+    # re-execute the filter chain
+    orders = semi_join(
+        _read_bounded(
+            os.path.join(sf_dir, "orders.parquet"),
+            ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+        ).map_batches(orders_date, batch_format="pyarrow"),
+        keys, on="o_custkey",
+    ).drop_columns(["o_custkey"]).materialize()
+    if orders.count() == 0:
+        return empty
 
     def line_filter(t: pa.Table) -> pa.Table:
         t = t.filter(pc.greater(t.column("l_shipdate"), pa.scalar(d_cut)))
@@ -902,6 +913,8 @@ def q_order_revenue(sf_dir: str):
 
     parts = (joined.map_batches(partial, batch_format="pandas")
              .to_pandas())
+    if parts.empty:  # empty join: Ray's to_pandas drops the columns
+        return empty
     fin = parts.groupby(["o_orderkey", "o_orderdate", "o_orderpriority"],
                         as_index=False)["p"].sum()
     fin["revenue"] = fin["p"].round(6)

@@ -3,6 +3,7 @@ retrieval, distributed greedy sequence packing."""
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray
 
@@ -282,6 +283,80 @@ def test_pack_cli_writes_resumable_shards(tmp_path):
     assert (t["seq_id"].to_numpy() == lib["seq_id"].to_numpy()).all()
     assert (t["shard"].astype(int).to_numpy()
             == t["doc_id"].to_numpy() // 128).all()
+
+    # TRUE resume: delete one shard, re-run -> only it is rewritten, no
+    # duplicate rows anywhere (write_parquet alone would APPEND)
+    import shutil
+
+    victim = sorted(d for d in (tmp_path / "shards").iterdir()
+                    if d.name.startswith("shard="))[1]
+    shutil.rmtree(victim)
+    assert main(["pack", "--docs", src, "--out", out,
+                 "--part-size", "128", "--budget", "256"]) == 0
+    t2 = pads.dataset(out, partitioning="hive").to_table().to_pandas()
+    t2 = t2.sort_values("doc_id").reset_index(drop=True)
+    assert len(t2) == len(t)
+    assert (t2["seq_id"].to_numpy() == t["seq_id"].to_numpy()).all()
+
+
+def test_grouped_packing_preserves_group_dtype():
+    """An int64 group column comes back as int64 (never a string cast), and
+    a doc id repeated ACROSS groups is legal in grouped mode."""
+    from kafka_connect_s3_ray.functions.packing import pack_sequences
+
+    df = pd.DataFrame({"doc_id": [1, 2, 1, 2],
+                       "dom": np.array([10, 10, 20, 20], np.int64),
+                       "text": ["a b", "c", "d", "e f"]})
+    out = pack_sequences(ray.data.from_pandas(df), budget=4,
+                         part_size=64, group_col="dom").to_pandas()
+    assert out["dom"].dtype == np.int64
+    assert len(out) == 4
+    assert set(out["dom"]) == {10, 20}
+
+
+def test_order_revenue_empty_join_returns_typed_empty(tmp_path):
+    """No matching segment -> empty 4-column result (Ray's empty to_pandas
+    guard), matching the oracle's empty set."""
+    import pyarrow.parquet as pq
+
+    from kafka_connect_s3_ray.pipelines.queries import q_order_revenue
+
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1], pa.int64()),
+        "c_mktsegment": pa.array(["NOPE"], pa.string())}),
+        str(tmp_path / "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([5], pa.int64()),
+        "o_custkey": pa.array([1], pa.int64()),
+        "o_orderdate": pa.array([pd.Timestamp("1997-01-01")]),
+        "o_orderpriority": pa.array(["1-URGENT"], pa.string())}),
+        str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([5], pa.int64()),
+        "l_extendedprice": pa.array([10.0], pa.float64()),
+        "l_discount": pa.array([0.1], pa.float64()),
+        "l_shipdate": pa.array([pd.Timestamp("1999-01-01")])}),
+        str(tmp_path / "lineitem.parquet"))
+    out = q_order_revenue(str(tmp_path))
+    df = out.to_pandas() if not isinstance(out, pd.DataFrame) else out
+    assert len(df) == 0
+    assert list(df.columns) == ["o_orderkey", "o_orderdate",
+                                "o_orderpriority", "revenue"]
+
+    # second empty path: segment matches but the date cut empties orders
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1], pa.int64()),
+        "c_mktsegment": pa.array(["BUILDING"], pa.string())}),
+        str(tmp_path / "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([5], pa.int64()),
+        "o_custkey": pa.array([1], pa.int64()),
+        "o_orderdate": pa.array([pd.Timestamp("1999-01-01")]),
+        "o_orderpriority": pa.array(["1-URGENT"], pa.string())}),
+        str(tmp_path / "orders.parquet"))
+    out = q_order_revenue(str(tmp_path))
+    df = out.to_pandas() if not isinstance(out, pd.DataFrame) else out
+    assert len(df) == 0
 
 
 def test_pack_sequences_rejects_bad_ids():
