@@ -54,20 +54,24 @@ def broadcast_join(ds: "ray.data.Dataset", small: pd.DataFrame, on: str | list[s
 
 
 def semi_join(ds: "ray.data.Dataset", keys, on: str, anti: bool = False,
-              concurrency: int = 2) -> "ray.data.Dataset":
-    """Semi/anti join via a broadcast key set — a filter, not a shuffle."""
+              concurrency: int | None = None) -> "ray.data.Dataset":
+    """Semi/anti join via a broadcast key set — a filter, not a shuffle.
+
+    A plain TASK stage, not an actor pool (DESIGN.md §23): ray.get of the
+    broadcast ref is zero-copy per batch, while an actor pool pays spin-up
+    on every pipeline and reserves CPUs that can starve chained stages in
+    small sessions. ``concurrency`` is accepted for back-compat and ignored
+    (tasks scale with the pool)."""
+    del concurrency
     ref = ray.put(np.asarray(list(keys)))
 
-    class Filter:
-        def __init__(self):
-            self.keys = ray.get(ref)
+    def filt(batch: pa.Table) -> pa.Table:
+        ks = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        vals = batch.column(on).to_numpy(zero_copy_only=False)
+        mask = np.isin(vals, ks, invert=anti)
+        return batch.filter(pa.array(mask))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            vals = batch.column(on).to_numpy(zero_copy_only=False)
-            mask = np.isin(vals, self.keys, invert=anti)
-            return batch.filter(pa.array(mask))
-
-    return ds.map_batches(Filter, batch_format="pyarrow", concurrency=concurrency)
+    return ds.map_batches(filt, batch_format="pyarrow")
 
 
 def hash_join_native(left: "ray.data.Dataset", right: "ray.data.Dataset",
