@@ -22,12 +22,17 @@ import pyarrow.compute as pc
 __all__ = ["funnel", "cohort_retention", "event_transitions"]
 
 
-def _user_bucketer(user_col: str, n_buckets: int):
+def _user_bucketer(user_col: str, n_buckets: int, ts_col: str | None = None):
     """Shared bucket-assignment closure: splitmix64(user) % n_buckets.
     NULL users are rejected loudly — SQL's NULL-is-a-distinct-group
     semantics don't survive a NaN float round-trip (undefined uint64 cast),
     and silently folding NULL into some bucket would miscount; callers with
-    NULL users must fill or filter first (same contract as key_hash)."""
+    NULL users must fill or filter first (same contract as key_hash).
+    ``ts_col``, when given, extends the contract to timestamps: a NaT
+    survives ``astype(int64)`` as int64-min (a garbage negative period) and
+    orders differently from DuckDB's NULLS LAST in lexsorts, so the ops that
+    do integer period math or ts ordering (cohort_retention,
+    event_transitions) reject NULL ts the same loud way."""
     from .dedup import _splitmix64_mix
 
     def add_bucket(t: pa.Table) -> pa.Table:
@@ -37,6 +42,12 @@ def _user_bucketer(user_col: str, n_buckets: int):
                 f"user-keyed sequence op (funnel/cohort/transitions): column "
                 f"{user_col!r} holds NULLs — fill or filter them first "
                 f"(NULL users have no hash bucket)")
+        if ts_col is not None and t.column(ts_col).null_count:
+            raise ValueError(
+                f"user-keyed sequence op (cohort/transitions): column "
+                f"{ts_col!r} holds NULL timestamps — fill or filter them "
+                f"first (a NaT becomes int64-min in period math and orders "
+                f"unlike SQL's NULLS LAST)")
         u = pc.cast(col, pa.int64()).to_numpy(
             zero_copy_only=False).astype(np.uint64)
         b = (_splitmix64_mix(u) % np.uint64(n_buckets)).astype(np.int64)
@@ -89,7 +100,7 @@ def cohort_retention(ds, user_col: str = "user_id", ts_col: str = "ts",
     the driver merges O(cohorts x offsets) tiny partials — never user rows.
     Returns a Dataset of (cohort, offset, n_users). NULL users are rejected
     (see ``_user_bucketer``)."""
-    add_bucket = _user_bucketer(user_col, n_buckets)
+    add_bucket = _user_bucketer(user_col, n_buckets, ts_col=ts_col)
 
     def bucket_cells(g: pd.DataFrame) -> pd.DataFrame:
         per = (g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
@@ -123,7 +134,7 @@ def event_transitions(ds, user_col: str = "user_id",
     bucket sorts its rows once with one lexsort and counts pairs
     vectorized; the driver sums O(types^2) tiny partials. Returns a
     Dataset of (from_type, to_type, n)."""
-    add_bucket = _user_bucketer(user_col, n_buckets)
+    add_bucket = _user_bucketer(user_col, n_buckets, ts_col=ts_col)
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         u = g[user_col].to_numpy()

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .dedup import _splitmix64_mix
 
@@ -113,7 +114,8 @@ def stratified_sample(ds, group_col: str, key_col: str,
     looked up through a factorized group index (never a float map — a
     float64 round-trip would perturb thresholds near 2^64 and diverge from
     the SQL oracle's integer literals). NULL groups take default_rate via
-    an explicit sentinel; NULL keys raise (key_hash's contract)."""
+    an explicit null mask (no sentinel value a genuine group could collide
+    with); NULL keys raise (key_hash's contract)."""
     for g, r in rates.items():
         if not (0.0 <= float(r) <= 1.0):
             raise ValueError(f"rate for group {g!r} must be in [0, 1]: {r}")
@@ -122,15 +124,15 @@ def stratified_sample(ds, group_col: str, key_col: str,
     default_thr = np.uint64(min(int(float(default_rate) * _U64), _U64 - 1))
 
     def keep(t: pa.Table) -> pa.Table:
-        g = t.column(group_col).to_numpy(zero_copy_only=False)
-        # NULL group -> a sortable sentinel no event-type name contains
-        # (np.unique must order the array); it maps to default_thr below
-        g = np.array(["\x00null" if x is None or x != x else str(x)
-                      for x in g], object)
-        uniq, inv = np.unique(g, return_inverse=True)
-        per_uniq = np.array([thr.get(u, default_thr) for u in uniq],
-                            np.uint64)
-        row_thr = per_uniq[inv]
+        col = pc.cast(t.column(group_col), pa.string())
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        row_thr = np.full(len(t), default_thr, np.uint64)
+        if valid.any():
+            g = col.to_numpy(zero_copy_only=False)[valid].astype(str)
+            uniq, inv = np.unique(g, return_inverse=True)
+            per_uniq = np.array([thr.get(u, default_thr) for u in uniq],
+                                np.uint64)
+            row_thr[valid] = per_uniq[inv]
         k = t.column(key_col).to_numpy(zero_copy_only=False)
         return t.filter(pa.array(key_hash(k, salt) < row_thr))
 

@@ -53,6 +53,30 @@ def vacuum(manifest: Manifest | str, keep_generations: int = 1,
                     os.remove(tmp)
             except OSError:
                 pass
+        # also heal aged UNPARSABLE commit tokens: on a no-hardlink
+        # filesystem the O_EXCL fallback (state/manifest.py commit) can die
+        # between create and write, leaving a partial token that makes every
+        # later commit of that snapshot id raise the retryable
+        # ConcurrentCommitError forever. A healthy token is never touched;
+        # the age gate (same 1h as the tmp sweep) protects a fallback writer
+        # that is genuinely mid-write.
+        import json as _json
+        import re as _re
+
+        for tok in _glob.glob(manifest.path + ".v*"):
+            if not _re.search(r"\.v\d+$", tok):
+                continue  # tmps handled above
+            try:
+                if _time.time() - os.path.getmtime(tok) <= 3600:
+                    continue
+                with open(tok) as f:
+                    _json.load(f)
+            except (ValueError, OSError):
+                try:
+                    os.remove(tok)
+                    doomed.append(tok)
+                except OSError:
+                    pass
     pdirs: set[str] = set()
     for p, st in manifest.partitions.items():
         pdirs.update(os.path.dirname(path)
@@ -197,9 +221,19 @@ def lookup(manifest: Manifest | str, conv_id: str,
     if not base_tbls and not delta_tbls:
         if files:
             # committed partition, key definitely absent (every file's bloom
-            # rejected it): an EMPTY table with the partition's schema, same
-            # contract as reading the files and matching nothing
-            return pq.read_schema(files[0]).empty_table()
+            # rejected it): an EMPTY table with the partition's PAYLOAD
+            # schema — probe a base file when one exists; a delta-only
+            # partition's raw files still carry the provenance columns
+            # (op/offset/...) that lww_merge drops on a real read, so the
+            # empty result must drop them too or the same lookup would
+            # return two different schemas depending on bloom hits
+            from ..stages.merge import NON_PAYLOAD
+
+            base_files = [f for f in files if not _is_delta(f)]
+            sch = pq.read_schema((base_files or files)[0])
+            if not base_files:
+                sch = pa.schema([f for f in sch if f.name not in NON_PAYLOAD])
+            return sch.empty_table()
         return None
     base = pa.concat_tables(base_tbls) if base_tbls else None
     if delta_tbls:
