@@ -1630,57 +1630,15 @@ def q_cdc_transcripts(sf_dir: str, tmp_root: str = "/tmp/kcs3_ray"):
 # catalog
 # ---------------------------------------------------------------------------
 
+# Catalog order is a VERIFICATION BUDGET: the driver's correctness gate
+# checks the first ~50 entries, so the dict leads with the entries that most
+# need fresh driver-side evidence — the 25 the round-3 gate never reached,
+# then this round's new/touched operators, then newer round-3 additions.
+# Long-stable round-1/2 entries (hash-green in CORRECTNESS_r01..r03) sit past
+# the cap; the full catalog is still oracle-checked every run by the gate
+# replica in tests/test_queries.py regardless of position.
 QUERIES = {
-    "watermark_filter": q_watermark_filter,
-    "partition_watermarks": q_partition_watermarks,
-    "lww_keep_last": q_lww_keep_last,
-    "cdc_merge_events": q_cdc_merge_events,
-    "time_travel": q_time_travel,
-    "change_data_feed": q_change_data_feed,
-    "archive_roundtrip": q_archive_roundtrip,
-    "partition_prune": q_partition_prune,
-    "replay_order": q_replay_order,
-    "topk_events": q_topk_events,
-    "tumbling_window": q_tumbling_window,
-    "sliding_window": q_sliding_window,
-    "session_windows": q_session_windows,
-    "broadcast_join": q_broadcast_join,
-    "asof_join": q_asof_join,
-    "range_join": q_range_join,
-    "hash_join": q_hash_join,
-    "anti_join": q_semi_join,
-    "semi_join_bloom": q_semi_join_bloom,
-    "pricing_summary": q_pricing_summary,
-    "topk_per_group": q_topk_per_group,
-    "exclude_filter": q_exclude_filter,
-    "token_count": q_token_count,
-    "quality_stats": q_quality_stats,
-    "repetition_signals": q_repetition_signals,
-    "dedup_exact": q_dedup_exact,
-    "token_sum_by_lang": q_token_sum_by_lang,
-    "lang_id": q_lang_id,
-    "train_val_split": q_train_val_split,
-    "keyed_sample": q_keyed_sample,
-    "stratified_sample": q_stratified_sample,
-    "top_terms": q_top_terms,
-    "pii_redact": q_pii_redact,
-    "decontaminate": q_decontaminate,
-    "json_props_agg": q_json_props_agg,
-    "funnel": q_funnel,
-    "cohort_retention": q_cohort_retention,
-    "unigram_logprob": q_unigram_logprob,
-    "event_transitions": q_event_transitions,
-    "tfidf_terms": q_tfidf_terms,
-    "rolling_fingerprint": q_rolling_fingerprint,
-    "minhash_near_dup": q_minhash_near_dup,
-    "simhash_near_dup": q_simhash_near_dup,
-    "embedding_near_dup": q_embedding_near_dup,
-    "near_dup_verified": q_near_dup_verified,
-    "ngram_jaccard": q_ngram_jaccard,
-    "near_dup_clusters": q_near_dup_clusters,
-    "curation_chain": q_curation_chain,
-    "media_features": q_media_features,
-    "distinct_users_by_type": q_distinct_users_by_type,
+    # --- unchecked by the round-3 driver gate (its 50-entry cap) ---------
     "windowed_distinct": q_windowed_distinct,
     "approx_distinct": q_approx_distinct,
     "grouped_approx_distinct": q_grouped_approx_distinct,
@@ -1706,6 +1664,59 @@ QUERIES = {
     "cosine_topk_ivf": q_cosine_topk_ivf,
     "cosine_topk_ivf_indexed": q_cosine_topk_ivf_indexed,
     "cdc_transcripts": q_cdc_transcripts,
+    # --- new / touched this round ----------------------------------------
+    "stratified_sample": q_stratified_sample,
+    "cohort_retention": q_cohort_retention,
+    "event_transitions": q_event_transitions,
+    "funnel": q_funnel,
+    "semi_join_bloom": q_semi_join_bloom,
+    "near_dup_verified": q_near_dup_verified,
+    "embedding_near_dup": q_embedding_near_dup,
+    "minhash_near_dup": q_minhash_near_dup,
+    "curation_chain": q_curation_chain,
+    # --- newer round-3 additions ------------------------------------------
+    "change_data_feed": q_change_data_feed,
+    "decontaminate": q_decontaminate,
+    "json_props_agg": q_json_props_agg,
+    "unigram_logprob": q_unigram_logprob,
+    "near_dup_clusters": q_near_dup_clusters,
+    "ngram_jaccard": q_ngram_jaccard,
+    "repetition_signals": q_repetition_signals,
+    "tfidf_terms": q_tfidf_terms,
+    "rolling_fingerprint": q_rolling_fingerprint,
+    "keyed_sample": q_keyed_sample,
+    "top_terms": q_top_terms,
+    "train_val_split": q_train_val_split,
+    "simhash_near_dup": q_simhash_near_dup,
+    "dedup_exact": q_dedup_exact,
+    "time_travel": q_time_travel,
+    # --- long-stable (hash-green since r1/r2; past the driver cap) --------
+    "watermark_filter": q_watermark_filter,
+    "partition_watermarks": q_partition_watermarks,
+    "lww_keep_last": q_lww_keep_last,
+    "cdc_merge_events": q_cdc_merge_events,
+    "archive_roundtrip": q_archive_roundtrip,
+    "partition_prune": q_partition_prune,
+    "replay_order": q_replay_order,
+    "topk_events": q_topk_events,
+    "tumbling_window": q_tumbling_window,
+    "sliding_window": q_sliding_window,
+    "session_windows": q_session_windows,
+    "broadcast_join": q_broadcast_join,
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
+    "hash_join": q_hash_join,
+    "anti_join": q_semi_join,
+    "pricing_summary": q_pricing_summary,
+    "topk_per_group": q_topk_per_group,
+    "exclude_filter": q_exclude_filter,
+    "token_count": q_token_count,
+    "quality_stats": q_quality_stats,
+    "token_sum_by_lang": q_token_sum_by_lang,
+    "lang_id": q_lang_id,
+    "pii_redact": q_pii_redact,
+    "media_features": q_media_features,
+    "distinct_users_by_type": q_distinct_users_by_type,
 }
 
 _TOKENS_WS_SQL = (
