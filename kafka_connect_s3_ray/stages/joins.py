@@ -521,10 +521,11 @@ def bloom_prefilter(left: "ray.data.Dataset", right: "ray.data.Dataset",
     the composition is EXACT.
 
     Distribution: each right block builds a fixed-geometry partial bitmap
-    (``m_bits``/``k`` must be uniform for partials to OR together), the
-    driver ORs <= blocks x m_bits/8 bytes, and the merged bitmap broadcasts
-    via ``ray.put`` into a vectorized membership filter over left — no
-    shuffle, right's keys never leave their blocks. Default 1 MiB-bit
+    (``m_bits``/``k`` must be uniform for partials to OR together), partials
+    tree-reduce IN the cluster (<= 64 per fold task) until at most 256 reach
+    the driver's final OR, and the merged bitmap broadcasts via ``ray.put``
+    into a vectorized membership filter over left — no key shuffle, right's
+    keys never leave their blocks. Default 1 MiB-bit
     bitmap holds ~100k distinct keys at ~1% FP; size m_bits to the
     expected right-side key cardinality (FPs cost exchange volume, never
     correctness). NULL left keys never match (SQL join semantics); NULL
@@ -549,7 +550,26 @@ def bloom_prefilter(left: "ray.data.Dataset", right: "ray.data.Dataset",
                               m_bits, k)
         return pa.table({"bm": pa.array([bm.tobytes()], pa.binary())})
 
-    parts = right.map_batches(part, batch_format="pyarrow").to_pandas()
+    def or_fold(t: pa.Table) -> pa.Table:
+        acc = np.zeros(-(-m_bits // 8), np.uint8)
+        for blob in t.column("bm"):
+            acc |= np.frombuffer(blob.as_py(), np.uint8)
+        return pa.table({"bm": pa.array([acc.tobytes()], pa.binary())})
+
+    # OR the per-block partials in the CLUSTER, not the driver: one partial
+    # per right block means the naive driver OR is O(blocks x m_bits/8)
+    # driver memory (~12 GB at 100k blocks x 128 KiB). Fold levels of <= 64
+    # partials per task (8 MB/task at the 1 MiB-bit default) until at most
+    # _DRIVER_OR_CAP rows remain, then the driver ORs those (<= 32 MB).
+    _DRIVER_OR_CAP = 256
+    parts_ds = right.map_batches(part, batch_format="pyarrow").materialize()
+    cnt = parts_ds.count()
+    while cnt > _DRIVER_OR_CAP:
+        n_out = max(32, cnt // 64)
+        parts_ds = parts_ds.repartition(n_out).map_batches(
+            or_fold, batch_format="pyarrow", batch_size=64).materialize()
+        cnt = parts_ds.count()
+    parts = parts_ds.to_pandas()
     merged = np.zeros(-(-m_bits // 8), np.uint8)
     for blob in parts["bm"]:
         merged |= np.frombuffer(blob, np.uint8)

@@ -72,3 +72,20 @@ def test_null_left_keys_never_match(ray_session):
     right = _ds(pa.table({"uid": pa.array([1, None], pa.int64())}), blocks=1)
     out = bloom_prefilter(left, right, on="uid", m_bits=1 << 10).to_pandas()
     assert list(out["v"]) == [0]
+
+
+def test_prefilter_tree_reduced_partials_no_false_negatives(ray_session):
+    # > _DRIVER_OR_CAP right blocks forces the in-cluster fold level(s);
+    # the reduced bitmap must behave exactly like the driver-OR'd one:
+    # every matching left key survives
+    rng = np.random.RandomState(7)
+    left = _ds(pa.table({
+        "uid": pa.array(np.arange(2_000), pa.int64()),
+        "v": pa.array(rng.randint(0, 100, 2_000), pa.int64())}), blocks=4)
+    right_keys = np.arange(0, 2_000, 3)  # every 3rd key matches
+    right = _ds(pa.table({"uid": pa.array(right_keys, pa.int64())}),
+                blocks=300)  # 300 single-digit-row partials > 256 cap
+    out = bloom_prefilter(left, right, "uid").to_pandas()
+    got = set(out["uid"])
+    assert set(right_keys) <= got  # no false negatives through the fold
+    assert len(got) < 2_000  # and it did actually filter something
