@@ -34,43 +34,46 @@ def _grace_flush(
     manifest: Manifest,
     manifest_path: str,
     out_dir: str,
-    now_round: int,
+    now: float,
     saw_events: set[int],
-    first_pending_round: dict[int, int],
-    last_event_round: dict[int, int],
-    flush_interval_rounds: int,
-    grace_rounds: int,
+    first_pending: dict[int, float],
+    last_event: dict[int, float],
+    flush_interval: float,
+    grace: float,
     max_pending_deltas: int = 16,
 ) -> Manifest:
-    """The W4 preCommit check with ticks as the clock: fold pending deltas for
-    partitions whose first buffered state is past interval+grace and that have
-    received nothing for more than grace ticks. A partition that NEVER idles
-    would escape the grace check forever, so ``max_pending_deltas`` bounds its
-    chain regardless of write rate (the reference's size-based flush W2 plays
-    this role for busy partitions)."""
+    """The W4 preCommit check, clock-agnostic: fold pending deltas for
+    partitions whose first buffered state is past interval+grace and that
+    have received nothing for more than grace. ``now`` / ``flush_interval``
+    / ``grace`` share ONE unit — loop ticks (deterministic tests) or
+    wall-clock ms (the reference's ``flush.interval.ms`` semantics,
+    sink/.../S3SinkTask.java:84-92); the check is the same arithmetic either
+    way. A partition that NEVER idles would escape the grace check forever,
+    so ``max_pending_deltas`` bounds its chain regardless of write rate (the
+    reference's size-based flush W2 plays this role for busy partitions)."""
     from .upsert import _is_delta, compact_partitions
 
     for p in saw_events:
-        last_event_round[p] = now_round
+        last_event[p] = now
     pending = {p for p, files in manifest.current_files().items()
                if any(_is_delta(f) for f in files)}
     for p in pending:
-        first_pending_round.setdefault(p, now_round)
-    for p in list(first_pending_round):
+        first_pending.setdefault(p, now)
+    for p in list(first_pending):
         if p not in pending:  # compacted elsewhere (compact_every) — reset
-            del first_pending_round[p]
+            del first_pending[p]
     counts = manifest.delta_counts()
     due = {
         p for p in pending
-        if (now_round - first_pending_round[p] >= flush_interval_rounds + grace_rounds
-            and now_round - last_event_round.get(p, first_pending_round[p]) > grace_rounds)
+        if (now - first_pending[p] >= flush_interval + grace
+            and now - last_event.get(p, first_pending[p]) > grace)
         or counts.get(p, 0) >= max_pending_deltas
     }
     if not due:
         return manifest
     manifest = compact_partitions(manifest_path, out_dir, partitions=due)
     for p in due:
-        first_pending_round.pop(p, None)
+        first_pending.pop(p, None)
     return manifest
 
 
@@ -89,6 +92,9 @@ def tail_changelog(
     compact_every: int | None = None,
     flush_interval_rounds: int | None = None,
     grace_rounds: int | None = None,
+    flush_interval_ms: float | None = None,
+    grace_ms: float | None = None,
+    clock: Callable[[], float] = time.monotonic,
     max_pending_deltas: int = 16,
     **upsert_kw,
 ) -> Manifest:
@@ -105,15 +111,30 @@ def tail_changelog(
     buffered state flushes without waiting for the global ``compact_every``
     cadence, exactly the reference's preCommit grace check with rounds as the
     (deterministic) clock. ``grace_rounds`` defaults to half the interval,
-    like the reference's ``flush.interval.ms``-derived grace."""
+    like the reference's ``flush.interval.ms``-derived grace.
+
+    ``flush_interval_ms`` / ``grace_ms`` are the same check in the
+    reference's native unit (``flush.interval.ms``,
+    sink/.../S3SinkTask.java:84-92): deadlines measure against ``clock``
+    (monotonic seconds; injectable so the 12h-idle IT scenario,
+    S3SinkConnectorIT.java:314-472, is testable without sleeping 12h).
+    Rounds and ms are mutually exclusive — pick the deterministic tick clock
+    for replay tests, the ms clock for production tails."""
     rounds = 0
     consecutive_errors = 0
     max_consecutive_errors = 10
     manifest = Manifest.load(manifest_path)
+    use_ms = flush_interval_ms is not None
+    if use_ms and flush_interval_rounds:
+        raise ValueError(
+            "flush_interval_rounds and flush_interval_ms are the same check "
+            "on different clocks — pass one, not both")
     if flush_interval_rounds and grace_rounds is None:
         grace_rounds = max(1, flush_interval_rounds // 2)
-    first_pending_round: dict[int, int] = {}
-    last_event_round: dict[int, int] = {}
+    if use_ms and grace_ms is None:
+        grace_ms = max(1.0, flush_interval_ms / 2)
+    first_pending_round: dict[int, float] = {}
+    last_event_round: dict[int, float] = {}
     while max_rounds is None or rounds < max_rounds:
         try:
             manifest = run_upsert(
@@ -135,11 +156,13 @@ def tail_changelog(
                 from .upsert import compact_partitions
 
                 manifest = compact_partitions(manifest_path, out_dir)
-            if flush_interval_rounds and commit_mode == "delta":
+            if (flush_interval_rounds or use_ms) and commit_mode == "delta":
+                now = clock() * 1000.0 if use_ms else float(rounds + 1)
                 manifest = _grace_flush(
-                    manifest, manifest_path, out_dir, rounds + 1, saw_events,
+                    manifest, manifest_path, out_dir, now, saw_events,
                     first_pending_round, last_event_round,
-                    flush_interval_rounds, grace_rounds, max_pending_deltas,
+                    flush_interval_ms if use_ms else flush_interval_rounds,
+                    grace_ms if use_ms else grace_rounds, max_pending_deltas,
                 )
         except _RETRYABLE as e:
             consecutive_errors += 1

@@ -122,3 +122,49 @@ def test_vacuum_sweeps_aged_unparsable_token(delta_only):
     os.utime(tok, (time.time() - 7200, time.time() - 7200))
     vacuum(mpath)
     assert os.path.exists(tok)
+
+
+def test_tail_grace_flush_wall_clock_ms(tmp_path, ray_session):
+    """The reference's flush.interval.ms semantics (12h-idle IT scenario
+    shape): a partition that buffered a delta and then sat idle flushes once
+    wall-clock interval+grace elapse — driven by an injected clock, no real
+    sleeping. Mirrors test_tail_grace_flush_idle_partition's tick-clock
+    version."""
+    import pandas as pd
+
+    from kafka_connect_s3_ray.pipelines.tail import tail_changelog
+    from kafka_connect_s3_ray.pipelines.upsert import lake_table
+    from kafka_connect_s3_ray.synth import oracle_apply, write_fixture
+
+    root = str(tmp_path)
+    P = 4
+    fx = write_fixture(root, n_conv=60, n_events=1200, num_partitions=P)
+    out, mpath = os.path.join(root, "out"), os.path.join(root, "m.json")
+    fake = {"t": 0.0}  # seconds
+
+    def sleep(_):
+        fake["t"] += 7 * 3600.0  # each poll gap is 7h of virtual wall time
+
+    seen = []
+    m = tail_changelog(
+        fx["changelog_dir"], out, mpath, lake_dir=fx["lake_dir"],
+        num_partitions=P, commit_mode="delta", max_rounds=4,
+        poll_interval_s=0.0, sleep=sleep, clock=lambda: fake["t"],
+        on_round=lambda i, mm: seen.append(
+            {p: c for p, c in mm.delta_counts().items() if c}),
+        flush_interval_ms=12 * 3600 * 1000.0,  # the IT's 12h interval
+    )
+    # deltas buffer at t=0; ticks at 7h/14h are inside interval+grace (18h);
+    # the 21h tick is past the deadline AND >6h idle -> grace flush
+    assert seen[0] and max(seen[0].values()) == 1
+    assert seen[2]  # 14h: still pending
+    assert not seen[3], f"deltas survived the 12h+grace flush: {seen[3]}"
+    exp = oracle_apply(fx["lake"], fx["events"])
+    got = lake_table(m).to_pandas()[exp.columns].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp.reset_index(drop=True),
+                                  check_dtype=False)
+    with pytest.raises(ValueError, match="not both"):
+        tail_changelog(fx["changelog_dir"], out, mpath, num_partitions=P,
+                       max_rounds=1, sleep=lambda s: None,
+                       commit_mode="delta", flush_interval_rounds=2,
+                       flush_interval_ms=1000.0)
