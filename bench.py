@@ -140,6 +140,7 @@ def run_bench() -> dict:
         "cohort_retention", "unigram_logprob", "semi_join_bloom",
         "grouped_approx_distinct", "event_transitions", "windowed_distinct",
         "stratified_sample", "repetition_signals", "knn_graph",
+        "knn_graph_ivf", "knn_graph_ivf_nprobe6",
         "zscore_outliers", "bm25_search", "sequence_packing", "seeded_shuffle",
         "percentile_rank", "exact_k_sample", "pmi_pairs", "grouped_packing",
         "order_revenue",
@@ -159,8 +160,8 @@ def run_bench() -> dict:
             sec2, _ = _timed(consume, res)
             best = sec + sec2 if best is None else min(best, sec + sec2)
         timings[name] = round(best, 3)
-        if name == "cosine_topk":
-            panel_results[name] = res  # reused by the recall figure below
+        if name in ("cosine_topk", "knn_graph", "knn_graph_ivf_nprobe6"):
+            panel_results[name] = res  # reused by the recall figures below
 
     # --- sf1 panel: same pipelines at 10x the driver tables ---------------
     # (VERDICT r2 item 8: sf0.1 entries are task-constant-dominated; the sf1
@@ -179,7 +180,7 @@ def run_bench() -> dict:
             "embedding_near_dup", "tumbling_window", "session_windows",
             "broadcast_join", "asof_join", "hash_join", "range_join",
             "pii_redact", "tfidf_terms", "value_histogram",
-            "repetition_signals", "knn_graph",
+            "repetition_signals", "knn_graph", "knn_graph_ivf_nprobe6",
             "zscore_outliers", "bm25_search", "sequence_packing",
             "seeded_shuffle", "percentile_rank", "pmi_pairs",
         ]
@@ -233,6 +234,15 @@ def run_bench() -> dict:
             zip(approx["query_id"], approx["vec_id"])
         )
         out["ivf_recall_at_10"] = round(len(hits) / max(1, len(exact)), 3)
+        # kNN-graph recall of the approximate IVF graph (nprobe=6/16) vs the
+        # exact full-corpus graph — both sides reuse the panel loop's results
+        g_exact = panel_results.get("knn_graph")
+        g_ivf = panel_results.get("knn_graph_ivf_nprobe6")
+        if g_exact is not None and g_ivf is not None:
+            want = set(zip(g_exact["vec_id"], g_exact["neighbor_id"]))
+            got = set(zip(g_ivf["vec_id"], g_ivf["neighbor_id"]))
+            out["knn_graph_ivf_recall_at_3"] = round(
+                len(want & got) / max(1, len(want)), 3)
     ray.shutdown()
     return out
 

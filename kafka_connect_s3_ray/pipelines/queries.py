@@ -698,6 +698,37 @@ def q_knn_graph(sf_dir: str):
     return out
 
 
+def q_knn_graph_ivf(sf_dir: str):
+    """IVF-blocked kNN graph in EXHAUSTIVE-PROBE mode (nprobe == n_clusters):
+    every cluster kernel scores its queries against all members, so the
+    merged result equals ``knn_graph`` (same float64 dots, same
+    (score DESC, id ASC) tie-break) and the entry is oracle-checkable against
+    the same cross-join SQL. The approximate regime (nprobe < n_clusters —
+    the path that replaces ``knn_graph``'s full-corpus broadcast at 100 TB)
+    is evidenced by the recall pytest (test_repetition_knn) and the bench
+    panel's ``knn_graph_ivf_nprobe6`` figure."""
+    from ..functions.similarity import knn_graph_ivf
+
+    out = knn_graph_ivf(_emb(sf_dir), k=3, n_clusters=8, nprobe=8).to_pandas()
+    out = out.sort_values(["vec_id", "neighbor_id"]).reset_index(drop=True)
+    out["score"] = out["score"].round(6)
+    return out
+
+
+def q_knn_graph_ivf_nprobe6(sf_dir: str):
+    """The APPROXIMATE IVF graph regime (nprobe=6 of 16 clusters) — the
+    configuration that actually replaces ``knn_graph`` at 100 TB. Not
+    oracle-checkable by construction (approximation is the point); quality is
+    pinned by the recall pytest (test_repetition_knn: recall@5 >= 0.9) and
+    the bench recall figure (knn_graph_ivf_recall_at_3)."""
+    from ..functions.similarity import knn_graph_ivf
+
+    out = knn_graph_ivf(_emb(sf_dir), k=3, n_clusters=16, nprobe=6).to_pandas()
+    out = out.sort_values(["vec_id", "neighbor_id"]).reset_index(drop=True)
+    out["score"] = out["score"].round(6)
+    return out
+
+
 def q_dedup_exact(sf_dir: str):
     """Exact dedup: min doc_id per md5(lower(text)) content hash. Grouped by a
     COARSE bucket of the fingerprint (identical texts always co-locate), not
@@ -1665,6 +1696,7 @@ QUERIES = {
     "cosine_topk_ivf_indexed": q_cosine_topk_ivf_indexed,
     "cdc_transcripts": q_cdc_transcripts,
     # --- new / touched this round ----------------------------------------
+    "knn_graph_ivf": q_knn_graph_ivf,
     "stratified_sample": q_stratified_sample,
     "cohort_retention": q_cohort_retention,
     "event_transitions": q_event_transitions,
@@ -1717,6 +1749,8 @@ QUERIES = {
     "pii_redact": q_pii_redact,
     "media_features": q_media_features,
     "distinct_users_by_type": q_distinct_users_by_type,
+    # approximate regime — deliberately no oracle; see the entry's docstring
+    "knn_graph_ivf_nprobe6": q_knn_graph_ivf_nprobe6,
 }
 
 _TOKENS_WS_SQL = (
@@ -2104,6 +2138,8 @@ ORACLE_SQL["knn_graph"] = (
     "(PARTITION BY vec_id ORDER BY score DESC, neighbor_id) AS rn FROM s) "
     "SELECT vec_id, neighbor_id, round(score, 6) AS score FROM r WHERE rn <= 3"
 )
+# exhaustive-probe IVF graph == exact graph (see q_knn_graph_ivf)
+ORACLE_SQL["knn_graph_ivf"] = ORACLE_SQL["knn_graph"]
 
 # Top word-bigram repetition signal. Tokenization = the repo-wide RE2 \s+
 # split (ASCII parity with Python str.split, see _token_count_partial);

@@ -98,7 +98,7 @@ SQL_CHECKED = [
     # cluster makes clustering irrelevant to the result, so the brute-force
     # cosine SQL is the oracle
     "cosine_topk_ivf", "cosine_topk_ivf_indexed",
-    "repetition_signals", "knn_graph",
+    "repetition_signals", "knn_graph", "knn_graph_ivf",
 ]
 # the legitimately non-SQL-checkable entries: the quantile sketch's thinning
 # depends on batch boundaries, and media decode is binary.
@@ -107,6 +107,8 @@ ROWS_ONLY = [
     "approx_quantiles",
     "pca_projection",  # eigendecomposition: not SQL-expressible; pytest
                        # asserts equality with single-machine numpy PCA
+    "knn_graph_ivf_nprobe6",  # approximate by construction; recall >= 0.9
+                              # pinned by test_repetition_knn + bench figure
 ]
 
 

@@ -135,3 +135,61 @@ def test_topk_rows_deterministic_matches_full_sort():
         np.testing.assert_array_equal(idx, full)
         np.testing.assert_array_equal(
             sc, np.take_along_axis(sims, full, axis=1))
+
+
+def _graphs(n=300, dim=12, seed=3):
+    rng = np.random.default_rng(seed)
+    # clustered corpus (mixture of 10 gaussians) — the regime IVF exists for
+    centers = rng.normal(size=(10, dim)) * 3
+    vecs = centers[rng.integers(0, 10, n)] + rng.normal(size=(n, dim))
+    return list(range(n)), vecs
+
+
+def test_knn_graph_ivf_exhaustive_probe_equals_exact(ray_session):
+    from kafka_connect_s3_ray.functions.similarity import knn_graph_ivf
+
+    ids, vecs = _graphs()
+    key = ["vec_id", "neighbor_id"]
+    exact = (knn_graph(_emb_ds(ids, vecs), k=4).to_pandas()
+             .sort_values(key).reset_index(drop=True))
+    ivf = (knn_graph_ivf(_emb_ds(ids, vecs), k=4, n_clusters=8, nprobe=8)
+           .to_pandas().sort_values(key).reset_index(drop=True))
+    # nprobe == n_clusters: every query meets every member -> bit-for-bit
+    # equal to the full-corpus exact graph (same float64 dots, same
+    # (score DESC, id ASC) tie-break)
+    pd.testing.assert_frame_equal(ivf, exact)
+
+
+def test_knn_graph_ivf_recall_at_realistic_nprobe(ray_session):
+    from kafka_connect_s3_ray.functions.similarity import knn_graph_ivf
+
+    ids, vecs = _graphs()
+    exact = knn_graph(_emb_ds(ids, vecs), k=5).to_pandas()
+    ivf = knn_graph_ivf(_emb_ds(ids, vecs), k=5, n_clusters=16,
+                        nprobe=6).to_pandas()
+    # every vector still gets a full top-k list (its home cluster alone has
+    # >= k members on this corpus)
+    assert (ivf.groupby("vec_id").size() == 5).all()
+    assert not (ivf["vec_id"] == ivf["neighbor_id"]).any()
+    want = set(zip(exact["vec_id"], exact["neighbor_id"]))
+    got = set(zip(ivf["vec_id"], ivf["neighbor_id"]))
+    recall = len(want & got) / len(want)
+    assert recall >= 0.9, recall
+
+
+def test_knn_graph_ivf_visitor_rows_rank_without_self_hit(ray_session):
+    from kafka_connect_s3_ray.functions.similarity import knn_graph_ivf
+
+    # two tight far-apart clusters; nprobe=2 makes every vector visit the
+    # other cluster too, so the merge must pick only genuine neighbors and
+    # never a self-pair routed through a visitor copy
+    ids = [1, 2, 3, 11, 12, 13]
+    vecs = [[10, 0.1], [10, -0.1], [10.2, 0.0],
+            [-10, 0.1], [-10, -0.1], [-10.2, 0.0]]
+    out = knn_graph_ivf(_emb_ds(ids, vecs), k=2, n_clusters=2, nprobe=2,
+                        sample_size=6).to_pandas()
+    assert not (out["vec_id"] == out["neighbor_id"]).any()
+    for qid in ids:
+        nb = set(out[out["vec_id"] == qid]["neighbor_id"])
+        same = {1, 2, 3} if qid < 10 else {11, 12, 13}
+        assert nb == same - {qid}, (qid, nb)
