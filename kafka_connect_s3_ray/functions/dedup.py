@@ -255,21 +255,29 @@ class MinHasher:
 
 
 def _pairs_by_bucket(g: pd.DataFrame, id_col: str, bucket_cols: "str | list[str]",
-                     cap: int = 64) -> pd.DataFrame:
+                     cap: int = 64,
+                     emit_cols: "list[str] | None" = None) -> pd.DataFrame:
     """All (left < right) id pairs sharing a bucket value — vectorized
     (bucket-size filter + self-merge), no per-bucket Python. ``cap`` drops
-    pathological buckets (a bucket of size B emits B^2/2 pairs)."""
+    pathological buckets (a bucket of size B emits B^2/2 pairs).
+    ``emit_cols`` (a subset of ``bucket_cols``) are carried into the output —
+    the broadcast verify path uses the emitting band for its zero-shuffle
+    canonical pair dedup."""
     bucket_cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    emit_cols = emit_cols or []
     sizes = g.groupby(bucket_cols)[id_col].transform("size")
     g = g.loc[(sizes > 1) & (sizes <= cap), bucket_cols + [id_col]]
     if g.empty:
         id_dtype = g[id_col].dtype
-        return pd.DataFrame({"left_id": pd.Series([], dtype=id_dtype),
-                             "right_id": pd.Series([], dtype=id_dtype)})
+        cols = {"left_id": pd.Series([], dtype=id_dtype),
+                "right_id": pd.Series([], dtype=id_dtype)}
+        for c in emit_cols:
+            cols[c] = pd.Series([], dtype=g[c].dtype)
+        return pd.DataFrame(cols)
     m = g.merge(g, on=bucket_cols, suffixes=("_l", "_r"))
     m = m[m[f"{id_col}_l"] < m[f"{id_col}_r"]]
     out = m.rename(columns={f"{id_col}_l": "left_id", f"{id_col}_r": "right_id"})
-    return out[["left_id", "right_id"]].drop_duplicates()
+    return out[["left_id", "right_id"] + emit_cols].drop_duplicates()
 
 
 N_COARSE = 64  # coarse-bucket count for high-cardinality groupbys
@@ -865,24 +873,39 @@ def minhash_near_dup_verified(docs: "ray.data.Dataset", threshold: float = 0.6,
                          "bucket": t.column("bucket"),
                          "coarse": pa.array(coarse)})
 
-    def pairs_fn(g: pd.DataFrame) -> pd.DataFrame:
-        return _pairs_by_bucket(g, id_col, ["band", "bucket"], cap=bucket_cap)
+    payload_rows = staged.filter(expr="side == 'S'")
+    cutoff = _est_cutoff(threshold, num_perm, margin_sigmas)
+    n_docs = payload_rows.count()  # cheap: staged is materialized
+    broadcast_sigs = n_docs <= sig_broadcast_docs
 
+    def pairs_fn(g: pd.DataFrame) -> pd.DataFrame:
+        # broadcast path: carry the emitting band — its prefilter dedups
+        # pairs in place (keep iff band == canonical min agreeing band), so
+        # no pair-keyed exchange is needed before the verify
+        return _pairs_by_bucket(g, id_col, ["band", "bucket"], cap=bucket_cap,
+                                emit_cols=["band"] if broadcast_sigs else None)
+
+    band_rows = staged.filter(expr="side == 'B'")
+    # the sort-shuffle groupby emits one output partition per INPUT block, so
+    # a small-block input (8 parquet blocks at sf1) would run the whole
+    # pairs+prefilter stage 8-wide no matter how many CPUs the cluster has.
+    # The band rows are lean (id + two small ints), so splitting them up to a
+    # healthy task count is ~free; inputs that already arrive in many blocks
+    # (the 100 TB case) are left alone.
+    min_blocks = int(ray.cluster_resources().get("CPU", 8)) * 2
+    if staged.num_blocks() < min_blocks:  # known: staged is materialized
+        band_rows = band_rows.repartition(min_blocks)
     cand = (
-        staged.filter(expr="side == 'B'")
+        band_rows
         .map_batches(band_coarse, batch_format="pyarrow")
         .groupby("coarse")
         .map_groups(pairs_fn, batch_format="pandas")
     )
 
-    payload_rows = staged.filter(expr="side == 'S'")
-    cutoff = _est_cutoff(threshold, num_perm, margin_sigmas)
-    n_docs = payload_rows.count()  # cheap: staged is materialized
-
     OUT = pa.schema([("left_id", pa.int64()), ("right_id", pa.int64()),
                      ("jaccard", pa.float64())])
 
-    if n_docs <= sig_broadcast_docs:
+    if broadcast_sigs:
         # broadcast prefilter: whole (id, sig) matrix once via ray.put
         # (<= ~100 MB at the cap), per-batch searchsorted lookup, no shuffle.
         # Whether the shingle corpus ALSO fits the broadcast budget (which
@@ -915,19 +938,49 @@ def minhash_near_dup_verified(docs: "ray.data.Dataset", threshold: float = 0.6,
         ids = tbl.column("join_id").to_numpy(zero_copy_only=False).astype(np.int64)
         flat, _ = _list_flat(tbl.column("sig"))
         order = np.argsort(ids, kind="stable")
-        sig_ref = ray.put((ids[order],
-                           flat.reshape(len(ids), num_perm)[order]))
+        mat_sorted = flat.reshape(len(ids), num_perm)[order]
+        # canonical-band dedup state (replaces the pair-keyed _distinct_pairs
+        # exchange): the broadcast matrix is enough to recompute, for every
+        # pair, the full set of bands whose buckets BOTH docs share — band
+        # buckets are a pure function of the signature. A (pair, band) row is
+        # kept iff its band is the smallest agreeing band whose bucket was
+        # actually emittable (bucket size <= cap; size >= 2 is implied by the
+        # agreement itself), so exactly one row per pair survives globally
+        # with ZERO additional shuffle. bb is (bands, n) int64; emit_ok the
+        # matching capped-bucket mask — ~9 B/doc/band, tiny next to the sigs.
+        bb = hasher.band_buckets(mat_sorted.T).reshape(bands, len(ids))
+        emit_ok = np.empty((bands, len(ids)), bool)
+        for b in range(bands):
+            _, inv, cnt = np.unique(bb[b], return_inverse=True,
+                                    return_counts=True)
+            emit_ok[b] = cnt[inv] <= bucket_cap
+        sig_ref = ray.put((ids[order], mat_sorted, bb, emit_ok))
 
         def prefilt(t: pa.Table) -> pa.Table:
-            sids, mat = ray.get(sig_ref)  # zero-copy from the object store
+            sids, mat, bb_, ok_ = ray.get(sig_ref)  # zero-copy object store
             l = t.column("left_id").to_numpy(zero_copy_only=False).astype(np.int64)
             r = t.column("right_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            band = t.column("band").to_numpy(zero_copy_only=False)
             li = np.clip(np.searchsorted(sids, l), 0, len(sids) - 1)
             ri = np.clip(np.searchsorted(sids, r), 0, len(sids) - 1)
-            agree = (mat[li] == mat[ri]).mean(axis=1)
+            # chunked gather: one (rows, num_perm) fancy-index per side per
+            # chunk — a single full-block gather allocates pairs x 512 B
+            # temporaries per side and measures 20x slower than this loop
+            # (allocator/cache thrash), see BASELINE bench notes
+            keep = np.empty(len(l), bool)
+            CH = 262_144
+            for s in range(0, len(l), CH):
+                lc, rc = li[s:s + CH], ri[s:s + CH]
+                agree = (mat[lc] == mat[rc]).mean(axis=1)
+                # canonical min agreeing emittable band; the row's own band
+                # always agrees and was emitted, so argmax finds a real band
+                cand_band = (bb_[:, lc] == bb_[:, rc]) & ok_[:, lc]
+                keep[s:s + CH] = (
+                    (cand_band.argmax(axis=0) == band[s:s + CH])
+                    & (agree >= cutoff))
             # pairs cite ids from the same corpus, so lookups always hit;
             # the clip only guards an empty-corpus edge
-            return t.filter(pa.array(agree >= cutoff))
+            return t.filter(pa.array(keep)).drop_columns(["band"])
 
         cand = cand.map_batches(prefilt, batch_format="pyarrow")
 
@@ -943,7 +996,8 @@ def minhash_near_dup_verified(docs: "ray.data.Dataset", threshold: float = 0.6,
             # so whenever the corpus itself is the smaller object, broadcast
             # wins; past the cap (100 TB corpora) the exchange below remains
             # the scale path. Pair dedup that the exchange's combine step
-            # used to do is one ids-only _distinct_pairs shuffle here.
+            # used to do already happened in prefilt (canonical-band rule),
+            # so the verify streams straight off the prefiltered pairs.
             # Rank-compress the corpus once (np.unique); if the rank pool is
             # small enough that per-doc BITMAPS fit the budget, the kernel is
             # popcount(AND) over bitmap rows (cheapest memory traffic — the
@@ -992,7 +1046,7 @@ def minhash_near_dup_verified(docs: "ray.data.Dataset", threshold: float = 0.6,
                      pa.array(sims[keep], pa.float64())],
                     schema=OUT)
 
-            return _distinct_pairs(cand).map_batches(
+            return cand.map_batches(
                 verify, batch_format="pyarrow", batch_size=16 * 1024)
     else:
         # partitioned prefilter: sig column as exchange payload (512 B/side)
