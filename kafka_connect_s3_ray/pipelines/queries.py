@@ -1212,10 +1212,12 @@ def q_simhash_near_dup(sf_dir: str):
 
 def q_embedding_near_dup(sf_dir: str):
     """Cosine near-dup pairs at threshold 0.5 (the sf fixtures' similarity
-    ceiling is ~0.5-0.6, so this is non-vacuous at every sf). The corpus is
-    small enough for the EXACT distributed all-pairs path, which matches the
-    DuckDB cross-join oracle bit-for-bit; the LSH path is the 100 TB route
-    and is recall-tested in pytest instead."""
+    ceiling is ~0.5-0.6, so this is non-vacuous at every sf). At the gate
+    scales the corpus is below the auto switch point, so the EXACT
+    distributed all-pairs path runs and matches the DuckDB cross-join
+    oracle bit-for-bit; past 10k vectors (the sf1 bench panel) auto flips
+    to the IVF cluster-blocked path — the 100 TB route, recall-tested in
+    pytest (0.99 at these defaults on the sf1 corpus)."""
     out = embedding_near_dup(_emb(sf_dir), threshold=0.5, method="auto").to_pandas()
     if out.empty:  # keep a stable schema even when no pair clears the bar
         return pa.table({"left_id": pa.array([], pa.int64()),

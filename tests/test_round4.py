@@ -168,3 +168,77 @@ def test_tail_grace_flush_wall_clock_ms(tmp_path, ray_session):
                        max_rounds=1, sleep=lambda s: None,
                        commit_mode="delta", flush_interval_rounds=2,
                        flush_interval_ms=1000.0)
+
+
+def test_embedding_near_dup_auto_switches_on_corpus_size(ray_session,
+                                                         monkeypatch):
+    """VERDICT r3 #5: method='auto' must pick the LSH leg past
+    exact_max_rows so large corpora never take the O(N^2) exact path."""
+    import kafka_connect_s3_ray.functions.dedup as dd
+
+    rng = np.random.default_rng(5)
+    def mk(n):
+        return ray.data.from_arrow(pa.table({
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in
+                                   rng.normal(size=(n, 4))],
+                                  pa.list_(pa.float32()))}))
+
+    calls = []
+    real_exact = dd._embedding_near_dup_exact
+    monkeypatch.setattr(dd, "_embedding_near_dup_exact",
+                        lambda *a, **k: calls.append("exact") or real_exact(*a, **k))
+    # small corpus: auto -> exact
+    dd.embedding_near_dup(mk(50), threshold=0.99).to_pandas()
+    assert calls == ["exact"]
+    # past the switch point: auto -> lsh (exact leg never invoked)
+    out = dd.embedding_near_dup(mk(60), threshold=0.99,
+                                exact_max_rows=59).to_pandas()
+    assert calls == ["exact"]
+    assert set(out.columns) == {"left_id", "right_id", "cosine"}
+
+
+def test_embedding_near_dup_lsh_equals_exact_on_planted_dups(ray_session):
+    """The LSH leg recovers exactly the planted high-threshold duplicates
+    the exact leg finds: duplicates have identical sign patterns, so they
+    always share a bucket — at 0.999 the two legs agree on this corpus."""
+    from kafka_connect_s3_ray.functions.dedup import embedding_near_dup
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(120, 8))
+    vecs = np.vstack([base, base[:15] + rng.normal(scale=1e-5, size=(15, 8))])
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32()))}))
+    key = ["left_id", "right_id"]
+    exact = (embedding_near_dup(ds, threshold=0.999, method="exact")
+             .to_pandas().sort_values(key).reset_index(drop=True))
+    lsh = (embedding_near_dup(ds, threshold=0.999, method="lsh")
+           .to_pandas().sort_values(key).reset_index(drop=True))
+    assert len(exact) >= 15
+    pd.testing.assert_frame_equal(
+        lsh[key + ["cosine"]], exact[key + ["cosine"]])
+
+
+def test_embedding_near_dup_ivf_recall_on_clustered_corpus(ray_session):
+    """The IVF leg (auto's scale path) recovers >= 0.95 of the exact leg's
+    pairs at a MODERATE threshold on a clustered corpus — the regime where
+    the sign-pattern LSH leg collapses (measured 0.04 recall at t=0.5)."""
+    from kafka_connect_s3_ray.functions.dedup import (_embedding_near_dup_ivf,
+                                                      embedding_near_dup)
+
+    rng = np.random.default_rng(17)
+    centers = rng.normal(size=(12, 16)) * 2.5
+    vecs = centers[rng.integers(0, 12, 800)] + rng.normal(size=(800, 16))
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(800), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32()))}))
+    exact = embedding_near_dup(ds, threshold=0.9, method="exact").to_pandas()
+    ivf = _embedding_near_dup_ivf(ds, 0.9, "vec_id", "embedding", 42).to_pandas()
+    e = set(zip(exact["left_id"], exact["right_id"]))
+    i = set(zip(ivf["left_id"], ivf["right_id"]))
+    assert len(e) > 50  # non-vacuous fixture
+    assert i <= e  # precision 1.0: every emitted cosine is exact
+    assert len(e & i) / len(e) >= 0.95, len(e & i) / len(e)
