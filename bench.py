@@ -45,7 +45,11 @@ def _scaling_fixture() -> dict:
     from kafka_connect_s3_ray.synth import write_fixture
 
     n_events = int(os.environ.get("GRAFT_SCALING_EVENTS", "6000000"))
-    root = f"/tmp/kcs3_ray/scaling_{n_events}"
+    # skew-stress mode (BASELINE §f): one conversation receives this fraction
+    # of ALL events — exercises the salted-hot-key second reduce pass under
+    # the parallelism comparison
+    hot_frac = float(os.environ.get("GRAFT_SCALING_HOT_FRAC", "0.10"))
+    root = f"/tmp/kcs3_ray/scaling_{n_events}_h{int(hot_frac * 100)}"
     marker = os.path.join(root, ".complete")
     if not os.path.exists(marker):
         import shutil
@@ -53,7 +57,8 @@ def _scaling_fixture() -> dict:
         shutil.rmtree(root, ignore_errors=True)
         os.makedirs(root, exist_ok=True)
         write_fixture(root, n_conv=max(1000, n_events // 100), n_events=n_events,
-                      num_partitions=32, files_per_partition=4)
+                      num_partitions=32, files_per_partition=4,
+                      hot_frac=hot_frac)
         open(marker, "w").write("ok")
     return {"root": root, "lake_dir": os.path.join(root, "lake"),
             "changelog_dir": os.path.join(root, "changelog"), "num_partitions": 32}
@@ -292,6 +297,7 @@ def run_scaling() -> dict:
         "trials_lo": [r["value"] for r in lo_runs],
         "trials_hi": [r["value"] for r in hi_runs],
         "events": r_lo.get("events"),
+        "hot_frac": float(os.environ.get("GRAFT_SCALING_HOT_FRAC", "0.10")),
         "sf": SF_DIR,
     }
 
