@@ -9,24 +9,27 @@ by bytes, not rows (see ``suggest_batch_size``).
 
 Decode support in this environment, three tiers:
 
-- **Real, dependency-free codecs** for uncompressed formats: PCM WAV audio
-  (stdlib ``wave``) and binary PPM (P6) images (pure numpy header parse) —
+- **Real, dependency-free codecs**: PCM WAV audio (stdlib ``wave``), binary
+  PPM (P6) images (pure numpy header parse), and COMPRESSED PNG images (pure
+  stdlib-zlib + numpy: chunk walk, inflate, all five scanline filters) —
   decode, feature extraction, and image resize are genuinely executed on the
-  bytes (``decode_wav`` / ``decode_ppm`` / ``encode_*`` below).
-- ``decoder="real"`` for COMPRESSED formats (JPEG/PNG/MP3/H.264) raises
-  ``NotImplementedError`` naming the dependency — the seam where
+  bytes (``decode_wav`` / ``decode_ppm`` / ``decode_png`` / ``encode_*``).
+- ``decoder="real"`` for the REMAINING compressed formats (JPEG/MP3/H.264)
+  raises ``NotImplementedError`` naming the dependency — the seam where
   PIL/librosa/av would plug in; not installable in this container.
 - ``decoder="fake"`` derives a deterministic feature vector from the raw
   bytes (byte histogram + moments) so plumbing tests never need codecs.
 
 ``decoder="auto"`` (default) sniffs magic bytes: RIFF/WAVE -> real WAV path,
-``P6`` -> real PPM path, anything else -> fake features.
+``P6`` -> real PPM path, PNG signature -> real PNG path, anything else ->
+fake features.
 """
 
 from __future__ import annotations
 
 import io
 import wave
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -106,6 +109,112 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     return np.frombuffer(payload, np.uint8, count=h * w * 3, offset=pos).reshape(h, w, 3)
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    body = tag + data
+    return (len(data).to_bytes(4, "big") + body
+            + (zlib.crc32(body) & 0xFFFFFFFF).to_bytes(4, "big"))
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """(h, w, 3|4) uint8 array -> PNG bytes. Pure stdlib-zlib encoder:
+    8-bit truecolor (color type 2) or truecolor+alpha (6), no interlace,
+    filter 0 on every scanline. A REAL compressed-format encoder — any
+    standards-compliant PNG reader decodes its output."""
+    img = np.ascontiguousarray(img, np.uint8)
+    h, w, c = img.shape
+    if c not in (3, 4):
+        raise ValueError("encode_png wants (h, w, 3|4) uint8")
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, 2 if c == 3 else 6, 0, 0, 0]))
+    raw = np.zeros((h, 1 + w * c), np.uint8)  # filter byte 0 + scanline
+    raw[:, 1:] = img.reshape(h, w * c)
+    return (PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes -> (h, w, 3|4) uint8 array. Pure zlib + numpy decoder: 8-bit
+    truecolor / truecolor+alpha, no interlace, ALL five scanline filters
+    (None/Sub/Up/Average/Paeth). Sub and Up reconstruct vectorized (uint8
+    wraparound cumsum / row add); Average and Paeth carry a per-pixel left
+    dependency, so those rows walk pixels — fine for the test-scale images
+    this container handles, and the seam for a native codec stays at the
+    JPEG tier. Reference behavior cross-checked against the PNG spec's
+    filter definitions (RFC 2083 §6)."""
+    if not payload.startswith(PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos, w = len(PNG_SIG), 0
+    h = channels = 0
+    idat = []
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos:pos + 4], "big")
+        tag = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        if len(data) != ln:
+            raise ValueError("truncated PNG chunk")
+        pos += 12 + ln  # len + tag + data + crc
+        if tag == b"IHDR":
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            depth, color, comp, filt, interlace = data[8:13]
+            if depth != 8 or color not in (2, 6) or comp or filt or interlace:
+                raise NotImplementedError(
+                    "only 8-bit truecolor(+alpha) non-interlaced PNG "
+                    f"supported (depth={depth} color={color} "
+                    f"interlace={interlace})")
+            channels = 3 if color == 2 else 4
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+    if not w or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    stride = 1 + w * channels
+    if len(raw) != h * stride:
+        raise ValueError("PNG scanline data has the wrong length")
+    raw = raw.reshape(h, stride)
+    recon = np.zeros((h, w * channels), np.uint8)
+    prev = np.zeros(w * channels, np.uint8)
+    c = channels
+    for y in range(h):
+        f, line = raw[y, 0], raw[y, 1:]
+        if f == 0:
+            rec = line.copy()
+        elif f == 1:  # Sub: recon[x] = line[x] + recon[x - c] -> cumsum mod 256
+            rec = (np.cumsum(line.reshape(w, c).astype(np.uint64), axis=0)
+                   % 256).astype(np.uint8).reshape(-1)
+        elif f == 2:  # Up
+            rec = line + prev  # uint8 wraparound
+        elif f in (3, 4):  # Average / Paeth: left-recursive, walk pixels
+            rec = np.zeros(w * c, np.uint8)
+            up = prev.reshape(w, c).astype(np.int32)
+            ln2 = line.reshape(w, c).astype(np.int32)
+            left = np.zeros(c, np.int32)
+            ul = np.zeros(c, np.int32)
+            for x in range(w):
+                if f == 3:
+                    px = (left + up[x]) >> 1
+                else:
+                    p = left + up[x] - ul
+                    pa_, pb, pc_ = (np.abs(p - left), np.abs(p - up[x]),
+                                    np.abs(p - ul))
+                    px = np.where((pa_ <= pb) & (pa_ <= pc_), left,
+                                  np.where(pb <= pc_, up[x], ul))
+                left = (ln2[x] + px) & 0xFF
+                ul = up[x]
+                rec[x * c:(x + 1) * c] = left.astype(np.uint8)
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        recon[y] = rec
+        prev = rec
+    return recon.reshape(h, w, channels)
+
+
 def _wav_features(payload: bytes) -> np.ndarray:
     """Real audio features: duration, RMS, zero-crossing rate, peak, + a
     16-bin amplitude histogram — padded to FEATURE_DIM."""
@@ -127,10 +236,11 @@ def _wav_features(payload: bytes) -> np.ndarray:
     return out
 
 
-def _ppm_features(payload: bytes) -> np.ndarray:
-    """Real image features: per-channel mean/std + a 16-bin luma histogram +
-    dims — padded to FEATURE_DIM."""
-    img = decode_ppm(payload).astype(np.float32)
+def _rgb_features(img: np.ndarray) -> np.ndarray:
+    """Real image features from a decoded (h, w, 3|4) array: per-channel
+    mean/std + a 16-bin luma histogram + dims — padded to FEATURE_DIM.
+    Alpha (if present) is dropped: features describe the color planes."""
+    img = img[:, :, :3].astype(np.float32)
     luma = img @ np.array([0.299, 0.587, 0.114], np.float32)
     hist = np.histogram(luma, bins=16, range=(0, 256))[0] / luma.size
     head = np.concatenate(
@@ -180,11 +290,12 @@ def synth_real_media(n: int = 32, seed: int = 42) -> pa.Table:
             rows["width"].append(0)
             rows["height"].append(0)
             rows["duration_ms"].append(dur_ms)
-        else:  # image
+        else:  # image: alternate uncompressed PPM and COMPRESSED PNG
             w, h = int(rng.integers(16, 96)), int(rng.integers(16, 96))
             base = np.linspace(0, 255, w, dtype=np.float32)[None, :, None]
             img = (base + rng.integers(0, 64, (h, w, 3))).clip(0, 255).astype(np.uint8)
-            rows["payload"].append(encode_ppm(img))
+            rows["payload"].append(encode_png(img) if i % 4 == 3
+                                   else encode_ppm(img))
             rows["media_type"].append("image")
             rows["width"].append(w)
             rows["height"].append(h)
@@ -213,11 +324,13 @@ class MediaFeatureExtractor:
     """Actor-pool stage: payload bytes -> feature vector (list<float32>).
 
     ``decoder="auto"``: sniff the payload — RIFF/WAVE decodes through the real
-    WAV path, ``P6`` through the real PPM path, anything else falls back to
-    the deterministic byte-level features. ``decoder="real"`` additionally
-    demands a real decode for COMPRESSED formats, which needs PIL/librosa/av —
-    not present in this container: raises NotImplementedError (the model-load
-    seam; one codec/model per actor, batched inference per call)."""
+    WAV path, ``P6`` through the real PPM path, the PNG signature through the
+    real zlib PNG path, anything else falls back to the deterministic
+    byte-level features. ``decoder="real"`` additionally demands a real
+    decode for the remaining compressed formats (JPEG/MP3/H.264), which needs
+    PIL/librosa/av — not present in this container: raises
+    NotImplementedError (the model-load seam; one codec/model per actor,
+    batched inference per call)."""
 
     def __init__(self, decoder: str = "auto"):
         if decoder not in ("auto", "fake", "real"):
@@ -230,16 +343,18 @@ class MediaFeatureExtractor:
                 if p.startswith(b"RIFF") and p[8:12] == b"WAVE":
                     return _wav_features(p)
                 if p.startswith(b"P6"):
-                    return _ppm_features(p)
+                    return _rgb_features(decode_ppm(p))
+                if p.startswith(PNG_SIG):
+                    return _rgb_features(decode_png(p))
             except Exception:
                 if self.decoder == "real":
                     raise  # a corrupt payload must fail loudly in real mode
                 return _fake_features(p)  # auto: sniff false-positive
             if self.decoder == "real":
                 raise NotImplementedError(
-                    "compressed media decoding needs PIL/librosa/av — not "
-                    "present in this environment; WAV/PPM decode natively, "
-                    "other formats use decoder='auto' byte features"
+                    "JPEG/MP3/H.264 decoding needs PIL/librosa/av — not "
+                    "present in this environment; WAV/PPM/PNG decode "
+                    "natively, other formats use decoder='auto' byte features"
                 )
         return _fake_features(p)
 
@@ -278,41 +393,45 @@ class FrameSampler:
 
 
 class Resizer:
-    """Image resize as an actor-pool stage. PPM (P6) payloads are REALLY
-    decoded, nearest-neighbor-resampled (vectorized index gather), and
-    re-encoded; compressed formats would need PIL (``decoder="real"`` raises
-    naming it); other payloads fall back to deterministic byte subsampling so
-    the batch plumbing (binary in -> smaller binary out, metadata update)
-    stays testable without codecs."""
+    """Image resize as an actor-pool stage. PPM (P6) and PNG payloads are
+    REALLY decoded, nearest-neighbor-resampled (vectorized index gather),
+    and re-encoded in their own format; JPEG would need PIL
+    (``decoder="real"`` raises per payload naming it); other payloads fall
+    back to deterministic byte subsampling so the batch plumbing (binary in
+    -> smaller binary out, metadata update) stays testable without codecs."""
 
     def __init__(self, target_w: int = 64, target_h: int = 64, decoder: str = "auto"):
-        if decoder == "real":
-            raise NotImplementedError(
-                "resizing compressed images needs PIL — not present in this "
-                "environment; PPM (P6) resizes natively under decoder='auto'"
-            )
-        if decoder not in ("auto", "fake"):
+        if decoder not in ("auto", "fake", "real"):
             raise ValueError(f"unknown decoder: {decoder}")
         self.decoder = decoder
         self.target_w, self.target_h = target_w, target_h
 
-    def _resize_ppm(self, p: bytes) -> bytes:
-        img = decode_ppm(p)
+    def _resample(self, img: np.ndarray) -> np.ndarray:
         h, w, _ = img.shape
         yi = (np.arange(self.target_h) * h // self.target_h).clip(0, h - 1)
         xi = (np.arange(self.target_w) * w // self.target_w).clip(0, w - 1)
-        return encode_ppm(img[yi[:, None], xi[None, :]])
+        return img[yi[:, None], xi[None, :]]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n_out = self.target_w * self.target_h // 8  # fake-path byte budget
         out = []
         for p in batch.column("payload").to_pylist():
-            if self.decoder == "auto" and p.startswith(b"P6"):
+            if self.decoder != "fake":
                 try:
-                    out.append(self._resize_ppm(p))
-                    continue
+                    if p.startswith(b"P6"):
+                        out.append(encode_ppm(self._resample(decode_ppm(p))))
+                        continue
+                    if p.startswith(PNG_SIG):
+                        out.append(encode_png(self._resample(decode_png(p))))
+                        continue
                 except Exception:
-                    pass  # sniff false-positive / corrupt PPM -> byte path
+                    if self.decoder == "real":
+                        raise  # corrupt payload fails loudly in real mode
+                if self.decoder == "real":
+                    raise NotImplementedError(
+                        "resizing JPEG needs PIL — not present in this "
+                        "environment; PPM and PNG resize natively"
+                    )
             step = max(1, len(p) // n_out)
             out.append(p[::step][:n_out])
         batch = batch.set_column(

@@ -259,12 +259,16 @@ def test_multimodal_plumbing():
     orig_sizes = media.to_pandas()["payload"].str.len()
     assert (resized.sort_values("media_id")["payload"].str.len().to_numpy()
             <= orig_sizes.to_numpy()).all()
-    # WAV/PPM decode natively; COMPRESSED formats under decoder="real" are the
-    # explicit dependency seam (per-payload; construction succeeds)
+    # WAV/PPM/PNG decode natively; JPEG under decoder="real" is the explicit
+    # dependency seam (per-payload; construction succeeds)
     with pytest.raises(NotImplementedError):
-        MediaFeatureExtractor(decoder="real")._features(b"\x89PNG\r\n\x1a\n x")
+        MediaFeatureExtractor(decoder="real")._features(b"\xff\xd8\xff\xe0jpg")
     with pytest.raises(NotImplementedError):
-        Resizer(decoder="real")
+        Resizer(decoder="real")(pa.table({
+            "payload": pa.array([b"\xff\xd8\xff\xe0jpg"], pa.binary()),
+            "width": pa.array([4], pa.int32()),
+            "height": pa.array([4], pa.int32()),
+        }))
 
 
 def test_ngram_jaccard_empty_when_no_doc_has_ngrams(ray_session):

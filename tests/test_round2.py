@@ -535,11 +535,14 @@ def test_real_media_features_and_resize():
     means = np.stack([np.array(f[:3]) for f in image["features"]])
     assert ((means > 0.2) & (means < 0.9)).all()
 
-    # real PPM resize: output parses as PPM with the target dims
+    # real resize: output parses in ITS OWN format with the target dims
+    from kafka_connect_s3_ray.functions.multimodal import decode_png
+
     resized = ds.map_batches(Resizer(target_w=8, target_h=6),
                              batch_format="pyarrow").to_pandas()
     for _, row in resized[resized["media_type"] == "image"].iterrows():
-        img = decode_ppm(row["payload"])
+        p = bytes(row["payload"])
+        img = decode_png(p) if p.startswith(b"\x89PNG") else decode_ppm(p)
         assert img.shape == (6, 8, 3)
         assert row["width"] == 8 and row["height"] == 6
 
@@ -549,6 +552,9 @@ def test_real_decoder_rejects_compressed():
 
     ex = MediaFeatureExtractor(decoder="real")
     with pytest.raises(NotImplementedError):
+        ex._features(b"\xff\xd8\xff\xe0 jpeg garbage")
+    # a CORRUPT PNG must also fail loudly in real mode (now a real codec)
+    with pytest.raises(Exception):
         ex._features(b"\x89PNG\r\n\x1a\n garbage")
 
 

@@ -242,3 +242,90 @@ def test_embedding_near_dup_ivf_recall_on_clustered_corpus(ray_session):
     assert len(e) > 50  # non-vacuous fixture
     assert i <= e  # precision 1.0: every emitted cosine is exact
     assert len(e & i) / len(e) >= 0.95, len(e & i) / len(e)
+
+
+def _grad_img(h, w, c=3, seed=23):
+    rng = np.random.default_rng(seed)
+    base = np.linspace(0, 255, w, dtype=np.float32)[None, :, None]
+    return (base + rng.integers(0, 64, (h, w, c))).clip(0, 255).astype(np.uint8)
+
+
+def test_png_roundtrip_rgb_and_rgba():
+    from kafka_connect_s3_ray.functions.multimodal import (decode_png,
+                                                           encode_png)
+
+    for c in (3, 4):
+        img = _grad_img(24, 17, c)
+        assert np.array_equal(decode_png(encode_png(img)), img)
+
+
+def test_png_decoder_handles_all_five_filters():
+    """Hand-build the filtered scanline stream for every filter type and
+    check decode_png reconstructs the original — i.e. the decoder is a real
+    PNG reader, not just the inverse of our filter-0 encoder."""
+    import zlib
+
+    from kafka_connect_s3_ray.functions.multimodal import (PNG_SIG,
+                                                           _png_chunk,
+                                                           decode_png)
+
+    img = _grad_img(5, 7)  # 5 rows -> one row per filter type
+    h, w, c = img.shape
+    rows = img.reshape(h, w * c).astype(np.int32)
+    out = []
+    for y, f in enumerate([0, 1, 2, 3, 4]):
+        cur = rows[y]
+        prev = rows[y - 1] if y else np.zeros(w * c, np.int32)
+        left = np.concatenate([np.zeros(c, np.int32), cur[:-c]])
+        ul = np.concatenate([np.zeros(c, np.int32), prev[:-c]])
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = cur - left
+        elif f == 2:
+            filt = cur - prev
+        elif f == 3:
+            filt = cur - ((left + prev) >> 1)
+        else:  # Paeth predictor
+            p = left + prev - ul
+            pa_, pb, pc_ = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where((pa_ <= pb) & (pa_ <= pc_), left,
+                            np.where(pb <= pc_, prev, ul))
+            filt = cur - pred
+        out.append(bytes([f]) + (filt & 0xFF).astype(np.uint8).tobytes())
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, 2, 0, 0, 0]))
+    payload = (PNG_SIG + _png_chunk(b"IHDR", ihdr)
+               + _png_chunk(b"IDAT", zlib.compress(b"".join(out)))
+               + _png_chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(payload), img)
+
+
+def test_png_features_match_ppm_features_for_same_image():
+    """The same pixels produce the same features regardless of container
+    format — PNG goes through a REAL decompress, not the byte fallback."""
+    from kafka_connect_s3_ray.functions.multimodal import (
+        MediaFeatureExtractor, encode_png, encode_ppm)
+
+    img = _grad_img(20, 30)
+    ex = MediaFeatureExtractor()
+    np.testing.assert_array_equal(ex._features(encode_png(img)),
+                                  ex._features(encode_ppm(img)))
+
+
+def test_png_resize_real(ray_session):
+    from kafka_connect_s3_ray.functions.multimodal import (Resizer,
+                                                           decode_png,
+                                                           encode_png)
+
+    img = _grad_img(40, 40, 4)  # RGBA: channel count must survive
+    t = pa.table({"payload": pa.array([encode_png(img)], pa.binary()),
+                  "width": pa.array([40], pa.int32()),
+                  "height": pa.array([40], pa.int32())})
+    out = Resizer(target_w=8, target_h=6)(t)
+    back = decode_png(out.column("payload")[0].as_py())
+    assert back.shape == (6, 8, 4)
+    # nearest-neighbor reference
+    yi = (np.arange(6) * 40 // 6).clip(0, 39)
+    xi = (np.arange(8) * 40 // 8).clip(0, 39)
+    assert np.array_equal(back, img[yi[:, None], xi[None, :]])
