@@ -136,7 +136,8 @@ def run_bench() -> dict:
         "simhash_near_dup", "token_sum_by_lang", "quality_stats", "lang_id",
         "cosine_topk", "embedding_near_dup", "tumbling_window",
         "session_windows", "broadcast_join", "asof_join", "hash_join",
-        "range_join", "near_dup_verified", "ngram_jaccard", "time_travel",
+        "range_join", "near_dup_verified", "ngram_jaccard",
+        "ngram_jaccard_prefix", "time_travel",
         "change_data_feed", "train_val_split", "top_terms",
         "near_dup_clusters", "pii_redact", "tfidf_terms",
         "embedding_centroids", "value_histogram", "quality_filtered",
@@ -185,6 +186,7 @@ def run_bench() -> dict:
             "embedding_near_dup", "tumbling_window", "session_windows",
             "broadcast_join", "asof_join", "hash_join", "range_join",
             "pii_redact", "tfidf_terms", "value_histogram",
+            "ngram_jaccard_prefix",
             "repetition_signals", "knn_graph", "knn_graph_ivf_nprobe6",
             "zscore_outliers", "bm25_search", "sequence_packing",
             "seeded_shuffle", "percentile_rank", "pmi_pairs",

@@ -1245,6 +1245,25 @@ def q_near_dup_verified(sf_dir: str):
                      "jaccard": pa.array(out["jaccard"].round(6), pa.float64())})
 
 
+def q_ngram_jaccard_prefix(sf_dir: str):
+    """Word-bigram Jaccard pairs at threshold 0.8 via the PREFIX-FILTERED
+    set-similarity join (AllPairs/PPJoin) — the UNCAPPED scale member of
+    the exact family (``q_ngram_jaccard`` is the O(n^2) anchor, capped at
+    20k docs). Same DuckDB list_intersect oracle shape, cutoff 0.80; the
+    fixture's dup pairs sit >= 0.9 with nothing in [0.25, 0.9), so 0.3 and
+    0.8 select the SAME pair set and hash-green here certifies the prefix
+    chain end to end (prefix recall proof + positional/length prunes +
+    4-sigma signature prefilter + exact verify)."""
+    from ..functions.dedup import ngram_prefix_join
+
+    out = ngram_prefix_join(_docs(sf_dir, ["doc_id", "text"]),
+                            n=2, threshold=0.8).to_pandas()
+    out = out.sort_values(["left_id", "right_id"]).reset_index(drop=True)
+    return pa.table({"left_id": pa.array(out["left_id"], pa.int64()),
+                     "right_id": pa.array(out["right_id"], pa.int64()),
+                     "jaccard": pa.array(out["jaccard"].round(6), pa.float64())})
+
+
 def q_ngram_jaccard(sf_dir: str):
     """Exact all-pairs word-bigram Jaccard near-dup pairs at threshold 0.3
     (fixture pairs sit >= 0.9 with nothing in [0.25, 0.9) — rounding can't
@@ -1698,6 +1717,7 @@ QUERIES = {
     "cosine_topk_ivf_indexed": q_cosine_topk_ivf_indexed,
     "cdc_transcripts": q_cdc_transcripts,
     # --- new / touched this round ----------------------------------------
+    "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
     "knn_graph_ivf": q_knn_graph_ivf,
     "stratified_sample": q_stratified_sample,
     "cohort_retention": q_cohort_retention,
@@ -2125,6 +2145,8 @@ ORACLE_SQL = {
 # so the brute-force cosine SQL is their oracle too. nprobe < n_clusters
 # (the approximate regime) is evidenced by the recall@10 pytest bound and
 # the ivf_recall_at_10 bench metric instead.
+ORACLE_SQL["ngram_jaccard_prefix"] = ORACLE_SQL["ngram_jaccard"].replace(
+    ">= 0.30", ">= 0.80")  # same pair set on the fixture's [0.25,0.9) gap
 ORACLE_SQL["cosine_topk_ivf"] = ORACLE_SQL["cosine_topk"]
 ORACLE_SQL["cosine_topk_ivf_indexed"] = ORACLE_SQL["cosine_topk"]
 
