@@ -137,7 +137,7 @@ def run_bench() -> dict:
         "cosine_topk", "embedding_near_dup", "tumbling_window",
         "session_windows", "broadcast_join", "asof_join", "hash_join",
         "range_join", "near_dup_verified", "ngram_jaccard",
-        "ngram_jaccard_prefix", "time_travel",
+        "ngram_jaccard_prefix", "duplicate_spans", "time_travel",
         "change_data_feed", "train_val_split", "top_terms",
         "near_dup_clusters", "pii_redact", "tfidf_terms",
         "embedding_centroids", "value_histogram", "quality_filtered",
@@ -186,7 +186,7 @@ def run_bench() -> dict:
             "embedding_near_dup", "tumbling_window", "session_windows",
             "broadcast_join", "asof_join", "hash_join", "range_join",
             "pii_redact", "tfidf_terms", "value_histogram",
-            "ngram_jaccard_prefix",
+            "ngram_jaccard_prefix", "duplicate_spans",
             "repetition_signals", "knn_graph", "knn_graph_ivf_nprobe6",
             "zscore_outliers", "bm25_search", "sequence_packing",
             "seeded_shuffle", "percentile_rank", "pmi_pairs",

@@ -1245,6 +1245,23 @@ def q_near_dup_verified(sf_dir: str):
                      "jaccard": pa.array(out["jaccard"].round(6), pa.float64())})
 
 
+def q_duplicate_spans(sf_dir: str):
+    """Exact repeated-span dedup (ExactSubstr-class, Lee et al. ACL'22):
+    maximal token spans whose 8-token windows each occur >= 2 times in the
+    corpus. Rolling double-hash windows -> one hash-bucket counting
+    exchange -> doc-bucket island merge (``functions/spans.py``); the
+    DuckDB oracle enumerates the same windows as strings and merges
+    islands with window functions, so hash-green certifies the 128-bit
+    rolling-hash scheme against true string equality."""
+    from ..functions.spans import duplicate_spans
+
+    out = duplicate_spans(_docs(sf_dir, ["doc_id", "text"]), k=8).to_pandas()
+    out = out.sort_values(["doc_id", "span_start"]).reset_index(drop=True)
+    return pa.table({"doc_id": pa.array(out["doc_id"], pa.int64()),
+                     "span_start": pa.array(out["span_start"], pa.int64()),
+                     "span_end": pa.array(out["span_end"], pa.int64())})
+
+
 def q_ngram_jaccard_prefix(sf_dir: str):
     """Word-bigram Jaccard pairs at threshold 0.8 via the PREFIX-FILTERED
     set-similarity join (AllPairs/PPJoin) — the UNCAPPED scale member of
@@ -1717,6 +1734,7 @@ QUERIES = {
     "cosine_topk_ivf_indexed": q_cosine_topk_ivf_indexed,
     "cdc_transcripts": q_cdc_transcripts,
     # --- new / touched this round ----------------------------------------
+    "duplicate_spans": q_duplicate_spans,
     "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
     "knn_graph_ivf": q_knn_graph_ivf,
     "stratified_sample": q_stratified_sample,
@@ -2147,6 +2165,30 @@ ORACLE_SQL = {
 # the ivf_recall_at_10 bench metric instead.
 ORACLE_SQL["ngram_jaccard_prefix"] = ORACLE_SQL["ngram_jaccard"].replace(
     ">= 0.30", ">= 0.80")  # same pair set on the fixture's [0.25,0.9) gap
+
+# duplicate_spans: enumerate every 8-token window as a string, keep windows
+# occurring >= 2 times corpus-wide, merge per-doc overlapping/touching
+# windows into maximal spans (gaps-and-islands over a running max end).
+# Same tokenization as the n-gram oracles (regexp_split_to_array on \s+).
+ORACLE_SQL["duplicate_spans"] = (
+    "WITH wrd AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') "
+    "AS ws FROM documents WHERE text IS NOT NULL AND trim(text) <> ''), "
+    "wins AS (SELECT w.doc_id, i.i - 1 AS pos, "
+    "array_to_string(w.ws[i.i : i.i + 7], ' ') AS win FROM wrd w, "
+    "LATERAL (SELECT unnest(generate_series(1, array_length(w.ws) - 7)) "
+    "AS i) i), "
+    "dup AS (SELECT win FROM wins GROUP BY win HAVING count(*) >= 2), "
+    "dpos AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup d USING (win)), "
+    "isl AS (SELECT doc_id, pos, CASE WHEN pos <= max(pos + 8) OVER ("
+    "PARTITION BY doc_id ORDER BY pos "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+    "THEN 0 ELSE 1 END AS new_island FROM dpos), "
+    "grp AS (SELECT doc_id, pos, sum(new_island) OVER ("
+    "PARTITION BY doc_id ORDER BY pos) AS island FROM isl) "
+    "SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start, "
+    "CAST(max(pos) + 8 AS BIGINT) AS span_end "
+    "FROM grp GROUP BY doc_id, island ORDER BY doc_id, span_start"
+)
 ORACLE_SQL["cosine_topk_ivf"] = ORACLE_SQL["cosine_topk"]
 ORACLE_SQL["cosine_topk_ivf_indexed"] = ORACLE_SQL["cosine_topk"]
 

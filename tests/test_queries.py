@@ -75,7 +75,7 @@ SQL_CHECKED = [
     "topk_events", "exclude_filter", "token_count", "quality_stats",
     "dedup_exact", "token_sum_by_lang", "cosine_topk", "embedding_near_dup", "lang_id",
     "distinct_users_by_type", "windowed_distinct", "ngram_jaccard",
-    "ngram_jaccard_prefix",
+    "ngram_jaccard_prefix", "duplicate_spans",
     "near_dup_clusters",
     "pii_redact", "decontaminate", "json_props_agg", "funnel",
     "cohort_retention", "unigram_logprob", "event_transitions",
