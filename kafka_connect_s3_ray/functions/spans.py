@@ -99,14 +99,13 @@ def duplicate_spans(docs: "ray.data.Dataset", k: int = 8,
     win = docs.map_batches(
         lambda t: _window_rows(t, id_col, text_col, k, n_coarse),
         batch_format="pyarrow")
+    # the sort-shuffle groupby emits one output partition per input block;
+    # window rows are lean (28 B/token), so materialize (they feed the
+    # shuffle next anyway) and split to cluster width if the read was
+    # narrower than that
+    win = win.materialize()
     min_blocks = int(ray.cluster_resources().get("CPU", 8)) * 2
-    try:
-        n_blocks = docs.num_blocks()  # known only for materialized inputs
-    except NotImplementedError:
-        n_blocks = 0
-    if n_blocks < min_blocks:
-        # the sort-shuffle groupby emits one output partition per input
-        # block; window rows are lean, split to cluster width first
+    if win.num_blocks() < min_blocks:
         win = win.repartition(min_blocks)
 
     def dup_positions(g: "pa.Table") -> pa.Table:
@@ -158,7 +157,7 @@ def duplicate_spans(docs: "ray.data.Dataset", k: int = 8,
             schema=_SPAN)
 
     out = (dpos.groupby("coarse2")
-           .map_groups(merge_spans, batch_format="pyarrow"))
-    if out.count() == 0:  # typed empty (all-unique or sub-k corpus)
+           .map_groups(merge_spans, batch_format="pyarrow")).materialize()
+    if out.count() == 0:  # cheap: materialized (all-unique or sub-k corpus)
         return ray.data.from_arrow(_SPAN.empty_table())
     return out

@@ -5,9 +5,7 @@ tests/test_queries.py (`duplicate_spans` in SQL_CHECKED).
 """
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
-import pytest
 
 import ray.data as rd
 
