@@ -434,6 +434,65 @@ def _batch_jaccard_ranked(lranks: np.ndarray, llen: np.ndarray,
     return np.where(union > 0, inter / np.maximum(union, 1), 0.0)
 
 
+def _broadcast_corpus_ref(ids: np.ndarray, flat: np.ndarray,
+                          lens: np.ndarray, budget: int):
+    """One ray.put of the whole (id-sorted) set corpus for the
+    zero-shuffle exact-Jaccard verify: rank-compress once (np.unique); if
+    per-doc BITMAPS over the rank pool fit ``budget`` the kernel downstream
+    is popcount(AND) (cheapest memory traffic), else gathered rank sets
+    through ``_batch_jaccard_ranked``. Returns (corpus_ref, use_bitmap)."""
+    order = np.argsort(ids, kind="stable")
+    starts = (np.cumsum(lens) - lens)[order]
+    pool, rank_flat = np.unique(flat, return_inverse=True)
+    npool = len(pool)
+    words = (npool + 63) // 64
+    use_bitmap = len(ids) * words * 8 <= budget
+    if use_bitmap:
+        bm = _rank_bitmaps(lens, rank_flat, npool)[order]
+        return ray.put((ids[order], bm, lens[order])), True
+    return ray.put((ids[order], rank_flat.astype(np.int32), starts,
+                    lens[order], npool)), False
+
+
+def _broadcast_verify_fn(corpus_ref, use_bitmap: bool, threshold: float,
+                         out_schema: pa.Schema):
+    """Streaming exact-Jaccard verify over a ``_broadcast_corpus_ref``
+    corpus: per batch of (left_id, right_id) pairs, gather both sides by
+    searchsorted and keep pairs at >= threshold, emitting (left_id,
+    right_id, jaccard). Zero shuffle; the corpus is a zero-copy object
+    store view in every worker."""
+
+    def verify(t: pa.Table) -> pa.Table:
+        corpus = ray.get(corpus_ref)
+        sid = corpus[0]
+        l = t.column("left_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        r = t.column("right_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        li = np.clip(np.searchsorted(sid, l), 0, len(sid) - 1)
+        ri = np.clip(np.searchsorted(sid, r), 0, len(sid) - 1)
+        ok = (sid[li] == l) & (sid[ri] == r)
+        li, ri, lt, rt = li[ok], ri[ok], l[ok], r[ok]
+        if use_bitmap:
+            _, bm_, clen = corpus
+            llen, rlen = clen[li], clen[ri]
+            inter = _bitmap_inter(bm_, li, ri)
+            union = llen + rlen - inter
+            sims = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+        else:
+            _, cranks, cstart, clen, npool_ = corpus
+            llen, rlen = clen[li], clen[ri]
+            sims = _batch_jaccard_ranked(
+                _flat_gather(cranks, cstart[li], llen), llen,
+                _flat_gather(cranks, cstart[ri], rlen), rlen, npool_)
+        keep = sims >= threshold
+        return pa.Table.from_arrays(
+            [pa.array(lt[keep], pa.int64()),
+             pa.array(rt[keep], pa.int64()),
+             pa.array(sims[keep], pa.float64())],
+            schema=out_schema)
+
+    return verify
+
+
 def _batch_jaccard(left_sets: list[np.ndarray], right_sets: list[np.ndarray]) -> np.ndarray:
     """List-of-arrays convenience over ``_batch_jaccard_flat``."""
     npairs = len(left_sets)
@@ -1598,6 +1657,7 @@ def ngram_prefix_join(docs: "ray.data.Dataset", n: int = 2,
                       n_coarse: int = 64, num_perm: int = 64,
                       prefilter_margin_sigmas: "float | None" = 4.0,
                       sig_broadcast_docs: int = 200_000,
+                      corpus_broadcast_bytes: int = 1 << 30,
                       seed: int = 42) -> "ray.data.Dataset":
     """Word-n-gram Jaccard pairs (left_id < right_id, jaccard >= threshold)
     via PREFIX FILTERING (AllPairs / PPJoin family: Bayardo et al. WWW'07,
@@ -1640,9 +1700,16 @@ def ngram_prefix_join(docs: "ray.data.Dataset", n: int = 2,
        Pass ``prefilter_margin_sigmas=None`` for strict exactness. The
        (id, sig) matrix broadcasts via ray.put up to ``sig_broadcast_docs``
        docs; larger corpora use the partitioned sig-payload exchange.
-    4. exact verify through ``_pair_payload_exchange`` with the gram sets
-       as payload; duplicate candidates from multi-token agreement land in
-       the same pair-keyed bucket and are deduped there.
+    4. exact verify. On the broadcast path, when the flat gram corpus fits
+       ``corpus_broadcast_bytes``, the corpus ships ONCE via ray.put and
+       surviving pairs stream through the zero-shuffle popcount/rank-set
+       kernel (``_broadcast_verify_fn``, same trade as near_dup_verified:
+       the payload exchange ships one set copy PER PAIR SIDE, so whenever
+       the corpus is the smaller object the broadcast wins); cross-bucket
+       duplicate candidates are collapsed by ``_distinct_pairs`` first
+       (near-true-pair-sized after the prefilter). Otherwise the
+       ``_pair_payload_exchange`` with gram payloads remains the scale
+       path, deduping pair-keyed in its buckets.
 
     Prefix filtering is effective when token df is Zipfian (real corpora:
     prefixes hit rare tokens). On a degenerate tiny vocabulary every token
@@ -1872,7 +1939,32 @@ def ngram_prefix_join(docs: "ray.data.Dataset", n: int = 2,
         cand = _pair_payload_exchange(
             cand, sig_ds, ["sig"], [sig_type], estimate, PRE, n_coarse)
 
-    # --- exact verify: gram sets as the exchange payload ---
+    # --- exact verify: broadcast corpus when it fits (see docstring) ---
+    if sig_ref is not None:
+        def g_nbytes(t: pa.Table) -> pa.Table:
+            flat, _ = _list_flat(t.column("grams"))
+            return pa.table({"nb": pa.array([int(flat.nbytes)], pa.int64())})
+
+        corpus_bytes = sum(r["nb"] for r in sets.map_batches(
+            g_nbytes, batch_format="pyarrow").take_all())
+        if corpus_bytes <= corpus_broadcast_bytes:
+            cand = _distinct_pairs(cand)
+            tbls = [t for t in ray.get(sets.to_arrow_refs()) if len(t)]
+            tbl = pa.concat_tables(tbls)
+            gids = tbl.column(id_col).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            gflat, glens = _list_flat(tbl.column("grams"))
+            corpus_ref, use_bitmap = _broadcast_corpus_ref(
+                gids, gflat, glens, corpus_broadcast_bytes)
+            out = cand.map_batches(
+                _broadcast_verify_fn(corpus_ref, use_bitmap, threshold,
+                                     _NGRAM_OUT),
+                batch_format="pyarrow", batch_size=16 * 1024).materialize()
+            if out.count() == 0:  # typed empty (no surviving candidates)
+                return ray.data.from_arrow(_NGRAM_OUT.empty_table())
+            return out
+
+    # --- exact verify, scale path: gram sets as the exchange payload ---
     def as_payload(t: pa.Table) -> pa.Table:
         return pa.table({"join_id": pc.cast(t.column(id_col), pa.int64()),
                          "grams": t.column("grams")})
