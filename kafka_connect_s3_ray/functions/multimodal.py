@@ -10,19 +10,22 @@ by bytes, not rows (see ``suggest_batch_size``).
 Decode support in this environment, three tiers:
 
 - **Real, dependency-free codecs**: PCM WAV audio (stdlib ``wave``), binary
-  PPM (P6) images (pure numpy header parse), and COMPRESSED PNG images (pure
-  stdlib-zlib + numpy: chunk walk, inflate, all five scanline filters) —
-  decode, feature extraction, and image resize are genuinely executed on the
-  bytes (``decode_wav`` / ``decode_ppm`` / ``decode_png`` / ``encode_*``).
-- ``decoder="real"`` for the REMAINING compressed formats (JPEG/MP3/H.264)
+  PPM (P6) images (pure numpy header parse), COMPRESSED PNG images (pure
+  stdlib-zlib + numpy: chunk walk, inflate, all five scanline filters), and
+  COMPRESSED baseline JPEG (pure numpy: Huffman entropy layer, vectorized
+  DCT/IDCT, 4:4:4 / 4:2:0, restart markers — see ``jpeg.py``) — decode,
+  feature extraction, and image resize are genuinely executed on the bytes
+  (``decode_wav`` / ``decode_ppm`` / ``decode_png`` / ``decode_jpeg`` /
+  ``encode_*``).
+- ``decoder="real"`` for the REMAINING compressed formats (MP3/FLAC/H.264)
   raises ``NotImplementedError`` naming the dependency — the seam where
-  PIL/librosa/av would plug in; not installable in this container.
+  librosa/av would plug in; not installable in this container.
 - ``decoder="fake"`` derives a deterministic feature vector from the raw
   bytes (byte histogram + moments) so plumbing tests never need codecs.
 
 ``decoder="auto"`` (default) sniffs magic bytes: RIFF/WAVE -> real WAV path,
-``P6`` -> real PPM path, PNG signature -> real PNG path, anything else ->
-fake features.
+``P6`` -> real PPM path, PNG signature -> real PNG path, JPEG SOI -> real
+JPEG path, anything else -> fake features.
 """
 
 from __future__ import annotations
@@ -33,6 +36,10 @@ import zlib
 
 import numpy as np
 import pyarrow as pa
+
+from .jpeg import decode_jpeg, encode_jpeg
+
+JPEG_SIG = b"\xff\xd8\xff"
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -290,12 +297,17 @@ def synth_real_media(n: int = 32, seed: int = 42) -> pa.Table:
             rows["width"].append(0)
             rows["height"].append(0)
             rows["duration_ms"].append(dur_ms)
-        else:  # image: alternate uncompressed PPM and COMPRESSED PNG
+        else:  # image: cycle uncompressed PPM / compressed PNG / compressed JPEG
             w, h = int(rng.integers(16, 96)), int(rng.integers(16, 96))
             base = np.linspace(0, 255, w, dtype=np.float32)[None, :, None]
             img = (base + rng.integers(0, 64, (h, w, 3))).clip(0, 255).astype(np.uint8)
-            rows["payload"].append(encode_png(img) if i % 4 == 3
-                                   else encode_ppm(img))
+            if i % 8 == 7:
+                rows["payload"].append(encode_jpeg(img, quality=90,
+                                                   subsample="420"))
+            elif i % 4 == 3:
+                rows["payload"].append(encode_png(img))
+            else:
+                rows["payload"].append(encode_ppm(img))
             rows["media_type"].append("image")
             rows["width"].append(w)
             rows["height"].append(h)
@@ -325,12 +337,13 @@ class MediaFeatureExtractor:
 
     ``decoder="auto"``: sniff the payload — RIFF/WAVE decodes through the real
     WAV path, ``P6`` through the real PPM path, the PNG signature through the
-    real zlib PNG path, anything else falls back to the deterministic
-    byte-level features. ``decoder="real"`` additionally demands a real
-    decode for the remaining compressed formats (JPEG/MP3/H.264), which needs
-    PIL/librosa/av — not present in this container: raises
-    NotImplementedError (the model-load seam; one codec/model per actor,
-    batched inference per call)."""
+    real zlib PNG path, the JPEG SOI through the real pure-numpy baseline
+    JPEG path, anything else falls back to the deterministic byte-level
+    features. ``decoder="real"`` additionally demands a real decode for the
+    remaining compressed formats (MP3/FLAC/H.264), which needs librosa/av —
+    not present in this container: raises NotImplementedError (the
+    model-load seam; one codec/model per actor, batched inference per
+    call)."""
 
     def __init__(self, decoder: str = "auto"):
         if decoder not in ("auto", "fake", "real"):
@@ -346,14 +359,16 @@ class MediaFeatureExtractor:
                     return _rgb_features(decode_ppm(p))
                 if p.startswith(PNG_SIG):
                     return _rgb_features(decode_png(p))
+                if p.startswith(JPEG_SIG):
+                    return _rgb_features(decode_jpeg(p))
             except Exception:
                 if self.decoder == "real":
                     raise  # a corrupt payload must fail loudly in real mode
                 return _fake_features(p)  # auto: sniff false-positive
             if self.decoder == "real":
                 raise NotImplementedError(
-                    "JPEG/MP3/H.264 decoding needs PIL/librosa/av — not "
-                    "present in this environment; WAV/PPM/PNG decode "
+                    "MP3/FLAC/H.264 decoding needs librosa/av — not "
+                    "present in this environment; WAV/PPM/PNG/JPEG decode "
                     "natively, other formats use decoder='auto' byte features"
                 )
         return _fake_features(p)
@@ -393,12 +408,14 @@ class FrameSampler:
 
 
 class Resizer:
-    """Image resize as an actor-pool stage. PPM (P6) and PNG payloads are
-    REALLY decoded, nearest-neighbor-resampled (vectorized index gather),
-    and re-encoded in their own format; JPEG would need PIL
-    (``decoder="real"`` raises per payload naming it); other payloads fall
-    back to deterministic byte subsampling so the batch plumbing (binary in
-    -> smaller binary out, metadata update) stays testable without codecs."""
+    """Image resize as an actor-pool stage. PPM (P6), PNG, and baseline
+    JPEG payloads are REALLY decoded, nearest-neighbor-resampled
+    (vectorized index gather), and re-encoded in their own format
+    (JPEG re-encodes at quality 90, 4:4:4); exotic formats under
+    ``decoder="real"`` raise per payload naming the dependency; other
+    payloads fall back to deterministic byte subsampling so the batch
+    plumbing (binary in -> smaller binary out, metadata update) stays
+    testable without codecs."""
 
     def __init__(self, target_w: int = 64, target_h: int = 64, decoder: str = "auto"):
         if decoder not in ("auto", "fake", "real"):
@@ -424,13 +441,17 @@ class Resizer:
                     if p.startswith(PNG_SIG):
                         out.append(encode_png(self._resample(decode_png(p))))
                         continue
+                    if p.startswith(JPEG_SIG):
+                        out.append(encode_jpeg(self._resample(decode_jpeg(p)),
+                                               quality=90))
+                        continue
                 except Exception:
                     if self.decoder == "real":
                         raise  # corrupt payload fails loudly in real mode
                 if self.decoder == "real":
                     raise NotImplementedError(
-                        "resizing JPEG needs PIL — not present in this "
-                        "environment; PPM and PNG resize natively"
+                        "resizing this format needs PIL/av — not present in "
+                        "this environment; PPM, PNG and JPEG resize natively"
                     )
             step = max(1, len(p) // n_out)
             out.append(p[::step][:n_out])

@@ -1328,9 +1328,10 @@ def q_curation_chain(sf_dir: str):
 
 def q_media_features(sf_dir: str):
     """Multimodal pipeline through the gate: REAL dependency-free decode of
-    seeded WAV/PPM payloads (stdlib wave + numpy PPM parse) -> actor-pool
-    feature extraction; features replace the heavy bytes. Deterministic
-    (seed=42, size scaled by sf); rows-only (no SQL media codecs)."""
+    seeded WAV/PPM/PNG/JPEG payloads (stdlib wave, numpy PPM parse, zlib
+    PNG, pure-numpy baseline JPEG) -> actor-pool feature extraction;
+    features replace the heavy bytes. Deterministic (seed=42, size scaled
+    by sf); rows-only (no SQL media codecs)."""
     from ..functions.multimodal import MediaFeatureExtractor, synth_real_media
 
     name = os.path.basename(sf_dir.rstrip("/"))

@@ -259,13 +259,16 @@ def test_multimodal_plumbing():
     orig_sizes = media.to_pandas()["payload"].str.len()
     assert (resized.sort_values("media_id")["payload"].str.len().to_numpy()
             <= orig_sizes.to_numpy()).all()
-    # WAV/PPM/PNG decode natively; JPEG under decoder="real" is the explicit
-    # dependency seam (per-payload; construction succeeds)
-    with pytest.raises(NotImplementedError):
+    # WAV/PPM/PNG/JPEG decode natively; a TRUNCATED JPEG must now fail
+    # loudly as a decode error (it is a real codec), while MP3 under
+    # decoder="real" remains the explicit dependency seam
+    with pytest.raises(ValueError):
         MediaFeatureExtractor(decoder="real")._features(b"\xff\xd8\xff\xe0jpg")
     with pytest.raises(NotImplementedError):
+        MediaFeatureExtractor(decoder="real")._features(b"ID3\x04mp3 frames")
+    with pytest.raises(NotImplementedError):
         Resizer(decoder="real")(pa.table({
-            "payload": pa.array([b"\xff\xd8\xff\xe0jpg"], pa.binary()),
+            "payload": pa.array([b"ID3\x04mp3 frames"], pa.binary()),
             "width": pa.array([4], pa.int32()),
             "height": pa.array([4], pa.int32()),
         }))

@@ -536,24 +536,36 @@ def test_real_media_features_and_resize():
     assert ((means > 0.2) & (means < 0.9)).all()
 
     # real resize: output parses in ITS OWN format with the target dims
+    from kafka_connect_s3_ray.functions.jpeg import decode_jpeg
     from kafka_connect_s3_ray.functions.multimodal import decode_png
 
     resized = ds.map_batches(Resizer(target_w=8, target_h=6),
                              batch_format="pyarrow").to_pandas()
+    seen_fmt = set()
     for _, row in resized[resized["media_type"] == "image"].iterrows():
         p = bytes(row["payload"])
-        img = decode_png(p) if p.startswith(b"\x89PNG") else decode_ppm(p)
+        if p.startswith(b"\x89PNG"):
+            img, fmt = decode_png(p), "png"
+        elif p.startswith(b"\xff\xd8\xff"):
+            img, fmt = decode_jpeg(p), "jpeg"
+        else:
+            img, fmt = decode_ppm(p), "ppm"
+        seen_fmt.add(fmt)
         assert img.shape == (6, 8, 3)
         assert row["width"] == 8 and row["height"] == 6
+    assert seen_fmt == {"ppm", "png", "jpeg"}  # all three real image codecs
 
 
 def test_real_decoder_rejects_compressed():
     from kafka_connect_s3_ray.functions.multimodal import MediaFeatureExtractor
 
     ex = MediaFeatureExtractor(decoder="real")
+    # MP3 stays the dependency seam; JPEG is now a real codec, so CORRUPT
+    # JPEG/PNG payloads fail loudly as decode errors in real mode
     with pytest.raises(NotImplementedError):
+        ex._features(b"ID3\x04 mp3 garbage")
+    with pytest.raises(Exception):
         ex._features(b"\xff\xd8\xff\xe0 jpeg garbage")
-    # a CORRUPT PNG must also fail loudly in real mode (now a real codec)
     with pytest.raises(Exception):
         ex._features(b"\x89PNG\r\n\x1a\n garbage")
 
