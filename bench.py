@@ -134,7 +134,7 @@ def run_bench() -> dict:
         "cdc_merge_events", "lww_keep_last", "partition_watermarks",
         "archive_roundtrip", "dedup_exact", "minhash_near_dup",
         "simhash_near_dup", "token_sum_by_lang", "quality_stats", "lang_id",
-        "cosine_topk", "embedding_near_dup", "tumbling_window",
+        "cosine_topk", "embedding_near_dup", "semdedup", "tumbling_window",
         "session_windows", "broadcast_join", "asof_join", "hash_join",
         "range_join", "near_dup_verified", "ngram_jaccard",
         "ngram_jaccard_prefix", "duplicate_spans", "time_travel",
@@ -183,7 +183,8 @@ def run_bench() -> dict:
             "cdc_merge_events", "lww_keep_last", "archive_roundtrip",
             "dedup_exact", "minhash_near_dup", "near_dup_verified",
             "token_sum_by_lang", "lang_id", "cosine_topk",
-            "embedding_near_dup", "tumbling_window", "session_windows",
+            "embedding_near_dup", "semdedup", "tumbling_window",
+            "session_windows",
             "broadcast_join", "asof_join", "hash_join", "range_join",
             "pii_redact", "tfidf_terms", "value_histogram",
             "ngram_jaccard_prefix", "duplicate_spans",

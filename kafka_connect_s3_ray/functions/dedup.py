@@ -2184,3 +2184,64 @@ def connected_components(pairs: "ray.data.Dataset",
 
     return (rows.map_batches(add_coarse, batch_format="pyarrow")
             .groupby("coarse").map_groups(dedup, batch_format="pandas"))
+
+
+def semdedup(ds: "ray.data.Dataset", threshold: float = 0.95,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             method: str = "auto", broadcast_budget_rows: int = 2_000_000,
+             seed: int = 42) -> "ray.data.Dataset":
+    """SemDeDup-style semantic dedup (Abbas et al., arXiv:2303.09540):
+    embedding-cosine duplicate CLUSTERS, keep one representative each.
+
+    The reference engine has no semantic layer (it moves opaque bytes,
+    `sink/.../S3SinkTask.java`); this is the LLM-curation composition of
+    this repo's scale primitives, end to end:
+
+    1. ``embedding_near_dup`` — cosine pairs at ``threshold``. ``auto``
+       runs the exact distributed all-pairs leg under 10k vectors (the
+       oracle regime) and the IVF cluster-blocked leg above it (the
+       100 TB route; recall-tested in pytest).
+    2. ``connected_components`` — pairwise hits to transitive duplicate
+       clusters (a cluster {a,b,c} discovered as (a,b),(b,c) must drop
+       TWO docs, not one per pair); int64 edge shuffles only.
+    3. decision join back to the corpus: the component map is bounded by
+       the number of duplicate-involved docs — broadcast once via
+       ``ray.put`` below ``broadcast_budget_rows``, coarse-bucket hash
+       join above it. Every id gets ``cluster_id`` (its component min, or
+       itself) and ``kept`` (True iff it is the representative).
+
+    Returns (id_col, cluster_id, kept) for EVERY input row — callers
+    filter ``kept`` for the surviving corpus or join the drop set back to
+    the documents table. SemDeDup proper prunes per-cluster by distance
+    to a k-means centroid; the keep-min-id rule here is its deterministic,
+    oracle-checkable specialization (identical drop COUNT per cluster,
+    stable under replay — the property a training-data pipeline needs)."""
+    from ..stages.joins import broadcast_join, hash_join
+
+    pairs = embedding_near_dup(ds, threshold=threshold, id_col=id_col,
+                               vec_col=vec_col, method=method, seed=seed)
+    comps = connected_components(pairs).materialize()
+    ids = ds.select_columns([id_col])
+
+    def finish(t: pa.Table) -> pa.Table:
+        mine = pc.cast(t.column(id_col), pa.int64())
+        cl = pc.coalesce(pc.cast(t.column("cluster_id"), pa.int64()), mine)
+        return pa.table({id_col: mine, "cluster_id": cl,
+                         "kept": pc.equal(mine, cl)})
+
+    n_comp = comps.count()
+    if n_comp == 0:  # no duplicates anywhere: every row keeps itself
+
+        def all_kept(t: pa.Table) -> pa.Table:
+            mine = pc.cast(t.column(id_col), pa.int64())
+            return pa.table({id_col: mine, "cluster_id": mine,
+                             "kept": pa.array(np.ones(len(t), bool))})
+
+        return ids.map_batches(all_kept, batch_format="pyarrow")
+    if n_comp <= broadcast_budget_rows:
+        cdf = comps.to_pandas().rename(columns={"doc_id": id_col})
+        joined = broadcast_join(ids, cdf, on=id_col, how="left")
+    else:
+        joined = hash_join(ids, comps, on=id_col, right_on="doc_id",
+                           join_type="left")
+    return joined.map_batches(finish, batch_format="pyarrow")

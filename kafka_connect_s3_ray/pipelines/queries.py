@@ -1226,6 +1226,23 @@ def q_embedding_near_dup(sf_dir: str):
                      "right_id": pa.array(out["right_id"], pa.int64())})
 
 
+def q_semdedup(sf_dir: str):
+    """SemDeDup-class semantic dedup, end to end: cosine pairs ->
+    connected components -> keep-one-per-cluster decision for EVERY
+    vector (`functions/dedup.py::semdedup`). At gate scale the pair stage
+    runs the exact all-pairs leg, so the whole chain is oracle-checkable
+    against a DuckDB cross-join + recursive-CTE closure; at bench scale
+    `method="auto"` flips the pair stage to the IVF cluster-blocked leg
+    (the 100 TB route)."""
+    from ..functions.dedup import semdedup
+
+    out = semdedup(_emb(sf_dir), threshold=0.5, method="auto").to_pandas()
+    out = out.sort_values("vec_id").reset_index(drop=True)
+    return pa.table({"vec_id": pa.array(out["vec_id"], pa.int64()),
+                     "cluster_id": pa.array(out["cluster_id"], pa.int64()),
+                     "kept": pa.array(out["kept"], pa.bool_())})
+
+
 def q_near_dup_verified(sf_dir: str):
     """The full near-dup chain, fused: MinHash-LSH candidates + exact
     k-shingle Jaccard verify at 0.6 in three shuffles, shingles/signatures
@@ -1745,6 +1762,7 @@ QUERIES = {
     "semi_join_bloom": q_semi_join_bloom,
     "near_dup_verified": q_near_dup_verified,
     "embedding_near_dup": q_embedding_near_dup,
+    "semdedup": q_semdedup,
     "minhash_near_dup": q_minhash_near_dup,
     "curation_chain": q_curation_chain,
     # --- newer round-3 additions ------------------------------------------
@@ -2027,6 +2045,30 @@ ORACLE_SQL = {
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
         "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
         "CAST(b.embedding AS DOUBLE[])) >= 0.5"
+    ),
+    "semdedup": (
+        # the full semantic-dedup chain in SQL: the same all-pairs cosine
+        # pair set, symmetric edge closure via a recursive CTE (the
+        # near_dup_clusters transitive-closure pattern), then every vector
+        # joined to its component min — kept iff it IS the min
+        "WITH RECURSIVE np AS ("
+        "SELECT a.vec_id AS left_id, b.vec_id AS right_id "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[])) >= 0.5), "
+        "e AS (SELECT left_id AS u, right_id AS v FROM np "
+        "UNION SELECT right_id, left_id FROM np), "
+        "walk(node, reach) AS ("
+        "SELECT u, v FROM e "
+        "UNION "
+        "SELECT wk.node, e2.v FROM walk wk JOIN e e2 ON e2.u = wk.reach), "
+        "cl AS (SELECT node, CAST(least(node, min(reach)) AS BIGINT) "
+        "AS cluster_id FROM walk GROUP BY node) "
+        "SELECT emb.vec_id, "
+        "COALESCE(cl.cluster_id, emb.vec_id) AS cluster_id, "
+        "(COALESCE(cl.cluster_id, emb.vec_id) = emb.vec_id) AS kept "
+        "FROM embeddings emb LEFT JOIN cl ON cl.node = emb.vec_id "
+        "ORDER BY emb.vec_id"
     ),
     "ngram_jaccard": (
         # exact all-pairs word-bigram Jaccard at threshold 0.3; fixture

@@ -73,7 +73,8 @@ SQL_CHECKED = [
     "archive_roundtrip", "partition_prune",
     "replay_order",
     "topk_events", "exclude_filter", "token_count", "quality_stats",
-    "dedup_exact", "token_sum_by_lang", "cosine_topk", "embedding_near_dup", "lang_id",
+    "dedup_exact", "token_sum_by_lang", "cosine_topk", "embedding_near_dup",
+    "semdedup", "lang_id",
     "distinct_users_by_type", "windowed_distinct", "ngram_jaccard",
     "ngram_jaccard_prefix", "duplicate_spans",
     "near_dup_clusters",

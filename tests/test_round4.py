@@ -329,3 +329,70 @@ def test_png_resize_real(ray_session):
     yi = (np.arange(6) * 40 // 6).clip(0, 39)
     xi = (np.arange(8) * 40 // 8).clip(0, 39)
     assert np.array_equal(back, img[yi[:, None], xi[None, :]])
+
+
+def _semdedup_fixture():
+    """12 vectors: cluster {0,3,7} (near-identical dir A, found pairwise as
+    a CHAIN), cluster {2,9} (dir B), the rest orthogonal-ish singletons."""
+    rng = np.random.default_rng(5)
+    dim = 16
+    a = rng.standard_normal(dim)
+    b = rng.standard_normal(dim)
+    vecs = []
+    for i in range(12):
+        if i in (0, 3, 7):
+            v = a + rng.standard_normal(dim) * 0.02
+        elif i in (2, 9):
+            v = b + rng.standard_normal(dim) * 0.02
+        else:
+            v = rng.standard_normal(dim)
+        vecs.append((v / np.linalg.norm(v)).astype(np.float64))
+    return pa.table({"vec_id": pa.array(range(12), pa.int64()),
+                     "embedding": pa.array([v.tolist() for v in vecs],
+                                           pa.list_(pa.float64()))})
+
+
+def test_semdedup_transitive_clusters_drop_all_but_one(ray_session):
+    """A 3-cluster found as a pair CHAIN must drop TWO docs (the
+    connected-components step), and singletons all keep themselves."""
+    from kafka_connect_s3_ray.functions.dedup import semdedup
+
+    ds = ray.data.from_arrow(_semdedup_fixture())
+    out = (semdedup(ds, threshold=0.9, method="exact")
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    assert len(out) == 12
+    by = out.set_index("vec_id")
+    assert by.loc[[0, 3, 7], "cluster_id"].tolist() == [0, 0, 0]
+    assert by.loc[[2, 9], "cluster_id"].tolist() == [2, 2]
+    assert by.loc[[0, 2], "kept"].all() and not by.loc[[3, 7, 9], "kept"].any()
+    singles = by.drop(index=[0, 3, 7, 2, 9])
+    assert (singles["cluster_id"] == singles.index).all()
+    assert singles["kept"].all()
+
+
+def test_semdedup_hash_join_path_equals_broadcast_path(ray_session):
+    """broadcast_budget_rows=0 forces the coarse-bucket hash-join decision
+    join (the above-budget scale route) — identical output."""
+    from kafka_connect_s3_ray.functions.dedup import semdedup
+
+    ds = ray.data.from_arrow(_semdedup_fixture())
+    bc = (semdedup(ds, threshold=0.9, method="exact")
+          .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    hj = (semdedup(ds, threshold=0.9, method="exact",
+                   broadcast_budget_rows=0)
+          .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(bc, hj.astype(bc.dtypes.to_dict()))
+
+
+def test_semdedup_no_duplicates_keeps_everything(ray_session):
+    from kafka_connect_s3_ray.functions.dedup import semdedup
+
+    rng = np.random.default_rng(11)
+    t = pa.table({"vec_id": pa.array(range(8), pa.int64()),
+                  "embedding": pa.array(
+                      [list(r) for r in rng.standard_normal((8, 12))],
+                      pa.list_(pa.float64()))})
+    out = (semdedup(ray.data.from_arrow(t), threshold=0.999, method="exact")
+           .to_pandas().sort_values("vec_id"))
+    assert out["kept"].all()
+    assert (out["cluster_id"].to_numpy() == out["vec_id"].to_numpy()).all()
