@@ -9,14 +9,15 @@ by bytes, not rows (see ``suggest_batch_size``).
 
 Decode support in this environment, three tiers:
 
-- **Real, dependency-free codecs**: PCM WAV audio (stdlib ``wave``), binary
-  PPM (P6) images (pure numpy header parse), COMPRESSED PNG images (pure
-  stdlib-zlib + numpy: chunk walk, inflate, all five scanline filters), and
-  COMPRESSED baseline JPEG (pure numpy: Huffman entropy layer, vectorized
-  DCT/IDCT, 4:4:4 / 4:2:0, restart markers — see ``jpeg.py``) — decode,
-  feature extraction, and image resize are genuinely executed on the bytes
-  (``decode_wav`` / ``decode_ppm`` / ``decode_png`` / ``decode_jpeg`` /
-  ``encode_*``).
+- **Real, dependency-free codecs**: PCM WAV audio (stdlib ``wave``),
+  COMPRESSED IMA-ADPCM WAV audio (pure numpy, format tag 0x11 — see
+  ``adpcm.py``), binary PPM (P6) images (pure numpy header parse),
+  COMPRESSED PNG images (pure stdlib-zlib + numpy: chunk walk, inflate,
+  all five scanline filters), and COMPRESSED baseline JPEG (pure numpy:
+  Huffman entropy layer, vectorized DCT/IDCT, 4:4:4 / 4:2:0, restart
+  markers — see ``jpeg.py``) — decode, feature extraction, and image
+  resize are genuinely executed on the bytes (``decode_wav`` /
+  ``decode_ppm`` / ``decode_png`` / ``decode_jpeg`` / ``encode_*``).
 - ``decoder="real"`` for the REMAINING compressed formats (MP3/FLAC/H.264)
   raises ``NotImplementedError`` naming the dependency — the seam where
   librosa/av would plug in; not installable in this container.
@@ -37,6 +38,7 @@ import zlib
 import numpy as np
 import pyarrow as pa
 
+from .adpcm import decode_wav_adpcm, encode_wav_adpcm
 from .jpeg import decode_jpeg, encode_jpeg
 
 JPEG_SIG = b"\xff\xd8\xff"
@@ -71,16 +73,22 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
 
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
-    """WAV bytes -> (int16 mono samples, sample_rate). Multi-channel input is
-    averaged to mono; only 16-bit PCM is supported (the uncompressed case)."""
-    with wave.open(io.BytesIO(payload), "rb") as w:
-        if w.getsampwidth() != 2:
-            raise NotImplementedError(
-                f"only 16-bit PCM WAV supported, got sampwidth={w.getsampwidth()}"
-            )
-        rate = w.getframerate()
-        nch = w.getnchannels()
-        raw = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+    """WAV bytes -> (int16 mono samples, sample_rate). PCM goes through
+    stdlib ``wave``; IMA ADPCM (format tag 0x11, the COMPRESSED case) goes
+    through the pure-numpy codec in ``adpcm.py``. Multi-channel PCM is
+    averaged to mono."""
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            if w.getsampwidth() != 2:
+                raise NotImplementedError(
+                    f"only 16-bit PCM WAV supported, got sampwidth={w.getsampwidth()}"
+                )
+            rate = w.getframerate()
+            nch = w.getnchannels()
+            raw = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+    except wave.Error:
+        # stdlib wave rejects compressed format tags — real ADPCM decode
+        return decode_wav_adpcm(payload)
     if nch > 1:
         raw = raw.reshape(-1, nch).mean(axis=1).astype(np.int16)
     return raw, rate
@@ -285,14 +293,15 @@ def synth_real_media(n: int = 32, seed: int = 42) -> pa.Table:
     rng = np.random.default_rng(seed)
     rows = {k: [] for k in MEDIA_SCHEMA.names}
     for i in range(n):
-        if i % 2 == 0:  # audio
+        if i % 2 == 0:  # audio: PCM WAV, every 4th one COMPRESSED (ADPCM)
             rate = 8000
             dur_ms = int(rng.integers(50, 400))
             t = np.arange(int(rate * dur_ms / 1000))
             freq = float(rng.uniform(100, 1500))
             amp = float(rng.uniform(0.2, 0.9))
             samples = (amp * 32767 * np.sin(2 * np.pi * freq * t / rate)).astype(np.int16)
-            rows["payload"].append(encode_wav(samples, rate))
+            rows["payload"].append(encode_wav_adpcm(samples, rate) if i % 8 == 6
+                                   else encode_wav(samples, rate))
             rows["media_type"].append("audio")
             rows["width"].append(0)
             rows["height"].append(0)
