@@ -161,3 +161,129 @@ def duplicate_spans(docs: "ray.data.Dataset", k: int = 8,
     if out.count() == 0:  # cheap: materialized (all-unique or sub-k corpus)
         return ray.data.from_arrow(_SPAN.empty_table())
     return out
+
+
+def remove_duplicate_spans(docs: "ray.data.Dataset", k: int = 8,
+                           id_col: str = "doc_id", text_col: str = "text",
+                           min_count: int = 2,
+                           broadcast_budget_rows: int = 2_000_000,
+                           n_coarse: int = 256,
+                           n_coarse_doc: int = 64) -> "ray.data.Dataset":
+    """ExactSubstr REMOVAL (Lee et al. ACL'22): rewrite every doc with its
+    ``duplicate_spans`` regions cut out — the released
+    deduplicate-text-datasets tool's semantics, which removes EVERY
+    occurrence of a duplicated substring (all copies, not all-but-one).
+
+    Contract: docs with NULL/whitespace-only text are passed through with
+    ``text_clean = NULL`` / ``''``; all other docs are re-emitted as
+    (id_col, text_clean) where text_clean is the doc's whitespace tokens
+    minus the flagged [span_start, span_end) ranges, rejoined by a single
+    space — i.e. output text is TOKEN-NORMALIZED (runs of whitespace
+    collapse) even for untouched docs, which keeps the operator a pure
+    function of the token sequence the span finder saw. A fully-duplicated
+    doc comes back as ``''``.
+
+    Scale: the span table is bounded by duplicated volume, not corpus
+    size — per-doc span lists are aggregated with the same coarse doc-hash
+    exchange the finder ends with, then broadcast once via ``ray.put``
+    below ``broadcast_budget_rows`` spans (the common case: dup regions
+    are a small fraction of a 100 TB corpus) or joined by a coarse-bucket
+    hash exchange above it. The strip kernel walks numpy range masks per
+    batch; only the final per-doc ' '.join is per-row, the same cost class
+    as the tokenize it mirrors."""
+    spans = duplicate_spans(docs, k=k, id_col=id_col, text_col=text_col,
+                            min_count=min_count, n_coarse=n_coarse,
+                            n_coarse_doc=n_coarse_doc).materialize()
+
+    def strip_fn(lookup: "dict[int, np.ndarray]"):
+        def strip(t: pa.Table) -> pa.Table:
+            ids = pc.cast(t.column(id_col), pa.int64()).to_numpy(
+                zero_copy_only=False)
+            texts = t.column(text_col).to_pylist()
+            out = []
+            for did, s in zip(ids, texts):
+                if s is None:
+                    out.append(None)
+                    continue
+                toks = s.split()
+                ranges = lookup.get(int(did))
+                if ranges is None or not toks:
+                    out.append(" ".join(toks))
+                    continue
+                keep = np.ones(len(toks), bool)
+                for a, b in ranges:
+                    keep[a:b] = False
+                out.append(" ".join(w for w, kf in zip(toks, keep) if kf))
+            return pa.table({id_col: pa.array(ids, pa.int64()),
+                             "text_clean": pa.array(out, pa.string())})
+        return strip
+
+    n_spans = spans.count()
+    if n_spans == 0:
+        return docs.map_batches(strip_fn({}), batch_format="pyarrow")
+    if n_spans <= broadcast_budget_rows:
+        sdf = spans.to_pandas()
+        lookup = {
+            int(did): g[["span_start", "span_end"]].to_numpy(np.int64)
+            for did, g in sdf.groupby(id_col, sort=False)
+        }
+        ref = ray.put(lookup)
+
+        def strip_bc(t: pa.Table) -> pa.Table:
+            return strip_fn(ray.get(ref))(t)
+
+        return docs.map_batches(strip_bc, batch_format="pyarrow")
+
+    # above-budget scale path: co-partition docs and spans on a coarse
+    # doc-hash bucket, strip inside each bucket group
+    from .dedup import _splitmix64_mix
+
+    def tag(col: str):
+        def f(t: pa.Table) -> pa.Table:
+            d = pc.cast(t.column(col), pa.int64()).to_numpy(
+                zero_copy_only=False).astype(np.uint64)
+            h = _splitmix64_mix(d)
+            return t.append_column("coarse3", pa.array(
+                (h % np.uint64(n_coarse_doc)).astype(np.int32)))
+        return f
+
+    import pandas as pd
+
+    # align both sides onto one union schema (explicit null-fill — Dataset
+    # union of mismatched schemas is undefined behavior)
+    union_schema = pa.schema([
+        (id_col, pa.int64()), (text_col, pa.string()),
+        ("span_start", pa.int64()), ("span_end", pa.int64()),
+        ("is_span", pa.bool_()), ("coarse3", pa.int32()),
+    ])
+
+    def align(t: pa.Table) -> pa.Table:
+        cols = []
+        for f in union_schema:
+            if f.name in t.schema.names:
+                cols.append(pc.cast(t.column(f.name), f.type))
+            else:
+                cols.append(pa.nulls(len(t), f.type))
+        return pa.Table.from_arrays(cols, schema=union_schema)
+
+    dtag = (docs.map_batches(tag(id_col), batch_format="pyarrow")
+            .map_batches(align, batch_format="pyarrow"))
+    stag = (spans.map_batches(tag(id_col), batch_format="pyarrow")
+            .map_batches(lambda t: align(t.append_column(
+                "is_span", pa.array(np.ones(len(t), bool)))),
+                batch_format="pyarrow"))
+
+    def strip_group(g: pd.DataFrame) -> pd.DataFrame:
+        sp = g[g.get("is_span").notna()] if "is_span" in g else g.iloc[0:0]
+        dd = g[g.get("is_span").isna()] if "is_span" in g else g
+        lookup = {
+            int(did): s[["span_start", "span_end"]].to_numpy(np.int64)
+            for did, s in sp.groupby(id_col, sort=False)
+        } if len(sp) else {}
+        tbl = pa.Table.from_pandas(
+            dd[[id_col, text_col]], preserve_index=False)
+        return strip_fn(lookup)(tbl).to_pandas()
+
+    both = dtag.union(stag)
+    return both.groupby("coarse3").map_groups(strip_group,
+                                              batch_format="pandas")

@@ -1279,6 +1279,21 @@ def q_duplicate_spans(sf_dir: str):
                      "span_end": pa.array(out["span_end"], pa.int64())})
 
 
+def q_remove_duplicate_spans(sf_dir: str):
+    """ExactSubstr REMOVAL: every doc rewritten with its duplicate_spans
+    regions cut out (all copies — the released deduplicate-text-datasets
+    semantics). Output text is token-normalized (single spaces); NULL text
+    passes through as NULL. The oracle rebuilds the same spans in SQL and
+    anti-joins token positions against them."""
+    from ..functions.spans import remove_duplicate_spans
+
+    out = remove_duplicate_spans(_docs(sf_dir, ["doc_id", "text"]),
+                                 k=8).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return pa.table({"doc_id": pa.array(out["doc_id"], pa.int64()),
+                     "text_clean": pa.array(out["text_clean"], pa.string())})
+
+
 def q_ngram_jaccard_prefix(sf_dir: str):
     """Word-bigram Jaccard pairs at threshold 0.8 via the PREFIX-FILTERED
     set-similarity join (AllPairs/PPJoin) — the UNCAPPED scale member of
@@ -1753,6 +1768,7 @@ QUERIES = {
     "cdc_transcripts": q_cdc_transcripts,
     # --- new / touched this round ----------------------------------------
     "duplicate_spans": q_duplicate_spans,
+    "remove_duplicate_spans": q_remove_duplicate_spans,
     "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
     "knn_graph_ivf": q_knn_graph_ivf,
     "stratified_sample": q_stratified_sample,
@@ -2231,6 +2247,39 @@ ORACLE_SQL["duplicate_spans"] = (
     "SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start, "
     "CAST(max(pos) + 8 AS BIGINT) AS span_end "
     "FROM grp GROUP BY doc_id, island ORDER BY doc_id, span_start"
+)
+
+# remove_duplicate_spans: rebuild the same spans, then anti-join every token
+# position against its doc's spans and re-agg the survivors in order. NULL
+# text -> NULL; whitespace-only or fully-duplicated -> ''.
+ORACLE_SQL["remove_duplicate_spans"] = (
+    "WITH wrd AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') "
+    "AS ws FROM documents WHERE text IS NOT NULL AND trim(text) <> ''), "
+    "wins AS (SELECT w.doc_id, i.i - 1 AS pos, "
+    "array_to_string(w.ws[i.i : i.i + 7], ' ') AS win FROM wrd w, "
+    "LATERAL (SELECT unnest(generate_series(1, array_length(w.ws) - 7)) "
+    "AS i) i), "
+    "dup AS (SELECT win FROM wins GROUP BY win HAVING count(*) >= 2), "
+    "dpos AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup d USING (win)), "
+    "isl AS (SELECT doc_id, pos, CASE WHEN pos <= max(pos + 8) OVER ("
+    "PARTITION BY doc_id ORDER BY pos "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+    "THEN 0 ELSE 1 END AS new_island FROM dpos), "
+    "grp AS (SELECT doc_id, pos, sum(new_island) OVER ("
+    "PARTITION BY doc_id ORDER BY pos) AS island FROM isl), "
+    "spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e "
+    "FROM grp GROUP BY doc_id, island), "
+    "toks AS (SELECT w.doc_id, i.i - 1 AS pos, w.ws[i.i] AS tok "
+    "FROM wrd w, LATERAL (SELECT unnest(generate_series(1, "
+    "array_length(w.ws))) AS i) i), "
+    "kept AS (SELECT t.doc_id, t.pos, t.tok FROM toks t "
+    "WHERE NOT EXISTS (SELECT 1 FROM spans s WHERE s.doc_id = t.doc_id "
+    "AND t.pos >= s.s AND t.pos < s.e)) "
+    "SELECT d.doc_id, CASE WHEN d.text IS NULL THEN NULL "
+    "WHEN trim(d.text) = '' THEN '' ELSE "
+    "(SELECT COALESCE(string_agg(k.tok, ' ' ORDER BY k.pos), '') "
+    "FROM kept k WHERE k.doc_id = d.doc_id) END AS text_clean "
+    "FROM documents d ORDER BY d.doc_id"
 )
 ORACLE_SQL["cosine_topk_ivf"] = ORACLE_SQL["cosine_topk"]
 ORACLE_SQL["cosine_topk_ivf_indexed"] = ORACLE_SQL["cosine_topk"]

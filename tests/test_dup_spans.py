@@ -5,6 +5,7 @@ tests/test_queries.py (`duplicate_spans` in SQL_CHECKED).
 """
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 import ray.data as rd
@@ -110,3 +111,72 @@ def test_spans_match_bruteforce_on_random_corpus(ray_session):
         if cur:
             expect.add((d, cur[0], cur[1]))
     assert spans == expect and len(expect) > 10
+
+
+def _mk_docs(rows):
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string())}))
+
+
+def test_remove_duplicate_spans_cuts_all_copies(ray_session):
+    """Lee et al. tool semantics: EVERY occurrence of the duplicated
+    passage is removed — from both docs, including within-doc repeats."""
+    from kafka_connect_s3_ray.functions.spans import remove_duplicate_spans
+
+    passage = "the quick brown fox jumps over the lazy dog again today"
+    ds = _mk_docs([
+        (1, f"alpha beta {passage} gamma"),
+        (2, f"start tokens here {passage} trailing words"),
+        (3, "totally unique text with no duplicated content at all whatsoever"),
+        (4, None),
+    ])
+    out = (remove_duplicate_spans(ds, k=8).to_pandas()
+           .sort_values("doc_id").set_index("doc_id"))
+    assert out.loc[1, "text_clean"] == "alpha beta gamma"
+    assert out.loc[2, "text_clean"] == "start tokens here trailing words"
+    assert (out.loc[3, "text_clean"]
+            == "totally unique text with no duplicated content at all whatsoever")
+    assert out.loc[4, "text_clean"] is None
+
+
+def test_remove_duplicate_spans_fully_duplicated_doc_becomes_empty(ray_session):
+    from kafka_connect_s3_ray.functions.spans import remove_duplicate_spans
+
+    passage = " ".join(f"w{i}" for i in range(10))
+    ds = _mk_docs([(1, passage), (2, passage), (3, "something else entirely")])
+    out = (remove_duplicate_spans(ds, k=8).to_pandas()
+           .sort_values("doc_id").set_index("doc_id"))
+    assert out.loc[1, "text_clean"] == "" and out.loc[2, "text_clean"] == ""
+    assert out.loc[3, "text_clean"] == "something else entirely"
+
+
+def test_remove_duplicate_spans_scale_path_equals_broadcast(ray_session):
+    """broadcast_budget_rows=0 forces the coarse doc-bucket union path —
+    identical output to the broadcast path on a mixed corpus."""
+    from kafka_connect_s3_ray.functions.spans import remove_duplicate_spans
+
+    passage = "one two three four five six seven eight nine ten"
+    rows = [(i, f"doc {i} filler {passage} tail{i} more words here")
+            for i in range(8)]
+    rows += [(100, "unique unduplicated document body"), (101, None)]
+    ds = _mk_docs(rows)
+    bc = (remove_duplicate_spans(ds, k=8).to_pandas()
+          .sort_values("doc_id").reset_index(drop=True))
+    sc = (remove_duplicate_spans(ds, k=8, broadcast_budget_rows=0)
+          .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(bc, sc)
+    # "filler" precedes the passage in EVERY doc, so the duplicated span
+    # correctly swallows it too (8-token windows straddle the boundary)
+    assert (bc.set_index("doc_id").loc[0, "text_clean"]
+            == "doc 0 tail0 more words here")
+
+
+def test_remove_duplicate_spans_no_dups_is_token_normalized_identity(ray_session):
+    from kafka_connect_s3_ray.functions.spans import remove_duplicate_spans
+
+    ds = _mk_docs([(1, "  spaced   out    tokens "), (2, "plain text")])
+    out = (remove_duplicate_spans(ds, k=8).to_pandas()
+           .sort_values("doc_id").set_index("doc_id"))
+    assert out.loc[1, "text_clean"] == "spaced out tokens"
+    assert out.loc[2, "text_clean"] == "plain text"

@@ -76,7 +76,7 @@ SQL_CHECKED = [
     "dedup_exact", "token_sum_by_lang", "cosine_topk", "embedding_near_dup",
     "semdedup", "lang_id",
     "distinct_users_by_type", "windowed_distinct", "ngram_jaccard",
-    "ngram_jaccard_prefix", "duplicate_spans",
+    "ngram_jaccard_prefix", "duplicate_spans", "remove_duplicate_spans",
     "near_dup_clusters",
     "pii_redact", "decontaminate", "json_props_agg", "funnel",
     "cohort_retention", "unigram_logprob", "event_transitions",
