@@ -51,3 +51,50 @@ def test_block_gzip_round_trip_any_chunking(tmp_path_factory, records, threshold
         assert c.first_record_offset == nxt and c.byte_offset == pos
         nxt += c.num_records
         pos += c.byte_length
+
+
+# --- media codecs (round 4): JPEG / ADPCM property round-trips -------------
+
+import numpy as np
+from hypothesis import strategies as _st
+from hypothesis.extra.numpy import arrays as _np_arrays
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    img=_np_arrays(np.uint8, _st.tuples(_st.integers(8, 40), _st.integers(8, 40),
+                                        _st.just(3))),
+    quality=_st.integers(60, 100),
+    sub=_st.sampled_from(["444", "420"]),
+)
+def test_jpeg_roundtrip_any_image(img, quality, sub):
+    """Arbitrary uint8 images survive encode->decode with shape/dtype intact
+    and bounded error (pure noise is JPEG's worst case: bound loosely but
+    finitely — a broken entropy layer produces garbage far past this)."""
+    from kafka_connect_s3_ray.functions.jpeg import decode_jpeg, encode_jpeg
+
+    out = decode_jpeg(encode_jpeg(img, quality=quality, subsample=sub))
+    assert out.shape == img.shape and out.dtype == np.uint8
+    err = np.abs(out.astype(int) - img.astype(int)).mean()
+    assert err < (40.0 if sub == "444" else 72.0)
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    samples=_np_arrays(np.int16, _st.integers(0, 1500)),
+    rate=_st.sampled_from([8000, 16000, 44100]),
+)
+def test_adpcm_roundtrip_any_signal(samples, rate):
+    """Arbitrary int16 signals: exact length + rate back, bounded per-sample
+    drift (ADPCM tracks within a few steps of the true value; a table or
+    packing bug diverges to full-scale error)."""
+    from kafka_connect_s3_ray.functions.adpcm import (decode_wav_adpcm,
+                                                      encode_wav_adpcm)
+
+    back, r = decode_wav_adpcm(encode_wav_adpcm(samples, rate))
+    assert r == rate and len(back) == len(samples)
+    if len(samples):
+        # first sample of each block is verbatim
+        assert back[0] == samples[0]
+        err = np.abs(back.astype(np.int64) - samples.astype(np.int64))
+        assert err.mean() < 16384  # white noise worst case stays sub-half-scale
