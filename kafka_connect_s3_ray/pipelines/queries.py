@@ -1279,6 +1279,31 @@ def q_duplicate_spans(sf_dir: str):
                      "span_end": pa.array(out["span_end"], pa.int64())})
 
 
+def q_filter_unseen(sf_dir: str):
+    """Incremental dedup against a persisted seen-content index (the CDC
+    face of dedup): history = even-doc_id documents indexed by content
+    fingerprint into bucket-partitioned parquet, incoming = the whole
+    table anti-joined against it with bucket-pruned reads
+    (`functions/seen.py`). The fixture has no cross-doc exact duplicates
+    (near-dup entries cover that regime), so seen = exactly the evens
+    re-presenting themselves and unseen = odds + NULL-text rows — both
+    index-hit and index-miss paths run non-vacuously."""
+    import tempfile
+
+    from ..functions.seen import build_seen_index, filter_unseen
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    hist = docs.filter(
+        lambda r: r["doc_id"] % 2 == 0)  # tiny table; row filter is fine
+    name = os.path.basename(sf_dir.rstrip("/"))
+    idx = os.path.join(tempfile.gettempdir(), "kcs3_ray",
+                       f"seen_idx_{name}")
+    build_seen_index(hist, idx, n_buckets=8)
+    out = filter_unseen(docs, idx).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return pa.table({"doc_id": pa.array(out["doc_id"], pa.int64())})
+
+
 def q_remove_duplicate_spans(sf_dir: str):
     """ExactSubstr REMOVAL: every doc rewritten with its duplicate_spans
     regions cut out (all copies — the released deduplicate-text-datasets
@@ -1769,6 +1794,7 @@ QUERIES = {
     # --- new / touched this round ----------------------------------------
     "duplicate_spans": q_duplicate_spans,
     "remove_duplicate_spans": q_remove_duplicate_spans,
+    "filter_unseen": q_filter_unseen,
     "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
     "knn_graph_ivf": q_knn_graph_ivf,
     "stratified_sample": q_stratified_sample,
@@ -2247,6 +2273,14 @@ ORACLE_SQL["duplicate_spans"] = (
     "SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start, "
     "CAST(max(pos) + 8 AS BIGINT) AS span_end "
     "FROM grp GROUP BY doc_id, island ORDER BY doc_id, span_start"
+)
+
+# filter_unseen: the seen-index fingerprint is md5(lower(text)) — equality
+# on lower(text) replays it exactly; NULL text is always unseen
+ORACLE_SQL["filter_unseen"] = (
+    "SELECT d.doc_id FROM documents d WHERE d.text IS NULL OR "
+    "lower(d.text) NOT IN (SELECT lower(text) FROM documents "
+    "WHERE doc_id % 2 = 0 AND text IS NOT NULL) ORDER BY d.doc_id"
 )
 
 # remove_duplicate_spans: rebuild the same spans, then anti-join every token
