@@ -1293,8 +1293,10 @@ def q_filter_unseen(sf_dir: str):
     from ..functions.seen import build_seen_index, filter_unseen
 
     docs = _docs(sf_dir, ["doc_id", "text"])
-    hist = docs.filter(
-        lambda r: r["doc_id"] % 2 == 0)  # tiny table; row filter is fine
+    hist = docs.map_batches(
+        lambda t: t.filter(pc.equal(
+            pc.bit_wise_and(pc.cast(t.column("doc_id"), pa.int64()), 1), 0)),
+        batch_format="pyarrow")
     name = os.path.basename(sf_dir.rstrip("/"))
     idx = os.path.join(tempfile.gettempdir(), "kcs3_ray",
                        f"seen_idx_{name}")
