@@ -132,12 +132,18 @@ def filter_unseen(new_docs: "ray.data.Dataset", index_dir: str,
         lambda t: _with_fp_bucket(t, text_col, n_buckets),
         batch_format="pyarrow").materialize()
 
-    # which index buckets can matter for THIS batch (tiny distinct scan)
-    hit_sets = [
-        np.unique(t.column("_bucket").to_numpy(zero_copy_only=False))
-        for t in ray.get(tagged.to_arrow_refs()) if len(t)
-    ]
-    hit = sorted({int(b) for arr in hit_sets for b in arr if b >= 0})
+    # which index buckets can matter for THIS batch: a distributed distinct
+    # over the one int32 column — per-block np.unique partials, driver sees
+    # <= n_buckets ints per block, never the rows themselves
+    def block_buckets(t: pa.Table) -> pa.Table:
+        u = np.unique(t.column("_bucket").to_numpy(zero_copy_only=False))
+        return pa.table({"_bucket": pa.array(u[u >= 0], pa.int32())})
+
+    hit = sorted({
+        int(r["_bucket"])
+        for r in tagged.select_columns(["_bucket"])
+        .map_batches(block_buckets, batch_format="pyarrow").take_all()
+    })
     files = [f for b in hit
              for f in sorted(_glob.glob(
                  os.path.join(index_dir, f"bucket={b}", "*.parquet")))]
