@@ -126,6 +126,25 @@ def main(argv: list[str] | None = None) -> int:
     pk.add_argument("--id-col", default="doc_id")
     pk.add_argument("--text-col", default="text")
 
+    sb = sub.add_parser("seen-build", help="build a persisted seen-content "
+                                           "index from a documents parquet")
+    sb.add_argument("--docs", required=True, help="documents parquet file/dir")
+    sb.add_argument("--index", required=True, help="index directory")
+    sb.add_argument("--buckets", type=int, default=64)
+    sb.add_argument("--text-col", default="text")
+
+    sf_ = sub.add_parser("seen-filter", help="emit only rows of a new batch "
+                                             "whose content is NOT in the "
+                                             "seen index (incremental dedup)")
+    sf_.add_argument("--docs", required=True, help="incoming batch parquet")
+    sf_.add_argument("--index", required=True)
+    sf_.add_argument("--out", default=None,
+                     help="parquet dir for unseen rows (default: count only)")
+    sf_.add_argument("--text-col", default="text")
+    sf_.add_argument("--update", action="store_true",
+                     help="append this batch's fingerprints to the index "
+                          "after filtering (ingest-then-remember loop)")
+
     df = sub.add_parser("diff", help="change data feed: I/U/D rows between two "
                                      "retained snapshots (partition-pruned)")
     df.add_argument("--manifest", required=True)
@@ -202,6 +221,38 @@ def main(argv: list[str] | None = None) -> int:
     import ray
 
     try:
+        if args.cmd == "seen-build":
+            import ray.data as rd
+
+            from kafka_connect_s3_ray.functions.seen import build_seen_index
+
+            n = build_seen_index(rd.read_parquet(args.docs), args.index,
+                                 n_buckets=args.buckets,
+                                 text_col=args.text_col)
+            print(json.dumps({"index": args.index, "fingerprints": n,
+                              "buckets": args.buckets}))
+            return 0
+
+        if args.cmd == "seen-filter":
+            import ray.data as rd
+
+            from kafka_connect_s3_ray.functions.seen import (
+                filter_unseen, update_seen_index)
+
+            batch = rd.read_parquet(args.docs)
+            unseen = filter_unseen(batch, args.index, text_col=args.text_col)
+            if args.out:
+                unseen.write_parquet(args.out)
+                n_unseen = rd.read_parquet(args.out).count()
+            else:
+                n_unseen = unseen.count()
+            appended = (update_seen_index(batch, args.index,
+                                          text_col=args.text_col)
+                        if args.update else None)
+            print(json.dumps({"incoming": batch.count(), "unseen": n_unseen,
+                              "out": args.out, "index_appended": appended}))
+            return 0
+
         if args.cmd == "compact":
             from kafka_connect_s3_ray.pipelines.upsert import compact_partitions
 

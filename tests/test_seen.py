@@ -121,3 +121,42 @@ def test_bucket_pruning_reads_only_hit_buckets(ray_session, tmp_path):
 def test_unreadable_index_fails_loudly(ray_session, tmp_path):
     with pytest.raises(FileNotFoundError):
         filter_unseen(_docs([(1, "x")]), str(tmp_path / "missing"))
+
+
+def test_seen_cli_roundtrip(tmp_path):
+    """seen-build / seen-filter --update drive the ingest-then-remember
+    loop end to end through the CLI (own Ray session per invocation)."""
+    import json
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    hist = tmp_path / "hist.parquet"
+    new = tmp_path / "new.parquet"
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(30), pa.int64()),
+        "text": pa.array([f"cli history {i}" for i in range(30)],
+                         pa.string())}), hist)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([100, 101, 102], pa.int64()),
+        "text": pa.array(["cli history 5", "cli fresh", None],
+                         pa.string())}), new)
+
+    def run(*argv):
+        p = subprocess.run([sys.executable, "-m", "kafka_connect_s3_ray",
+                            *argv], capture_output=True, text=True,
+                           cwd="/root/repo", timeout=300)
+        assert p.returncode == 0, p.stderr[-2000:]
+        return json.loads(p.stdout.strip().splitlines()[-1])
+
+    b = run("seen-build", "--docs", str(hist), "--index",
+            str(tmp_path / "idx"), "--buckets", "4")
+    assert b["fingerprints"] == 30
+    f1 = run("seen-filter", "--docs", str(new), "--index",
+             str(tmp_path / "idx"), "--out", str(tmp_path / "unseen"),
+             "--update")
+    assert f1["incoming"] == 3 and f1["unseen"] == 2  # fresh + NULL
+    f2 = run("seen-filter", "--docs", str(new), "--index",
+             str(tmp_path / "idx"))
+    assert f2["unseen"] == 1  # only the NULL row stays unseen
