@@ -138,7 +138,7 @@ def run_bench() -> dict:
         "session_windows", "broadcast_join", "asof_join", "hash_join",
         "range_join", "near_dup_verified", "ngram_jaccard",
         "ngram_jaccard_prefix", "duplicate_spans", "remove_duplicate_spans",
-        "filter_unseen", "time_travel",
+        "filter_unseen", "near_seen", "time_travel",
         "change_data_feed", "train_val_split", "top_terms",
         "near_dup_clusters", "pii_redact", "tfidf_terms",
         "embedding_centroids", "value_histogram", "quality_filtered",

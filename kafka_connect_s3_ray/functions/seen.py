@@ -255,3 +255,321 @@ def update_seen_index(new_docs: "ray.data.Dataset", index_dir: str,
         json.dump(meta, f)
     os.replace(tmp, os.path.join(index_dir, _META))
     return total
+
+
+# ---------------------------------------------------------------------------
+# near-dup tier: MinHash-LSH index for "near-seen" incremental dedup
+# ---------------------------------------------------------------------------
+
+_NMETA = "near_seen_meta.json"
+
+
+def build_near_seen_index(docs: "ray.data.Dataset", index_dir: str,
+                          num_perm: int = 64, bands: int = 16,
+                          shingle_k: int = 5, seed: int = 42,
+                          n_band_buckets: int = 64, n_doc_buckets: int = 64,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          max_file_rows: int = 1_000_000) -> int:
+    """Materialize the MinHash-LSH state of a corpus for incremental
+    NEAR-dup checks (RefinedWeb-style "near-dedup against everything
+    ingested so far" without rescanning it): one pass computes each doc's
+    shingle set, signature, and LSH band keys (the fused chain's layout,
+    `dedup.py::minhash_near_dup_verified`), persisted as
+
+    - ``bandbkt=<h>/part-*.parquet``: lean (band, bucket, doc_id) rows,
+      partitioned by a coarse hash of the band key — probes prune to the
+      band buckets a new batch actually hits;
+    - ``docbkt=<h>/part-*.parquet``: (doc_id, sig, shingles) payloads,
+      partitioned by doc-id hash — the exact-verify stage prunes to the
+      candidate docs' buckets only.
+
+    Same rebuild discipline as the exact index (marker removed first,
+    written last). Returns the number of docs indexed."""
+    import shutil
+
+    from .dedup import MinHasher, _shingle_sets_batch
+
+    marker = os.path.join(index_dir, _NMETA)
+    if os.path.exists(marker):
+        os.remove(marker)
+    for pat in ("bandbkt=*", "docbkt=*"):
+        for d in _glob.glob(os.path.join(index_dir, pat)):
+            shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(index_dir, exist_ok=True)
+
+    hasher = MinHasher(num_perm, bands, shingle_k, seed,
+                       id_col=id_col, text_col=text_col)
+
+    def featurize(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column(id_col), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        texts = ["" if s is None else s
+                 for s in t.column(text_col).to_pylist()]
+        flat, lens = _shingle_sets_batch(texts, shingle_k)
+        sigs = hasher.sigs_from_sets(flat, lens)           # (P, n)
+        bkeys = hasher.band_buckets(sigs).reshape(bands, len(ids))
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        docbkt = (pd.util.hash_array(ids.astype(np.uint64))
+                  % np.uint64(n_doc_buckets)).astype(np.int32)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "sig": pa.array([sigs[:, i].tolist() for i in range(len(ids))],
+                            pa.list_(pa.uint64())),
+            "shingles": pa.array(
+                [np.unique(flat[offs[i]:offs[i + 1]]).tolist()
+                 for i in range(len(ids))], pa.list_(pa.uint64())),
+            "bandkeys": pa.array([bkeys[:, i].tolist()
+                                  for i in range(len(ids))],
+                                 pa.list_(pa.int64())),
+            "_docbkt": pa.array(docbkt, pa.int32()),
+        })
+
+    feats = docs.map_batches(featurize, batch_format="pyarrow",
+                             concurrency=2).materialize()
+
+    def write_payload(g: pa.Table) -> pa.Table:
+        b = int(g.column("_docbkt")[0].as_py())
+        out = (g.drop_columns(["bandkeys", "_docbkt"])
+               .sort_by([(id_col, "ascending")]))
+        bdir = os.path.join(index_dir, f"docbkt={b}")
+        os.makedirs(bdir, exist_ok=True)
+        for i, lo in enumerate(range(0, len(out), max_file_rows)):
+            path = os.path.join(bdir, f"part-{i:04d}.parquet")
+            tmp = path + ".inprogress"
+            pq.write_table(out.slice(lo, max_file_rows), tmp,
+                           compression="zstd")
+            os.replace(tmp, path)
+        return pa.table({"b": pa.array([b], pa.int32()),
+                         "n": pa.array([len(out)], pa.int64())})
+
+    counts = feats.groupby("_docbkt").map_groups(
+        write_payload, batch_format="pyarrow").to_pandas()
+    total = int(counts["n"].sum()) if len(counts) else 0
+
+    def explode_bands(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        bk = np.array(t.column("bandkeys").to_pylist(), np.int64)
+        if len(ids) == 0:
+            return pa.table({"band": pa.array([], pa.int32()),
+                             "bucket": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "_bandbkt": pa.array([], pa.int32())})
+        band = np.tile(np.arange(bands, dtype=np.int32), len(ids))
+        doc = np.repeat(ids, bands)
+        bucket = bk.reshape(-1)
+        bkt = ((bucket.astype(np.uint64) ^ (band.astype(np.uint64) << 32))
+               % np.uint64(n_band_buckets)).astype(np.int32)
+        return pa.table({"band": pa.array(band, pa.int32()),
+                         "bucket": pa.array(bucket, pa.int64()),
+                         id_col: pa.array(doc, pa.int64()),
+                         "_bandbkt": pa.array(bkt, pa.int32())})
+
+    def write_bands(g: pa.Table) -> pa.Table:
+        b = int(g.column("_bandbkt")[0].as_py())
+        out = (g.drop_columns(["_bandbkt"])
+               .sort_by([("band", "ascending"), ("bucket", "ascending"),
+                         (id_col, "ascending")]))
+        bdir = os.path.join(index_dir, f"bandbkt={b}")
+        os.makedirs(bdir, exist_ok=True)
+        for i, lo in enumerate(range(0, len(out), max_file_rows)):
+            path = os.path.join(bdir, f"part-{i:04d}.parquet")
+            tmp = path + ".inprogress"
+            pq.write_table(out.slice(lo, max_file_rows), tmp,
+                           compression="zstd")
+            os.replace(tmp, path)
+        return pa.table({"b": pa.array([b], pa.int32()),
+                         "n": pa.array([len(out)], pa.int64())})
+
+    feats.map_batches(explode_bands, batch_format="pyarrow").groupby(
+        "_bandbkt").map_groups(write_bands, batch_format="pyarrow"
+                               ).materialize()
+
+    tmp = marker + ".inprogress"
+    with open(tmp, "w") as f:
+        json.dump({"num_perm": num_perm, "bands": bands,
+                   "shingle_k": shingle_k, "seed": seed,
+                   "n_band_buckets": n_band_buckets,
+                   "n_doc_buckets": n_doc_buckets, "id_col": id_col,
+                   "docs": total}, f)
+    os.replace(tmp, marker)
+    return total
+
+
+def _read_nmeta(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, _NMETA)) as f:
+        return json.load(f)
+
+
+def near_seen_pairs(new_docs: "ray.data.Dataset", index_dir: str,
+                    threshold: float = 0.6, margin_sigmas: float = 4.0,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> "ray.data.Dataset":
+    """(new_id, hist_id, jaccard) for every new doc with an exact-verified
+    near-duplicate (k-shingle Jaccard >= ``threshold``) in the indexed
+    corpus. Candidate semantics are EXACTLY the fused chain's
+    (`dedup.py::minhash_near_dup_verified` restricted to cross pairs):
+    same seed -> same signatures -> same LSH band keys -> the same
+    candidate set, signature-agreement prefilter at the same
+    ``_est_cutoff``, exact Jaccard on the same shingle sets.
+
+    Probe contract: the NEW batch is the small side (the incremental-ingest
+    shape). Its band rows / signatures / shingle sets broadcast once via
+    ``ray.put`` (O(batch)); the index is only READ at the band buckets the
+    batch hits and the doc buckets its candidates live in (file-level
+    pruning twice) — history is never broadcast and never rescanned."""
+    from .dedup import (MinHasher, _batch_jaccard_flat, _est_cutoff,
+                        _shingle_sets_batch)
+
+    meta = _read_nmeta(index_dir)
+    bands = int(meta["bands"])
+    num_perm = int(meta["num_perm"])
+    n_band_buckets = int(meta["n_band_buckets"])
+    n_doc_buckets = int(meta["n_doc_buckets"])
+    hid_col = meta.get("id_col", "doc_id")
+    hasher = MinHasher(num_perm, bands, int(meta["shingle_k"]),
+                       int(meta["seed"]), id_col=id_col, text_col=text_col)
+
+    # --- one pass over the new batch: ids, sigs, shingle sets, band keys --
+    tabs = [t for t in ray.get(new_docs.to_arrow_refs()) if len(t)]
+    if not tabs:
+        return ray.data.from_arrow(_NEAR_OUT.empty_table())
+    nt = pa.concat_tables([t.select([id_col, text_col]) for t in tabs])
+    nids = pc.cast(nt.column(id_col), pa.int64()).to_numpy(
+        zero_copy_only=False)
+    texts = ["" if s is None else s for s in nt.column(text_col).to_pylist()]
+    flat, lens = _shingle_sets_batch(texts, int(meta["shingle_k"]))
+    sigs = hasher.sigs_from_sets(flat, lens)            # (P, n)
+    bkeys = hasher.band_buckets(sigs).reshape(bands, len(nids))
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    # id-sorted shingle corpus of the batch for the verify gather
+    order = np.argsort(nids, kind="stable")
+    new_sets = {int(nids[i]): np.unique(flat[offs[i]:offs[i + 1]])
+                for i in range(len(nids))}
+
+    # (band, bucket) -> new ids, plus the band buckets the batch hits
+    probe: dict[tuple[int, int], list[int]] = {}
+    hit_bkts = set()
+    for b in range(bands):
+        for i in range(len(nids)):
+            key = (b, int(bkeys[b, i]))
+            probe.setdefault(key, []).append(int(nids[i]))
+            # same arithmetic as the build's vectorized bucket tag, in
+            # Python ints (int64 band keys are negative half the time)
+            hit_bkts.add(((key[1] & 0xFFFFFFFFFFFFFFFF) ^ (b << 32))
+                         % n_band_buckets)
+
+    band_files = [f for b in sorted(hit_bkts)
+                  for f in sorted(_glob.glob(
+                      os.path.join(index_dir, f"bandbkt={b}", "*.parquet")))]
+    if not band_files:
+        return ray.data.from_arrow(_NEAR_OUT.empty_table())
+
+    probe_ref = ray.put(probe)
+
+    def find_candidates(t: pa.Table) -> pa.Table:
+        pr = ray.get(probe_ref)
+        bnd = t.column("band").to_numpy(zero_copy_only=False)
+        bkt = t.column("bucket").to_numpy(zero_copy_only=False)
+        hid = t.column(hid_col).to_numpy(zero_copy_only=False)
+        hists, news = [], []
+        for j in range(len(bnd)):
+            lst = pr.get((int(bnd[j]), int(bkt[j])))
+            if lst:
+                for nid in lst:
+                    hists.append(int(hid[j]))
+                    news.append(nid)
+        return pa.table({"hist_id": pa.array(hists, pa.int64()),
+                         "new_id": pa.array(news, pa.int64())})
+
+    cand = (ray.data.read_parquet(band_files)
+            .map_batches(find_candidates, batch_format="pyarrow")
+            .to_pandas())
+    if cand.empty:  # empty to_pandas drops columns — bail before using them
+        return ray.data.from_arrow(_NEAR_OUT.empty_table())
+    cand = cand.drop_duplicates(["hist_id", "new_id"])
+    # a new doc may itself be in history (re-presentation): a self-pair is
+    # exact-dup territory (filter_unseen's job), not a near-dup
+    cand = cand[cand["hist_id"] != cand["new_id"]]
+    if cand.empty:
+        return ray.data.from_arrow(_NEAR_OUT.empty_table())
+
+    # --- pruned payload read for candidate hist docs ----------------------
+    hist_ids = np.unique(cand["hist_id"].to_numpy(np.int64))
+    doc_bkts = sorted(set(
+        (pd.util.hash_array(hist_ids.astype(np.uint64))
+         % np.uint64(n_doc_buckets)).astype(int).tolist()))
+    pay_files = [f for b in doc_bkts
+                 for f in sorted(_glob.glob(
+                     os.path.join(index_dir, f"docbkt={b}", "*.parquet")))]
+
+    cutoff = _est_cutoff(threshold, num_perm, margin_sigmas)
+    cand_by_hist: dict[int, list[int]] = {}
+    for h, n_ in cand.itertuples(index=False):
+        cand_by_hist.setdefault(int(h), []).append(int(n_))
+    sig_by_new = {int(nids[i]): sigs[:, i] for i in range(len(nids))}
+    verify_ref = ray.put((cand_by_hist, sig_by_new, new_sets))
+
+    def verify(t: pa.Table) -> pa.Table:
+        cbh, sbn, nsets = ray.get(verify_ref)
+        hid = t.column(hid_col).to_numpy(zero_copy_only=False)
+        want = np.array([int(h) in cbh for h in hid], bool)
+        if not want.any():
+            return _NEAR_OUT.empty_table()
+        t = t.filter(pa.array(want))
+        hid = t.column(hid_col).to_numpy(zero_copy_only=False)
+        hsigs = np.array(t.column("sig").to_pylist(), np.uint64)
+        hsets = [np.asarray(s, np.uint64)
+                 for s in t.column("shingles").to_pylist()]
+        # expand this batch's candidate pairs, prefilter on signature
+        # agreement, then score every survivor in ONE flat-kernel call
+        rows, nids_ = [], []
+        for row in range(len(hid)):
+            for nid in cbh[int(hid[row])]:
+                if float((hsigs[row] == sbn[nid]).mean()) >= cutoff:
+                    rows.append(row)
+                    nids_.append(nid)
+        if not rows:
+            return _NEAR_OUT.empty_table()
+        lsets = [hsets[r] for r in rows]
+        rsets = [nsets[n] for n in nids_]
+        jac = _batch_jaccard_flat(
+            np.concatenate(lsets), np.array([len(s) for s in lsets], np.int64),
+            np.concatenate(rsets), np.array([len(s) for s in rsets], np.int64))
+        keep = jac >= threshold
+        return pa.table({
+            "new_id": pa.array(np.array(nids_, np.int64)[keep], pa.int64()),
+            "hist_id": pa.array(hid[rows][keep], pa.int64()),
+            "jaccard": pa.array(np.round(jac[keep], 6), pa.float64())})
+
+    out = (ray.data.read_parquet(pay_files)
+           .map_batches(verify, batch_format="pyarrow")).materialize()
+    if out.count() == 0:
+        return ray.data.from_arrow(_NEAR_OUT.empty_table())
+    return out
+
+
+_NEAR_OUT = pa.schema([("new_id", pa.int64()), ("hist_id", pa.int64()),
+                       ("jaccard", pa.float64())])
+
+
+def filter_near_seen(new_docs: "ray.data.Dataset", index_dir: str,
+                     threshold: float = 0.6, id_col: str = "doc_id",
+                     text_col: str = "text") -> "ray.data.Dataset":
+    """Rows of ``new_docs`` with NO verified near-duplicate in the indexed
+    corpus — the near-dup counterpart of ``filter_unseen`` (compose both
+    for RefinedWeb-style exact-then-fuzzy incremental dedup)."""
+    pairs = near_seen_pairs(new_docs, index_dir, threshold=threshold,
+                            id_col=id_col, text_col=text_col)
+    matched = set(
+        int(r["new_id"])
+        for t in ray.get(pairs.select_columns(["new_id"]).to_arrow_refs())
+        for r in t.to_pylist())
+    ref = ray.put(np.array(sorted(matched), np.int64))
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        ids = pc.cast(t.column(id_col), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return t.filter(pa.array(~np.isin(ids, m)))
+
+    return new_docs.map_batches(keep, batch_format="pyarrow")

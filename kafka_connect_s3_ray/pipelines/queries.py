@@ -1306,6 +1306,40 @@ def q_filter_unseen(sf_dir: str):
     return pa.table({"doc_id": pa.array(out["doc_id"], pa.int64())})
 
 
+def q_near_seen(sf_dir: str):
+    """Incremental NEAR-dup against a persisted MinHash-LSH index
+    (`functions/seen.py::build_near_seen_index/near_seen_pairs`): history =
+    even-doc_id documents indexed once (band rows + sig/shingle payloads,
+    both bucket-partitioned); incoming = odd docs probed with pruned reads
+    at the band buckets they hit and the doc buckets their candidates live
+    in. Same seed/bands as the fused chain, so the result is EXACTLY
+    `minhash_near_dup_verified` over the full corpus restricted to cross-
+    parity pairs — which is what the SQL oracle replays."""
+    import tempfile
+
+    from ..functions.seen import build_near_seen_index, near_seen_pairs
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def parity(want_even: bool):
+        def f(t: pa.Table) -> pa.Table:
+            odd = pc.bit_wise_and(pc.cast(t.column("doc_id"), pa.int64()), 1)
+            return t.filter(pc.equal(odd, 0 if want_even else 1))
+        return f
+
+    hist = docs.map_batches(parity(True), batch_format="pyarrow")
+    new = docs.map_batches(parity(False), batch_format="pyarrow")
+    name = os.path.basename(sf_dir.rstrip("/"))
+    idx = os.path.join(tempfile.gettempdir(), "kcs3_ray",
+                       f"near_seen_idx_{name}")
+    build_near_seen_index(hist, idx)
+    out = near_seen_pairs(new, idx, threshold=0.6).to_pandas()
+    out = out.sort_values(["new_id", "hist_id"]).reset_index(drop=True)
+    return pa.table({"new_id": pa.array(out["new_id"], pa.int64()),
+                     "hist_id": pa.array(out["hist_id"], pa.int64()),
+                     "jaccard": pa.array(out["jaccard"], pa.float64())})
+
+
 def q_remove_duplicate_spans(sf_dir: str):
     """ExactSubstr REMOVAL: every doc rewritten with its duplicate_spans
     regions cut out (all copies — the released deduplicate-text-datasets
@@ -1797,6 +1831,7 @@ QUERIES = {
     "duplicate_spans": q_duplicate_spans,
     "remove_duplicate_spans": q_remove_duplicate_spans,
     "filter_unseen": q_filter_unseen,
+    "near_seen": q_near_seen,
     "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
     "knn_graph_ivf": q_knn_graph_ivf,
     "stratified_sample": q_stratified_sample,
@@ -2726,6 +2761,19 @@ def _near_dup_verified_sql() -> str:
 
 
 ORACLE_SQL["near_dup_verified"] = _near_dup_verified_sql()
+
+# near_seen: the SAME fused chain restricted to cross-parity pairs (history
+# = even doc_ids, incoming = odd), reshaped to (new_id, hist_id, jaccard) —
+# the index probe is seed-identical to the full chain, so this replay is
+# exact, not approximate
+ORACLE_SQL["near_seen"] = (
+    "SELECT CASE WHEN left_id % 2 = 1 THEN left_id ELSE right_id END "
+    "AS new_id, "
+    "CASE WHEN left_id % 2 = 0 THEN left_id ELSE right_id END AS hist_id, "
+    "jaccard "
+    f"FROM ({_near_dup_verified_sql()}) "
+    "WHERE (left_id % 2) <> (right_id % 2) ORDER BY new_id, hist_id"
+)
 
 
 def _curation_chain_sql() -> str:

@@ -77,7 +77,7 @@ SQL_CHECKED = [
     "semdedup", "lang_id",
     "distinct_users_by_type", "windowed_distinct", "ngram_jaccard",
     "ngram_jaccard_prefix", "duplicate_spans", "remove_duplicate_spans",
-    "filter_unseen",
+    "filter_unseen", "near_seen",
     "near_dup_clusters",
     "pii_redact", "decontaminate", "json_props_agg", "funnel",
     "cohort_retention", "unigram_logprob", "event_transitions",

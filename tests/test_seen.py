@@ -160,3 +160,114 @@ def test_seen_cli_roundtrip(tmp_path):
     f2 = run("seen-filter", "--docs", str(new), "--index",
              str(tmp_path / "idx"))
     assert f2["unseen"] == 1  # only the NULL row stays unseen
+
+
+# --- near-dup tier ---------------------------------------------------------
+
+
+def test_near_seen_equals_fused_chain_cross_pairs(ray_session, tmp_path):
+    """The index probe must produce EXACTLY minhash_near_dup_verified over
+    the full corpus restricted to cross pairs (same seed -> same bands ->
+    same candidates -> same exact jaccard)."""
+    from kafka_connect_s3_ray.functions.dedup import minhash_near_dup_verified
+    from kafka_connect_s3_ray.functions.seen import (build_near_seen_index,
+                                                     near_seen_pairs)
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"]).to_pandas()
+    hist = docs[docs.doc_id % 2 == 0]
+    new = docs[docs.doc_id % 2 == 1]
+    idx = str(tmp_path / "near")
+    build_near_seen_index(rd.from_pandas(hist), idx)
+    got = (near_seen_pairs(rd.from_pandas(new), idx, threshold=0.6)
+           .to_pandas().sort_values(["new_id", "hist_id"])
+           .reset_index(drop=True))
+
+    ref = minhash_near_dup_verified(rd.from_pandas(docs),
+                                    threshold=0.6).to_pandas()
+    cross = ref[(ref.left_id % 2) != (ref.right_id % 2)].copy()
+    cross["new_id"] = np.where(cross.left_id % 2 == 1,
+                               cross.left_id, cross.right_id)
+    cross["hist_id"] = np.where(cross.left_id % 2 == 0,
+                                cross.left_id, cross.right_id)
+    cross = (cross[["new_id", "hist_id", "jaccard"]]
+             .sort_values(["new_id", "hist_id"]).reset_index(drop=True)
+             .astype({"new_id": "int64", "hist_id": "int64"}))
+    assert len(got) > 0, "fixture must have cross-parity near-dups"
+    pd.testing.assert_frame_equal(got, cross)
+
+
+def test_filter_near_seen_drops_matched_new_docs(ray_session, tmp_path):
+    from kafka_connect_s3_ray.functions.seen import (build_near_seen_index,
+                                                     filter_near_seen,
+                                                     near_seen_pairs)
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "continues running through the quiet forest for a while longer")
+    hist = _docs([(2 * i, f"{base} variant {i}") for i in range(10)])
+    idx = str(tmp_path / "near")
+    build_near_seen_index(hist, idx)
+    new = _docs([(101, f"{base} variant 3"),       # near/exact dup of hist
+                 (103, "completely different short text about nothing")])
+    pairs = near_seen_pairs(new, idx, threshold=0.6).to_pandas()
+    assert 101 in set(pairs["new_id"]) and 103 not in set(pairs["new_id"])
+    surv = filter_near_seen(new, idx, threshold=0.6).to_pandas()
+    assert surv["doc_id"].tolist() == [103]
+
+
+def test_near_seen_empty_batch_and_no_candidates(ray_session, tmp_path):
+    from kafka_connect_s3_ray.functions.seen import (build_near_seen_index,
+                                                     near_seen_pairs)
+
+    idx = str(tmp_path / "near")
+    build_near_seen_index(_docs([(1, "some indexed document text here ok "
+                                     "with enough words to shingle")]), idx)
+    empty = near_seen_pairs(_docs([]), idx).to_pandas()
+    assert empty.empty  # ray drops column names on empty to_pandas
+    miss = near_seen_pairs(
+        _docs([(9, "totally unrelated words everywhere around")]),
+        idx).to_pandas()
+    assert miss.empty
+
+
+def test_near_seen_prunes_band_and_doc_buckets(ray_session, tmp_path):
+    """A one-doc probe must read a strict subset of the index's band and
+    payload bucket dirs."""
+    from kafka_connect_s3_ray.functions import seen as seen_mod
+    from kafka_connect_s3_ray.functions.seen import (build_near_seen_index,
+                                                     near_seen_pairs)
+
+    rng = np.random.default_rng(3)
+    words = [f"w{i}" for i in range(400)]
+    # mutually dissimilar history docs: disjoint-ish random vocabularies
+    hist = _docs([(i, " ".join(rng.choice(words, 25, replace=False)))
+                  for i in range(100)])
+    idx = str(tmp_path / "near")
+    build_near_seen_index(hist, idx, n_band_buckets=32, n_doc_buckets=32)
+    n_band_dirs = len(glob.glob(os.path.join(idx, "bandbkt=*")))
+    n_doc_dirs = len(glob.glob(os.path.join(idx, "docbkt=*")))
+
+    read_dirs = []
+    orig = seen_mod.ray.data.read_parquet
+
+    def spy(files, **kw):
+        read_dirs.append({os.path.basename(os.path.dirname(f))
+                          for f in files})
+        return orig(files, **kw)
+
+    seen_mod.ray.data.read_parquet = spy
+    try:
+        hist_pd = hist.to_pandas()
+        probe_text = hist_pd.loc[hist_pd.doc_id == 7, "text"].iloc[0]
+        near_seen_pairs(_docs([(999, probe_text + " extra")]), idx,
+                        threshold=0.6).to_pandas()
+    finally:
+        seen_mod.ray.data.read_parquet = orig
+    band_reads = set().union(*(d for d in read_dirs
+                               if any(x.startswith("bandbkt") for x in d)))
+    assert len(band_reads) < n_band_dirs  # pruned, not a full scan
+    doc_reads = set().union(*(d for d in read_dirs
+                              if any(x.startswith("docbkt") for x in d)),
+                            set())
+    if doc_reads:
+        assert len(doc_reads) < n_doc_dirs
