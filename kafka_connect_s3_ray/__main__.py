@@ -145,6 +145,23 @@ def main(argv: list[str] | None = None) -> int:
                      help="append this batch's fingerprints to the index "
                           "after filtering (ingest-then-remember loop)")
 
+    nb = sub.add_parser("near-seen-build", help="build a persisted "
+                                                "MinHash-LSH near-dup index")
+    nb.add_argument("--docs", required=True)
+    nb.add_argument("--index", required=True)
+    nb.add_argument("--text-col", default="text")
+
+    nf = sub.add_parser("near-seen-filter", help="emit only rows of a new "
+                                                 "batch with NO verified "
+                                                 "near-dup in the index")
+    nf.add_argument("--docs", required=True)
+    nf.add_argument("--index", required=True)
+    nf.add_argument("--threshold", type=float, default=0.6)
+    nf.add_argument("--out", default=None)
+    nf.add_argument("--text-col", default="text")
+    nf.add_argument("--update", action="store_true",
+                    help="append the SURVIVORS to the index after filtering")
+
     df = sub.add_parser("diff", help="change data feed: I/U/D rows between two "
                                      "retained snapshots (partition-pruned)")
     df.add_argument("--manifest", required=True)
@@ -251,6 +268,37 @@ def main(argv: list[str] | None = None) -> int:
                         if args.update else None)
             print(json.dumps({"incoming": batch.count(), "unseen": n_unseen,
                               "out": args.out, "index_appended": appended}))
+            return 0
+
+        if args.cmd == "near-seen-build":
+            import ray.data as rd
+
+            from kafka_connect_s3_ray.functions.seen import \
+                build_near_seen_index
+
+            n = build_near_seen_index(rd.read_parquet(args.docs), args.index,
+                                      text_col=args.text_col)
+            print(json.dumps({"index": args.index, "docs": n}))
+            return 0
+
+        if args.cmd == "near-seen-filter":
+            import ray.data as rd
+
+            from kafka_connect_s3_ray.functions.seen import (
+                filter_near_seen, update_near_seen_index)
+
+            batch = rd.read_parquet(args.docs)
+            surv = filter_near_seen(batch, args.index,
+                                    threshold=args.threshold,
+                                    text_col=args.text_col).materialize()
+            if args.out:
+                surv.write_parquet(args.out)
+            appended = (update_near_seen_index(surv, args.index,
+                                               text_col=args.text_col)
+                        if args.update else None)
+            print(json.dumps({"incoming": batch.count(),
+                              "survivors": surv.count(), "out": args.out,
+                              "index_appended": appended}))
             return 0
 
         if args.cmd == "compact":

@@ -573,3 +573,110 @@ def filter_near_seen(new_docs: "ray.data.Dataset", index_dir: str,
         return t.filter(pa.array(~np.isin(ids, m)))
 
     return new_docs.map_batches(keep, batch_format="pyarrow")
+
+
+def update_near_seen_index(new_docs: "ray.data.Dataset", index_dir: str,
+                           text_col: str = "text") -> int:
+    """Append ``new_docs`` to the near-seen index as a new generation of
+    part files in the existing band/payload bucket dirs (append-only, like
+    ``update_seen_index`` — probes glob ``*.parquet`` so generations are
+    transparent to readers; a rebuild clears them). Completes the
+    RefinedWeb-style loop: filter_near_seen -> admit survivors ->
+    update_near_seen_index(survivors). Returns docs appended."""
+    from .dedup import MinHasher, _shingle_sets_batch
+
+    meta = _read_nmeta(index_dir)
+    bands = int(meta["bands"])
+    n_band_buckets = int(meta["n_band_buckets"])
+    n_doc_buckets = int(meta["n_doc_buckets"])
+    id_col = meta.get("id_col", "doc_id")
+    gen = int(meta.get("generation", 0)) + 1
+    hasher = MinHasher(int(meta["num_perm"]), bands, int(meta["shingle_k"]),
+                       int(meta["seed"]), id_col=id_col, text_col=text_col)
+    shingle_k = int(meta["shingle_k"])
+
+    def featurize(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column(id_col), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        texts = ["" if s is None else s
+                 for s in t.column(text_col).to_pylist()]
+        flat, lens = _shingle_sets_batch(texts, shingle_k)
+        sigs = hasher.sigs_from_sets(flat, lens)
+        bkeys = hasher.band_buckets(sigs).reshape(bands, len(ids))
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        docbkt = (pd.util.hash_array(ids.astype(np.uint64))
+                  % np.uint64(n_doc_buckets)).astype(np.int32)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "sig": pa.array([sigs[:, i].tolist() for i in range(len(ids))],
+                            pa.list_(pa.uint64())),
+            "shingles": pa.array(
+                [np.unique(flat[offs[i]:offs[i + 1]]).tolist()
+                 for i in range(len(ids))], pa.list_(pa.uint64())),
+            "bandkeys": pa.array([bkeys[:, i].tolist()
+                                  for i in range(len(ids))],
+                                 pa.list_(pa.int64())),
+            "_docbkt": pa.array(docbkt, pa.int32()),
+        })
+
+    feats = new_docs.map_batches(featurize, batch_format="pyarrow",
+                                 concurrency=2).materialize()
+
+    def append_payload(g: pa.Table) -> pa.Table:
+        b = int(g.column("_docbkt")[0].as_py())
+        out = (g.drop_columns(["bandkeys", "_docbkt"])
+               .sort_by([(id_col, "ascending")]))
+        bdir = os.path.join(index_dir, f"docbkt={b}")
+        os.makedirs(bdir, exist_ok=True)
+        path = os.path.join(bdir, f"part-g{gen:06d}.parquet")
+        tmp = path + ".inprogress"
+        pq.write_table(out, tmp, compression="zstd")
+        os.replace(tmp, path)
+        return pa.table({"n": pa.array([len(out)], pa.int64())})
+
+    counts = feats.groupby("_docbkt").map_groups(
+        append_payload, batch_format="pyarrow").to_pandas()
+    total = int(counts["n"].sum()) if len(counts) else 0
+
+    def explode_bands(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        bk = np.array(t.column("bandkeys").to_pylist(), np.int64)
+        if len(ids) == 0:
+            return pa.table({"band": pa.array([], pa.int32()),
+                             "bucket": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "_bandbkt": pa.array([], pa.int32())})
+        band = np.tile(np.arange(bands, dtype=np.int32), len(ids))
+        doc = np.repeat(ids, bands)
+        bucket = bk.reshape(-1)
+        bkt = ((bucket.astype(np.uint64) ^ (band.astype(np.uint64) << 32))
+               % np.uint64(n_band_buckets)).astype(np.int32)
+        return pa.table({"band": pa.array(band, pa.int32()),
+                         "bucket": pa.array(bucket, pa.int64()),
+                         id_col: pa.array(doc, pa.int64()),
+                         "_bandbkt": pa.array(bkt, pa.int32())})
+
+    def append_bands(g: pa.Table) -> pa.Table:
+        b = int(g.column("_bandbkt")[0].as_py())
+        out = (g.drop_columns(["_bandbkt"])
+               .sort_by([("band", "ascending"), ("bucket", "ascending"),
+                         (id_col, "ascending")]))
+        bdir = os.path.join(index_dir, f"bandbkt={b}")
+        os.makedirs(bdir, exist_ok=True)
+        path = os.path.join(bdir, f"part-g{gen:06d}.parquet")
+        tmp = path + ".inprogress"
+        pq.write_table(out, tmp, compression="zstd")
+        os.replace(tmp, path)
+        return pa.table({"n": pa.array([len(out)], pa.int64())})
+
+    feats.map_batches(explode_bands, batch_format="pyarrow").groupby(
+        "_bandbkt").map_groups(append_bands,
+                               batch_format="pyarrow").materialize()
+
+    meta["generation"] = gen
+    meta["docs"] = int(meta.get("docs", 0)) + total
+    tmp = os.path.join(index_dir, _NMETA + ".inprogress")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(index_dir, _NMETA))
+    return total

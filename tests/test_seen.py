@@ -271,3 +271,30 @@ def test_near_seen_prunes_band_and_doc_buckets(ray_session, tmp_path):
                             set())
     if doc_reads:
         assert len(doc_reads) < n_doc_dirs
+
+
+def test_update_near_seen_index_remembers_new_docs(ray_session, tmp_path):
+    """The RefinedWeb loop: filter -> admit survivors -> update; a re-probe
+    of the same batch then finds its own near-dups in the index."""
+    from kafka_connect_s3_ray.functions.seen import (build_near_seen_index,
+                                                     near_seen_pairs,
+                                                     update_near_seen_index)
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    hist = _docs([(1, f"{base} one"), (2, "unrelated words entirely "
+                                          "different content here today")])
+    idx = str(tmp_path / "near")
+    build_near_seen_index(hist, idx)
+    new = _docs([(10, f"{base} ten")])
+    first = near_seen_pairs(new, idx, threshold=0.6).to_pandas()
+    assert set(first["hist_id"]) == {1}
+
+    appended = update_near_seen_index(new, idx)
+    assert appended == 1
+    probe = _docs([(20, f"{base} twenty")])
+    second = near_seen_pairs(probe, idx, threshold=0.6).to_pandas()
+    assert set(second["hist_id"]) == {1, 10}  # the admitted doc is remembered
+    # generation files exist; base parts untouched
+    assert glob.glob(os.path.join(idx, "bandbkt=*", "part-g*.parquet"))
+    assert glob.glob(os.path.join(idx, "docbkt=*", "part-g*.parquet"))
