@@ -441,22 +441,23 @@ def near_seen_pairs(new_docs: "ray.data.Dataset", index_dir: str,
     sigs = hasher.sigs_from_sets(flat, lens)            # (P, n)
     bkeys = hasher.band_buckets(sigs).reshape(bands, len(nids))
     offs = np.concatenate([[0], np.cumsum(lens)])
-    # id-sorted shingle corpus of the batch for the verify gather
-    order = np.argsort(nids, kind="stable")
     new_sets = {int(nids[i]): np.unique(flat[offs[i]:offs[i + 1]])
                 for i in range(len(nids))}
 
-    # (band, bucket) -> new ids, plus the band buckets the batch hits
-    probe: dict[tuple[int, int], list[int]] = {}
-    hit_bkts = set()
+    # per-band probe tables (band count is small and fixed): sorted unique
+    # bucket keys + CSR offsets into the flat new-id list — the index-side
+    # match below is searchsorted + repeat, no Python per row
+    probe_tabs = []
+    hit_bkts: set[int] = set()
     for b in range(bands):
-        for i in range(len(nids)):
-            key = (b, int(bkeys[b, i]))
-            probe.setdefault(key, []).append(int(nids[i]))
-            # same arithmetic as the build's vectorized bucket tag, in
-            # Python ints (int64 band keys are negative half the time)
-            hit_bkts.add(((key[1] & 0xFFFFFFFFFFFFFFFF) ^ (b << 32))
-                         % n_band_buckets)
+        row = bkeys[b]
+        srt = np.argsort(row, kind="stable")
+        uniq, starts_u = np.unique(row[srt], return_index=True)
+        csr = np.append(starts_u, len(row))
+        probe_tabs.append((uniq, csr, nids[srt].astype(np.int64)))
+        hit_bkts.update((((row.astype(np.uint64)
+                           ^ (np.uint64(b) << np.uint64(32)))
+                          % np.uint64(n_band_buckets)).astype(int)).tolist())
 
     band_files = [f for b in sorted(hit_bkts)
                   for f in sorted(_glob.glob(
@@ -464,22 +465,40 @@ def near_seen_pairs(new_docs: "ray.data.Dataset", index_dir: str,
     if not band_files:
         return ray.data.from_arrow(_NEAR_OUT.empty_table())
 
-    probe_ref = ray.put(probe)
+    probe_ref = ray.put(probe_tabs)
 
     def find_candidates(t: pa.Table) -> pa.Table:
-        pr = ray.get(probe_ref)
+        ptabs = ray.get(probe_ref)
         bnd = t.column("band").to_numpy(zero_copy_only=False)
         bkt = t.column("bucket").to_numpy(zero_copy_only=False)
         hid = t.column(hid_col).to_numpy(zero_copy_only=False)
         hists, news = [], []
-        for j in range(len(bnd)):
-            lst = pr.get((int(bnd[j]), int(bkt[j])))
-            if lst:
-                for nid in lst:
-                    hists.append(int(hid[j]))
-                    news.append(nid)
-        return pa.table({"hist_id": pa.array(hists, pa.int64()),
-                         "new_id": pa.array(news, pa.int64())})
+        for b in range(len(ptabs)):  # bands, not rows
+            uniq, csr, flat_ids = ptabs[b]
+            m = bnd == b
+            if not m.any() or len(uniq) == 0:
+                continue
+            kb = bkt[m]
+            hb = hid[m]
+            pos = np.searchsorted(uniq, kb)
+            ok = (pos < len(uniq)) & (uniq[np.minimum(pos, len(uniq) - 1)] == kb)
+            if not ok.any():
+                continue
+            pos, hb = pos[ok], hb[ok]
+            cnt = csr[pos + 1] - csr[pos]
+            # flat gather of each match's [csr[pos], csr[pos]+cnt) range
+            total = int(cnt.sum())
+            base = np.repeat(csr[pos], cnt)
+            step = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+            news.append(flat_ids[base + step])
+            hists.append(np.repeat(hb, cnt))
+        if not hists:
+            return pa.table({"hist_id": pa.array([], pa.int64()),
+                             "new_id": pa.array([], pa.int64())})
+        return pa.table({
+            "hist_id": pa.array(np.concatenate(hists).astype(np.int64),
+                                pa.int64()),
+            "new_id": pa.array(np.concatenate(news), pa.int64())})
 
     cand = (ray.data.read_parquet(band_files)
             .map_batches(find_candidates, batch_format="pyarrow")
@@ -503,42 +522,63 @@ def near_seen_pairs(new_docs: "ray.data.Dataset", index_dir: str,
                      os.path.join(index_dir, f"docbkt={b}", "*.parquet")))]
 
     cutoff = _est_cutoff(threshold, num_perm, margin_sigmas)
-    cand_by_hist: dict[int, list[int]] = {}
-    for h, n_ in cand.itertuples(index=False):
-        cand_by_hist.setdefault(int(h), []).append(int(n_))
-    sig_by_new = {int(nids[i]): sigs[:, i] for i in range(len(nids))}
-    verify_ref = ray.put((cand_by_hist, sig_by_new, new_sets))
+    # candidate map as sorted-CSR over NEW-SIDE COLUMN indices (not ids) so
+    # the verify kernel is pure gathers; new shingle sets as one flat CSR
+    col_of = {int(nids[i]): i for i in range(len(nids))}
+    ch = np.sort(np.unique(cand["hist_id"].to_numpy(np.int64)))
+    cand_sorted = cand.sort_values("hist_id")
+    ch_all = cand_sorted["hist_id"].to_numpy(np.int64)
+    cn_cols = np.array([col_of[int(x)] for x in
+                        cand_sorted["new_id"].to_numpy(np.int64)], np.int64)
+    csr_h = np.searchsorted(ch_all, ch)
+    csr_h = np.append(csr_h, len(ch_all))
+    sets_sorted = [new_sets[int(nids[i])] for i in range(len(nids))]
+    set_lens = np.array([len(s) for s in sets_sorted], np.int64)
+    set_offs = np.append(0, np.cumsum(set_lens))
+    set_flat = (np.concatenate(sets_sorted) if len(sets_sorted)
+                else np.empty(0, np.uint64))
+    verify_ref = ray.put((ch, csr_h, cn_cols, sigs.T.copy(),  # (n, P)
+                          set_flat, set_offs, set_lens, nids))
 
     def verify(t: pa.Table) -> pa.Table:
-        cbh, sbn, nsets = ray.get(verify_ref)
+        ch_, csr_, cols_, sigmat, sflat, soffs, slens, nids_ = \
+            ray.get(verify_ref)
         hid = t.column(hid_col).to_numpy(zero_copy_only=False)
-        want = np.array([int(h) in cbh for h in hid], bool)
-        if not want.any():
+        pos = np.searchsorted(ch_, hid)
+        ok = (pos < len(ch_)) & (ch_[np.minimum(pos, len(ch_) - 1)] == hid)
+        if not ok.any():
             return _NEAR_OUT.empty_table()
-        t = t.filter(pa.array(want))
-        hid = t.column(hid_col).to_numpy(zero_copy_only=False)
-        hsigs = np.array(t.column("sig").to_pylist(), np.uint64)
+        t = t.filter(pa.array(ok))
+        hid, pos = hid[ok], pos[ok]
+        hsigs = np.array(t.column("sig").to_pylist(), np.uint64)   # (r, P)
         hsets = [np.asarray(s, np.uint64)
                  for s in t.column("shingles").to_pylist()]
-        # expand this batch's candidate pairs, prefilter on signature
-        # agreement, then score every survivor in ONE flat-kernel call
-        rows, nids_ = [], []
-        for row in range(len(hid)):
-            for nid in cbh[int(hid[row])]:
-                if float((hsigs[row] == sbn[nid]).mean()) >= cutoff:
-                    rows.append(row)
-                    nids_.append(nid)
-        if not rows:
+        # expand candidate pairs: row r of this batch x its new columns
+        cnt = csr_[pos + 1] - csr_[pos]
+        total = int(cnt.sum())
+        base = np.repeat(csr_[pos], cnt)
+        step = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        p_col = cols_[base + step]                 # new-side column per pair
+        p_row = np.repeat(np.arange(len(hid)), cnt)
+        # vectorized signature-agreement prefilter over all pairs at once
+        agree = (hsigs[p_row] == sigmat[p_col]).mean(axis=1)
+        pre = agree >= cutoff
+        if not pre.any():
             return _NEAR_OUT.empty_table()
-        lsets = [hsets[r] for r in rows]
-        rsets = [nsets[n] for n in nids_]
+        p_row, p_col = p_row[pre], p_col[pre]
+        lsets = [hsets[r] for r in p_row]
+        rl = slens[p_col]
+        r_base = np.repeat(soffs[p_col], rl)
+        r_step = np.arange(int(rl.sum())) - np.repeat(np.cumsum(rl) - rl, rl)
         jac = _batch_jaccard_flat(
-            np.concatenate(lsets), np.array([len(s) for s in lsets], np.int64),
-            np.concatenate(rsets), np.array([len(s) for s in rsets], np.int64))
+            np.concatenate(lsets),
+            np.array([len(s) for s in lsets], np.int64),
+            sflat[r_base + r_step], rl)
         keep = jac >= threshold
         return pa.table({
-            "new_id": pa.array(np.array(nids_, np.int64)[keep], pa.int64()),
-            "hist_id": pa.array(hid[rows][keep], pa.int64()),
+            "new_id": pa.array(nids_[p_col[keep]].astype(np.int64),
+                               pa.int64()),
+            "hist_id": pa.array(hid[p_row[keep]], pa.int64()),
             "jaccard": pa.array(np.round(jac[keep], 6), pa.float64())})
 
     out = (ray.data.read_parquet(pay_files)
