@@ -48,11 +48,19 @@ _META = "seen_meta.json"
 
 
 def _fp_bucket(fp: pa.Array, n_buckets: int) -> np.ndarray:
-    """Deterministic bucket of an md5-hex fingerprint column: the first 8
-    hex chars as an int — uniform by construction (md5), NULL -> -1."""
-    s = fp.to_pylist()
-    return np.array([-1 if x is None else int(x[:8], 16) % n_buckets
-                     for x in s], np.int32)
+    """Deterministic bucket of an md5-hex fingerprint column (NULL -> -1):
+    pandas' vectorized string hash (fixed hash key, deterministic across
+    runs/processes — the same bucketer the join stages use). Only build
+    and probe need to agree; md5 is already uniform, the extra hash just
+    keeps the kernel C-side instead of a per-row int(hex) parse."""
+    arr = np.asarray(fp.to_pylist(), dtype=object)
+    if len(arr) == 0:
+        return np.empty(0, np.int32)
+    null = np.array([x is None for x in arr], bool)
+    arr[null] = ""
+    out = (pd.util.hash_array(arr) % np.uint64(n_buckets)).astype(np.int32)
+    out[null] = -1
+    return out
 
 
 def _with_fp_bucket(t: pa.Table, text_col: str, n_buckets: int) -> pa.Table:
