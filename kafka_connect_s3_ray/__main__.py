@@ -145,6 +145,11 @@ def main(argv: list[str] | None = None) -> int:
                      help="append this batch's fingerprints to the index "
                           "after filtering (ingest-then-remember loop)")
 
+    sc = sub.add_parser("seen-compact", help="fold a seen/near-seen index's "
+                                             "generation files into single "
+                                             "base parts per bucket")
+    sc.add_argument("--index", required=True)
+
     nb = sub.add_parser("near-seen-build", help="build a persisted "
                                                 "MinHash-LSH near-dup index")
     nb.add_argument("--docs", required=True)
@@ -268,6 +273,23 @@ def main(argv: list[str] | None = None) -> int:
                         if args.update else None)
             print(json.dumps({"incoming": batch.count(), "unseen": n_unseen,
                               "out": args.out, "index_appended": appended}))
+            return 0
+
+        if args.cmd == "seen-compact":
+            from kafka_connect_s3_ray.functions.seen import (
+                compact_near_seen_index, compact_seen_index)
+
+            res = {}
+            if os.path.exists(os.path.join(args.index, "seen_meta.json")):
+                res["seen_buckets"] = compact_seen_index(args.index)
+            if os.path.exists(os.path.join(args.index,
+                                           "near_seen_meta.json")):
+                res["near_seen_buckets"] = compact_near_seen_index(args.index)
+            if not res:
+                print(f"error: no seen/near-seen meta in {args.index}",
+                      file=sys.stderr)
+                return 2
+            print(json.dumps(res))
             return 0
 
         if args.cmd == "near-seen-build":

@@ -728,3 +728,76 @@ def update_near_seen_index(new_docs: "ray.data.Dataset", index_dir: str,
         json.dump(meta, f)
     os.replace(tmp, os.path.join(index_dir, _NMETA))
     return total
+
+
+def compact_seen_index(index_dir: str) -> int:
+    """Fold all of a bucket's generation files back into a single sorted,
+    deduplicated base part — the index's analogue of the lake's
+    ``compact_partitions`` (generations accumulate per ``update_*`` call;
+    probes stay correct but touch ever more files). Buckets with no
+    generation files are left byte-untouched. Crash-safe per bucket: the
+    new base lands via rename BEFORE the old parts are unlinked, and a
+    reader that races sees a superset (dedup semantics tolerate it).
+    Returns the number of buckets compacted."""
+    meta = _read_meta(index_dir)
+    done = 0
+    for bdir in sorted(_glob.glob(os.path.join(index_dir, "bucket=*"))):
+        gens = sorted(_glob.glob(os.path.join(bdir, "part-g*.parquet")))
+        if not gens:
+            continue
+        parts = sorted(_glob.glob(os.path.join(bdir, "*.parquet")))
+        merged = pa.concat_tables([pq.read_table(p) for p in parts])
+        fps = pc.unique(merged.column("fingerprint")).sort()
+        path = os.path.join(bdir, "part-base-0000.parquet")
+        tmp = path + ".inprogress"
+        pq.write_table(pa.table({"fingerprint": fps}), tmp,
+                       compression="zstd")
+        os.replace(tmp, path)
+        for p in parts:
+            if os.path.abspath(p) != os.path.abspath(path):
+                os.remove(p)
+        done += 1
+    meta["generation"] = 0
+    tmp = os.path.join(index_dir, _META + ".inprogress")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(index_dir, _META))
+    return done
+
+
+def compact_near_seen_index(index_dir: str) -> int:
+    """Same generation-fold for the near-seen index: every band/payload
+    bucket's parts merge into one sorted base file (payloads dedup by doc
+    id — the LAST generation wins, matching update semantics where a doc
+    re-presented after admission carries identical features anyway).
+    Returns buckets compacted."""
+    meta = _read_nmeta(index_dir)
+    id_col = meta.get("id_col", "doc_id")
+    done = 0
+    for kind, sort_keys, dedup_keys in (
+            ("bandbkt", [("band", "ascending"), ("bucket", "ascending"),
+                         (id_col, "ascending")], ["band", "bucket", id_col]),
+            ("docbkt", [(id_col, "ascending")], [id_col])):
+        for bdir in sorted(_glob.glob(os.path.join(index_dir, f"{kind}=*"))):
+            gens = sorted(_glob.glob(os.path.join(bdir, "part-g*.parquet")))
+            if not gens:
+                continue
+            parts = sorted(_glob.glob(os.path.join(bdir, "*.parquet")))
+            merged = pa.concat_tables([pq.read_table(p) for p in parts])
+            df = merged.to_pandas().drop_duplicates(dedup_keys, keep="last")
+            out = pa.Table.from_pandas(df, preserve_index=False,
+                                       schema=merged.schema).sort_by(sort_keys)
+            path = os.path.join(bdir, "part-0000.parquet")
+            tmp = path + ".inprogress"
+            pq.write_table(out, tmp, compression="zstd")
+            os.replace(tmp, path)
+            for p in parts:
+                if os.path.abspath(p) != os.path.abspath(path):
+                    os.remove(p)
+            done += 1
+    meta["generation"] = 0
+    tmp = os.path.join(index_dir, _NMETA + ".inprogress")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(index_dir, _NMETA))
+    return done

@@ -298,3 +298,53 @@ def test_update_near_seen_index_remembers_new_docs(ray_session, tmp_path):
     # generation files exist; base parts untouched
     assert glob.glob(os.path.join(idx, "bandbkt=*", "part-g*.parquet"))
     assert glob.glob(os.path.join(idx, "docbkt=*", "part-g*.parquet"))
+
+
+def test_compact_seen_index_folds_generations(ray_session, tmp_path):
+    from kafka_connect_s3_ray.functions.seen import (build_seen_index,
+                                                     compact_seen_index,
+                                                     filter_unseen,
+                                                     update_seen_index)
+
+    idx = str(tmp_path / "seen")
+    build_seen_index(_hist(20), idx, n_buckets=4)
+    update_seen_index(_docs([(100, "gen one fresh")]), idx)
+    update_seen_index(_docs([(101, "gen two fresh"),
+                             (102, "gen one fresh")]), idx)  # dup re-presented
+    assert glob.glob(os.path.join(idx, "bucket=*", "part-g*.parquet"))
+    n = compact_seen_index(idx)
+    assert n >= 1
+    assert not glob.glob(os.path.join(idx, "bucket=*", "part-g*.parquet"))
+    # every bucket with data has exactly one part file now
+    for bdir in glob.glob(os.path.join(idx, "bucket=*")):
+        assert len(glob.glob(os.path.join(bdir, "*.parquet"))) == 1
+    # probes still see everything that was ever admitted
+    out = filter_unseen(_docs([(1, "history document number 1 content"),
+                               (2, "gen one fresh"), (3, "gen two fresh"),
+                               (4, "never seen")]), idx).to_pandas()
+    assert out["doc_id"].tolist() == [4]
+    meta = json.load(open(os.path.join(idx, "seen_meta.json")))
+    assert meta["generation"] == 0
+
+
+def test_compact_near_seen_index_folds_generations(ray_session, tmp_path):
+    from kafka_connect_s3_ray.functions.seen import (
+        build_near_seen_index, compact_near_seen_index, near_seen_pairs,
+        update_near_seen_index)
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    idx = str(tmp_path / "near")
+    build_near_seen_index(_docs([(1, f"{base} one")]), idx)
+    update_near_seen_index(_docs([(10, f"{base} ten")]), idx)
+    before = (near_seen_pairs(_docs([(20, f"{base} twenty")]), idx,
+                              threshold=0.6).to_pandas()
+              .sort_values(["new_id", "hist_id"]).reset_index(drop=True))
+    assert set(before["hist_id"]) == {1, 10}
+    n = compact_near_seen_index(idx)
+    assert n >= 2  # at least one band + one payload bucket folded
+    assert not glob.glob(os.path.join(idx, "*bkt=*", "part-g*.parquet"))
+    after = (near_seen_pairs(_docs([(20, f"{base} twenty")]), idx,
+                             threshold=0.6).to_pandas()
+             .sort_values(["new_id", "hist_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(before, after)  # byte-identical result
