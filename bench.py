@@ -149,7 +149,7 @@ def run_bench() -> dict:
         "stratified_sample", "repetition_signals", "knn_graph",
         "knn_graph_ivf", "knn_graph_ivf_nprobe6",
         "zscore_outliers", "bm25_search", "sequence_packing", "seeded_shuffle",
-        "percentile_rank", "exact_k_sample", "pmi_pairs", "grouped_packing",
+        "percentile_rank", "exact_k_sample", "grouped_exact_k", "pmi_pairs", "grouped_packing",
         "order_revenue",
     ]
     panel_results: dict = {}

@@ -216,3 +216,56 @@ def seeded_shuffle(ds, key_col: str = "doc_id", seed: int = 0,
         return pd.DataFrame({key_col: k, "shuffle_pos": pos})
 
     return rank_by_bucket(meta, offsets, rank)
+
+
+def grouped_exact_k(ds, group_col: str, key_col: str, k: int, seed: int = 0,
+                    keep_cols: list[str] | None = None):
+    """Exactly-k-PER-GROUP deterministic sample: within each group, the k
+    rows whose ``splitmix64(u64(key) xor seed)`` is smallest — the
+    per-class counterpart of ``sample_exact_k`` (rate-based
+    ``stratified_sample`` gives binomial sizes; this caps every class at
+    exactly k, the "at most k examples per domain" curation knob).
+
+    Distributive exactly like the global version, with the group as a
+    segment key: each block lexsorts (group, h, key) once and keeps the
+    first k of every run (vectorized run segmentation, no per-group loop),
+    so the driver merges <= k x groups x blocks candidate rows and applies
+    the same selection again — never the data. NULL group or key raises
+    (``key_hash`` / the stratified contract). Returns an Arrow table of
+    (group_col, key_col + keep_cols)."""
+    import pandas as pd
+
+    cols = [group_col, key_col] + [c for c in (keep_cols or [])
+                                   if c not in (group_col, key_col)]
+
+    def localtop(t: pa.Table) -> pa.Table:
+        if t.column(group_col).null_count:
+            raise ValueError(f"NULL {group_col} in grouped_exact_k")
+        ks = t.column(key_col).to_numpy(zero_copy_only=False)
+        h = key_hash(ks, salt=seed)
+        gv = t.column(group_col).to_numpy(zero_copy_only=False)
+        codes, _ = pd.factorize(gv, sort=False)
+        order = np.lexsort((ks.astype(np.int64), h, codes))
+        cs = codes[order]
+        run_start = np.zeros(len(cs), np.int64)
+        new_run = np.ones(len(cs), bool)
+        new_run[1:] = cs[1:] != cs[:-1]
+        starts = np.flatnonzero(new_run)
+        run_start = np.repeat(starts, np.diff(np.append(starts, len(cs))))
+        pos = np.arange(len(cs)) - run_start
+        sel = order[pos < k]
+        out = t.select(cols).take(pa.array(sel))
+        return out.append_column("h", pa.array(h[sel].view(np.int64),
+                                               pa.int64()))
+
+    parts = ds.map_batches(localtop, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        sch = ds.schema()
+        types = dict(zip(sch.names, sch.types))
+        return pa.table({c: pa.array([], types[c]) for c in cols})
+    hu = parts["h"].to_numpy(np.int64).view(np.uint64)
+    parts = parts.assign(_hu=hu)
+    sel = (parts.sort_values(["_hu", key_col], kind="stable")
+           .groupby(group_col, sort=False).head(k)[cols]
+           .reset_index(drop=True))
+    return pa.Table.from_pandas(sel, preserve_index=False)

@@ -830,6 +830,22 @@ def q_exact_k_sample(sf_dir: str):
                           keep_cols=["user_id"])
 
 
+def q_grouped_exact_k(sf_dir: str):
+    """Exactly 40 events PER event_type, chosen by smallest seeded hash —
+    the per-class curation cap ('at most k per domain'); distributive
+    per-block segmented top-k, driver merges <= k x groups x blocks
+    candidates (`functions/sample.py::grouped_exact_k`)."""
+    from ..functions.sample import grouped_exact_k
+
+    out = grouped_exact_k(_events(sf_dir, ["event_id", "event_type",
+                                           "user_id"]),
+                          "event_type", "event_id", k=40,
+                          seed=_SHUFFLE_SEED, keep_cols=["user_id"])
+    return (out.to_pandas()
+            .sort_values(["event_type", "event_id"]).reset_index(drop=True)
+            .pipe(pa.Table.from_pandas, preserve_index=False))
+
+
 def q_seeded_shuffle(sf_dir: str):
     """Deterministic global training shuffle: each doc's 0-based position in
     splitmix64(doc_id xor seed) order — the same permutation on any cluster
@@ -1842,6 +1858,7 @@ QUERIES = {
     "near_dup_verified": q_near_dup_verified,
     "embedding_near_dup": q_embedding_near_dup,
     "semdedup": q_semdedup,
+    "grouped_exact_k": q_grouped_exact_k,
     "minhash_near_dup": q_minhash_near_dup,
     "curation_chain": q_curation_chain,
     # --- newer round-3 additions ------------------------------------------
@@ -3045,6 +3062,21 @@ def _exact_k_sample_sql(k: int, seed: int) -> str:
 
 
 ORACLE_SQL["exact_k_sample"] = _exact_k_sample_sql(_EXACT_K, _SHUFFLE_SEED)
+
+
+def _grouped_exact_k_sql(k: int, seed: int) -> str:
+    """Per-group exact-k replay: same mixer, row_number() partitioned by
+    the group over (h, key) — the engine's segmented top-k selection."""
+    ctes = _splitmix64_ctes(f"xor(event_id, {seed})", "events",
+                            "event_id, event_type, user_id")
+    return (f"WITH {ctes}, r AS (SELECT event_id, event_type, user_id, "
+            f"row_number() OVER (PARTITION BY event_type "
+            f"ORDER BY h, event_id) AS rn FROM m3) "
+            f"SELECT event_type, event_id, user_id FROM r WHERE rn <= {k} "
+            f"ORDER BY event_type, event_id")
+
+
+ORACLE_SQL["grouped_exact_k"] = _grouped_exact_k_sql(40, _SHUFFLE_SEED)
 
 
 def _pmi_pairs_sql(window: int, min_count: int, k: int) -> str:

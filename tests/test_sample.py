@@ -168,3 +168,39 @@ def test_stratified_sample_null_group_takes_default(ray_session):
     with pytest.raises(ValueError, match="must be in"):
         stratified_sample(ray.data.from_arrow(t), "event_type",
                           "event_id", {"down": 1.5})
+
+
+def test_grouped_exact_k_size_and_layout_invariance(ray_session):
+    from kafka_connect_s3_ray.functions.sample import grouped_exact_k
+
+    rng = np.random.default_rng(7)
+    n = 600
+    t = pa.table({
+        "event_id": pa.array(rng.permutation(n).astype(np.int64)),
+        "event_type": pa.array([f"t{i % 4}" for i in range(n)], pa.string()),
+    })
+    a = grouped_exact_k(ray.data.from_arrow(t), "event_type", "event_id",
+                        k=25, seed=9).to_pandas()
+    assert (a.groupby("event_type").size() == 25).all()
+    # layout invariance: different block structure, same selection
+    b = grouped_exact_k(ray.data.from_arrow(t).repartition(7), "event_type",
+                        "event_id", k=25, seed=9).to_pandas()
+    key = lambda df: sorted(map(tuple, df[["event_type", "event_id"]].values))
+    assert key(a) == key(b)
+    # a group smaller than k returns all of it
+    small = pa.table({
+        "event_id": pa.array(range(10), pa.int64()),
+        "event_type": pa.array(["only"] * 10, pa.string())})
+    c = grouped_exact_k(ray.data.from_arrow(small), "event_type",
+                        "event_id", k=25, seed=9).to_pandas()
+    assert len(c) == 10
+
+
+def test_grouped_exact_k_null_group_raises(ray_session):
+    from kafka_connect_s3_ray.functions.sample import grouped_exact_k
+
+    t = pa.table({"event_id": pa.array([1, 2], pa.int64()),
+                  "event_type": pa.array(["a", None], pa.string())})
+    with pytest.raises(Exception):
+        grouped_exact_k(ray.data.from_arrow(t), "event_type", "event_id",
+                        k=1).to_pandas()
