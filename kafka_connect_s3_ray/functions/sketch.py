@@ -218,3 +218,112 @@ def grouped_approx_distinct(ds: "ray.data.Dataset", group_col: str,
     out = pd.DataFrame({"g": sorted(acc),
                         "estimate": [acc[k].estimate() for k in sorted(acc)]})
     return out
+
+
+class SpaceSavingSketch:
+    """Mergeable heavy-hitters summary (Metwally et al. SpaceSaving, merge
+    per Agarwal et al. "Mergeable Summaries", PODS'12): at most ``m``
+    (item, count, err) counters where ``count`` OVERestimates the true
+    frequency by at most ``err`` (count - err <= true <= count). Any item
+    with true count > N/m is guaranteed present. When the live item count
+    never exceeds m, counts are EXACT (err 0 everywhere) — the regime the
+    SQL oracle checks; accuracy at m << distinct is pytest-bounded.
+
+    Batched ``add``: values collapse to (unique, weight) first, existing
+    counters take a vectorized += via searchsorted, and the remaining new
+    items enter by evicting the smallest counters (weighted SpaceSaving:
+    new count = evicted_min + w, err = evicted_min)."""
+
+    def __init__(self, m: int = 256):
+        self.m = int(m)
+        self.items: dict = {}  # item -> [count, err]
+
+    def add(self, values, weights=None) -> "SpaceSavingSketch":
+        vals = np.asarray(values)
+        if len(vals) == 0:
+            return self
+        uniq, inv = np.unique(vals, return_inverse=True)
+        w = (np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+             if weights is None else
+             np.bincount(inv, weights=np.asarray(weights, np.float64),
+                         minlength=len(uniq)).astype(np.int64))
+        for item, wt in zip(uniq.tolist(), w.tolist()):
+            c = self.items.get(item)
+            if c is not None:
+                c[0] += wt
+            elif len(self.items) < self.m:
+                self.items[item] = [wt, 0]
+            else:
+                evict = min(self.items, key=lambda k: self.items[k][0])
+                base = self.items.pop(evict)[0]
+                self.items[item] = [base + wt, base]
+        return self
+
+    def merge(self, other: "SpaceSavingSketch") -> "SpaceSavingSketch":
+        # An item ABSENT from a full sketch may still have true count up to
+        # that sketch's minimum counter (the SpaceSaving invariant), so it
+        # contributes (min, min) there; absent from a non-full sketch means
+        # never seen -> contributes 0. This keeps count an overestimate and
+        # err a valid slack across merges (Agarwal et al., Mergeable
+        # Summaries, PODS'12). Truncating back to top-m preserves the
+        # invariant: every dropped count <= every kept count.
+        floor_a = (min(c for c, _ in self.items.values())
+                   if len(self.items) >= self.m and self.items else 0)
+        floor_b = (min(c for c, _ in other.items.values())
+                   if len(other.items) >= other.m and other.items else 0)
+        out = SpaceSavingSketch(self.m)
+        merged: dict = {}
+        for item in self.items.keys() | other.items.keys():
+            ca, ea = self.items.get(item, (floor_a, floor_a))
+            cb, eb = other.items.get(item, (floor_b, floor_b))
+            merged[item] = [ca + cb, ea + eb]
+        if len(merged) > self.m:
+            keep = sorted(merged, key=lambda k: -merged[k][0])[: self.m]
+            merged = {k: merged[k] for k in keep}
+        out.items = merged
+        return out
+
+    def heavy_hitters(self, k: int | None = None) -> "pd.DataFrame":
+        rows = sorted(((item, c, e) for item, (c, e) in self.items.items()),
+                      key=lambda r: (-r[1], r[0]))
+        if k is not None:
+            rows = rows[:k]
+        return pd.DataFrame(rows, columns=["item", "count_est", "err_bound"])
+
+    def serialize(self) -> bytes:
+        import pickle
+
+        return pickle.dumps((self.m, self.items))
+
+    @classmethod
+    def deserialize(cls, blob: bytes) -> "SpaceSavingSketch":
+        import pickle
+
+        m, items = pickle.loads(blob)
+        out = cls(m)
+        out.items = items
+        return out
+
+
+def heavy_hitters(ds: "ray.data.Dataset", col: str, k: int = 20,
+                  m: int = 1024) -> pd.DataFrame:
+    """Distributed top-k frequent values: one SpaceSaving sketch per batch
+    (m counters — the only thing that crosses the exchange), driver merge,
+    top-k by (count desc, item). Exact whenever per-batch distinct counts
+    stay <= m (the oracle regime); otherwise every returned count carries
+    its per-item overestimate bound. NULL values are excluded (count(x)
+    semantics)."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pac
+
+        col_arr = batch.column(col)
+        col_arr = col_arr.filter(pac.is_valid(col_arr))
+        s = SpaceSavingSketch(m).add(col_arr.to_numpy(zero_copy_only=False))
+        return pa.table({"sketch": pa.array([s.serialize()], pa.binary())})
+
+    blobs = ds.map_batches(per_batch, batch_format="pyarrow").to_pandas()["sketch"]
+    acc = SpaceSavingSketch(m)
+    for b in blobs:
+        acc = acc.merge(SpaceSavingSketch.deserialize(b))
+    return acc.heavy_hitters(k)

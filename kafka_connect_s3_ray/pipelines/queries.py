@@ -830,6 +830,22 @@ def q_exact_k_sample(sf_dir: str):
                           keep_cols=["user_id"])
 
 
+def q_heavy_hitters(sf_dir: str):
+    """Top-20 most frequent users via mergeable SpaceSaving sketches
+    (`functions/sketch.py::heavy_hitters`): one m-counter summary per
+    batch crosses the exchange, driver merge, (count desc, item) top-k.
+    At m=65536 every driver sf keeps all live items in-counter, so counts
+    are EXACT (err 0) and the plain count(*) SQL is the oracle; the
+    m << distinct accuracy regime is pytest-bounded."""
+    from ..functions.sketch import heavy_hitters
+
+    out = heavy_hitters(_events(sf_dir, ["user_id"]), "user_id", k=20,
+                        m=65536)
+    return pa.table({"item": pa.array(out["item"].astype(np.int64)),
+                     "count_est": pa.array(out["count_est"].astype(np.int64)),
+                     "err_bound": pa.array(out["err_bound"].astype(np.int64))})
+
+
 def q_grouped_exact_k(sf_dir: str):
     """Exactly 40 events PER event_type, chosen by smallest seeded hash —
     the per-class curation cap ('at most k per domain'); distributive
@@ -1859,6 +1875,7 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "semdedup": q_semdedup,
     "grouped_exact_k": q_grouped_exact_k,
+    "heavy_hitters": q_heavy_hitters,
     "minhash_near_dup": q_minhash_near_dup,
     "curation_chain": q_curation_chain,
     # --- newer round-3 additions ------------------------------------------
@@ -3077,6 +3094,15 @@ def _grouped_exact_k_sql(k: int, seed: int) -> str:
 
 
 ORACLE_SQL["grouped_exact_k"] = _grouped_exact_k_sql(40, _SHUFFLE_SEED)
+
+# heavy_hitters: at m=65536 the sketch never evicts at driver sfs -> exact
+# counts, zero error bound; ties at the k boundary settle by (count desc,
+# item) on both sides
+ORACLE_SQL["heavy_hitters"] = (
+    "SELECT user_id AS item, count(*) AS count_est, "
+    "CAST(0 AS BIGINT) AS err_bound FROM events WHERE user_id IS NOT NULL "
+    "GROUP BY user_id ORDER BY count_est DESC, item LIMIT 20"
+)
 
 
 def _pmi_pairs_sql(window: int, min_count: int, k: int) -> str:

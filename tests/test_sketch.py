@@ -137,3 +137,67 @@ def test_grouped_approx_distinct_null_values_ignored(ray_session):
     e1 = grouped_approx_distinct(ray.data.from_arrow(base), "g", "v")
     e2 = grouped_approx_distinct(ray.data.from_arrow(with_null), "g", "v")
     assert float(e1["estimate"][0]) == float(e2["estimate"][0])
+
+
+def test_spacesaving_bounds_and_guarantee():
+    """count - err <= true <= count for every reported item, and every item
+    with true count > N/m is present (the SpaceSaving guarantee), across a
+    many-way merge of partial sketches."""
+    import collections
+
+    from kafka_connect_s3_ray.functions.sketch import SpaceSavingSketch
+
+    rng = np.random.default_rng(1)
+    vals = rng.zipf(1.4, 50_000)
+    vals = vals[vals < 5_000]
+    true = collections.Counter(vals.tolist())
+    m = 128
+    parts = [SpaceSavingSketch(m).add(chunk)
+             for chunk in np.array_split(vals, 9)]
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = acc.merge(p)
+    hh = acc.heavy_hitters()
+    assert len(hh) <= m
+    for _, r in hh.iterrows():
+        t = true[r["item"]]
+        assert r["count_est"] - r["err_bound"] <= t <= r["count_est"]
+    thresh = len(vals) / m
+    present = set(hh["item"])
+    for item, cnt in true.items():
+        if cnt > thresh:
+            assert item in present, (item, cnt, thresh)
+
+
+def test_spacesaving_exact_when_capacity_suffices():
+    import collections
+
+    from kafka_connect_s3_ray.functions.sketch import SpaceSavingSketch
+
+    rng = np.random.default_rng(2)
+    vals = rng.integers(0, 200, 10_000)
+    true = collections.Counter(vals.tolist())
+    s = SpaceSavingSketch(1000)
+    for chunk in np.array_split(vals, 7):
+        s = s.merge(SpaceSavingSketch(1000).add(chunk))
+    hh = s.heavy_hitters()
+    assert (hh["err_bound"] == 0).all()
+    got = {r["item"]: r["count_est"] for _, r in hh.iterrows()}
+    assert got == dict(true)
+
+
+def test_spacesaving_serialize_roundtrip():
+    from kafka_connect_s3_ray.functions.sketch import SpaceSavingSketch
+
+    s = SpaceSavingSketch(8).add(["a", "b", "a", "c"])
+    back = SpaceSavingSketch.deserialize(s.serialize())
+    assert back.items == s.items and back.m == s.m
+
+
+def test_heavy_hitters_driver_excludes_nulls(ray_session):
+    from kafka_connect_s3_ray.functions.sketch import heavy_hitters
+
+    t = pa.table({"v": pa.array(["x", "x", None, "y", None], pa.string())})
+    out = heavy_hitters(ray.data.from_arrow(t), "v", k=5, m=16)
+    assert out["item"].tolist() == ["x", "y"]
+    assert out["count_est"].tolist() == [2, 1]
