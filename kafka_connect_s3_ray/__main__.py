@@ -73,6 +73,12 @@ def main(argv: list[str] | None = None) -> int:
                          "deltas after interval+grace ticks")
     tl.add_argument("--grace-rounds", type=int, default=None,
                     help="grace period in ticks (default: interval/2)")
+    tl.add_argument("--flush-interval-ms", type=float, default=None,
+                    help="W4 grace flush in WALL-CLOCK ms (the reference's "
+                         "rotate.schedule semantics); mutually exclusive "
+                         "with --flush-interval-rounds")
+    tl.add_argument("--grace-ms", type=float, default=None,
+                    help="wall-clock grace in ms (default: interval/2)")
 
     cp = sub.add_parser("compact", help="fold pending delta commits into base files")
     cp.add_argument("--manifest", required=True)
@@ -166,6 +172,17 @@ def main(argv: list[str] | None = None) -> int:
     nf.add_argument("--text-col", default="text")
     nf.add_argument("--update", action="store_true",
                     help="append the SURVIVORS to the index after filtering")
+
+    rp = sub.add_parser("repartition", help="explicit lake re-shard: rebuild "
+                                            "the CURRENT snapshot at a new "
+                                            "partition count (the sanctioned "
+                                            "way to change P; upsert refuses "
+                                            "a silent change)")
+    rp.add_argument("--manifest", required=True)
+    rp.add_argument("--out-lake", required=True,
+                    help="directory for the new part=<p>/ base files; start a "
+                         "new changelog epoch against it with a fresh manifest")
+    rp.add_argument("--partitions", type=int, required=True)
 
     df = sub.add_parser("diff", help="change data feed: I/U/D rows between two "
                                      "retained snapshots (partition-pruned)")
@@ -330,6 +347,14 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"delta_counts": {str(k): v for k, v in
                                                m.delta_counts().items()}}))
             return 0
+        if args.cmd == "repartition":
+            from kafka_connect_s3_ray.pipelines.maintenance import \
+                repartition_lake
+
+            report = repartition_lake(args.manifest, args.out_lake,
+                                      new_partitions=args.partitions)
+            print(json.dumps(report))
+            return 0
         if args.cmd == "validate":
             from kafka_connect_s3_ray.pipelines.maintenance import validate_lake
 
@@ -476,7 +501,9 @@ def main(argv: list[str] | None = None) -> int:
                                commit_mode=args.commit_mode,
                                compact_every=args.compact_every,
                                flush_interval_rounds=args.flush_interval_rounds,
-                               grace_rounds=args.grace_rounds)
+                               grace_rounds=args.grace_rounds,
+                               flush_interval_ms=args.flush_interval_ms,
+                               grace_ms=args.grace_ms)
             print(json.dumps({"watermarks": {str(p): m.watermark(p)
                                              for p in sorted(m.partitions)}}))
             return 0
