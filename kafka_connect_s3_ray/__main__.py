@@ -282,7 +282,15 @@ def main(argv: list[str] | None = None) -> int:
             unseen = filter_unseen(batch, args.index, text_col=args.text_col)
             if args.out:
                 unseen.write_parquet(args.out)
-                n_unseen = rd.read_parquet(args.out).count()
+                # footer-metadata count of what was just written — never a
+                # second read of the output data
+                import pyarrow.parquet as _pq
+
+                n_unseen = 0
+                for dirpath, _, fnames in os.walk(args.out):
+                    n_unseen += sum(
+                        _pq.read_metadata(os.path.join(dirpath, fn)).num_rows
+                        for fn in fnames if fn.endswith(".parquet"))
             else:
                 n_unseen = unseen.count()
             appended = (update_seen_index(batch, args.index,

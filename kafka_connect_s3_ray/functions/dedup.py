@@ -199,6 +199,10 @@ class MinHasher:
         batch (``_shingle_sets_batch`` layout) — lets fused pipelines compute
         shingles ONCE and derive both signatures and verify sets from them."""
         n = len(lens)
+        if n == 0:
+            # reduceat with starts=[0] over a width-0 array raises; an empty
+            # block (e.g. a fully-filtered batch) must featurize to empty
+            return np.empty((self.num_perm, 0), dtype=np.uint64)
         starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
         sigs = np.empty((self.num_perm, n), dtype=np.uint64)
         chunk = max(1, (16 << 20) // max(1, flat.nbytes))  # ~16 MB per slab
@@ -1353,7 +1357,13 @@ def _embedding_near_dup_ivf(ds: "ray.data.Dataset", threshold: float,
 
     if n_clusters is None:
         n_clusters = max(16, int(np.sqrt(2 * max(1, ds.count()))))
+    # the fit sample must dominate the cluster count or the centroids are
+    # just sample points (sqrt(2N) clusters from a fixed 4096-row sample
+    # collapses to ~3 points/cluster at N=1M); keep >= ~32 points/cluster
+    # and never request more clusters than the sample can support
+    sample_size = max(sample_size, 32 * n_clusters)
     sample = ds.limit(sample_size).to_pandas()[vec_col]
+    n_clusters = min(n_clusters, max(1, len(sample)))
     cents = kmeans_fit(np.stack(sample.to_list()), n_clusters, seed=seed)
     cents_ref = ray.put(cents)
     staged = ds.map_batches(_IvfGraphAssign(cents_ref, nprobe, id_col, vec_col),

@@ -457,6 +457,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = body[0]
+            if ns != len(frame[2]):
+                # T.81 allows multi-scan sequential (one scan per component);
+                # decoding only the first scan would silently return a
+                # wrongly-tinted image — refuse loudly like the other
+                # unsupported shapes
+                raise NotImplementedError(
+                    f"non-interleaved multi-scan baseline unsupported "
+                    f"(scan codes {ns} of {len(frame[2])} components)")
             scan = []  # (comp_idx, dc_table, ac_table)
             for s in range(ns):
                 cs, tt = body[1 + 2 * s], body[2 + 2 * s]

@@ -200,26 +200,27 @@ def filter_unseen(new_docs: "ray.data.Dataset", index_dir: str,
     out_schema = pa.schema([(n, t) for n, t in union_fields
                             if n in out_cols])
 
-    def anti(g: pd.DataFrame) -> pd.DataFrame:
-        idx_fp = g.loc[g["_is_index"], "fingerprint"].to_numpy()
-        new = g[~g["_is_index"]]
-        fp = new["fingerprint"].to_numpy()
-        mask = ~pd.Series(fp).isin(idx_fp).to_numpy()
-        if keep_nulls:
-            mask |= pd.isna(fp)
-        else:
-            mask &= ~pd.isna(fp)
-        kept = new.loc[mask, out_cols]
-        # the union's null-fill widened new-side ints to float64 (index rows
-        # carry NULL data columns) — cast back to the input schema
-        tbl = pa.Table.from_pandas(kept, preserve_index=False)
-        tbl = pa.Table.from_arrays(
-            [pc.cast(tbl.column(f.name), f.type) for f in out_schema],
+    def anti(g: pa.Table) -> pa.Table:
+        # Arrow-native: only the (string) fingerprint goes through pandas for
+        # the isin; data columns never leave Arrow, so null-fill from the
+        # index side can't widen int64 ids to float64 (which would silently
+        # round values above 2^53 on the cast back)
+        is_idx = g.column("_is_index").to_numpy(zero_copy_only=False)
+        is_idx = np.asarray(is_idx, bool)
+        fp_all = g.column("fingerprint").to_pandas()
+        idx_fp = fp_all[is_idx].dropna().to_numpy()
+        new = g.filter(pa.array(~is_idx))
+        fp = fp_all[~is_idx]
+        mask = ~fp.isin(idx_fp).to_numpy()
+        isna = fp.isna().to_numpy()
+        mask = (mask | isna) if keep_nulls else (mask & ~isna)
+        kept = new.filter(pa.array(mask))
+        return pa.Table.from_arrays(
+            [pc.cast(kept.column(f.name), f.type) for f in out_schema],
             schema=out_schema)
-        return tbl.to_pandas()
 
     return left.union(right).groupby("_bucket").map_groups(
-        anti, batch_format="pandas")
+        anti, batch_format="pyarrow")
 
 
 def update_seen_index(new_docs: "ray.data.Dataset", index_dir: str,
@@ -741,9 +742,15 @@ def compact_seen_index(index_dir: str) -> int:
     Returns the number of buckets compacted."""
     meta = _read_meta(index_dir)
     done = 0
+    total_fps = 0  # true distinct count — this is the one moment it's known
     for bdir in sorted(_glob.glob(os.path.join(index_dir, "bucket=*"))):
         gens = sorted(_glob.glob(os.path.join(bdir, "part-g*.parquet")))
         if not gens:
+            # untouched buckets hold only deduplicated base parts; footer
+            # metadata gives their distinct count without a data read
+            total_fps += sum(
+                pq.read_metadata(p).num_rows
+                for p in _glob.glob(os.path.join(bdir, "*.parquet")))
             continue
         parts = sorted(_glob.glob(os.path.join(bdir, "*.parquet")))
         merged = pa.concat_tables([pq.read_table(p) for p in parts])
@@ -757,7 +764,12 @@ def compact_seen_index(index_dir: str) -> int:
             if os.path.abspath(p) != os.path.abspath(path):
                 os.remove(p)
         done += 1
+        total_fps += len(fps)
     meta["generation"] = 0
+    # update_seen_index can only add per-batch distinct counts (it never sees
+    # the index side), so the running meta total drifts upward on replays;
+    # compaction resets it to the recomputed truth
+    meta["fingerprints"] = total_fps
     tmp = os.path.join(index_dir, _META + ".inprogress")
     with open(tmp, "w") as f:
         json.dump(meta, f)

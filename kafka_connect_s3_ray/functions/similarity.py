@@ -478,6 +478,8 @@ def _ivf_cluster_topk(g: pa.Table, k: int, id_col: str,
     id_type = g.schema.field(id_col).type
     out_schema = pa.schema([(id_col, id_type), ("neighbor_id", id_type),
                             ("score", pa.float64())])
+    if len(g) == 0:  # Ray may hand map_groups an empty tail block
+        return out_schema.empty_table()
     is_m = g.column("is_member").to_numpy(zero_copy_only=False)
     ids = g.column(id_col).to_numpy(zero_copy_only=False)
     mat = np.stack(g.column("normed").to_pylist())
@@ -538,7 +540,9 @@ def knn_graph_ivf(ds: "ray.data.Dataset", k: int = 3, n_clusters: int = 16,
     corpus, see test_repetition_knn) for a ~n_clusters/nprobe compute cut."""
     from ..functions.dedup import _splitmix64_mix
 
-    sample = ds.limit(sample_size).to_pandas()[vec_col]
+    # keep >= ~32 fit points per requested cluster so centroids summarize
+    # the sample rather than memorize it (see _embedding_near_dup_ivf)
+    sample = ds.limit(max(sample_size, 32 * n_clusters)).to_pandas()[vec_col]
     cents = kmeans_fit(np.stack(sample.to_list()), n_clusters, seed=seed)
     cents_ref = ray.put(cents)
     staged = ds.map_batches(

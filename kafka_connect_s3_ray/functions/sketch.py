@@ -247,16 +247,14 @@ class SpaceSavingSketch:
              if weights is None else
              np.bincount(inv, weights=np.asarray(weights, np.float64),
                          minlength=len(uniq)).astype(np.int64))
-        for item, wt in zip(uniq.tolist(), w.tolist()):
-            c = self.items.get(item)
-            if c is not None:
-                c[0] += wt
-            elif len(self.items) < self.m:
-                self.items[item] = [wt, 0]
-            else:
-                evict = min(self.items, key=lambda k: self.items[k][0])
-                base = self.items.pop(evict)[0]
-                self.items[item] = [base + wt, base]
+        # the batch's exact counts ARE a valid summary (capacity > live
+        # items -> never evicted, err 0, floor 0), so adding = merging it —
+        # O((m+u) log(m+u)) total, vs the per-item min-scan eviction loop's
+        # O(u*m) on a full sketch
+        batch = SpaceSavingSketch(max(self.m, len(uniq) + 1))
+        batch.items = {item: [wt, 0]
+                       for item, wt in zip(uniq.tolist(), w.tolist())}
+        self.items = self.merge(batch).items
         return self
 
     def merge(self, other: "SpaceSavingSketch") -> "SpaceSavingSketch":

@@ -158,8 +158,18 @@ def duplicate_spans(docs: "ray.data.Dataset", k: int = 8,
 
     out = (dpos.groupby("coarse2")
            .map_groups(merge_spans, batch_format="pyarrow")).materialize()
+    # internal stages use the private "doc_id" name; the OUTPUT surface
+    # carries the caller's id_col so downstream joins (remove_duplicate_spans
+    # with id_col="media_id", …) see the column they keyed on
+    if id_col != "doc_id":
+        out = out.map_batches(
+            lambda t: t.rename_columns([id_col, "span_start", "span_end"]),
+            batch_format="pyarrow")
     if out.count() == 0:  # cheap: materialized (all-unique or sub-k corpus)
-        return ray.data.from_arrow(_SPAN.empty_table())
+        empty = _SPAN.empty_table()
+        if id_col != "doc_id":
+            empty = empty.rename_columns([id_col, "span_start", "span_end"])
+        return ray.data.from_arrow(empty)
     return out
 
 

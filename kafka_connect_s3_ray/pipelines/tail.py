@@ -129,6 +129,16 @@ def tail_changelog(
         raise ValueError(
             "flush_interval_rounds and flush_interval_ms are the same check "
             "on different clocks — pass one, not both")
+    # a grace on the clock the interval doesn't use would be silently
+    # ignored — reject instead (the operator meant something)
+    if grace_ms is not None and not use_ms:
+        raise ValueError(
+            "grace_ms requires flush_interval_ms (the wall-clock flush); "
+            "with flush_interval_rounds pass grace_rounds")
+    if grace_rounds is not None and use_ms:
+        raise ValueError(
+            "grace_rounds requires flush_interval_rounds (the tick flush); "
+            "with flush_interval_ms pass grace_ms")
     if flush_interval_rounds and grace_rounds is None:
         grace_rounds = max(1, flush_interval_rounds // 2)
     if use_ms and grace_ms is None:
