@@ -173,6 +173,28 @@ def main(argv: list[str] | None = None) -> int:
     nf.add_argument("--update", action="store_true",
                     help="append the SURVIVORS to the index after filtering")
 
+    eb = sub.add_parser("emb-seen-build", help="build a persisted IVF "
+                                               "embedding index for "
+                                               "incremental SEMANTIC dedup")
+    eb.add_argument("--vecs", required=True, help="embeddings parquet")
+    eb.add_argument("--index", required=True)
+    eb.add_argument("--clusters", type=int, default=16)
+    eb.add_argument("--id-col", default="vec_id")
+    eb.add_argument("--vec-col", default="embedding")
+
+    ef = sub.add_parser("emb-seen-filter", help="emit only rows of a new "
+                                                "batch with NO history "
+                                                "vector at cosine >= "
+                                                "threshold")
+    ef.add_argument("--vecs", required=True)
+    ef.add_argument("--index", required=True)
+    ef.add_argument("--threshold", type=float, default=0.5)
+    ef.add_argument("--nprobe", type=int, default=None,
+                    help="clusters probed per vector (default: all = exact)")
+    ef.add_argument("--out", default=None)
+    ef.add_argument("--update", action="store_true",
+                    help="append the SURVIVORS to the index after filtering")
+
     rp = sub.add_parser("repartition", help="explicit lake re-shard: rebuild "
                                             "the CURRENT snapshot at a new "
                                             "partition count (the sanctioned "
@@ -302,7 +324,8 @@ def main(argv: list[str] | None = None) -> int:
 
         if args.cmd == "seen-compact":
             from kafka_connect_s3_ray.functions.seen import (
-                compact_near_seen_index, compact_seen_index)
+                compact_embedding_seen_index, compact_near_seen_index,
+                compact_seen_index)
 
             res = {}
             if os.path.exists(os.path.join(args.index, "seen_meta.json")):
@@ -310,6 +333,9 @@ def main(argv: list[str] | None = None) -> int:
             if os.path.exists(os.path.join(args.index,
                                            "near_seen_meta.json")):
                 res["near_seen_buckets"] = compact_near_seen_index(args.index)
+            if os.path.exists(os.path.join(args.index,
+                                           "emb_seen_meta.json")):
+                res["emb_clusters"] = compact_embedding_seen_index(args.index)
             if not res:
                 print(f"error: no seen/near-seen meta in {args.index}",
                       file=sys.stderr)
@@ -355,6 +381,39 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"delta_counts": {str(k): v for k, v in
                                                m.delta_counts().items()}}))
             return 0
+        if args.cmd == "emb-seen-build":
+            import ray.data as rd
+
+            from kafka_connect_s3_ray.functions.seen import \
+                build_embedding_seen_index
+
+            n = build_embedding_seen_index(
+                rd.read_parquet(args.vecs), args.index,
+                n_clusters=args.clusters, id_col=args.id_col,
+                vec_col=args.vec_col)
+            print(json.dumps({"index": args.index, "vectors": n,
+                              "clusters": args.clusters}))
+            return 0
+
+        if args.cmd == "emb-seen-filter":
+            import ray.data as rd
+
+            from kafka_connect_s3_ray.functions.seen import (
+                filter_embedding_seen, update_embedding_seen_index)
+
+            batch = rd.read_parquet(args.vecs)
+            surv = filter_embedding_seen(batch, args.index,
+                                         threshold=args.threshold,
+                                         nprobe=args.nprobe).materialize()
+            if args.out:
+                surv.write_parquet(args.out)
+            appended = (update_embedding_seen_index(surv, args.index)
+                        if args.update else None)
+            print(json.dumps({"incoming": batch.count(),
+                              "survivors": surv.count(), "out": args.out,
+                              "index_appended": appended}))
+            return 0
+
         if args.cmd == "repartition":
             from kafka_connect_s3_ray.pipelines.maintenance import \
                 repartition_lake

@@ -813,3 +813,191 @@ def compact_near_seen_index(index_dir: str) -> int:
         json.dump(meta, f)
     os.replace(tmp, os.path.join(index_dir, _NMETA))
     return done
+
+
+# --------------------------------------------------------------------------
+# Embedding-seen: incremental SEMANTIC dedup against a persisted IVF index
+# --------------------------------------------------------------------------
+
+_EMETA = "emb_seen_meta.json"
+
+
+def build_embedding_seen_index(vecs: "ray.data.Dataset", index_dir: str,
+                               n_clusters: int = 16,
+                               sample_size: int = 2048,
+                               id_col: str = "vec_id",
+                               vec_col: str = "embedding",
+                               seed: int = 42,
+                               sub_splits: int = 1) -> int:
+    """Build the SEMANTIC member of the incremental-dedup trio (exact
+    fingerprints -> MinHash near-dup -> embedding cosine): the history
+    corpus's vectors in a cluster-partitioned IVF layout
+    (``similarity.py::build_ivf_index`` — ``cluster=<c>/part-*.parquet``
+    plus a ``centroids.npy`` commit marker), so each new CDC batch probes
+    only its nprobe nearest clusters instead of rescanning the lake
+    (SemDeDup's neighbor question asked incrementally). Same invalidation
+    discipline as the other indexes: meta removed first, written last.
+    Returns vectors indexed."""
+    from .similarity import build_ivf_index
+
+    marker = os.path.join(index_dir, _EMETA)
+    if os.path.exists(marker):
+        os.remove(marker)
+    build_ivf_index(vecs.select_columns([id_col, vec_col]), index_dir,
+                    n_clusters=n_clusters, sample_size=sample_size,
+                    id_col=id_col, vec_col=vec_col, seed=seed,
+                    sub_splits=sub_splits)
+    n = sum(pq.read_metadata(f).num_rows
+            for f in _glob.glob(os.path.join(index_dir, "cluster=*",
+                                             "*.parquet")))
+    meta = {"n_clusters": n_clusters, "id_col": id_col, "vec_col": vec_col,
+            "seed": seed, "generation": 0, "docs": n}
+    tmp = marker + ".inprogress"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, marker)
+    return n
+
+
+def _read_emeta(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, _EMETA)) as f:
+        return json.load(f)
+
+
+def semantic_seen_hits(new_vecs: "ray.data.Dataset", index_dir: str,
+                       threshold: float = 0.5,
+                       nprobe: int | None = None) -> pd.DataFrame:
+    """Each new vector's nearest history vector (max cosine) from the
+    index, as (id, hist_id, cosine) for hits >= threshold. The new side is
+    the O(batch) side and broadcasts (``ivf_topk_indexed``'s query
+    matrix); history never broadcasts and only the probed clusters' files
+    are READ. ``nprobe=None`` probes every cluster — exact (the oracle
+    anchor); realistic nprobe trades recall for an
+    ~n_clusters/nprobe read+compute cut. Rows with NULL embeddings never
+    hit (nothing to compare)."""
+    from .similarity import ivf_topk_indexed
+
+    meta = _read_emeta(index_dir)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    new = new_vecs.select_columns([id_col, vec_col]).to_pandas()
+    vec_ok = new[vec_col].notna().to_numpy()
+    if not vec_ok.any():
+        return pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
+                             "hist_id": pd.Series([], dtype=np.int64),
+                             "cosine": pd.Series([], dtype=np.float64)})
+    q_ids = new.loc[vec_ok, id_col].to_numpy()
+    q = np.stack(new.loc[vec_ok, vec_col].to_list()).astype(np.float64)
+    res = ivf_topk_indexed(
+        index_dir, q, k=1,
+        nprobe=int(meta["n_clusters"]) if nprobe is None else nprobe,
+        id_col=id_col, vec_col=vec_col)
+    res = res[res["score"] >= threshold]
+    return pd.DataFrame({
+        id_col: q_ids[res["query_id"].to_numpy(np.int64)],
+        "hist_id": res[id_col].to_numpy(),
+        "cosine": res["score"].to_numpy(np.float64)})
+
+
+def filter_embedding_seen(new_vecs: "ray.data.Dataset", index_dir: str,
+                          threshold: float = 0.5,
+                          nprobe: int | None = None) -> "ray.data.Dataset":
+    """Emit only the rows of ``new_vecs`` with NO history vector at cosine
+    >= threshold — the admission filter of the incremental semantic-dedup
+    loop (probe -> admit survivors -> ``update_embedding_seen_index``).
+    Cross pairs only, like the other seen filters: semantic dup WITHIN the
+    batch is ``semdedup``'s batch job."""
+    meta = _read_emeta(index_dir)
+    id_col = meta["id_col"]
+    hits = semantic_seen_hits(new_vecs, index_dir, threshold=threshold,
+                              nprobe=nprobe)
+    seen_ref = ray.put(set(hits[id_col].tolist()))
+
+    def keep(t: pa.Table) -> pa.Table:
+        seen = ray.get(seen_ref)
+        if not seen:
+            return t
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        mask = np.array([i not in seen for i in ids.tolist()], bool)
+        return t.filter(pa.array(mask))
+
+    return new_vecs.map_batches(keep, batch_format="pyarrow")
+
+
+def update_embedding_seen_index(new_vecs: "ray.data.Dataset",
+                                index_dir: str) -> int:
+    """Append admitted vectors to the index as a new generation of part
+    files per cluster — assignment uses the ORIGINAL centroids (IVF
+    semantics: centroids stay fixed across generations so probe and build
+    agree; distribution drift is a rebuild, not an append). Returns rows
+    appended."""
+    from .similarity import _CentroidAssign
+
+    meta = _read_emeta(index_dir)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    gen = int(meta.get("generation", 0)) + 1
+    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    assigned = new_vecs.select_columns([id_col, vec_col]).map_batches(
+        _CentroidAssign(ray.put(cents), vec_col), batch_format="pyarrow")
+
+    def append_cluster(g: pa.Table) -> pa.Table:
+        c = int(g.column("cluster")[0].as_py())
+        out = g.sort_by([(id_col, "ascending")])
+        cdir = os.path.join(index_dir, f"cluster={c}")
+        os.makedirs(cdir, exist_ok=True)
+        path = os.path.join(cdir, f"part-g{gen:06d}-0000.parquet")
+        tmp = path + ".inprogress"
+        pq.write_table(out, tmp, compression="zstd")
+        os.replace(tmp, path)
+        return pa.table({"cluster": pa.array([c], pa.int32()),
+                         "n": pa.array([len(out)], pa.int64())})
+
+    counts = assigned.groupby("cluster").map_groups(
+        append_cluster, batch_format="pyarrow").to_pandas()
+    total = int(counts["n"].sum()) if len(counts) else 0
+    meta["generation"] = gen
+    meta["docs"] = int(meta.get("docs", 0)) + total
+    tmp = os.path.join(index_dir, _EMETA + ".inprogress")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(index_dir, _EMETA))
+    return total
+
+
+def compact_embedding_seen_index(index_dir: str) -> int:
+    """Fold each cluster's generation files into its base parts (sorted by
+    id, duplicates by id keep-last — re-admitting an id replaces its
+    vector), and reset the meta count to the recomputed truth. Returns
+    clusters compacted."""
+    meta = _read_emeta(index_dir)
+    id_col = meta["id_col"]
+    done = 0
+    total = 0
+    for cdir in sorted(_glob.glob(os.path.join(index_dir, "cluster=*"))):
+        gens = sorted(_glob.glob(os.path.join(cdir, "part-g*.parquet")))
+        if not gens:
+            total += sum(pq.read_metadata(p).num_rows
+                         for p in _glob.glob(os.path.join(cdir,
+                                                          "*.parquet")))
+            continue
+        parts = sorted(_glob.glob(os.path.join(cdir, "*.parquet")))
+        merged = pa.concat_tables([pq.read_table(p) for p in parts])
+        df = merged.to_pandas().drop_duplicates([id_col], keep="last")
+        out = pa.Table.from_pandas(df, preserve_index=False,
+                                   schema=merged.schema).sort_by(
+                                       [(id_col, "ascending")])
+        path = os.path.join(cdir, "part-0000-0000.parquet")
+        tmp = path + ".inprogress"
+        pq.write_table(out, tmp, compression="zstd")
+        os.replace(tmp, path)
+        for p in parts:
+            if os.path.abspath(p) != os.path.abspath(path):
+                os.remove(p)
+        done += 1
+        total += len(out)
+    meta["generation"] = 0
+    meta["docs"] = total
+    tmp = os.path.join(index_dir, _EMETA + ".inprogress")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(index_dir, _EMETA))
+    return done

@@ -1372,6 +1372,42 @@ def q_near_seen(sf_dir: str):
                      "jaccard": pa.array(out["jaccard"], pa.float64())})
 
 
+def q_semantic_unseen(sf_dir: str):
+    """Incremental SEMANTIC dedup against a persisted IVF embedding index
+    (`functions/seen.py::build_embedding_seen_index/filter_embedding_seen`
+    — the third member of the seen trio: exact fingerprints, MinHash
+    near-dup, embedding cosine). History = even-vec_id embeddings indexed
+    once (cluster-partitioned files + centroids marker); incoming = odd
+    vectors probed at EVERY cluster (exhaustive probe -> exact, the oracle
+    anchor; realistic nprobe is the pytest-covered recall regime). A new
+    vector is admitted iff no history vector reaches cosine 0.5 — the
+    corpus carries a >= 1e-3 margin at that threshold, so engine float64
+    dots and DuckDB's list_cosine_similarity cannot disagree on
+    membership."""
+    import tempfile
+
+    from ..functions.seen import (build_embedding_seen_index,
+                                  filter_embedding_seen)
+
+    vecs = _emb(sf_dir)
+
+    def parity(want_even: bool):
+        def f(t: pa.Table) -> pa.Table:
+            odd = pc.bit_wise_and(pc.cast(t.column("vec_id"), pa.int64()), 1)
+            return t.filter(pc.equal(odd, 0 if want_even else 1))
+        return f
+
+    hist = vecs.map_batches(parity(True), batch_format="pyarrow")
+    new = vecs.map_batches(parity(False), batch_format="pyarrow")
+    name = os.path.basename(sf_dir.rstrip("/"))
+    idx = os.path.join(tempfile.gettempdir(), "kcs3_ray",
+                       f"emb_seen_idx_{name}")
+    build_embedding_seen_index(hist, idx, n_clusters=8)
+    out = filter_embedding_seen(new, idx, threshold=0.5).to_pandas()
+    out = out.sort_values("vec_id").reset_index(drop=True)
+    return pa.table({"vec_id": pa.array(out["vec_id"], pa.int64())})
+
+
 def q_remove_duplicate_spans(sf_dir: str):
     """ExactSubstr REMOVAL: every doc rewritten with its duplicate_spans
     regions cut out (all copies — the released deduplicate-text-datasets
@@ -1864,6 +1900,7 @@ QUERIES = {
     "remove_duplicate_spans": q_remove_duplicate_spans,
     "filter_unseen": q_filter_unseen,
     "near_seen": q_near_seen,
+    "semantic_unseen": q_semantic_unseen,
     "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
     "knn_graph_ivf": q_knn_graph_ivf,
     "stratified_sample": q_stratified_sample,
@@ -3094,6 +3131,16 @@ def _grouped_exact_k_sql(k: int, seed: int) -> str:
 
 
 ORACLE_SQL["grouped_exact_k"] = _grouped_exact_k_sql(40, _SHUFFLE_SEED)
+
+# semantic_unseen: exhaustive probe -> exact max-cosine per new vector; the
+# corpus's >= 1e-3 margin at 0.5 keeps float membership identical on both
+# sides (same argument as the embedding_near_dup oracle)
+ORACLE_SQL["semantic_unseen"] = (
+    "SELECT n.vec_id FROM embeddings n WHERE n.vec_id % 2 = 1 "
+    "AND NOT EXISTS (SELECT 1 FROM embeddings h WHERE h.vec_id % 2 = 0 "
+    "AND list_cosine_similarity(CAST(n.embedding AS DOUBLE[]), "
+    "CAST(h.embedding AS DOUBLE[])) >= 0.5) ORDER BY vec_id"
+)
 
 # heavy_hitters: at m=65536 the sketch never evicts at driver sfs -> exact
 # counts, zero error bound; ties at the k boundary settle by (count desc,

@@ -85,7 +85,8 @@ SQL_CHECKED = [
     "embedding_centroids", "embedding_covariance",
     "value_histogram", "zscore_outliers", "bm25_search",
     "sequence_packing", "seeded_shuffle", "percentile_rank",
-    "exact_k_sample", "grouped_exact_k", "heavy_hitters", "pmi_pairs", "grouped_packing", "order_revenue",
+    "exact_k_sample", "grouped_exact_k", "heavy_hitters", "semantic_unseen",
+    "pmi_pairs", "grouped_packing", "order_revenue",
     "quality_filtered", "rolling_fingerprint",
     "train_val_split", "keyed_sample", "stratified_sample", "top_terms",
     "minhash_near_dup", "near_dup_verified", "curation_chain",
