@@ -1857,6 +1857,73 @@ def q_cdc_transcripts(sf_dir: str, tmp_root: str = "/tmp/kcs3_ray"):
     return lake_table(m)
 
 
+def q_conversation_stats(sf_dir: str, tmp_root: str = "/tmp/kcs3_ray"):
+    """Per-conversation analytics over the MERGED transcript lake — the
+    payload-level rollup an operator actually reads off a CDC'd transcript
+    store (turn counts, role mix, tool usage, whitespace-token volume,
+    tokens/turn). Runs the flagship upsert first (own out dir + manifest so
+    it never races ``cdc_transcripts``), then a two-level aggregation shaped
+    for corpus-cardinality keys: per-block vectorized partials (Arrow regex
+    token counts + one pandas groupby per batch) -> coarse conv-hash bucket
+    exchange -> per-bucket final sums. ``tokens_per_turn`` is an exact
+    integer ratio evaluated in float64 on both sides (the quality_stats
+    contract), so the SQL replay matches bit-for-bit."""
+    fx = transcripts_fixture(sf_dir, tmp_root)
+    out_dir = os.path.join(fx["root"], "lake_out_stats")
+    mpath = os.path.join(fx["root"], "manifest_stats.json")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    Manifest.delete(mpath)
+    m = run_upsert(
+        fx["changelog_dir"], out_dir, mpath, lake_dir=fx["lake_dir"],
+        num_partitions=fx["num_partitions"], hot_keys="auto",
+    )
+    from .upsert import read_lake
+
+    ds = read_lake(m)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ws = pc.fill_null(pc.cast(
+            pc.count_substring_regex(t.column("text"), r"\S+"),
+            pa.int64()), 0)
+        df = pd.DataFrame({
+            "conv_id": t.column("conv_id").to_pandas(),
+            "turns": np.ones(len(t), np.int64),
+            "assistant_turns": pc.fill_null(
+                pc.equal(t.column("role"), "assistant"),
+                False).to_numpy(zero_copy_only=False).astype(np.int64),
+            "tool_turns": pc.is_valid(t.column("tool")).to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "tokens_ws": ws.to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby("conv_id", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def add_bkt(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column("conv_id").to_pylist(), dtype=object)
+        b = (pd.util.hash_array(ids) % np.uint64(64)).astype(np.int32)
+        return t.append_column("_bkt", pa.array(b))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("conv_id", as_index=False)[
+            ["turns", "assistant_turns", "tool_turns", "tokens_ws"]].sum()
+        out["tokens_per_turn"] = (out["tokens_ws"].astype(np.float64)
+                                  / out["turns"].to_numpy())
+        return out
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").map_batches(
+        add_bkt, batch_format="pyarrow")
+    df = (parts.groupby("_bkt").map_groups(final, batch_format="pandas")
+          .to_pandas().sort_values("conv_id").reset_index(drop=True))
+    return pa.table({
+        "conv_id": pa.array(df["conv_id"], pa.string()),
+        "turns": pa.array(df["turns"], pa.int64()),
+        "assistant_turns": pa.array(df["assistant_turns"], pa.int64()),
+        "tool_turns": pa.array(df["tool_turns"], pa.int64()),
+        "tokens_ws": pa.array(df["tokens_ws"], pa.int64()),
+        "tokens_per_turn": pa.array(df["tokens_per_turn"], pa.float64()),
+    })
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -1901,6 +1968,7 @@ QUERIES = {
     "filter_unseen": q_filter_unseen,
     "near_seen": q_near_seen,
     "semantic_unseen": q_semantic_unseen,
+    "conversation_stats": q_conversation_stats,
     "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
     "knn_graph_ivf": q_knn_graph_ivf,
     "stratified_sample": q_stratified_sample,
@@ -3257,3 +3325,21 @@ def cdc_transcripts_oracle_sql(root: str = "/tmp/kcs3_ray/transcripts_sf0.01") -
 
 
 ORACLE_SQL["cdc_transcripts"] = cdc_transcripts_oracle_sql()
+
+# conversation_stats: GROUP BY over the same flagship replay; whitespace
+# tokens use the token_count contract (NULL/blank -> 0), tokens_per_turn is
+# the same exact-int float64 division the engine performs
+_CONV_TOKENS_SQL = (
+    "CASE WHEN text IS NULL OR trim(text) = '' THEN 0 "
+    "ELSE array_length(regexp_split_to_array(trim(text), '\\s+')) END"
+)
+ORACLE_SQL["conversation_stats"] = (
+    f"SELECT conv_id, CAST(count(*) AS BIGINT) AS turns, "
+    "CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS assistant_turns, "
+    "CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS tool_turns, "
+    f"CAST(sum({_CONV_TOKENS_SQL}) AS BIGINT) AS tokens_ws, "
+    f"CAST(sum({_CONV_TOKENS_SQL}) AS DOUBLE) / count(*) AS tokens_per_turn "
+    f"FROM ({cdc_transcripts_oracle_sql()}) GROUP BY conv_id ORDER BY conv_id"
+)
