@@ -34,15 +34,18 @@ def oracle_sql() -> dict[str, str]:
     from kafka_connect_s3_ray.pipelines.queries import (
         ORACLE_SQL,
         cdc_transcripts_oracle_sql,
+        conversation_stats_oracle_sql,
         transcripts_fixture,
     )
 
-    # The cdc_transcripts oracle reads the deterministic transcripts fixture
-    # from /tmp; build it up-front (pure pyarrow/numpy, seed=42 — no Ray
-    # involvement) so the SQL is runnable regardless of query/oracle order,
-    # and instantiate the SQL from the fixture's ACTUAL root so path and
-    # fixture can never diverge.
+    # The cdc_transcripts oracle (and the conversation_stats rollup over the
+    # same replay) reads the deterministic transcripts fixture from /tmp;
+    # build it up-front (pure pyarrow/numpy, seed=42 — no Ray involvement)
+    # so the SQL is runnable regardless of query/oracle order, and
+    # instantiate the SQL from the fixture's ACTUAL root so path and fixture
+    # can never diverge.
     fx = transcripts_fixture("/root/testdata/sf0.01")
     out = dict(ORACLE_SQL)
     out["cdc_transcripts"] = cdc_transcripts_oracle_sql(fx["root"])
+    out["conversation_stats"] = conversation_stats_oracle_sql(fx["root"])
     return out

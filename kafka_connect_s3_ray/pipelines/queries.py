@@ -3333,13 +3333,25 @@ _CONV_TOKENS_SQL = (
     "CASE WHEN text IS NULL OR trim(text) = '' THEN 0 "
     "ELSE array_length(regexp_split_to_array(trim(text), '\\s+')) END"
 )
-ORACLE_SQL["conversation_stats"] = (
-    f"SELECT conv_id, CAST(count(*) AS BIGINT) AS turns, "
-    "CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) "
-    "AS assistant_turns, "
-    "CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) "
-    "AS tool_turns, "
-    f"CAST(sum({_CONV_TOKENS_SQL}) AS BIGINT) AS tokens_ws, "
-    f"CAST(sum({_CONV_TOKENS_SQL}) AS DOUBLE) / count(*) AS tokens_per_turn "
-    f"FROM ({cdc_transcripts_oracle_sql()}) GROUP BY conv_id ORDER BY conv_id"
-)
+
+
+def conversation_stats_oracle_sql(
+        root: str = "/tmp/kcs3_ray/transcripts_sf0.01") -> str:
+    """Root-parameterized like ``cdc_transcripts_oracle_sql`` (the replay it
+    wraps) so ``__ray_entry__.oracle_sql`` can pin it to the fixture's
+    actual root."""
+    return (
+        "SELECT conv_id, CAST(count(*) AS BIGINT) AS turns, "
+        "CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS assistant_turns, "
+        "CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS tool_turns, "
+        f"CAST(sum({_CONV_TOKENS_SQL}) AS BIGINT) AS tokens_ws, "
+        f"CAST(sum({_CONV_TOKENS_SQL}) AS DOUBLE) / count(*) "
+        "AS tokens_per_turn "
+        f"FROM ({cdc_transcripts_oracle_sql(root)}) "
+        "GROUP BY conv_id ORDER BY conv_id"
+    )
+
+
+ORACLE_SQL["conversation_stats"] = conversation_stats_oracle_sql()
