@@ -253,6 +253,20 @@ def run_bench() -> dict:
             got = set(zip(g_ivf["vec_id"], g_ivf["neighbor_id"]))
             out["knn_graph_ivf_recall_at_3"] = round(
                 len(want & got) / max(1, len(want)), 3)
+            # second dial point: the driver's synthetic embeddings are
+            # weakly clusterable (random directions), so 0.9 graph recall
+            # needs nprobe=10/16 here (measured 0.60/0.73/0.83/0.90/0.95 at
+            # nprobe 4/6/8/10/12); on real clustered corpora nprobe=6
+            # reaches the pytest-pinned >= 0.9. Publishing both keeps the
+            # recall/compute tradeoff honest.
+            from kafka_connect_s3_ray.functions.similarity import \
+                knn_graph_ivf as _kgi
+
+            g10 = _kgi(Q._emb(SF_DIR), k=3, n_clusters=16,
+                       nprobe=10).to_pandas()
+            got10 = set(zip(g10["vec_id"], g10["neighbor_id"]))
+            out["knn_graph_ivf_recall_at_3_nprobe10"] = round(
+                len(want & got10) / max(1, len(want)), 3)
     ray.shutdown()
     return out
 
