@@ -843,7 +843,13 @@ def build_embedding_seen_index(vecs: "ray.data.Dataset", index_dir: str,
     marker = os.path.join(index_dir, _EMETA)
     if os.path.exists(marker):
         os.remove(marker)
-    build_ivf_index(vecs.select_columns([id_col, vec_col]), index_dir,
+    # NULL-embedding rows carry nothing to compare — never indexed (the
+    # fingerprint twin's pc.is_valid contract); _CentroidAssign would
+    # otherwise crash stacking the None
+    valid = vecs.select_columns([id_col, vec_col]).map_batches(
+        lambda t: t.filter(pc.is_valid(t.column(vec_col))),
+        batch_format="pyarrow")
+    build_ivf_index(valid, index_dir,
                     n_clusters=n_clusters, sample_size=sample_size,
                     id_col=id_col, vec_col=vec_col, seed=seed,
                     sub_splits=sub_splits)
@@ -916,9 +922,8 @@ def filter_embedding_seen(new_vecs: "ray.data.Dataset", index_dir: str,
         seen = ray.get(seen_ref)
         if not seen:
             return t
-        ids = t.column(id_col).to_numpy(zero_copy_only=False)
-        mask = np.array([i not in seen for i in ids.tolist()], bool)
-        return t.filter(pa.array(mask))
+        ids = t.column(id_col).to_pandas()
+        return t.filter(pa.array(~ids.isin(seen).to_numpy()))
 
     return new_vecs.map_batches(keep, batch_format="pyarrow")
 
@@ -936,7 +941,11 @@ def update_embedding_seen_index(new_vecs: "ray.data.Dataset",
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     gen = int(meta.get("generation", 0)) + 1
     cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    # survivors may legitimately include NULL-embedding rows (the filter
+    # admits them — nothing to compare); they are never indexable
     assigned = new_vecs.select_columns([id_col, vec_col]).map_batches(
+        lambda t: t.filter(pc.is_valid(t.column(vec_col))),
+        batch_format="pyarrow").map_batches(
         _CentroidAssign(ray.put(cents), vec_col), batch_format="pyarrow")
 
     def append_cluster(g: pa.Table) -> pa.Table:

@@ -3327,12 +3327,11 @@ def cdc_transcripts_oracle_sql(root: str = "/tmp/kcs3_ray/transcripts_sf0.01") -
 ORACLE_SQL["cdc_transcripts"] = cdc_transcripts_oracle_sql()
 
 # conversation_stats: GROUP BY over the same flagship replay; whitespace
-# tokens use the token_count contract (NULL/blank -> 0), tokens_per_turn is
-# the same exact-int float64 division the engine performs
-_CONV_TOKENS_SQL = (
-    "CASE WHEN text IS NULL OR trim(text) = '' THEN 0 "
-    "ELSE array_length(regexp_split_to_array(trim(text), '\\s+')) END"
-)
+# tokens reuse THE token contract (_TOKENS_WS_SQL — one tokenization
+# definition engine-wide), null-safed: NULL text propagates NULL through
+# trim/split and COALESCEs to 0, tokens_per_turn is the same exact-int
+# float64 division the engine performs
+_CONV_TOKENS_SQL = f"COALESCE({_TOKENS_WS_SQL}, 0)"
 
 
 def conversation_stats_oracle_sql(

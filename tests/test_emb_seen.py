@@ -104,6 +104,22 @@ def test_null_embedding_rows_pass_through(ray_session, tmp_path):
     out = filter_embedding_seen(rd.from_arrow(t), idx,
                                 threshold=0.0).to_pandas()
     assert out["vec_id"].tolist() == [1000]
+    # the filter-then-remember loop must accept NULL survivors: they are
+    # skipped (nothing to index), not a crash in _CentroidAssign
+    assert update_embedding_seen_index(rd.from_arrow(t), idx) == 0
+    meta = json.load(open(os.path.join(idx, "emb_seen_meta.json")))
+    assert meta["docs"] == 8
+
+
+def test_build_skips_null_embedding_history(ray_session, tmp_path):
+    idx = str(tmp_path / "emb")
+    hist = _corpus(6)
+    t = pa.table({"vec_id": pa.array(range(7), pa.int64()),
+                  "embedding": pa.array(
+                      [list(map(float, v)) for v in hist] + [None],
+                      pa.list_(pa.float64()))})
+    assert build_embedding_seen_index(rd.from_arrow(t), idx,
+                                      n_clusters=2) == 6
 
 
 def test_compact_folds_generations_and_resets_meta(ray_session, tmp_path):
