@@ -269,3 +269,53 @@ def grouped_exact_k(ds, group_col: str, key_col: str, k: int, seed: int = 0,
            .groupby(group_col, sort=False).head(k)[cols]
            .reset_index(drop=True))
     return pa.Table.from_pandas(sel, preserve_index=False)
+
+
+def weighted_sample_k(ds, key_col: str, weight_col: str, k: int,
+                      seed: int = 0, keep_cols: list[str] | None = None):
+    """Weighted sampling WITHOUT replacement, P(selected) proportional to
+    ``weight_col`` (Efraimidis–Spirakis exponential keys): each row's key is
+    ``-ln(u) / w`` — an Exp(w) variate — and the k SMALLEST keys win, which
+    is exactly successive weight-proportional draws without replacement.
+    The curation use: sample documents proportional to length/quality so
+    the sample holds k docs but a token-fair share of the corpus.
+
+    Determinism: ``u`` derives bit-exactly from the engine's splitmix64
+    mixer — the hash's top 53 bits plus 0.5 over 2^53, an exactly
+    representable double on any platform, replayed verbatim by the SQL
+    oracle (h // 2048). The only float op is the ln itself; DuckDB's and
+    numpy's ln may differ in the final ulp, which can only flip membership
+    if two keys at the k-boundary sit within ~1e-16 relative — never
+    observed on the fixed driver fixtures the oracle compares against (and
+    deterministic per fixture+seed, so a green check stays green).
+
+    Rows with weight <= 0 or NULL weight are EXCLUDED (a zero-weight row
+    must never be drawn; exponential keys would need an inf guard anyway).
+    Distributive: each block keeps its k smallest (key, id), the driver
+    merges <= k x blocks candidates — the data never moves."""
+    import pandas as pd
+
+    cols = [key_col, weight_col] + [
+        c for c in (keep_cols or []) if c not in (key_col, weight_col)]
+
+    def localtop(t: pa.Table) -> pa.Table:
+        ks = t.column(key_col).to_numpy(zero_copy_only=False)
+        w = t.column(weight_col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        ok = np.isfinite(w) & (w > 0)
+        h = key_hash(ks[ok], salt=seed)
+        u = ((h >> np.uint64(11)).astype(np.float64) + 0.5) / float(1 << 53)
+        ekey = -np.log(u) / w[ok]
+        order = np.lexsort((ks[ok].astype(np.int64), ekey))[:k]
+        out = t.filter(pa.array(ok)).select(cols).take(pa.array(order))
+        return out.append_column("_ekey", pa.array(ekey[order], pa.float64()))
+
+    parts = ds.map_batches(localtop, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        sch = ds.schema()
+        types = dict(zip(sch.names, sch.types))
+        return pa.table({c: pa.array([], types[c]) for c in cols})
+    order = np.lexsort((parts[key_col].to_numpy(),
+                        parts["_ekey"].to_numpy()))[:k]
+    sel = parts.iloc[order][cols].reset_index(drop=True)
+    return pa.Table.from_pandas(sel, preserve_index=False)

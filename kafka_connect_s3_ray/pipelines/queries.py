@@ -846,6 +846,20 @@ def q_heavy_hitters(sf_dir: str):
                      "err_bound": pa.array(out["err_bound"].astype(np.int64))})
 
 
+def q_weighted_sample(sf_dir: str):
+    """Length-proportional document sample (Efraimidis–Spirakis exponential
+    keys, `functions/sample.py::weighted_sample_k`): 100 docs drawn without
+    replacement with P proportional to n_chars — 'sample a token-fair share,
+    not a doc-fair share'. u replays bit-exactly in SQL (splitmix64 top 53
+    bits + 0.5); the ln's last-ulp platform variance cannot flip the fixed
+    fixtures' k-boundary (see the function docstring)."""
+    from ..functions.sample import weighted_sample_k
+
+    out = weighted_sample_k(_docs(sf_dir, ["doc_id", "n_chars"]),
+                            "doc_id", "n_chars", k=100, seed=_SHUFFLE_SEED)
+    return out.sort_by([("doc_id", "ascending")])
+
+
 def q_grouped_exact_k(sf_dir: str):
     """Exactly 40 events PER event_type, chosen by smallest seeded hash —
     the per-class curation cap ('at most k per domain'); distributive
@@ -1969,6 +1983,7 @@ QUERIES = {
     "near_seen": q_near_seen,
     "semantic_unseen": q_semantic_unseen,
     "conversation_stats": q_conversation_stats,
+    "weighted_sample": q_weighted_sample,
     "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
     "knn_graph_ivf": q_knn_graph_ivf,
     "stratified_sample": q_stratified_sample,
@@ -3199,6 +3214,21 @@ def _grouped_exact_k_sql(k: int, seed: int) -> str:
 
 
 ORACLE_SQL["grouped_exact_k"] = _grouped_exact_k_sql(40, _SHUFFLE_SEED)
+
+
+def _weighted_sample_sql(k: int, seed: int) -> str:
+    """Efraimidis–Spirakis replay: identical mixer, u from the hash's top
+    53 bits + 0.5 (h // 2048 — exactly representable, so u is bit-equal to
+    the engine's), ORDER BY (-ln(u)/w, key) LIMIT k, weight <= 0 excluded."""
+    ctes = _splitmix64_ctes(f"xor(doc_id, {seed})", "documents",
+                            "doc_id, n_chars")
+    u = ("(CAST(h // 2048 AS DOUBLE) + 0.5) / 9007199254740992.0")
+    return (f"WITH {ctes}, sel AS (SELECT doc_id, n_chars FROM m3 "
+            f"WHERE n_chars > 0 ORDER BY -ln({u}) / n_chars, doc_id "
+            f"LIMIT {k}) SELECT doc_id, n_chars FROM sel ORDER BY doc_id")
+
+
+ORACLE_SQL["weighted_sample"] = _weighted_sample_sql(100, _SHUFFLE_SEED)
 
 # semantic_unseen: exhaustive probe -> exact max-cosine per new vector; the
 # corpus's >= 1e-3 margin at 0.5 keeps float membership identical on both

@@ -204,3 +204,53 @@ def test_grouped_exact_k_null_group_raises(ray_session):
     with pytest.raises(Exception):
         grouped_exact_k(ray.data.from_arrow(t), "event_type", "event_id",
                         k=1).to_pandas()
+
+
+def test_weighted_sample_matches_single_machine_replay(ray_session):
+    """The distributed selection equals the single-machine Efraimidis-
+    Spirakis computation (same mixer, same u derivation, same tie rule)."""
+    from kafka_connect_s3_ray.functions.sample import (key_hash,
+                                                       weighted_sample_k)
+
+    rng = np.random.default_rng(7)
+    ids = np.arange(5000, dtype=np.int64)
+    w = rng.integers(1, 1000, 5000).astype(np.int64)
+    t = pa.table({"doc_id": pa.array(ids), "w": pa.array(w)})
+    got = weighted_sample_k(ray.data.from_arrow(t).repartition(7),
+                            "doc_id", "w", k=50, seed=3).to_pandas()
+    h = key_hash(ids, salt=3)
+    u = ((h >> np.uint64(11)).astype(np.float64) + 0.5) / float(1 << 53)
+    ekey = -np.log(u) / w.astype(np.float64)
+    want = ids[np.lexsort((ids, ekey))[:50]]
+    assert sorted(got["doc_id"]) == sorted(want.tolist())
+
+
+def test_weighted_sample_is_weight_proportional():
+    """One heavy item (w=50) among 50 light ones (w=1): its single-draw
+    selection frequency should approach 50/100 = 0.5 (an unweighted
+    sampler gives ~1/51 = 0.02). Measured on the exact selection kernel
+    (which test_weighted_sample_matches_single_machine_replay pins equal
+    to the distributed path) over 5000 seeds — small seed windows are
+    correlated for tiny integer ids (i xor s reuses a small hash-input
+    set), so the statistical check needs real N."""
+    from kafka_connect_s3_ray.functions.sample import key_hash
+
+    ids = np.arange(51, dtype=np.int64)
+    w = np.ones(51, np.float64)
+    w[0] = 50
+    hits = 0
+    for s in range(5000):
+        h = key_hash(ids, salt=s)
+        u = ((h >> np.uint64(11)).astype(np.float64) + 0.5) / float(1 << 53)
+        hits += int(np.argmin(-np.log(u) / w) == 0)
+    assert 0.4 < hits / 5000 < 0.6
+
+
+def test_weighted_sample_excludes_nonpositive_weights(ray_session):
+    from kafka_connect_s3_ray.functions.sample import weighted_sample_k
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                  "w": pa.array([0, -5, None, 7], pa.int64())})
+    out = weighted_sample_k(ray.data.from_arrow(t), "doc_id", "w",
+                            k=10).to_pandas()
+    assert out["doc_id"].tolist() == [4]
