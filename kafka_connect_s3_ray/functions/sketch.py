@@ -325,3 +325,47 @@ def heavy_hitters(ds: "ray.data.Dataset", col: str, k: int = 20,
     for b in blobs:
         acc = acc.merge(SpaceSavingSketch.deserialize(b))
     return acc.heavy_hitters(k)
+
+
+def grouped_heavy_hitters(ds: "ray.data.Dataset", group_col: str, col: str,
+                          k: int = 10, m: int = 1024) -> pd.DataFrame:
+    """Per-group top-k frequent values: one SpaceSaving sketch PER GROUP per
+    batch (the mergeable-summaries property makes the per-group merge exact
+    in the same regimes as ``heavy_hitters``), driver merges per group and
+    reports each group's top-k by (count desc, item). Only sketches cross
+    the exchange — groups x m counters per block — so the contract is
+    dimension-like group cardinality (languages, event types, sources); a
+    corpus-cardinality group column belongs in a bucketed groupby instead.
+    NULL group rows and NULL values are excluded."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pac
+
+        t = batch.select([group_col, col])
+        mask = pac.and_(pac.is_valid(t.column(group_col)),
+                        pac.is_valid(t.column(col)))
+        t = t.filter(mask)
+        df = pd.DataFrame({
+            "g": t.column(group_col).to_pandas(),
+            "v": t.column(col).to_pandas()})
+        rows_g, rows_b = [], []
+        for g, sub in df.groupby("g", sort=False):
+            rows_g.append(g)
+            rows_b.append(SpaceSavingSketch(m).add(sub["v"].to_numpy())
+                          .serialize())
+        return pa.table({"g": pa.array(rows_g),
+                         "sketch": pa.array(rows_b, pa.binary())})
+
+    parts = ds.map_batches(per_batch, batch_format="pyarrow").to_pandas()
+    out = []
+    for g, sub in parts.groupby("g", sort=True):
+        acc = SpaceSavingSketch(m)
+        for b in sub["sketch"]:
+            acc = acc.merge(SpaceSavingSketch.deserialize(b))
+        hh = acc.heavy_hitters(k)
+        hh.insert(0, group_col, g)
+        out.append(hh)
+    if not out:
+        return pd.DataFrame({group_col: [], "item": [], "count_est": [],
+                             "err_bound": []})
+    return pd.concat(out, ignore_index=True)

@@ -860,6 +860,23 @@ def q_weighted_sample(sf_dir: str):
     return out.sort_by([("doc_id", "ascending")])
 
 
+def q_grouped_heavy_hitters(sf_dir: str):
+    """Top-10 most frequent users PER event type via per-group SpaceSaving
+    sketches (`functions/sketch.py::grouped_heavy_hitters`): only
+    groups x m counters cross the exchange. Exact (err 0) at m=65536 on
+    driver sfs, so plain per-group count(*) top-k SQL is the oracle; the
+    m << distinct accuracy regime is pytest-bounded."""
+    from ..functions.sketch import grouped_heavy_hitters
+
+    out = grouped_heavy_hitters(_events(sf_dir, ["event_type", "user_id"]),
+                                "event_type", "user_id", k=10, m=65536)
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "item": pa.array(out["item"].astype(np.int64)),
+        "count_est": pa.array(out["count_est"].astype(np.int64)),
+        "err_bound": pa.array(out["err_bound"].astype(np.int64))})
+
+
 def q_grouped_exact_k(sf_dir: str):
     """Exactly 40 events PER event_type, chosen by smallest seeded hash —
     the per-class curation cap ('at most k per domain'); distributive
@@ -1996,6 +2013,7 @@ QUERIES = {
     "semdedup": q_semdedup,
     "grouped_exact_k": q_grouped_exact_k,
     "heavy_hitters": q_heavy_hitters,
+    "grouped_heavy_hitters": q_grouped_heavy_hitters,
     "minhash_near_dup": q_minhash_near_dup,
     "curation_chain": q_curation_chain,
     # --- newer round-3 additions ------------------------------------------
@@ -3243,6 +3261,18 @@ ORACLE_SQL["semantic_unseen"] = (
 # heavy_hitters: at m=65536 the sketch never evicts at driver sfs -> exact
 # counts, zero error bound; ties at the k boundary settle by (count desc,
 # item) on both sides
+# grouped_heavy_hitters: exact regime at m=65536 (no evictions per group at
+# driver sfs); ties at each group's k boundary settle by (count desc, item)
+ORACLE_SQL["grouped_heavy_hitters"] = (
+    "WITH c AS (SELECT event_type, user_id AS item, count(*) AS count_est "
+    "FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL "
+    "GROUP BY event_type, user_id), "
+    "r AS (SELECT *, row_number() OVER (PARTITION BY event_type "
+    "ORDER BY count_est DESC, item) AS rn FROM c) "
+    "SELECT event_type, item, count_est, CAST(0 AS BIGINT) AS err_bound "
+    "FROM r WHERE rn <= 10 ORDER BY event_type, count_est DESC, item"
+)
+
 ORACLE_SQL["heavy_hitters"] = (
     "SELECT user_id AS item, count(*) AS count_est, "
     "CAST(0 AS BIGINT) AS err_bound FROM events WHERE user_id IS NOT NULL "

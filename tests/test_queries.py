@@ -85,8 +85,8 @@ SQL_CHECKED = [
     "embedding_centroids", "embedding_covariance",
     "value_histogram", "zscore_outliers", "bm25_search",
     "sequence_packing", "seeded_shuffle", "percentile_rank",
-    "exact_k_sample", "grouped_exact_k", "heavy_hitters", "semantic_unseen",
-    "weighted_sample",
+    "exact_k_sample", "grouped_exact_k", "heavy_hitters",
+    "grouped_heavy_hitters", "semantic_unseen", "weighted_sample",
     "pmi_pairs", "grouped_packing", "order_revenue",
     "quality_filtered", "rolling_fingerprint",
     "train_val_split", "keyed_sample", "stratified_sample", "top_terms",

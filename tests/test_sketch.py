@@ -201,3 +201,38 @@ def test_heavy_hitters_driver_excludes_nulls(ray_session):
     out = heavy_hitters(ray.data.from_arrow(t), "v", k=5, m=16)
     assert out["item"].tolist() == ["x", "y"]
     assert out["count_est"].tolist() == [2, 1]
+
+
+def test_grouped_heavy_hitters_exact_and_null_contract(ray_session):
+    from kafka_connect_s3_ray.functions.sketch import grouped_heavy_hitters
+
+    t = pa.table({
+        "g": pa.array(["a", "a", "a", "b", "b", None, "a"], pa.string()),
+        "v": pa.array(["x", "x", "y", "z", "z", "q", None], pa.string())})
+    out = grouped_heavy_hitters(ray.data.from_arrow(t), "g", "v", k=2, m=16)
+    rows = list(map(tuple, out[["g", "item", "count_est"]].values))
+    assert rows == [("a", "x", 2), ("a", "y", 1), ("b", "z", 2)]
+    assert (out["err_bound"] == 0).all()
+
+
+def test_grouped_heavy_hitters_bounds_across_blocks(ray_session):
+    """Per-group bounds hold when groups span many blocks and m forces
+    evictions."""
+    import collections
+
+    from kafka_connect_s3_ray.functions.sketch import grouped_heavy_hitters
+
+    rng = np.random.default_rng(5)
+    g = np.where(rng.random(30_000) < 0.5, "p", "q")
+    v = rng.zipf(1.5, 30_000)
+    v = v[: len(g)]
+    t = pa.table({"g": pa.array(g.tolist(), pa.string()),
+                  "v": pa.array(v, pa.int64())})
+    out = grouped_heavy_hitters(
+        ray.data.from_arrow(t).repartition(6), "g", "v", k=20, m=64)
+    for grp in ("p", "q"):
+        true = collections.Counter(v[g == grp].tolist())
+        sub = out[out["g"] == grp]
+        for _, r in sub.iterrows():
+            tr = true[r["item"]]
+            assert r["count_est"] - r["err_bound"] <= tr <= r["count_est"]
