@@ -1888,6 +1888,77 @@ def q_cdc_transcripts(sf_dir: str, tmp_root: str = "/tmp/kcs3_ray"):
     return lake_table(m)
 
 
+def q_left_join(sf_dir: str):
+    """customer LEFT JOIN orders through the coarse-bucket exchange:
+    unmatched customers carry NULL order columns (nullable-dtype discipline
+    keeps int64 blocks consistent across matched/unmatched buckets);
+    per-segment rollup counts the orderless customers the left join
+    preserves and an inner join would drop."""
+    from ..stages.joins import hash_join
+
+    cust = _read_bounded(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"], floor=2)
+    orders = _read_bounded(os.path.join(sf_dir, "orders.parquet"),
+                           columns=["o_orderkey", "o_custkey"])
+    joined = hash_join(cust, orders, on="c_custkey", right_on=("o_custkey",),
+                       join_type="left", num_partitions=8)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("c_mktsegment", as_index=False).agg(
+            partial_rows=("c_custkey", "size"),
+            partial_orderless=("o_orderkey", lambda s: int(s.isna().sum())))
+        return g
+
+    out = _sum_partials(joined.map_batches(partial, batch_format="pandas"),
+                        "c_mktsegment",
+                        {"partial_rows": "n_rows",
+                         "partial_orderless": "n_orderless"})
+
+    def fix(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_mktsegment": t.column("c_mktsegment"),
+            "n_rows": pc.cast(t.column("n_rows"), pa.int64()),
+            "n_orderless": pc.cast(t.column("n_orderless"), pa.int64())})
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
+def q_full_outer_join(sf_dir: str):
+    """events FULL OUTER JOIN customer on user_id = c_custkey (domains
+    overlap only partially, so BOTH sides contribute unmatched rows):
+    the one-row matched/left-only/right-only census that is only
+    computable if the join truly preserves both sides."""
+    from ..stages.joins import hash_join
+
+    ev = _events(sf_dir, ["event_id", "user_id"])
+    cust = _read_bounded(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey"], floor=2)
+    joined = hash_join(ev, cust, on="user_id", right_on=("c_custkey",),
+                       join_type="full", num_partitions=8)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ev_here = b["event_id"].notna()
+        cu_here = b["c_custkey"].notna()
+        return pd.DataFrame({
+            "k": [0],
+            "p_matched": [int((ev_here & cu_here).sum())],
+            "p_event_only": [int((ev_here & ~cu_here).sum())],
+            "p_customer_only": [int((~ev_here & cu_here).sum())]})
+
+    out = _sum_partials(joined.map_batches(partial, batch_format="pandas"),
+                        "k", {"p_matched": "matched",
+                              "p_event_only": "event_only",
+                              "p_customer_only": "customer_only"})
+
+    def fix(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "matched": pc.cast(t.column("matched"), pa.int64()),
+            "event_only": pc.cast(t.column("event_only"), pa.int64()),
+            "customer_only": pc.cast(t.column("customer_only"), pa.int64())})
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
 def q_conversation_stats(sf_dir: str, tmp_root: str = "/tmp/kcs3_ray"):
     """Per-conversation analytics over the MERGED transcript lake — the
     payload-level rollup an operator actually reads off a CDC'd transcript
@@ -2001,6 +2072,8 @@ QUERIES = {
     "semantic_unseen": q_semantic_unseen,
     "conversation_stats": q_conversation_stats,
     "weighted_sample": q_weighted_sample,
+    "left_join": q_left_join,
+    "full_outer_join": q_full_outer_join,
     "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
     "knn_graph_ivf": q_knn_graph_ivf,
     "stratified_sample": q_stratified_sample,
@@ -2239,6 +2312,22 @@ ORACLE_SQL = {
     "anti_join": (
         "SELECT event_id, user_id, event_type FROM events WHERE user_id NOT IN "
         "(SELECT c_custkey FROM customer WHERE c_custkey % 3 != 0)"
+    ),
+    "left_join": (
+        "SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_orderless "
+        "FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey "
+        "GROUP BY 1"
+    ),
+    "full_outer_join": (
+        "SELECT CAST(sum(CASE WHEN e.event_id IS NOT NULL AND "
+        "c.c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS matched, "
+        "CAST(sum(CASE WHEN e.event_id IS NOT NULL AND c.c_custkey IS NULL "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS event_only, "
+        "CAST(sum(CASE WHEN e.event_id IS NULL AND c.c_custkey IS NOT NULL "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS customer_only "
+        "FROM events e FULL OUTER JOIN customer c ON e.user_id = c.c_custkey"
     ),
     "pricing_summary": (
         "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "

@@ -162,7 +162,7 @@ def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     on_t = [on] if isinstance(on, str) else list(on)
     ron_t = [right_on] if isinstance(right_on, str) else list(right_on or on_t)
     assert len(on_t) == len(ron_t)
-    if join_type not in ("inner", "left"):
+    if join_type not in ("inner", "left", "right", "full"):
         raise ValueError(f"unsupported join_type: {join_type}")
     lsch, rsch = left.schema(), right.schema()
     ltypes = _schema_types(left)
@@ -213,12 +213,19 @@ def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
                  pa.int8(): "Int8", pa.uint64(): "UInt64", pa.uint32(): "UInt32",
                  pa.uint16(): "UInt16", pa.uint8(): "UInt8",
                  pa.bool_(): "boolean"}
-    # shared-name keys come from the left side (never null) and must keep the
-    # exact merge dtype; differently-named right keys DO null on unmatched
-    left_nullable = (
+    # shared-name keys merge into one coalesced column (never null under
+    # left/right/full) and must keep the exact merge dtype; every OTHER
+    # column of a side that can go unmatched — including differently-named
+    # key columns — DOES null and needs the nullable dtype
+    r_nullable = (
         {c: _NULLABLE[col_types[c]] for c in right_cols
          if not (shared_keys and c in ron_out) and col_types[c] in _NULLABLE}
-        if join_type == "left" else {}
+        if join_type in ("left", "full") else {}
+    )
+    l_nullable = (
+        {c: _NULLABLE[col_types[c]] for c in left_cols
+         if not (shared_keys and c in on_t) and col_types[c] in _NULLABLE}
+        if join_type in ("right", "full") else {}
     )
     # the merge's output columns, in pandas-merge order, with declared types
     out_cols = left_cols + [c for c in right_cols
@@ -247,12 +254,15 @@ def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
         side = t.column("_side")
         ldf = _side_frame(t.filter(pc.equal(side, "l")), left_cols)
         rdf = _side_frame(t.filter(pc.equal(side, "r")), right_cols)
-        if left_nullable:
-            rdf = rdf.astype(left_nullable)
+        if r_nullable:
+            rdf = rdf.astype(r_nullable)
+        if l_nullable:
+            ldf = ldf.astype(l_nullable)
+        how = "outer" if join_type == "full" else join_type
         if shared_keys:
-            m = ldf.merge(rdf, on=on_t, how=join_type)
+            m = ldf.merge(rdf, on=on_t, how=how)
         else:
-            m = ldf.merge(rdf, left_on=on_t, right_on=ron_out, how=join_type)
+            m = ldf.merge(rdf, left_on=on_t, right_on=ron_out, how=how)
         # return ARROW with the EXPLICIT output schema: Ray drops the schema
         # of empty pandas blocks, and from_pandas would infer type null for
         # an all-NaN string/binary column in a no-match bucket — either way a

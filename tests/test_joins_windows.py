@@ -203,3 +203,42 @@ def test_range_join_dataset_matches_pandas_brute_force():
     got = out[key].sort_values(key).reset_index(drop=True)
     want = m[key].sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_hash_join_full_outer_semantics(ray_session):
+    """Full outer preserves unmatched rows of BOTH sides with NULLs on the
+    other side's columns, and int64 survives the nullable round trip."""
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3], pa.int64()),
+        "lv": pa.array([10, 20, 30], pa.int64())}))
+    right = ray.data.from_arrow(pa.table({
+        "rk": pa.array([2, 3, 4], pa.int64()),
+        "rv": pa.array([200, 300, 400], pa.int64())}))
+    out = hash_join(left, right, on="k", right_on=("rk",),
+                    join_type="full", num_partitions=4).to_pandas()
+    assert len(out) == 4
+    by_pair = {(None if pd.isna(r["k"]) else int(r["k"]),
+                None if pd.isna(r["rk"]) else int(r["rk"])): r
+               for _, r in out.iterrows()}
+    assert set(by_pair) == {(1, None), (2, 2), (3, 3), (None, 4)}
+    assert int(by_pair[(2, 2)]["lv"]) == 20 and int(by_pair[(2, 2)]["rv"]) == 200
+    assert pd.isna(by_pair[(1, None)]["rv"])
+    assert pd.isna(by_pair[(None, 4)]["lv"])
+    assert out["lv"].dtype.name in ("int64", "Int64")
+    assert out["rv"].dtype.name in ("int64", "Int64")
+
+
+def test_hash_join_right_equals_flipped_left(ray_session):
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2], pa.int64()),
+        "lv": pa.array([10, 20], pa.int64())}))
+    right = ray.data.from_arrow(pa.table({
+        "rk": pa.array([2, 3], pa.int64()),
+        "rv": pa.array([200, 300], pa.int64())}))
+    out = hash_join(left, right, on="k", right_on=("rk",),
+                    join_type="right", num_partitions=4).to_pandas()
+    # one matched row (2) + one right-only row (3) with NULL left columns
+    assert len(out) == 2
+    assert sorted(out["rk"].astype(int)) == [2, 3]
+    row3 = out[out["rk"] == 3].iloc[0]
+    assert pd.isna(row3["k"]) and pd.isna(row3["lv"])
