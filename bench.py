@@ -152,7 +152,7 @@ def run_bench() -> dict:
         "percentile_rank", "exact_k_sample", "grouped_exact_k", "pmi_pairs", "grouped_packing",
         "order_revenue", "heavy_hitters", "semantic_unseen",
         "conversation_stats", "weighted_sample", "grouped_heavy_hitters",
-        "left_join", "full_outer_join",
+        "left_join", "full_outer_join", "running_totals",
     ]
     panel_results: dict = {}
     panel_trials = int(os.environ.get("BENCH_PANEL_TRIALS", "2"))

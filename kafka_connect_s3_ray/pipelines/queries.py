@@ -1888,6 +1888,47 @@ def q_cdc_transcripts(sf_dir: str, tmp_root: str = "/tmp/kcs3_ray"):
     return lake_table(m)
 
 
+def q_running_totals(sf_dir: str):
+    """SQL window-function parity: per-user running row count and running
+    value sum in (ts, event_id) order — SUM(...) OVER (PARTITION BY user
+    ORDER BY ...) semantics, distributed as the sequence ops are: one
+    coarse user-hash exchange (`funnel._user_bucketer`, NULL users rejected
+    loudly), per-bucket lexsort + vectorized pandas groupby cumsum (a user
+    lives wholly in one bucket, so bucket-local cumsums ARE the global
+    window). Both engines accumulate float64 left-to-right in the same
+    order; round(6) absorbs nothing but is the panel's float contract."""
+    from ..functions.funnel import _user_bucketer
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+    tagged = ev.map_batches(_user_bucketer("user_id", 64, ts_col="ts"),
+                            batch_format="pyarrow")
+
+    def bucket_running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="stable").reset_index(drop=True)
+        grp = g.groupby("user_id", sort=False)
+        out = pd.DataFrame({
+            "event_id": g["event_id"],
+            "user_id": g["user_id"],
+            "running_n": grp.cumcount().to_numpy() + 1,
+            "running_value": grp["value"].cumsum().round(6),
+        })
+        return out
+
+    out = tagged.groupby("bucket").map_groups(bucket_running,
+                                               batch_format="pandas")
+
+    def fix(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": pc.cast(t.column("event_id"), pa.int64()),
+            "user_id": pc.cast(t.column("user_id"), pa.int64()),
+            "running_n": pc.cast(t.column("running_n"), pa.int64()),
+            "running_value": pc.cast(t.column("running_value"),
+                                     pa.float64())})
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
 def q_left_join(sf_dir: str):
     """customer LEFT JOIN orders through the coarse-bucket exchange:
     unmatched customers carry NULL order columns (nullable-dtype discipline
@@ -2074,6 +2115,7 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "left_join": q_left_join,
     "full_outer_join": q_full_outer_join,
+    "running_totals": q_running_totals,
     "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
     "knn_graph_ivf": q_knn_graph_ivf,
     "stratified_sample": q_stratified_sample,
@@ -2312,6 +2354,13 @@ ORACLE_SQL = {
     "anti_join": (
         "SELECT event_id, user_id, event_type FROM events WHERE user_id NOT IN "
         "(SELECT c_custkey FROM customer WHERE c_custkey % 3 != 0)"
+    ),
+    "running_totals": (
+        "SELECT event_id, user_id, "
+        "CAST(row_number() OVER w AS BIGINT) AS running_n, "
+        "round(sum(value) OVER w, 6) AS running_value FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS UNBOUNDED PRECEDING)"
     ),
     "left_join": (
         "SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows, "

@@ -87,7 +87,7 @@ SQL_CHECKED = [
     "sequence_packing", "seeded_shuffle", "percentile_rank",
     "exact_k_sample", "grouped_exact_k", "heavy_hitters",
     "grouped_heavy_hitters", "semantic_unseen", "weighted_sample",
-    "left_join", "full_outer_join",
+    "left_join", "full_outer_join", "running_totals",
     "pmi_pairs", "grouped_packing", "order_revenue",
     "quality_filtered", "rolling_fingerprint",
     "train_val_split", "keyed_sample", "stratified_sample", "top_terms",
