@@ -112,6 +112,16 @@ def main(argv: list[str] | None = None) -> int:
     lk.add_argument("--turn", type=int, default=None)
     lk.add_argument("--snapshot", type=int, default=None)
 
+    st = sub.add_parser("stats", help="per-conversation analytics over the "
+                                      "committed lake (turns, role mix, "
+                                      "tool usage, token volume)")
+    st.add_argument("--manifest", required=True)
+    st.add_argument("--out", default=None,
+                    help="parquet file for the per-conversation table "
+                         "(default: print the corpus-level summary only)")
+    st.add_argument("--snapshot", type=int, default=None,
+                    help="commit id to time-travel to (negative = from latest)")
+
     ex = sub.add_parser("export", help="write the lake (current or a historical "
                                        "snapshot) to a parquet directory")
     ex.add_argument("--manifest", required=True)
@@ -421,6 +431,30 @@ def main(argv: list[str] | None = None) -> int:
             report = repartition_lake(args.manifest, args.out_lake,
                                       new_partitions=args.partitions)
             print(json.dumps(report))
+            return 0
+        if args.cmd == "stats":
+            from kafka_connect_s3_ray.pipelines.maintenance import \
+                conversation_stats_table
+            from kafka_connect_s3_ray.pipelines.upsert import read_lake
+
+            t = conversation_stats_table(
+                read_lake(args.manifest, snapshot=args.snapshot))
+            if args.out:
+                import pyarrow.parquet as _pq
+
+                _pq.write_table(t, args.out, compression="zstd")
+            turns = t.column("turns").to_numpy(zero_copy_only=False)
+            print(json.dumps({
+                "conversations": len(t),
+                "turns": int(turns.sum()),
+                "assistant_turns": int(t.column("assistant_turns")
+                                       .to_numpy(zero_copy_only=False).sum()),
+                "tool_turns": int(t.column("tool_turns")
+                                  .to_numpy(zero_copy_only=False).sum()),
+                "tokens_ws": int(t.column("tokens_ws")
+                                 .to_numpy(zero_copy_only=False).sum()),
+                "max_turns": int(turns.max()) if len(t) else 0,
+                "out": args.out, "snapshot": args.snapshot}))
             return 0
         if args.cmd == "validate":
             from kafka_connect_s3_ray.pipelines.maintenance import validate_lake

@@ -359,3 +359,61 @@ def validate_lake(manifest: Manifest | str,
         if total_dups != 0:
             raise AssertionError(f"{total_dups} duplicate keys in the lake")
     return report
+
+
+def conversation_stats_table(ds) -> "pa.Table":
+    """Per-conversation rollup of a transcript Dataset (turns, role mix,
+    tool usage, whitespace-token volume, tokens/turn) — the shared kernel
+    behind the `stats` CLI and the `conversation_stats` catalog entry.
+    Two-level aggregation shaped for corpus-cardinality keys: per-block
+    vectorized partials (Arrow regex token counts + one pandas groupby per
+    batch) -> coarse conv-hash bucket exchange -> per-bucket final sums.
+    Returns a conv_id-sorted Arrow table."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        ws = pc.fill_null(pc.cast(
+            pc.count_substring_regex(t.column("text"), r"\S+"),
+            pa.int64()), 0)
+        df = pd.DataFrame({
+            "conv_id": t.column("conv_id").to_pandas(),
+            "turns": np.ones(len(t), np.int64),
+            "assistant_turns": pc.fill_null(
+                pc.equal(t.column("role"), "assistant"),
+                False).to_numpy(zero_copy_only=False).astype(np.int64),
+            "tool_turns": pc.is_valid(t.column("tool")).to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "tokens_ws": ws.to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby("conv_id", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def add_bkt(t: pa.Table) -> pa.Table:
+        import numpy as _np
+        import pandas as _pd
+
+        ids = _np.asarray(t.column("conv_id").to_pylist(), dtype=object)
+        b = (_pd.util.hash_array(ids) % _np.uint64(64)).astype(_np.int32)
+        return t.append_column("_bkt", pa.array(b))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("conv_id", as_index=False)[
+            ["turns", "assistant_turns", "tool_turns", "tokens_ws"]].sum()
+        out["tokens_per_turn"] = (out["tokens_ws"].astype(np.float64)
+                                  / out["turns"].to_numpy())
+        return out
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").map_batches(
+        add_bkt, batch_format="pyarrow")
+    df = (parts.groupby("_bkt").map_groups(final, batch_format="pandas")
+          .to_pandas().sort_values("conv_id").reset_index(drop=True))
+    return pa.table({
+        "conv_id": pa.array(df["conv_id"], pa.string()),
+        "turns": pa.array(df["turns"], pa.int64()),
+        "assistant_turns": pa.array(df["assistant_turns"], pa.int64()),
+        "tool_turns": pa.array(df["tool_turns"], pa.int64()),
+        "tokens_ws": pa.array(df["tokens_ws"], pa.int64()),
+        "tokens_per_turn": pa.array(df["tokens_per_turn"], pa.float64()),
+    })

@@ -91,3 +91,22 @@ def test_cli_tail_wall_clock_flush_flags(tmp_path, capsys, ray_session):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert set(out["watermarks"]) == {"0", "1"}
     assert all(v >= 0 for v in out["watermarks"].values())
+
+
+def test_cli_stats_summary_and_table(committed, capsys, ray_session):
+    """`stats` rolls the committed lake up per conversation and prints the
+    corpus summary; --out writes the per-conversation table whose sums
+    equal the summary."""
+    import pyarrow.parquet as pq
+
+    out = os.path.join(committed["root"], "stats.parquet")
+    assert main(["stats", "--manifest", committed["mpath"],
+                 "--out", out]) == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    t = pq.read_table(out)
+    assert summary["conversations"] == len(t)
+    assert summary["turns"] == sum(t.column("turns").to_pylist())
+    assert summary["tokens_ws"] == sum(t.column("tokens_ws").to_pylist())
+    lake = read_lake(committed["mpath"]).to_pandas()
+    assert summary["turns"] == len(lake)
+    assert summary["tool_turns"] == int(lake["tool"].notna().sum())
