@@ -48,4 +48,5 @@ def oracle_sql() -> dict[str, str]:
     out = dict(ORACLE_SQL)
     out["cdc_transcripts"] = cdc_transcripts_oracle_sql(fx["root"])
     out["conversation_stats"] = conversation_stats_oracle_sql(fx["root"])
+    out["incremental_view"] = conversation_stats_oracle_sql(fx["root"])
     return out

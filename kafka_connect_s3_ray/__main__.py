@@ -122,6 +122,16 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("--snapshot", type=int, default=None,
                     help="commit id to time-travel to (negative = from latest)")
 
+    vw = sub.add_parser("view-refresh",
+                        help="build or incrementally refresh the materialized "
+                             "per-conversation rollup view: only partitions "
+                             "whose watermark moved since the last refresh "
+                             "are recomputed")
+    vw.add_argument("--manifest", required=True)
+    vw.add_argument("--view-dir", required=True)
+    vw.add_argument("--rebuild", action="store_true",
+                    help="forget prior view state and recompute everything")
+
     ex = sub.add_parser("export", help="write the lake (current or a historical "
                                        "snapshot) to a parquet directory")
     ex.add_argument("--manifest", required=True)
@@ -431,6 +441,22 @@ def main(argv: list[str] | None = None) -> int:
             report = repartition_lake(args.manifest, args.out_lake,
                                       new_partitions=args.partitions)
             print(json.dumps(report))
+            return 0
+        if args.cmd == "view-refresh":
+            from kafka_connect_s3_ray.pipelines.views import (
+                build_view,
+                refresh_view,
+            )
+
+            fn = build_view if args.rebuild else refresh_view
+            meta = fn(args.manifest, args.view_dir)
+            print(json.dumps({
+                "view": meta["view"],
+                "rows": meta["rows"],
+                "partitions": len(meta["partitions"]),
+                "refreshed": meta["refreshed"],
+                "carried": meta["carried"],
+            }))
             return 0
         if args.cmd == "stats":
             from kafka_connect_s3_ray.pipelines.maintenance import \

@@ -361,6 +361,63 @@ def validate_lake(manifest: Manifest | str,
     return report
 
 
+def _conv_partial(t: pa.Table) -> "pa.Table":
+    """Per-block conversation rollup partial: one row per conv_id seen in the
+    block with its additive contributions (turns, assistant_turns, tool_turns,
+    tokens_ws). Shared verbatim by the streaming rollup and the incremental
+    view so both compute bit-identical stats."""
+    import numpy as np
+    import pandas as pd
+
+    ws = pc.fill_null(pc.cast(
+        pc.count_substring_regex(t.column("text"), r"\S+"),
+        pa.int64()), 0)
+    df = pd.DataFrame({
+        "conv_id": t.column("conv_id").to_pandas(),
+        "turns": np.ones(len(t), np.int64),
+        "assistant_turns": pc.fill_null(
+            pc.equal(t.column("role"), "assistant"),
+            False).to_numpy(zero_copy_only=False).astype(np.int64),
+        "tool_turns": pc.is_valid(t.column("tool")).to_numpy(
+            zero_copy_only=False).astype(np.int64),
+        "tokens_ws": ws.to_numpy(zero_copy_only=False),
+    })
+    g = df.groupby("conv_id", as_index=False).sum()
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def _conv_final(g: "pd.DataFrame") -> "pd.DataFrame":
+    """Fold conversation rollup partials to final per-conv rows and derive
+    tokens_per_turn (exact-int float64 ratio — the oracle contract)."""
+    import numpy as np
+
+    out = g.groupby("conv_id", as_index=False)[
+        ["turns", "assistant_turns", "tool_turns", "tokens_ws"]].sum()
+    out["tokens_per_turn"] = (out["tokens_ws"].astype(np.float64)
+                              / out["turns"].to_numpy())
+    return out
+
+
+def _conv_typed(df: "pd.DataFrame") -> "pa.Table":
+    """Pin the rollup's output schema (conv_id-sorted)."""
+    df = df.sort_values("conv_id").reset_index(drop=True)
+    return pa.table({
+        "conv_id": pa.array(df["conv_id"], pa.string()),
+        "turns": pa.array(df["turns"], pa.int64()),
+        "assistant_turns": pa.array(df["assistant_turns"], pa.int64()),
+        "tool_turns": pa.array(df["tool_turns"], pa.int64()),
+        "tokens_ws": pa.array(df["tokens_ws"], pa.int64()),
+        "tokens_per_turn": pa.array(df["tokens_per_turn"], pa.float64()),
+    })
+
+
+def conv_rollup_table(t: pa.Table) -> "pa.Table":
+    """Rollup of ONE in-memory transcript table (a single lake partition —
+    a conversation lives wholly in one partition, so per-partition rollups
+    are globally final). Used by the incremental view's partition tasks."""
+    return _conv_typed(_conv_final(_conv_partial(t).to_pandas()))
+
+
 def conversation_stats_table(ds) -> "pa.Table":
     """Per-conversation rollup of a transcript Dataset (turns, role mix,
     tool usage, whitespace-token volume, tokens/turn) — the shared kernel
@@ -369,26 +426,7 @@ def conversation_stats_table(ds) -> "pa.Table":
     vectorized partials (Arrow regex token counts + one pandas groupby per
     batch) -> coarse conv-hash bucket exchange -> per-bucket final sums.
     Returns a conv_id-sorted Arrow table."""
-    import numpy as np
     import pandas as pd
-    import pyarrow.compute as pc
-
-    def partial(t: pa.Table) -> pa.Table:
-        ws = pc.fill_null(pc.cast(
-            pc.count_substring_regex(t.column("text"), r"\S+"),
-            pa.int64()), 0)
-        df = pd.DataFrame({
-            "conv_id": t.column("conv_id").to_pandas(),
-            "turns": np.ones(len(t), np.int64),
-            "assistant_turns": pc.fill_null(
-                pc.equal(t.column("role"), "assistant"),
-                False).to_numpy(zero_copy_only=False).astype(np.int64),
-            "tool_turns": pc.is_valid(t.column("tool")).to_numpy(
-                zero_copy_only=False).astype(np.int64),
-            "tokens_ws": ws.to_numpy(zero_copy_only=False),
-        })
-        g = df.groupby("conv_id", as_index=False).sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
 
     def add_bkt(t: pa.Table) -> pa.Table:
         import numpy as _np
@@ -399,21 +437,10 @@ def conversation_stats_table(ds) -> "pa.Table":
         return t.append_column("_bkt", pa.array(b))
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby("conv_id", as_index=False)[
-            ["turns", "assistant_turns", "tool_turns", "tokens_ws"]].sum()
-        out["tokens_per_turn"] = (out["tokens_ws"].astype(np.float64)
-                                  / out["turns"].to_numpy())
-        return out
+        return _conv_final(g)
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").map_batches(
+    parts = ds.map_batches(_conv_partial, batch_format="pyarrow").map_batches(
         add_bkt, batch_format="pyarrow")
     df = (parts.groupby("_bkt").map_groups(final, batch_format="pandas")
-          .to_pandas().sort_values("conv_id").reset_index(drop=True))
-    return pa.table({
-        "conv_id": pa.array(df["conv_id"], pa.string()),
-        "turns": pa.array(df["turns"], pa.int64()),
-        "assistant_turns": pa.array(df["assistant_turns"], pa.int64()),
-        "tool_turns": pa.array(df["tool_turns"], pa.int64()),
-        "tokens_ws": pa.array(df["tokens_ws"], pa.int64()),
-        "tokens_per_turn": pa.array(df["tokens_per_turn"], pa.float64()),
-    })
+          .to_pandas())
+    return _conv_typed(df)

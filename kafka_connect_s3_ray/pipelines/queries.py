@@ -2026,6 +2026,40 @@ def q_conversation_stats(sf_dir: str, tmp_root: str = "/tmp/kcs3_ray"):
     return conversation_stats_table(read_lake(m))
 
 
+def q_incremental_view(sf_dir: str, tmp_root: str = "/tmp/kcs3_ray"):
+    """Incrementally-maintained materialized view (pipelines/views.py): the
+    per-conversation rollup kept fresh ACROSS upsert rounds instead of
+    recomputed. Round 1 upserts the first half of each partition's changelog
+    files and builds the view; round 2 upserts the remainder (per-partition
+    watermarks skip what round 1 applied) and REFRESHES the view — only
+    partitions whose watermark moved are recomputed, the rest carry forward
+    by reference. The oracle replays the FULL changelog and rolls up from
+    scratch, so hash-green means incremental == full recompute."""
+    import glob as _glob
+
+    fx = transcripts_fixture(sf_dir, tmp_root)
+    out_dir = os.path.join(fx["root"], "lake_out_view")
+    mpath = os.path.join(fx["root"], "manifest_view.json")
+    vdir = os.path.join(fx["root"], "view_dir")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(vdir, ignore_errors=True)
+    Manifest.delete(mpath)
+    from .views import refresh_view, view_table
+
+    first_half: list[str] = []
+    for pdir in sorted(_glob.glob(os.path.join(fx["changelog_dir"],
+                                               "partition=*"))):
+        fs = sorted(_glob.glob(os.path.join(pdir, "*.parquet")))
+        first_half.extend(fs[: max(1, len(fs) // 2)])
+    run_upsert(first_half, out_dir, mpath, lake_dir=fx["lake_dir"],
+               num_partitions=fx["num_partitions"], hot_keys="auto")
+    refresh_view(mpath, vdir)  # initial build
+    run_upsert(fx["changelog_dir"], out_dir, mpath, lake_dir=fx["lake_dir"],
+               num_partitions=fx["num_partitions"], hot_keys="auto")
+    refresh_view(mpath, vdir)  # incremental: changed partitions only
+    return view_table(vdir)
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -2071,6 +2105,7 @@ QUERIES = {
     "near_seen": q_near_seen,
     "semantic_unseen": q_semantic_unseen,
     "conversation_stats": q_conversation_stats,
+    "incremental_view": q_incremental_view,
     "weighted_sample": q_weighted_sample,
     "left_join": q_left_join,
     "full_outer_join": q_full_outer_join,
@@ -3511,3 +3546,7 @@ def conversation_stats_oracle_sql(
 
 
 ORACLE_SQL["conversation_stats"] = conversation_stats_oracle_sql()
+# The incrementally-maintained view must equal the from-scratch rollup over
+# the FULL replay — same oracle, so hash-green IS the incremental-equals-full
+# proof at gate scale.
+ORACLE_SQL["incremental_view"] = conversation_stats_oracle_sql()

@@ -99,7 +99,7 @@ SQL_CHECKED = [
     "range_join",
     "hash_join", "anti_join", "semi_join_bloom", "pricing_summary",
     "topk_per_group",
-    "cdc_transcripts", "conversation_stats",
+    "cdc_transcripts", "conversation_stats", "incremental_view",
     # exhaustive-probe IVF (nprobe == n_clusters) is exact: scanning every
     # cluster makes clustering irrelevant to the result, so the brute-force
     # cosine SQL is the oracle
@@ -124,7 +124,8 @@ def test_query_matches_oracle(name):
     # the cdc_transcripts oracle reads the deterministic sf0.01 fixture from
     # /tmp (the scale the driver gate runs at) — compare both sides there
     sf = ("/root/testdata/sf0.01"
-          if name in ("cdc_transcripts", "conversation_stats") else SF)
+          if name in ("cdc_transcripts", "conversation_stats",
+                      "incremental_view") else SF)
     got = _canon(_to_pandas(queries[name](sf)))
     exp = _canon(_oracle(oracles[name]))
     assert list(got.columns) == list(exp.columns), (
