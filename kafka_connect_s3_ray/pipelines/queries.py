@@ -2060,6 +2060,33 @@ def q_incremental_view(sf_dir: str, tmp_root: str = "/tmp/kcs3_ray"):
     return view_table(vdir)
 
 
+def q_nb_classify(sf_dir: str):
+    """Naive-Bayes language classifier (functions/classify.py): train on the
+    even-doc_id half (one token-hash bucket exchange of counts), score EVERY
+    doc in a zero-shuffle broadcast pass. The oracle replays the closed-form
+    model in SQL (Laplace-smoothed ln ratios of exact integer counts), so
+    hash-green covers training counts, smoothing, priors, OOV-ignore, and
+    the rounded-score argmax with lexicographic tie-break."""
+    from ..functions.classify import nb_classify, train_nb
+
+    def even(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(
+            pc.bit_wise_and(t.column("doc_id"), 1), 0))
+
+    train = _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+        even, batch_format="pyarrow")
+    model = train_nb(train, text_col="text", label_col="lang")
+    out = nb_classify(_docs(sf_dir, ["doc_id", "text"]), model)
+
+    def fix(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+            "pred": t.column("pred"),
+            "score": t.column("score")})
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -2106,6 +2133,7 @@ QUERIES = {
     "semantic_unseen": q_semantic_unseen,
     "conversation_stats": q_conversation_stats,
     "incremental_view": q_incremental_view,
+    "nb_classify": q_nb_classify,
     "weighted_sample": q_weighted_sample,
     "left_join": q_left_join,
     "full_outer_join": q_full_outer_join,
@@ -3550,3 +3578,39 @@ ORACLE_SQL["conversation_stats"] = conversation_stats_oracle_sql()
 # the FULL replay — same oracle, so hash-green IS the incremental-equals-full
 # proof at gate scale.
 ORACLE_SQL["incremental_view"] = conversation_stats_oracle_sql()
+
+# Naive-Bayes closed-form replay: same Laplace-smoothed ln ratios of exact
+# integer counts, same round-6 score, same (score DESC, label ASC) argmax.
+# OOV-ignore is the inner JOIN's natural semantics; prior-only docs (no
+# in-vocab tokens) come from the doc x class scaffold's LEFT JOIN.
+_NB_TOKS = ("unnest(list_filter(regexp_split_to_array(lower(text), "
+            "'\\s+'), x -> x <> ''))")
+ORACLE_SQL["nb_classify"] = (
+    "WITH train AS (SELECT doc_id, lang AS label, text FROM documents "
+    "WHERE doc_id % 2 = 0 AND text IS NOT NULL AND lang IS NOT NULL), "
+    f"toks AS (SELECT label, {_NB_TOKS} AS tok FROM train), "
+    "cnt AS (SELECT label, tok, count(*) AS n FROM toks GROUP BY 1, 2), "
+    "cls AS (SELECT label, count(*) AS n_docs FROM train GROUP BY 1), "
+    "totc AS (SELECT label, count(*) AS t FROM toks GROUP BY 1), "
+    "vocab AS (SELECT DISTINCT tok FROM toks), "
+    "vsize AS (SELECT count(*) AS v FROM vocab), "
+    "lp AS (SELECT vb.tok, c.label, "
+    "ln((COALESCE(n.n, 0) + 1.0) / (t.t + 1.0 * (SELECT v FROM vsize))) "
+    "AS lp FROM vocab vb CROSS JOIN cls c "
+    "JOIN totc t ON t.label = c.label "
+    "LEFT JOIN cnt n ON n.tok = vb.tok AND n.label = c.label), "
+    "prior AS (SELECT label, "
+    "ln(n_docs * 1.0 / (SELECT sum(n_docs) FROM cls)) AS lp0 FROM cls), "
+    f"stoks AS (SELECT doc_id, {_NB_TOKS} AS tok FROM documents "
+    "WHERE text IS NOT NULL), "
+    "contrib AS (SELECT s.doc_id, l.label, sum(l.lp) AS s "
+    "FROM stoks s JOIN lp l ON l.tok = s.tok GROUP BY 1, 2), "
+    "scored AS (SELECT d.doc_id, p.label, "
+    "round(p.lp0 + COALESCE(c.s, 0), 6) AS score "
+    "FROM (SELECT doc_id FROM documents) d CROSS JOIN prior p "
+    "LEFT JOIN contrib c ON c.doc_id = d.doc_id AND c.label = p.label), "
+    "ranked AS (SELECT doc_id, label, score, row_number() OVER ("
+    "PARTITION BY doc_id ORDER BY score DESC, label ASC) AS rn FROM scored) "
+    "SELECT doc_id, label AS pred, score FROM ranked WHERE rn = 1 "
+    "ORDER BY doc_id"
+)

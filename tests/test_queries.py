@@ -100,6 +100,7 @@ SQL_CHECKED = [
     "hash_join", "anti_join", "semi_join_bloom", "pricing_summary",
     "topk_per_group",
     "cdc_transcripts", "conversation_stats", "incremental_view",
+    "nb_classify",
     # exhaustive-probe IVF (nprobe == n_clusters) is exact: scanning every
     # cluster makes clustering irrelevant to the result, so the brute-force
     # cosine SQL is the oracle
