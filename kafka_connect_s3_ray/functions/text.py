@@ -573,6 +573,187 @@ def unigram_logprob(docs, text_col: str = "text", id_col: str = "doc_id",
                                "id_col": id_col})
 
 
+def corpus_bigram_counts(docs, text_col: str = "text",
+                         n_buckets: int = 32) -> "pd.DataFrame":
+    """Global (prev, tok, n) bigram table over per-doc token streams — the
+    context model a KenLM/CCNet-style interpolated LM scores against. Same
+    two bounded stages as ``corpus_token_counts``, keyed by the PAIR: each
+    block collapses to its distinct (prev, tok) pairs with partial counts
+    (pairs never cross doc boundaries), pairs co-locate by a stable hash of
+    the joined pair string, each bucket sums exactly. The driver collects
+    the distinct-pair table — sublinear in corpus size for natural text
+    (Heaps' law over bigrams); past driver scale, prune by min pair count
+    in engine and SQL alike (the documented corpus_token_counts contract)."""
+    from .dedup import _stable_token_hash
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        prevs: list[str] = []
+        toks: list[str] = []
+        for x in texts:
+            w = ("" if x is None else x).lower().split()
+            if len(w) >= 2:
+                prevs.extend(w[:-1])
+                toks.extend(w[1:])
+        if not toks:
+            return pa.table({"prev": pa.array([], pa.string()),
+                             "tok": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64())})
+        # \x00 can't appear inside a whitespace token, so the joined key is
+        # collision-free; np.unique on it gives distinct pairs + counts
+        joined = np.array([p + "\x00" + t_ for p, t_ in zip(prevs, toks)],
+                          object)
+        uniq, first, counts = np.unique(joined, return_index=True,
+                                        return_counts=True)
+        prev_arr = np.array(prevs, object)[first]
+        tok_arr = np.array(toks, object)[first]
+        bucket = (_stable_token_hash(uniq)
+                  % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table({"prev": pa.array(prev_arr, pa.string()),
+                         "tok": pa.array(tok_arr, pa.string()),
+                         "n": pa.array(counts.astype(np.int64), pa.int64()),
+                         "bucket": pa.array(bucket, pa.int64())})
+
+    def bucket_sum(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["prev", "tok"], as_index=False)["n"].sum()
+
+    return (docs.map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket").map_groups(bucket_sum, batch_format="pandas")
+            .to_pandas())
+
+
+class BigramLogProb:
+    """Actor-pool stage scoring each doc by the mean natural-log probability
+    of its tokens under an interpolated bigram LM:
+    ``p(t1) = c_uni(t1)/T`` for the doc-initial token and
+    ``p(ti|prev) = lam * c_bi(prev,ti)/c_ctx(prev) + (1-lam) * c_uni(ti)/T``
+    for the rest, where ``c_ctx(prev)`` is the bigram-context total (the
+    count of occurrences of ``prev`` that have a successor) — the
+    Jelinek-Mercer smoothing KenLM-class quality filters use. Both LM
+    tables resolve from the object store once per actor; scoring is two
+    hash-index probes + vectorized float64 math per batch, with the same
+    expression shape the generated SQL replays (lam * (bn/cn) +
+    (1.0 - lam) * (un/T), then ln). Docs with no tokens get NULL; tokens or
+    pairs absent from the LM (never when scoring the LM's own corpus)
+    raise rather than silently skew."""
+
+    def __init__(self, lm_ref, lam: float = 0.7, text_col: str = "text",
+                 id_col: str = "doc_id"):
+        import ray
+
+        lm = ray.get(lm_ref) if isinstance(lm_ref, ray.ObjectRef) else lm_ref
+        # pair_code = prev_id * V + tok_id over the unigram vocab — integer
+        # keys, so no string-separator collisions and the pair probe is a
+        # searchsorted, not a hash build; ctx_n is DENSE (length V)
+        uni_tok, uni_n, pair_code, pair_n, ctx_n = lm
+        self.uni_index = pd.Index(uni_tok)
+        if not self.uni_index.is_unique:
+            raise ValueError("BigramLogProb: LM tokens must be unique "
+                             "(merge duplicate shards' counts first)")
+        if not (np.diff(pair_code) > 0).all():
+            raise ValueError("BigramLogProb: pair codes must be strictly "
+                             "sorted (merge duplicate shards' counts first)")
+        self.uni_n = uni_n.astype(np.float64)
+        self.total = float(uni_n.sum())
+        self.pair_code = pair_code.astype(np.int64)
+        self.pair_n = pair_n.astype(np.float64)
+        self.ctx_n = ctx_n.astype(np.float64)
+        self.lam = float(lam)
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from itertools import chain
+
+        ids = pc.cast(batch.column(self.id_col), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        toks = [("" if x is None else x).lower().split()
+                for x in batch.column(self.text_col).to_pylist()]
+        lens = np.fromiter((len(x) for x in toks), np.int64, len(toks))
+        out = np.full(len(ids), np.nan)
+        if int(lens.sum()) > 0:
+            flat = np.array(list(chain.from_iterable(toks)), object)
+            doc = np.repeat(np.arange(len(ids)), lens)
+            upos = self.uni_index.get_indexer(flat)
+            if (upos < 0).any():
+                missing = flat[upos < 0][:3]
+                raise ValueError(f"BigramLogProb: tokens missing from the "
+                                 f"LM, e.g. {list(missing)!r}")
+            p_uni = self.uni_n[upos] / self.total
+            lp = np.log(p_uni)  # doc-initial tokens score as unigrams
+            # non-initial positions: same doc as the previous flat slot
+            has_prev = np.zeros(len(flat), bool)
+            if len(flat) > 1:
+                has_prev[1:] = doc[1:] == doc[:-1]
+            if has_prev.any():
+                prev_id = np.empty(len(flat), np.int64)
+                prev_id[1:] = upos[:-1]
+                pid = prev_id[has_prev]
+                codes = pid * np.int64(len(self.uni_index)) + upos[has_prev]
+                ppos = np.searchsorted(self.pair_code, codes)
+                bad = (ppos >= len(self.pair_code))
+                bad |= self.pair_code[np.minimum(
+                    ppos, len(self.pair_code) - 1)] != codes
+                if bad.any():
+                    raise ValueError("BigramLogProb: pairs missing from the "
+                                     "LM (score the LM's own corpus, or "
+                                     "rebuild the LM)")
+                p_bi = self.pair_n[ppos] / self.ctx_n[pid]
+                lp[has_prev] = np.log(
+                    self.lam * p_bi
+                    + (1.0 - self.lam) * p_uni[has_prev])
+            sums = np.bincount(doc, weights=lp, minlength=len(ids))
+            nz = lens > 0
+            out[nz] = sums[nz] / lens[nz]
+        return pa.table({
+            self.id_col: pa.array(ids, pa.int64()),
+            "mean_logprob": pa.array(np.round(out, 6), pa.float64(),
+                                     from_pandas=True)})
+
+
+def bigram_logprob(docs, lam: float = 0.7, text_col: str = "text",
+                   id_col: str = "doc_id", concurrency: int = 2):
+    """Score every doc against the corpus's own interpolated bigram LM
+    (Jelinek-Mercer: lam * bigram + (1-lam) * unigram) — the next tier of
+    the CCNet-style perplexity gate above ``unigram_logprob``. Two bounded
+    counting passes build the unigram and bigram tables (per-block distinct
+    partials, per-bucket exact sums), the driver derives context totals
+    from the bigram table (so engine and SQL share one definition), one
+    ``ray.put`` broadcasts all three, one streaming pass scores. NULL for
+    token-less docs; round-6 floats per the repo's oracle contract.
+
+    Materialized first for the same reason as ``unigram_logprob``: the
+    input executes three times (two counting passes + scoring), and a
+    non-deterministic upstream would trip the OOV guard."""
+    import ray
+
+    docs = docs.materialize()
+    uni = corpus_token_counts(docs, text_col=text_col)
+    uni = uni.sort_values("token").reset_index(drop=True)
+    bi = corpus_bigram_counts(docs, text_col=text_col)
+    tok_index = pd.Index(uni["token"].to_numpy(object))
+    V = len(tok_index)
+    prev_id = tok_index.get_indexer(bi["prev"].to_numpy(object))
+    tok_id = tok_index.get_indexer(bi["tok"].to_numpy(object))
+    if (prev_id < 0).any() or (tok_id < 0).any():
+        raise ValueError("bigram_logprob: bigram members missing from the "
+                         "unigram vocabulary (inconsistent counting passes)")
+    pair_code = prev_id.astype(np.int64) * V + tok_id
+    order = np.argsort(pair_code, kind="stable")
+    pair_n = bi["n"].to_numpy().astype(np.float64)[order]
+    # dense context totals: count of each token's occurrences WITH a
+    # successor = sum of its outgoing bigram counts (one definition the
+    # SQL replays)
+    ctx_n = np.bincount(prev_id, weights=bi["n"].to_numpy(), minlength=V)
+    ref = ray.put((uni["token"].to_numpy(object),
+                   uni["n"].to_numpy().astype(np.float64),
+                   pair_code[order], pair_n, ctx_n.astype(np.float64)))
+    return docs.map_batches(
+        BigramLogProb, batch_format="pyarrow", concurrency=concurrency,
+        fn_constructor_kwargs={"lm_ref": ref, "lam": lam,
+                               "text_col": text_col, "id_col": id_col})
+
+
 def repetition_top_ngram(batch: pa.Table, n: int = 2, id_col: str = "doc_id",
                          text_col: str = "text") -> pa.Table:
     """Per-doc repetition signal (the Gopher-style "fraction of characters

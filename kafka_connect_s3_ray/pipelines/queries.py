@@ -1112,6 +1112,24 @@ def q_unigram_logprob(sf_dir: str):
                                               from_pandas=True)})
 
 
+def q_bigram_logprob(sf_dir: str):
+    """Interpolated bigram-LM quality score (Jelinek-Mercer, lam=0.7):
+    each doc's mean ln-probability where non-initial tokens score
+    lam * p(tok|prev) + (1-lam) * p(tok) against the corpus's own unigram +
+    bigram tables — the KenLM-class tier above ``unigram_logprob``. Two
+    bounded counting passes build the tables, ray.put broadcasts them, one
+    streaming pass scores; the SQL replays the identical closed form.
+    NULL for token-less docs; round-6 floats per the oracle contract."""
+    from ..functions.text import bigram_logprob
+
+    out = bigram_logprob(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return pa.table({"doc_id": pa.array(out["doc_id"], pa.int64()),
+                     "mean_logprob": pa.array(out["mean_logprob"],
+                                              pa.float64(),
+                                              from_pandas=True)})
+
+
 def q_cohort_retention(sf_dir: str):
     """Day-cohort retention matrix: distinct users active N days after
     their first-event day. One coarse user-hash exchange; per-bucket
@@ -1929,6 +1947,53 @@ def q_running_totals(sf_dir: str):
     return out.map_batches(fix, batch_format="pyarrow")
 
 
+def q_event_lag_lead(sf_dir: str):
+    """SQL lag/lead window parity: for every event, the previous and next
+    event id in the user's (ts, event_id) stream plus the microsecond gap
+    since the previous event — the session-gap primitive behind
+    sessionization and inter-arrival analyses. Same distribution shape as
+    ``running_totals``: one coarse user-hash exchange (NULL user/ts rejected
+    loudly by ``_user_bucketer``), then a per-bucket lexsort + vectorized
+    pandas groupby shift — a user lives wholly in one bucket, so
+    bucket-local shifts ARE the global window. Boundary rows carry real
+    NULLs (nullable Int64 all the way to Arrow, never a NaN-float64
+    degrade)."""
+    from ..functions.funnel import _user_bucketer
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts"])
+    tagged = ev.map_batches(_user_bucketer("user_id", 64, ts_col="ts"),
+                            batch_format="pyarrow")
+
+    def bucket_shift(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="stable").reset_index(drop=True)
+        grp = g.groupby("user_id", sort=False)
+        ts_us = pd.Series(
+            g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64))
+        prev_ts = ts_us.groupby(g["user_id"], sort=False).shift(1)
+        eid = g["event_id"].astype("Int64")
+        return pd.DataFrame({
+            "event_id": eid,
+            "user_id": g["user_id"],
+            "prev_event_id": grp["event_id"].shift(1).astype("Int64"),
+            "next_event_id": grp["event_id"].shift(-1).astype("Int64"),
+            "gap_us": (ts_us - prev_ts).astype("Int64"),
+        })
+
+    out = tagged.groupby("bucket").map_groups(bucket_shift,
+                                              batch_format="pandas")
+
+    def fix(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": pc.cast(t.column("event_id"), pa.int64()),
+            "user_id": pc.cast(t.column("user_id"), pa.int64()),
+            "prev_event_id": pc.cast(t.column("prev_event_id"), pa.int64()),
+            "next_event_id": pc.cast(t.column("next_event_id"), pa.int64()),
+            "gap_us": pc.cast(t.column("gap_us"), pa.int64())})
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
 def q_left_join(sf_dir: str):
     """customer LEFT JOIN orders through the coarse-bucket exchange:
     unmatched customers carry NULL order columns (nullable-dtype discipline
@@ -2138,6 +2203,8 @@ QUERIES = {
     "left_join": q_left_join,
     "full_outer_join": q_full_outer_join,
     "running_totals": q_running_totals,
+    "event_lag_lead": q_event_lag_lead,
+    "bigram_logprob": q_bigram_logprob,
     "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
     "knn_graph_ivf": q_knn_graph_ivf,
     "stratified_sample": q_stratified_sample,
@@ -2384,6 +2451,14 @@ ORACLE_SQL = {
         "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
         "ROWS UNBOUNDED PRECEDING)"
     ),
+    "event_lag_lead": (
+        "SELECT event_id, user_id, "
+        "lag(event_id) OVER w AS prev_event_id, "
+        "lead(event_id) OVER w AS next_event_id, "
+        "CAST(date_diff('microsecond', lag(ts) OVER w, ts) AS BIGINT) "
+        "AS gap_us FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+    ),
     "left_join": (
         "SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows, "
         "CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) "
@@ -2600,6 +2675,36 @@ ORACLE_SQL = {
         "tot AS (SELECT sum(n) AS t FROM lm), "
         "scored AS (SELECT tk.doc_id, ln(lm.n / (SELECT t FROM tot)) AS lp "
         "FROM toks tk JOIN lm USING (tok)) "
+        "SELECT d.doc_id, round(avg(s.lp), 6) AS mean_logprob "
+        "FROM (SELECT doc_id FROM documents) d "
+        "LEFT JOIN scored s USING (doc_id) "
+        "GROUP BY d.doc_id ORDER BY d.doc_id"
+    ),
+    # interpolated bigram LM: same tokenization contract; non-initial
+    # tokens score lam*(bigram/context) + (1-lam)*(unigram/total), initial
+    # tokens plain unigram; context total = sum of bigram counts per prev
+    # (one definition shared with the engine); (1 - 0.7::DOUBLE) so both
+    # engines use the identical float64 complement
+    "bigram_logprob": (
+        "WITH wrd AS (SELECT doc_id, list_filter("
+        "regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ws "
+        "FROM documents WHERE text IS NOT NULL), "
+        "toks AS (SELECT w.doc_id, i.i AS pos, w.ws[i.i] AS tok, "
+        "CASE WHEN i.i = 1 THEN NULL ELSE w.ws[i.i - 1] END AS prev "
+        "FROM wrd w, LATERAL (SELECT unnest(generate_series(1, "
+        "len(w.ws))) AS i) i), "
+        "lm AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok), "
+        "tot AS (SELECT sum(n) AS t FROM lm), "
+        "bi AS (SELECT prev, tok, count(*) AS n FROM toks "
+        "WHERE prev IS NOT NULL GROUP BY prev, tok), "
+        "ctx AS (SELECT prev, sum(n) AS cn FROM bi GROUP BY prev), "
+        "scored AS (SELECT tk.doc_id, CASE WHEN tk.prev IS NULL "
+        "THEN ln(lm.n / (SELECT t FROM tot)) "
+        "ELSE ln(0.7 * (b.n / c.cn) + (1 - CAST(0.7 AS DOUBLE)) * "
+        "(lm.n / (SELECT t FROM tot))) END AS lp "
+        "FROM toks tk JOIN lm USING (tok) "
+        "LEFT JOIN bi b ON b.prev = tk.prev AND b.tok = tk.tok "
+        "LEFT JOIN ctx c ON c.prev = tk.prev) "
         "SELECT d.doc_id, round(avg(s.lp), 6) AS mean_logprob "
         "FROM (SELECT doc_id FROM documents) d "
         "LEFT JOIN scored s USING (doc_id) "

@@ -109,3 +109,52 @@ def test_unigram_scorer_rejects_oov(ray_session):
     with _pt.raises(ValueError, match="missing from the LM"):
         s(pa.table({"doc_id": pa.array([1], pa.int64()),
                     "text": pa.array(["a z"], pa.string())}))
+
+
+# ---------------------------------------------------------------------------
+# interpolated bigram LM scoring
+# ---------------------------------------------------------------------------
+
+def test_bigram_logprob_hand_computed(ray_session):
+    import math
+
+    from kafka_connect_s3_ray.functions.text import bigram_logprob
+
+    # corpus: doc1 = "a b a b", doc2 = "a"; unigrams a:3 b:2 T=5
+    # bigrams: (a,b):2 (b,a):1; ctx(a)=2 ctx(b)=1
+    docs = _docs([(1, "a b a b"), (2, "a"), (3, None)])
+    out = bigram_logprob(docs, lam=0.7).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    lam = 0.7
+    p_ab = lam * (2 / 2) + (1.0 - lam) * (2 / 5)   # p(b|a)
+    p_ba = lam * (1 / 1) + (1.0 - lam) * (3 / 5)   # p(a|b)
+    d1 = (math.log(3 / 5) + math.log(p_ab) + math.log(p_ba)
+          + math.log(p_ab)) / 4
+    assert out["mean_logprob"][0] == round(d1, 6)
+    assert out["mean_logprob"][1] == round(math.log(3 / 5), 6)  # unigram only
+    assert out["mean_logprob"].isna()[2]
+
+
+def test_bigram_scorer_rejects_missing_pairs(ray_session):
+    import numpy as np
+    import pytest as _pt
+
+    from kafka_connect_s3_ray.functions.text import BigramLogProb
+
+    # LM knows tokens a,b and only the pair (a,a) -> code 0*2+0 = 0
+    s = BigramLogProb((np.array(["a", "b"], object), np.array([2.0, 1.0]),
+                       np.array([0], np.int64), np.array([1.0]),
+                       np.array([1.0, 0.0])))
+    with _pt.raises(ValueError, match="pairs missing"):
+        s(pa.table({"doc_id": pa.array([1], pa.int64()),
+                    "text": pa.array(["a b"], pa.string())}))
+
+
+def test_bigram_counts_cross_doc_boundary_free(ray_session):
+    from kafka_connect_s3_ray.functions.text import corpus_bigram_counts
+
+    # "x" | "y" in separate docs must NOT create the (x, y) pair
+    docs = _docs([(1, "x"), (2, "y"), (3, "x y")])
+    bi = corpus_bigram_counts(docs).sort_values(
+        ["prev", "tok"]).reset_index(drop=True)
+    assert bi.to_dict("records") == [{"prev": "x", "tok": "y", "n": 1}]
