@@ -571,3 +571,352 @@ def knn_graph_ivf(ds: "ray.data.Dataset", k: int = 3, n_clusters: int = 16,
 
     return (cand.map_batches(add_bucket, batch_format="pyarrow")
             .groupby("bucket").map_groups(merge_topk, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ): m-subspace byte codes + asymmetric-distance scan
+# ---------------------------------------------------------------------------
+# Jegou, Douze, Schmid, "Product Quantization for Nearest Neighbor Search"
+# (TPAMI 2011): split each (normalized) vector into m subvectors, quantize
+# each against a ksub-centroid per-subspace codebook, store only the m byte
+# codes. A query never touches the raw vectors again: it builds an m x ksub
+# lookup table of subspace dot products once and scores every corpus vector
+# with m table gathers (asymmetric distance computation, ADC). At d=32
+# float32 and m=8 that is 8 bytes scanned per vector instead of 128 — the
+# 16x storage/IO lever that makes embedding search tractable at 100 TB
+# (a 100 TB raw embedding column becomes a 6.25 TB code column).
+#
+# Float-parity discipline: every accumulation below runs DIMENSION BY
+# DIMENSION, LEFT TO RIGHT, with explicit multiplies (never np.dot / **2),
+# because the SQL oracle replays the identical literal expression — both
+# engines then produce bit-identical float64 scores and the argmin/topk
+# tie-breaks (first-min == ORDER BY d, code; score DESC, id ASC) can never
+# diverge.
+
+
+def _normalize_seq(mat: np.ndarray) -> np.ndarray:
+    """L2-normalize with a SEQUENTIAL sum of squares (x0*x0 + x1*x1 + ...)
+    so the norm is bit-equal to the SQL replay's literal 32-term sum —
+    np.linalg.norm's pairwise/SIMD summation order would differ in the last
+    ulp."""
+    mat = np.asarray(mat, dtype=np.float64)
+    ss = None
+    for j in range(mat.shape[1]):
+        t = mat[:, j] * mat[:, j]
+        ss = t if ss is None else ss + t
+    return mat / np.maximum(np.sqrt(ss), 1e-12)[:, None]
+
+
+def _sq_dist_seq(sub: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """(B, dsub) vs (ksub, dsub) -> (B, ksub) squared L2, accumulated
+    left-to-right per dimension (the SQL literal's evaluation order)."""
+    d = None
+    for j in range(sub.shape[1]):
+        t = sub[:, j][:, None] - cents[None, :, j]
+        t = t * t
+        d = t if d is None else d + t
+    return d
+
+
+def _dot_seq(a: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """(Q, dsub) vs (ksub, dsub) -> (Q, ksub) dot, accumulated
+    left-to-right per dimension."""
+    d = None
+    for j in range(a.shape[1]):
+        t = a[:, j][:, None] * cents[None, :, j]
+        d = t if d is None else d + t
+    return d
+
+
+def pq_codebook_from_vectors(vecs: np.ndarray, m: int) -> np.ndarray:
+    """iters=0 codebook: the given (raw) vectors are normalized and their
+    subvectors become the centroids, row i -> code i in every subspace —
+    the seeded-sample regime the SQL oracle replays (centroid selection by
+    the splitmix64 exact-k rule happens in the caller)."""
+    vecs = _normalize_seq(np.asarray(vecs, dtype=np.float64))
+    d = vecs.shape[1]
+    if d % m != 0:
+        raise ValueError(f"pq: dim {d} not divisible by m={m}")
+    dsub = d // m
+    return np.stack([vecs[:, mi * dsub:(mi + 1) * dsub] for mi in range(m)])
+
+
+def pq_train(sample: np.ndarray, m: int = 8, ksub: int = 16,
+             iters: int = 10, seed: int = 42) -> np.ndarray:
+    """Per-subspace Lloyd k-means over the normalized sample -> codebook
+    (m, ksub, dsub). ``iters=0`` keeps the seeded initial pick (still a
+    valid, just coarser, quantizer); more iters cut quantization error and
+    raise recall (pinned by test_pq). Driver-side on a sample, like
+    ``kmeans_fit`` — the codebook is tiny (m * ksub * dsub floats)."""
+    sample = _normalize_seq(np.asarray(sample, dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    pick = rng.choice(len(sample), size=min(ksub, len(sample)),
+                      replace=False)
+    cb = pq_codebook_from_vectors(sample[pick],
+                                  m).copy()  # (m, k', dsub)
+    dsub = sample.shape[1] // m
+    for _ in range(iters):
+        for mi in range(m):
+            sub = sample[:, mi * dsub:(mi + 1) * dsub]
+            assign = _sq_dist_seq(sub, cb[mi]).argmin(axis=1)
+            for c in range(cb.shape[1]):
+                pts = sub[assign == c]
+                if len(pts):
+                    cb[mi, c] = pts.mean(axis=0)
+    return cb
+
+
+class _PQEncode:
+    """map_batches stage: normalize the batch's vectors and quantize each
+    subspace to its nearest centroid (first-min tie-break == the SQL's
+    ORDER BY d, code). Output is (id, codes: list<uint8>) — m bytes per
+    vector, the only thing the search path ever reads again."""
+
+    def __init__(self, cb_ref, id_col: str, vec_col: str):
+        self.cb_ref = cb_ref
+        self.cb = None
+        self.id_col, self.vec_col = id_col, vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        id_type = batch.schema.field(self.id_col).type
+        if len(batch) == 0:
+            return pa.table({self.id_col: pa.array([], id_type),
+                             "codes": pa.array([], pa.list_(pa.uint8()))})
+        if self.cb is None:
+            self.cb = ray.get(self.cb_ref)
+        m, _, dsub = self.cb.shape
+        mat = _normalize_seq(np.stack(batch.column(self.vec_col).to_pylist()))
+        codes = np.empty((len(mat), m), np.uint8)
+        for mi in range(m):
+            sub = mat[:, mi * dsub:(mi + 1) * dsub]
+            codes[:, mi] = _sq_dist_seq(sub, self.cb[mi]).argmin(axis=1)
+        return pa.table({self.id_col: batch.column(self.id_col),
+                         "codes": pa.array(list(codes),
+                                           pa.list_(pa.uint8()))})
+
+
+class _PQAdcTopK:
+    """map_batches stage over a CODES table: asymmetric distance scan. The
+    (Q, m, ksub) dot-product lookup table is built once per actor from the
+    broadcast codebook + queries; each batch costs m table gathers per
+    query — no raw vectors, no matmul. Emits block-local top-k rows per
+    query (the _BatchTopK contract) for the shared finalize."""
+
+    def __init__(self, cb_ref, queries_ref, k: int, id_col: str):
+        self.cb_ref, self.queries_ref = cb_ref, queries_ref
+        self.lut = None
+        self.k = k
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        id_type = batch.schema.field(self.id_col).type
+        if len(batch) == 0:
+            return pa.table({"query_id": pa.array([], pa.int32()),
+                             self.id_col: pa.array([], id_type),
+                             "score": pa.array([], pa.float64())})
+        if self.lut is None:
+            cb = ray.get(self.cb_ref)
+            q = _normalize_seq(np.asarray(ray.get(self.queries_ref),
+                                          dtype=np.float64))
+            m, ksub, dsub = cb.shape
+            self.lut = np.stack(
+                [_dot_seq(q[:, mi * dsub:(mi + 1) * dsub], cb[mi])
+                 for mi in range(m)], axis=1)  # (Q, m, ksub)
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        codes = np.stack(batch.column("codes").to_pylist())  # (B, m)
+        m = codes.shape[1]
+        scores = None  # accumulate subspaces left-to-right (SQL parity)
+        for mi in range(m):
+            t = self.lut[:, mi, codes[:, mi]]  # (Q, B)
+            scores = t if scores is None else scores + t
+        k = min(self.k, len(ids))
+        out_q, out_id, out_s = [], [], []
+        for qi in range(scores.shape[0]):
+            top = np.argpartition(-scores[qi], k - 1)[:k]
+            out_q.append(np.full(k, qi, dtype=np.int32))
+            out_id.append(ids[top])
+            out_s.append(scores[qi, top])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.int32()),
+            self.id_col: pa.array(np.concatenate(out_id), id_type),
+            "score": pa.array(np.concatenate(out_s), pa.float64())})
+
+
+def pq_encode(ds: "ray.data.Dataset", codebook: np.ndarray,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> "ray.data.Dataset":
+    """One streaming pass: corpus -> (id, m-byte code list)."""
+    cb_ref = ray.put(np.asarray(codebook, dtype=np.float64))
+    return ds.map_batches(_PQEncode(cb_ref, id_col, vec_col),
+                          batch_format="pyarrow")
+
+
+def pq_topk(ds: "ray.data.Dataset", queries: np.ndarray, k: int = 10,
+            codebook: np.ndarray | None = None, m: int = 8, ksub: int = 16,
+            iters: int = 10, sample_size: int = 2048,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            seed: int = 42) -> pd.DataFrame:
+    """PQ-approximate cosine top-k: train (or take) a codebook, encode the
+    corpus in one pass, ADC-scan the codes in a second — both streaming,
+    zero shuffles, and the scan stage touches m bytes per vector. Same
+    (query_id, id, score) contract and deterministic tie-breaks as
+    ``brute_force_topk``; approximation error comes only from quantization
+    (recall pinned by test_pq)."""
+    if codebook is None:
+        sample = ds.limit(sample_size).to_pandas()[vec_col]
+        codebook = pq_train(np.stack(sample.to_list()), m=m, ksub=ksub,
+                            iters=iters, seed=seed)
+    cb_ref = ray.put(np.asarray(codebook, dtype=np.float64))
+    q_ref = ray.put(np.asarray(queries, dtype=np.float64))
+    codes = ds.map_batches(_PQEncode(cb_ref, id_col, vec_col),
+                           batch_format="pyarrow")
+    cand = codes.map_batches(_PQAdcTopK(cb_ref, q_ref, k, id_col),
+                             batch_format="pyarrow").to_pandas()
+    return _finalize_candidates(cand, k, id_col)
+
+
+def build_pq_index(ds: "ray.data.Dataset", index_dir: str,
+                   codebook: np.ndarray | None = None, m: int = 8,
+                   ksub: int = 16, iters: int = 10, sample_size: int = 2048,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   seed: int = 42, max_file_rows: int = 1024 * 1024
+                   ) -> np.ndarray:
+    """Persist the code table once, query many: ``codes-*.parquet`` (id +
+    m-byte codes, file rotation like the lake writer) + ``pq_codebook.npy``
+    as the commit marker (written LAST — the build_ivf_index/S3Writer
+    data-before-meta ordering). Queries read 8 bytes/vector instead of the
+    raw embedding column — the PQ memory story made durable."""
+    import glob as _glob
+    import os
+
+    marker = os.path.join(index_dir, "pq_codebook.npy")
+    if os.path.exists(marker):
+        os.remove(marker)
+    for f in _glob.glob(os.path.join(index_dir, "codes-*.parquet")):
+        os.remove(f)
+    if codebook is None:
+        sample = ds.limit(sample_size).to_pandas()[vec_col]
+        codebook = pq_train(np.stack(sample.to_list()), m=m, ksub=ksub,
+                            iters=iters, seed=seed)
+    codebook = np.asarray(codebook, dtype=np.float64)
+    os.makedirs(index_dir, exist_ok=True)
+
+    import pyarrow.parquet as pq_
+
+    def write_codes(t: pa.Table) -> pa.Table:
+        # deterministic bytes: sort by id within the block; file named by
+        # the block's smallest id so replay overwrites identically
+        t = t.sort_by([(id_col, "ascending")])
+        lo = t.column(id_col)[0].as_py()
+        for i, s in enumerate(range(0, len(t), max_file_rows)):
+            path = os.path.join(index_dir, f"codes-{lo}-{i:04d}.parquet")
+            tmp = path + ".inprogress"
+            pq_.write_table(t.slice(s, max_file_rows), tmp,
+                            compression="zstd")
+            os.replace(tmp, path)
+        return pa.table({"n": pa.array([len(t)], pa.int64())})
+
+    (pq_encode(ds, codebook, id_col=id_col, vec_col=vec_col)
+     .map_batches(write_codes, batch_format="pyarrow").materialize())
+    tmp = marker + ".inprogress"
+    with open(tmp, "wb") as f:
+        np.save(f, codebook)
+    os.replace(tmp, marker)
+    return codebook
+
+
+def pq_topk_indexed(index_dir: str, queries: np.ndarray, k: int = 10,
+                    id_col: str = "vec_id") -> pd.DataFrame:
+    """ADC top-k against a ``build_pq_index`` directory: the scan reads
+    ONLY the m-bytes-per-vector code files — the raw embedding column never
+    leaves storage."""
+    import glob as _glob
+    import os
+
+    codebook = np.load(os.path.join(index_dir, "pq_codebook.npy"))
+    files = sorted(_glob.glob(os.path.join(index_dir, "codes-*.parquet")))
+    if not files:
+        return pd.DataFrame({"query_id": [], id_col: [], "score": []})
+    ds = ray.data.read_parquet(files)
+    cb_ref = ray.put(codebook)
+    q_ref = ray.put(np.asarray(queries, dtype=np.float64))
+    cand = ds.map_batches(_PQAdcTopK(cb_ref, q_ref, k, id_col),
+                          batch_format="pyarrow").to_pandas()
+    return _finalize_candidates(cand, k, id_col)
+
+
+class _ExactRescore:
+    """map_batches stage over the RAW corpus: keep only rows whose id is in
+    the broadcast shortlist union, score those exactly (the brute-force
+    float64 dot) against every query, and mask pairs outside that query's
+    own shortlist. At persisted-index scale the shortlist fetch is a point
+    lookup (bloom/partition pruning); here it is one vectorized
+    filter-and-matmul pass."""
+
+    def __init__(self, queries_ref, short_ref, id_col: str, vec_col: str):
+        self.queries_ref, self.short_ref = queries_ref, short_ref
+        self.q = None
+        self.short = None  # dict: id -> (Q,) bool membership row index
+        self.id_col, self.vec_col = id_col, vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        id_type = batch.schema.field(self.id_col).type
+        empty = pa.table({"query_id": pa.array([], pa.int32()),
+                          self.id_col: pa.array([], id_type),
+                          "score": pa.array([], pa.float64())})
+        if len(batch) == 0:
+            return empty
+        if self.q is None:
+            self.q = _normalize(np.asarray(ray.get(self.queries_ref),
+                                           dtype=np.float64))
+            ids_sorted, mask = ray.get(self.short_ref)
+            self.short = (ids_sorted, mask)  # (U,) sorted ids, (U, Q) bool
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        u_ids, u_mask = self.short
+        pos = np.searchsorted(u_ids, ids)
+        ok = (pos < len(u_ids))
+        ok &= u_ids[np.minimum(pos, len(u_ids) - 1)] == ids
+        if not ok.any():
+            return empty
+        sel = np.nonzero(ok)[0]
+        mat = _normalize(np.stack(
+            batch.column(self.vec_col).take(pa.array(sel)).to_pylist())
+            .astype(np.float64))
+        sims = mat @ self.q.T  # (S, Q) exact
+        pair_mask = u_mask[pos[sel]]  # (S, Q)
+        rows, qs = np.nonzero(pair_mask)
+        return pa.table({
+            "query_id": pa.array(qs.astype(np.int32), pa.int32()),
+            self.id_col: pa.array(ids[sel][rows], id_type),
+            "score": pa.array(sims[rows, qs], pa.float64())})
+
+
+def pq_topk_refined(ds: "ray.data.Dataset", queries: np.ndarray, k: int = 10,
+                    shortlist: int = 100, codebook: np.ndarray | None = None,
+                    m: int = 8, ksub: int = 64, iters: int = 10,
+                    sample_size: int = 2048, id_col: str = "vec_id",
+                    vec_col: str = "embedding", seed: int = 42
+                    ) -> pd.DataFrame:
+    """The production PQ search shape (Jegou et al. 2011 §V): the m-byte
+    ADC scan nominates a ``shortlist`` of candidates per query (cheap — it
+    reads codes, not vectors), then ONE pruned pass over the raw corpus
+    rescores only the shortlist union exactly and keeps the exact top-k.
+    Quantization error then only costs recall when a true neighbor falls
+    outside the shortlist entirely — recall >= 0.9 at shortlist=100 on the
+    worst-case (unstructured Gaussian) test corpus where raw ADC@10 sits
+    near 0.5 (pinned by test_pq); I/O stays m bytes/vector for the scan
+    plus shortlist-sized row fetches."""
+    cand = pq_topk(ds, queries, k=shortlist, codebook=codebook, m=m,
+                   ksub=ksub, iters=iters, sample_size=sample_size,
+                   id_col=id_col, vec_col=vec_col, seed=seed)
+    qn = int(np.asarray(queries).shape[0])
+    u_ids = np.unique(cand[id_col].to_numpy())
+    u_mask = np.zeros((len(u_ids), qn), dtype=bool)
+    pos = np.searchsorted(u_ids, cand[id_col].to_numpy())
+    u_mask[pos, cand["query_id"].to_numpy()] = True
+    short_ref = ray.put((u_ids, u_mask))
+    q_ref = ray.put(np.asarray(queries, dtype=np.float64))
+    exact = ds.map_batches(
+        _ExactRescore(q_ref, short_ref, id_col, vec_col),
+        batch_format="pyarrow").to_pandas()
+    return _finalize_candidates(exact, k, id_col)

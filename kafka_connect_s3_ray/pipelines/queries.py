@@ -1807,6 +1807,41 @@ def q_cosine_topk(sf_dir: str):
     return out[["query_id", "vec_id", "score"]]
 
 
+def q_pq_topk(sf_dir: str):
+    """Product-quantization top-10 (Jegou et al. 2011) in its
+    SQL-replayable regime: the 16-centroid-per-subspace codebook is the
+    iters=0 seeded pick — the 16 vectors with the smallest
+    splitmix64(vec_id xor seed), the exact_k_sample rule the oracle already
+    replays — ordered by vec_id, split into 8 subspaces of 4 dims. Encode
+    assigns every vector 8 byte codes (first-min == ORDER BY d, code);
+    the ADC scan scores codes against the per-query lookup table. Every
+    float64 accumulation runs dimension-by-dimension left-to-right on both
+    engines, so scores are bit-identical and ranking cannot diverge.
+    Trained (iters>0) codebooks are the production path — recall pinned by
+    test_pq."""
+    import duckdb
+
+    from ..functions.sample import sample_exact_k
+    from ..functions.similarity import pq_codebook_from_vectors, pq_topk
+
+    emb = _emb(sf_dir)
+    sel = sample_exact_k(emb, "vec_id", _PQ_KSUB, seed=_SHUFFLE_SEED,
+                         keep_cols=["embedding"])
+    sel = sel.sort_by([("vec_id", "ascending")])
+    cb = pq_codebook_from_vectors(
+        np.stack(sel.column("embedding").to_pylist()), m=_PQ_M)
+    qdf = duckdb.sql(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+        f"ORDER BY vec_id LIMIT 3").df()
+    queries = np.stack(qdf["embedding"].to_list()).astype(np.float64)
+    out = pq_topk(emb, queries, k=10, codebook=cb)
+    out["score"] = out["score"].round(6)
+    return out[["query_id", "vec_id", "score"]]
+
+
+_PQ_M, _PQ_KSUB = 8, 16
+
+
 def q_cosine_topk_ivf(sf_dir: str):
     """IVF execution path in EXHAUSTIVE-PROBE mode (nprobe == n_clusters):
     every cluster is scanned, so the result is exactly brute force — same
@@ -2205,6 +2240,7 @@ QUERIES = {
     "running_totals": q_running_totals,
     "event_lag_lead": q_event_lag_lead,
     "bigram_logprob": q_bigram_logprob,
+    "pq_topk": q_pq_topk,
     "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
     "knn_graph_ivf": q_knn_graph_ivf,
     "stratified_sample": q_stratified_sample,
@@ -3497,6 +3533,68 @@ def _grouped_exact_k_sql(k: int, seed: int) -> str:
 
 
 ORACLE_SQL["grouped_exact_k"] = _grouped_exact_k_sql(40, _SHUFFLE_SEED)
+
+
+def _pq_topk_sql(m: int, dsub: int, ksub: int, qn: int, k: int,
+                 seed: int) -> str:
+    """Full PQ replay: codebook selection (the exact_k splitmix rule),
+    normalization (literal d-term sum of squares — the engine's sequential
+    accumulation), per-subspace argmin assignment (literal dsub-term
+    squared distance, ORDER BY d, code == numpy first-min), ADC lookup
+    table (literal dsub-term dot) and the m-term score sum (literal
+    left-to-right, the engine's subspace loop). Identical float64 op
+    sequences on both engines -> bit-identical scores."""
+    d = m * dsub
+    norm = " + ".join(f"emb[{j}]*emb[{j}]" for j in range(1, d + 1))
+    sub_cols = lambda pre: ", ".join(
+        f"emb[s.sub*{dsub}+{j + 1}]/nrm AS {pre}{j}" for j in range(dsub))
+    dist = " + ".join(f"(e.x{j}-c.v{j})*(e.x{j}-c.v{j})"
+                      for j in range(dsub))
+    lutdot = " + ".join(f"q.q{j}*c.v{j}" for j in range(dsub))
+    cp_cols = ", ".join(f"max(CASE WHEN sub = {mi} THEN code END) AS c{mi}"
+                        for mi in range(m))
+    lut_joins = " ".join(
+        f"JOIN lut l{mi} ON l{mi}.qid = l0.qid AND l{mi}.sub = {mi} "
+        f"AND l{mi}.code = p.c{mi}" for mi in range(1, m))
+    score = " + ".join(f"l{mi}.l" for mi in range(m))
+    ctes = _splitmix64_ctes(f"xor(vec_id, {seed})", "embeddings", "vec_id")
+    return (
+        f"WITH {ctes}, "
+        f"sel AS (SELECT vec_id FROM m3 ORDER BY h, vec_id LIMIT {ksub}), "
+        f"subs AS (SELECT unnest(generate_series(0, {m - 1})) AS sub), "
+        f"cbn AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, "
+        f"emb, greatest(sqrt({norm}), 1e-12) AS nrm FROM "
+        f"(SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb "
+        f"FROM embeddings e JOIN sel USING (vec_id))), "
+        f"cb AS (SELECT code, s.sub, {sub_cols('v')} FROM cbn, subs s), "
+        f"ev AS (SELECT vec_id, emb, greatest(sqrt({norm}), 1e-12) AS nrm "
+        f"FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb "
+        f"FROM embeddings)), "
+        f"es AS (SELECT vec_id, s.sub, {sub_cols('x')} FROM ev, subs s), "
+        f"codes AS (SELECT vec_id, sub, code FROM ("
+        f"SELECT e.vec_id, e.sub, c.code, row_number() OVER ("
+        f"PARTITION BY e.vec_id, e.sub ORDER BY {dist}, c.code) AS rn "
+        f"FROM es e JOIN cb c ON c.sub = e.sub) WHERE rn = 1), "
+        f"cp AS (SELECT vec_id, {cp_cols} FROM codes GROUP BY vec_id), "
+        f"qv AS (SELECT qid, emb, greatest(sqrt({norm}), 1e-12) AS nrm "
+        f"FROM (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS emb "
+        f"FROM embeddings WHERE vec_id IN "
+        f"(SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {qn}))), "
+        f"qs AS (SELECT qid, s.sub, {sub_cols('q')} FROM qv, subs s), "
+        f"lut AS (SELECT q.qid, c.sub, c.code, {lutdot} AS l "
+        f"FROM qs q JOIN cb c ON c.sub = q.sub), "
+        f"sc AS (SELECT l0.qid, p.vec_id, {score} AS score FROM cp p "
+        f"JOIN lut l0 ON l0.sub = 0 AND l0.code = p.c0 {lut_joins}), "
+        f"ranked AS (SELECT qid, vec_id, score, row_number() OVER ("
+        f"PARTITION BY qid ORDER BY score DESC, vec_id) AS rn FROM sc) "
+        f"SELECT CAST(dense_rank() OVER (ORDER BY qid) AS INT) - 1 "
+        f"AS query_id, vec_id, round(score, 6) AS score "
+        f"FROM ranked WHERE rn <= {k}")
+
+
+# the driver fixture's embedding dim is 64 -> dsub = 8 at m = 8
+ORACLE_SQL["pq_topk"] = _pq_topk_sql(_PQ_M, 64 // _PQ_M, _PQ_KSUB, 3, 10,
+                                     _SHUFFLE_SEED)
 
 
 def _weighted_sample_sql(k: int, seed: int) -> str:
