@@ -1890,6 +1890,33 @@ def q_cosine_topk_ivf_indexed(sf_dir: str, tmp_root: str = "/tmp/kcs3_ray"):
     return out[["query_id", "vec_id", "score"]]
 
 
+def q_ivfpq_topk(sf_dir: str, tmp_root: str = "/tmp/kcs3_ray"):
+    """IVF-PQ production search (IVFADC, Jegou et al. 2011 §VI): coarse
+    clusters prune WHICH code files are read, m-byte residual codes bound
+    WHAT is read (the two 100 TB levers composed), and the exact re-rank
+    pass recovers the recall the codes lose (>= 0.85 at nprobe=8,
+    shortlist=100 — pinned by test_pq). Approximate by construction ->
+    rows-only entry; the exact anchors are cosine_topk / pq_topk."""
+    import duckdb
+
+    from ..functions.similarity import build_ivfpq_index, ivfpq_topk_indexed
+
+    name = os.path.basename(sf_dir.rstrip("/"))
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    idx = os.path.join(tmp_root,
+                       f"ivfpq_index_{name}_{st.st_size}_{int(st.st_mtime)}")
+    if not os.path.exists(os.path.join(idx, "pq_codebook.npy")):
+        build_ivfpq_index(_emb(sf_dir), idx, n_clusters=16, m=8, ksub=64)
+    qdf = duckdb.sql(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+        f"ORDER BY vec_id LIMIT 3").df()
+    queries = np.stack(qdf["embedding"].to_list()).astype(np.float64)
+    out = ivfpq_topk_indexed(idx, queries, k=10, nprobe=8,
+                             refine_ds=_emb(sf_dir), shortlist=100)
+    out["score"] = out["score"].round(6)
+    return out[["query_id", "vec_id", "score"]]
+
+
 # ---------------------------------------------------------------------------
 # flagship transcript CDC pipeline (rows-only; pytest holds its oracle)
 # ---------------------------------------------------------------------------
@@ -2241,6 +2268,7 @@ QUERIES = {
     "event_lag_lead": q_event_lag_lead,
     "bigram_logprob": q_bigram_logprob,
     "pq_topk": q_pq_topk,
+    "ivfpq_topk": q_ivfpq_topk,
     "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
     "knn_graph_ivf": q_knn_graph_ivf,
     "stratified_sample": q_stratified_sample,

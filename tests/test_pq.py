@@ -126,3 +126,50 @@ def test_pq_rejects_indivisible_dim(ray_session):
 
     with pytest.raises(ValueError, match="not divisible"):
         pq_codebook_from_vectors(np.ones((4, 10)), m=3)
+
+
+def test_ivfpq_recall_and_probe_monotonicity(ray_session, tmp_path):
+    from kafka_connect_s3_ray.functions.similarity import (brute_force_topk,
+                                                           build_ivfpq_index,
+                                                           ivfpq_topk_indexed)
+
+    emb = _emb_ds()
+    q = _queries(10)
+    exact = brute_force_topk(emb, q, k=10)
+    d = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb, d, n_clusters=16, m=8, ksub=64, iters=10)
+    recs = []
+    for nprobe in (4, 16):
+        r = ivfpq_topk_indexed(d, q, k=10, nprobe=nprobe, refine_ds=emb,
+                               shortlist=100)
+        recs.append(_recall(r, exact, 10))
+    # more probes never hurt, and the production shape (refine) clears 0.85
+    assert recs[1] >= recs[0]
+    assert recs[1] >= 0.85
+
+
+def test_ivfpq_reads_only_probed_clusters(ray_session, tmp_path, monkeypatch):
+    import glob as _glob
+
+    import ray.data as rd
+
+    from kafka_connect_s3_ray.functions import similarity as S
+
+    emb = _emb_ds()
+    q = _queries(2)
+    d = str(tmp_path / "ivfpq")
+    S.build_ivfpq_index(emb, d, n_clusters=16, m=8, ksub=16, iters=2)
+    seen: list[str] = []
+    orig = rd.read_parquet
+
+    def spy(paths, *a, **kw):
+        seen.extend(paths if isinstance(paths, list) else [paths])
+        return orig(paths, *a, **kw)
+
+    monkeypatch.setattr(S.ray.data, "read_parquet", spy)
+    S.ivfpq_topk_indexed(d, q, k=5, nprobe=2)
+    all_files = set(_glob.glob(d + "/cluster=*/codes-*.parquet"))
+    touched = set(f for f in seen if "cluster=" in f)
+    assert touched and touched < all_files  # strictly pruned read
+    probed_dirs = {f.split("cluster=")[1].split("/")[0] for f in touched}
+    assert len(probed_dirs) <= 2 * 2  # <= nprobe clusters per query, unioned

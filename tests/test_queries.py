@@ -117,6 +117,8 @@ ROWS_ONLY = [
                        # asserts equality with single-machine numpy PCA
     "knn_graph_ivf_nprobe6",  # approximate by construction; recall >= 0.9
                               # pinned by test_repetition_knn + bench figure
+    "ivfpq_topk",  # approximate by construction (residual byte codes +
+                   # probe pruning); recall pinned by test_pq
 ]
 
 
