@@ -1917,6 +1917,36 @@ def q_ivfpq_topk(sf_dir: str, tmp_root: str = "/tmp/kcs3_ray"):
     return out[["query_id", "vec_id", "score"]]
 
 
+def q_zorder_lookup(sf_dir: str, tmp_root: str = "/tmp/kcs3_ray"):
+    """2-D range lookup against a Z-ORDERED copy of events (the OPTIMIZE
+    ZORDER maintenance op): the table is clustered once along the Morton
+    curve of (user_id, value) — three bounded streaming passes, equi-depth
+    file boundaries from a coarse z-histogram, never a global sort — and
+    the lookup opens ONLY files whose min/max stats intersect BOTH
+    predicate ranges (file pruning on either dimension, the point of
+    z-order over a single-column sort; pruning proven by the spy pytest).
+    Result = the same rows plain SQL WHERE finds on the unclustered
+    table."""
+    from ..functions.zorder import zorder_read, zorder_write
+
+    name = os.path.basename(sf_dir.rstrip("/"))
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    zdir = os.path.join(tmp_root,
+                        f"zorder_{name}_{st.st_size}_{int(st.st_mtime)}")
+    if not os.path.exists(os.path.join(zdir, "zorder_stats.json")):
+        zorder_write(_events(sf_dir, ["event_id", "user_id", "value"]),
+                     zdir, ["user_id", "value"], n_files=16)
+    out = zorder_read(zdir, {"user_id": (3, 9), "value": (20.0, 120.0)})
+
+    def fix(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": pc.cast(t.column("event_id"), pa.int64()),
+            "user_id": pc.cast(t.column("user_id"), pa.int64()),
+            "value": pc.cast(t.column("value"), pa.float64())})
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # flagship transcript CDC pipeline (rows-only; pytest holds its oracle)
 # ---------------------------------------------------------------------------
@@ -2269,6 +2299,7 @@ QUERIES = {
     "bigram_logprob": q_bigram_logprob,
     "pq_topk": q_pq_topk,
     "ivfpq_topk": q_ivfpq_topk,
+    "zorder_lookup": q_zorder_lookup,
     "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
     "knn_graph_ivf": q_knn_graph_ivf,
     "stratified_sample": q_stratified_sample,
@@ -2514,6 +2545,10 @@ ORACLE_SQL = {
         "round(sum(value) OVER w, 6) AS running_value FROM events "
         "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
         "ROWS UNBOUNDED PRECEDING)"
+    ),
+    "zorder_lookup": (
+        "SELECT event_id, user_id, value FROM events "
+        "WHERE user_id BETWEEN 3 AND 9 AND value BETWEEN 20.0 AND 120.0"
     ),
     "event_lag_lead": (
         "SELECT event_id, user_id, "
