@@ -153,6 +153,9 @@ def run_bench() -> dict:
         "order_revenue", "heavy_hitters", "semantic_unseen",
         "conversation_stats", "weighted_sample", "grouped_heavy_hitters",
         "left_join", "full_outer_join", "running_totals",
+        "event_lag_lead", "bigram_logprob", "nb_classify",
+        "incremental_view", "pq_topk", "ivfpq_topk", "zorder_lookup",
+        "image_near_dup",
     ]
     panel_results: dict = {}
     panel_trials = int(os.environ.get("BENCH_PANEL_TRIALS", "2"))

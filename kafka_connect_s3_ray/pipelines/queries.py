@@ -1947,6 +1947,24 @@ def q_zorder_lookup(sf_dir: str, tmp_root: str = "/tmp/kcs3_ray"):
     return out.map_batches(fix, batch_format="pyarrow")
 
 
+def q_image_near_dup(sf_dir: str):
+    """Image near-dup pairs via perceptual dHash over REAL decoded payloads
+    (PPM/PNG/JPEG through the dependency-free codecs) + pigeonhole band
+    exchange — the LAION-style image dedup tier. Deterministic planted
+    corpus (seed 1234, size scaled by sf); rows-only (binary decode is not
+    SQL-expressible; recall/precision oracle lives in test_imagedup.py:
+    every planted base-variant pair found at hamming<=10, zero cross-clique
+    pairs, brute-force popcount equality)."""
+    from ..functions.imagedup import image_near_dup, synth_image_corpus
+
+    name = os.path.basename(sf_dir.rstrip("/"))
+    n = {"sf0.001": 48, "sf0.01": 96, "sf0.1": 384}.get(name, 96)
+    ds = ray.data.from_arrow(synth_image_corpus(n))
+    out = image_near_dup(ds, max_hamming=10).to_pandas()
+    out["hamming"] = out["hamming"].astype(np.int64)
+    return out.sort_values(["left_id", "right_id"]).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # flagship transcript CDC pipeline (rows-only; pytest holds its oracle)
 # ---------------------------------------------------------------------------
@@ -2300,6 +2318,7 @@ QUERIES = {
     "pq_topk": q_pq_topk,
     "ivfpq_topk": q_ivfpq_topk,
     "zorder_lookup": q_zorder_lookup,
+    "image_near_dup": q_image_near_dup,
     "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
     "knn_graph_ivf": q_knn_graph_ivf,
     "stratified_sample": q_stratified_sample,

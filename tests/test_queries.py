@@ -119,6 +119,8 @@ ROWS_ONLY = [
                               # pinned by test_repetition_knn + bench figure
     "ivfpq_topk",  # approximate by construction (residual byte codes +
                    # probe pruning); recall pinned by test_pq
+    "image_near_dup",  # binary decode + perceptual hash: not SQL-expressible;
+                       # recall/precision/brute-force oracle in test_imagedup
 ]
 
 
