@@ -1947,6 +1947,22 @@ def q_zorder_lookup(sf_dir: str, tmp_root: str = "/tmp/kcs3_ray"):
     return out.map_batches(fix, batch_format="pyarrow")
 
 
+def q_bpe_tokens(sf_dir: str):
+    """Train a BPE tokenizer ON the documents corpus (distributed word
+    histogram -> driver merge loop over the bounded vocabulary) and encode
+    the same corpus (broadcast rank table, zero-shuffle cached apply) —
+    per-doc subword token counts, the pre-training token-budget pass.
+    Rows-only (iterative merge training is not SQL-expressible; the oracle
+    is test_bpe.py's quadratic reference-implementation equality)."""
+    from ..functions.bpe import bpe_token_counts
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    # the synthetic corpus has a ~31-word vocabulary; 25 merges leaves real
+    # subword structure (200+ would fully merge every word to one token)
+    out = bpe_token_counts(docs, num_merges=25).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_image_near_dup(sf_dir: str):
     """Image near-dup pairs via perceptual dHash over REAL decoded payloads
     (PPM/PNG/JPEG through the dependency-free codecs) + pigeonhole band
@@ -2319,6 +2335,7 @@ QUERIES = {
     "ivfpq_topk": q_ivfpq_topk,
     "zorder_lookup": q_zorder_lookup,
     "image_near_dup": q_image_near_dup,
+    "bpe_tokens": q_bpe_tokens,
     "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
     "knn_graph_ivf": q_knn_graph_ivf,
     "stratified_sample": q_stratified_sample,

@@ -121,6 +121,8 @@ ROWS_ONLY = [
                    # probe pruning); recall pinned by test_pq
     "image_near_dup",  # binary decode + perceptual hash: not SQL-expressible;
                        # recall/precision/brute-force oracle in test_imagedup
+    "bpe_tokens",  # iterative merge training: not SQL-expressible; quadratic
+                   # reference-implementation equality oracle in test_bpe
 ]
 
 
