@@ -155,7 +155,7 @@ def run_bench() -> dict:
         "left_join", "full_outer_join", "running_totals",
         "event_lag_lead", "bigram_logprob", "nb_classify",
         "incremental_view", "pq_topk", "ivfpq_topk", "zorder_lookup",
-        "image_near_dup", "bpe_tokens",
+        "image_near_dup", "bpe_tokens", "token_entropy", "rollup_summary",
     ]
     panel_results: dict = {}
     panel_trials = int(os.environ.get("BENCH_PANEL_TRIALS", "2"))

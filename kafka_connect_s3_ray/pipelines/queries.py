@@ -1963,6 +1963,79 @@ def q_bpe_tokens(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_token_entropy(sf_dir: str):
+    """Per-doc Shannon entropy of the word distribution (+ token totals) —
+    the lexical-diversity quality signal (low entropy = repetitive /
+    template text; the Gopher-rule companion to repetition_signals).
+    Zero-shuffle: each doc's histogram is local to its row, one vectorized
+    pass. Tokenization contract shared with every vocabulary consumer
+    (lowercase whitespace split). Token-less docs carry NULL entropy;
+    +0.0 normalizes IEEE -0.0 for single-token docs on both engines."""
+    def ent(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column("doc_id"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        texts = t.column("text").to_pylist()
+        n_tok = np.zeros(len(ids), np.int64)
+        n_dis = np.zeros(len(ids), np.int64)
+        e = np.full(len(ids), np.nan)
+        for i, x in enumerate(texts):
+            toks = ("" if x is None else x).lower().split()
+            if not toks:
+                continue
+            _, c = np.unique(np.array(toks, object), return_counts=True)
+            p = c / c.sum()
+            e[i] = -(p * np.log2(p)).sum() + 0.0
+            n_tok[i] = c.sum()
+            n_dis[i] = len(c)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_distinct": pa.array(n_dis, pa.int64()),
+            "entropy": pa.array(np.round(e, 6), pa.float64(),
+                                from_pandas=True),  # NaN -> NULL
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        ent, batch_format="pyarrow")
+
+
+def q_rollup_summary(sf_dir: str):
+    """GROUP BY ROLLUP (event_type, day) parity: leaf aggregates per
+    (type, day) plus per-type subtotals plus the grand total. The scale
+    insight: super-aggregate levels are DERIVABLE from the leaf level, so
+    only per-block leaf partials cross the wire (types x days x blocks tiny
+    rows); the driver folds partials and derives both rollup levels from
+    the leaves — zero extra passes, no NULL group keys on the wire
+    ('<all>' sentinels keep row hashing total-order-safe)."""
+    ds = _events(sf_dir, ["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": t.column("event_type").to_pandas(),
+            "day": t.column("ts").to_pandas().dt.strftime("%Y-%m-%d"),
+            "value": t.column("value").to_pandas(),
+        })
+        g = df.groupby(["event_type", "day"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    # bounded: (#types x #days) per block; exact fold on the driver
+    leaves = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    leaves = leaves.groupby(["event_type", "day"], as_index=False).agg(
+        n_events=("n_events", "sum"), sum_value=("sum_value", "sum"))
+    sub = leaves.groupby("event_type", as_index=False).agg(
+        n_events=("n_events", "sum"), sum_value=("sum_value", "sum"))
+    sub["day"] = "<all>"
+    grand = pd.DataFrame({"event_type": ["<all>"], "day": ["<all>"],
+                          "n_events": [leaves["n_events"].sum()],
+                          "sum_value": [leaves["sum_value"].sum()]})
+    out = pd.concat([leaves, sub, grand], ignore_index=True)
+    out["n_events"] = out["n_events"].astype(np.int64)
+    out["sum_value"] = out["sum_value"].round(4)
+    return out[["event_type", "day", "n_events", "sum_value"]].sort_values(
+        ["event_type", "day"]).reset_index(drop=True)
+
+
 def q_image_near_dup(sf_dir: str):
     """Image near-dup pairs via perceptual dHash over REAL decoded payloads
     (PPM/PNG/JPEG through the dependency-free codecs) + pigeonhole band
@@ -2336,6 +2409,8 @@ QUERIES = {
     "zorder_lookup": q_zorder_lookup,
     "image_near_dup": q_image_near_dup,
     "bpe_tokens": q_bpe_tokens,
+    "token_entropy": q_token_entropy,
+    "rollup_summary": q_rollup_summary,
     "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
     "knn_graph_ivf": q_knn_graph_ivf,
     "stratified_sample": q_stratified_sample,
@@ -2585,6 +2660,30 @@ ORACLE_SQL = {
     "zorder_lookup": (
         "SELECT event_id, user_id, value FROM events "
         "WHERE user_id BETWEEN 3 AND 9 AND value BETWEEN 20.0 AND 120.0"
+    ),
+    "token_entropy": (
+        "WITH toks AS (SELECT doc_id, unnest(list_filter("
+        "regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS tok "
+        "FROM documents WHERE text IS NOT NULL), "
+        "cnt AS (SELECT doc_id, tok, count(*) AS c FROM toks "
+        "GROUP BY doc_id, tok), "
+        "tot AS (SELECT doc_id, sum(c) AS s FROM cnt GROUP BY doc_id), "
+        "agg AS (SELECT cnt.doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, "
+        "CAST(count(*) AS BIGINT) AS n_distinct, "
+        "round(-sum((c / t.s) * log2(c / t.s)) + 0.0, 6) AS entropy "
+        "FROM cnt JOIN tot t USING (doc_id) GROUP BY cnt.doc_id) "
+        "SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens, "
+        "coalesce(a.n_distinct, 0) AS n_distinct, a.entropy "
+        "FROM (SELECT doc_id FROM documents) d "
+        "LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"
+    ),
+    "rollup_summary": (
+        "SELECT coalesce(event_type, '<all>') AS event_type, "
+        "coalesce(strftime(date_trunc('day', ts), '%Y-%m-%d'), '<all>') AS day, "
+        "count(*) AS n_events, round(sum(value), 4) AS sum_value "
+        "FROM events "
+        "GROUP BY ROLLUP (event_type, date_trunc('day', ts)) "
+        "ORDER BY 1, 2"
     ),
     "event_lag_lead": (
         "SELECT event_id, user_id, "
