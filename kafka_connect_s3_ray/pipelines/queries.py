@@ -2036,6 +2036,18 @@ def q_rollup_summary(sf_dir: str):
         ["event_type", "day"]).reset_index(drop=True)
 
 
+def q_chunk_dedup(sf_dir: str):
+    """Paragraph-level exact dedup with doc rebuild (CCNet/Dolma curation):
+    fixed 16-token chunks, first corpus occurrence by (doc_id, position)
+    wins, docs rebuilt from survivors in order (lowercase-token text).
+    Two bounded exchanges — chunk-hash winners, then doc-keyed rebuild
+    unioned with a zero-shuffle totals stream; docs losing every chunk
+    surface with empty text."""
+    from ..functions.paragraphs import chunk_dedup
+
+    return chunk_dedup(_docs(sf_dir, ["doc_id", "text"]), chunk_tokens=16)
+
+
 def q_image_near_dup(sf_dir: str):
     """Image near-dup pairs via perceptual dHash over REAL decoded payloads
     (PPM/PNG/JPEG through the dependency-free codecs) + pigeonhole band
@@ -2411,6 +2423,7 @@ QUERIES = {
     "bpe_tokens": q_bpe_tokens,
     "token_entropy": q_token_entropy,
     "rollup_summary": q_rollup_summary,
+    "chunk_dedup": q_chunk_dedup,
     "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
     "knn_graph_ivf": q_knn_graph_ivf,
     "stratified_sample": q_stratified_sample,
@@ -2676,6 +2689,29 @@ ORACLE_SQL = {
         "coalesce(a.n_distinct, 0) AS n_distinct, a.entropy "
         "FROM (SELECT doc_id FROM documents) d "
         "LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"
+    ),
+    "chunk_dedup": (
+        "WITH toks AS (SELECT doc_id, unnest(l) AS tok, "
+        "unnest(generate_series(1, len(l))) AS i FROM (SELECT doc_id, "
+        "list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+        "x -> x <> '') AS l FROM documents)), "
+        "chunks AS (SELECT doc_id, CAST(floor((i - 1) / 16) AS BIGINT) "
+        "AS chunk_idx, string_agg(tok, ' ' ORDER BY i) AS chunk "
+        "FROM toks GROUP BY doc_id, floor((i - 1) / 16)), "
+        "winners AS (SELECT doc_id, chunk_idx, chunk FROM (SELECT *, "
+        "row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) "
+        "AS rn FROM chunks) WHERE rn = 1), "
+        "rebuilt AS (SELECT doc_id, string_agg(chunk, ' ' ORDER BY "
+        "chunk_idx) AS text, count(*) AS n_kept FROM winners "
+        "GROUP BY doc_id), "
+        "totals AS (SELECT doc_id, count(*) AS n_total FROM chunks "
+        "GROUP BY doc_id) "
+        "SELECT d.doc_id, coalesce(r.text, '') AS text, "
+        "CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_chunks_kept, "
+        "CAST(coalesce(t.n_total, 0) AS BIGINT) AS n_chunks_total "
+        "FROM (SELECT doc_id FROM documents) d "
+        "LEFT JOIN rebuilt r USING (doc_id) "
+        "LEFT JOIN totals t USING (doc_id) ORDER BY d.doc_id"
     ),
     "rollup_summary": (
         "SELECT coalesce(event_type, '<all>') AS event_type, "
