@@ -2036,6 +2036,152 @@ def q_rollup_summary(sf_dir: str):
         ["event_type", "day"]).reset_index(drop=True)
 
 
+def q_rrf_fusion(sf_dir: str, k_leg: int = 50, k_out: int = 20, c: int = 60):
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al. SIGIR'09):
+    the BM25 lexical leg (fixed 3-term query, the bm25_search machinery) and
+    a dense cosine leg (query = embedding of the min vec_id) each produce a
+    top-50 ranking; fused score = sum over legs of 1/(c + rank). Both legs
+    rank on the 6 dp-ROUNDED score with id tiebreak (the engine/oracle
+    selection contract), so ranks are integers both engines agree on and the
+    fused float is bit-identical. Each leg is per-block top-k partials
+    (distributive, zero exchange); fusion itself touches 2 x k rows on the
+    driver."""
+    from ..functions.text import bm25_search
+    import duckdb
+
+    bm = bm25_search(_docs(sf_dir, ["doc_id", "text"]), _BM25_TERMS,
+                     k=k_leg, k1=_BM25_K1, b=_BM25_B).to_pandas()
+    bm = bm.sort_values(["score", "doc_id"], ascending=[False, True])
+    bm = bm.reset_index(drop=True)
+    bm["bm25_rank"] = np.arange(1, len(bm) + 1, dtype=np.int64)
+
+    qdf = duckdb.sql(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+        "ORDER BY vec_id LIMIT 1").df()
+    qvec = np.asarray(qdf["embedding"][0], np.float64)
+    qn = qvec / np.linalg.norm(qvec)
+    qref = ray.put(qn)
+
+    def cos_topk(t: pa.Table) -> pa.Table:
+        q = ray.get(qref)
+        ids = pc.cast(t.column("vec_id"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        m = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        s = np.round(m @ q, 6)  # rank on the ROUNDED score (the contract)
+        order = np.lexsort((ids, -s))[:k_leg]
+        return pa.table({"vec_id": pa.array(ids[order], pa.int64()),
+                         "score": pa.array(s[order], pa.float64())})
+
+    cos = (_emb(sf_dir).map_batches(cos_topk, batch_format="pyarrow")
+           .to_pandas())
+    cos = cos.sort_values(["score", "vec_id"],
+                          ascending=[False, True]).head(k_leg)
+    cos = cos.reset_index(drop=True)
+    cos["cosine_rank"] = np.arange(1, len(cos) + 1, dtype=np.int64)
+
+    fused = bm[["doc_id", "bm25_rank"]].merge(
+        cos[["vec_id", "cosine_rank"]].rename(columns={"vec_id": "doc_id"}),
+        on="doc_id", how="outer")
+    r1 = fused["bm25_rank"].to_numpy(np.float64, na_value=np.nan)
+    r2 = fused["cosine_rank"].to_numpy(np.float64, na_value=np.nan)
+    rrf = (np.where(np.isnan(r1), 0.0, 1.0 / (c + r1))
+           + np.where(np.isnan(r2), 0.0, 1.0 / (c + r2)))
+    fused["rrf_score"] = np.round(rrf, 6)
+    fused = fused.sort_values(["rrf_score", "doc_id"],
+                              ascending=[False, True]).head(k_out)
+    fused = fused.sort_values("doc_id").reset_index(drop=True)
+    return pa.table({
+        "doc_id": pa.array(fused["doc_id"].astype(np.int64), pa.int64()),
+        "rrf_score": pa.array(fused["rrf_score"], pa.float64()),
+        # absent-leg ranks are genuine NULLs (never NaN-float degrade)
+        "bm25_rank": pa.Array.from_pandas(fused["bm25_rank"], type=pa.int64()),
+        "cosine_rank": pa.Array.from_pandas(fused["cosine_rank"],
+                                            type=pa.int64()),
+    })
+
+
+_REGR_ANCHOR = "2024-01-01"  # fixture epoch; x = hours since anchor, so
+# moment sums stay O(1e9) and the (n*sxx - sx^2) denominator keeps ~4
+# significant digits of headroom (no catastrophic cancellation)
+
+
+def q_type_regression(sf_dir: str):
+    """Per-event-type least-squares trend of value over time (slope /
+    intercept / r^2 from the five moment sums — the profiling family's
+    closed-form regression): per-block partial moments per type cross the
+    wire (5 doubles + a count per type per block), driver folds and applies
+    the textbook formulas in one deterministic order. x is hours since the
+    fixture anchor to keep the moment magnitudes cancellation-safe."""
+    ds = _events(sf_dir, ["event_type", "ts", "value"])
+    anchor = np.datetime64(_REGR_ANCHOR, "us").astype(np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").to_pandas()
+        x = (pc.cast(t.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False) - anchor) / 3.6e9
+        y = t.column("value").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"event_type": et, "x": x, "y": y,
+                           "xx": x * x, "xy": x * y, "yy": y * y})
+        g = df.groupby("event_type").agg(
+            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+            sxx=("xx", "sum"), sxy=("xy", "sum"), syy=("yy", "sum"))
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    a = p.groupby("event_type", as_index=False).agg(
+        n=("n", "sum"), sx=("sx", "sum"), sy=("sy", "sum"),
+        sxx=("sxx", "sum"), sxy=("sxy", "sum"), syy=("syy", "sum"))
+    n = a["n"].to_numpy(np.float64)
+    cov_n = n * a["sxy"] - a["sx"] * a["sy"]
+    var_n = n * a["sxx"] - a["sx"] * a["sx"]
+    vary_n = n * a["syy"] - a["sy"] * a["sy"]
+    slope = cov_n / var_n
+    return pd.DataFrame({
+        "event_type": a["event_type"],
+        "n": a["n"].astype(np.int64),
+        "slope": np.round(slope, 6),
+        "intercept": np.round((a["sy"] - slope * a["sx"]) / n, 6),
+        "r2": np.round(cov_n * cov_n / (var_n * vary_n), 6),
+    }).sort_values("event_type").reset_index(drop=True)
+
+
+def q_pivot_events(sf_dir: str):
+    """PIVOT parity: one wide row per user with per-event-type counts +
+    total value (conditional aggregation). Per-block partial pivots (users x
+    5 types per block), one coarse user-hash exchange of the tiny wide
+    partials, per-bucket exact sums."""
+    ds = _events(sf_dir, ["user_id", "event_type", "value"])
+    types = ["click", "error", "purchase", "signup", "view"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": t.column("user_id").to_pandas(),
+            "event_type": t.column("event_type").to_pandas(),
+            "value": t.column("value").to_pandas()})
+        g = df.groupby("user_id")
+        out = pd.DataFrame({"user_id": np.fromiter(g.groups, np.int64)})
+        out = out.set_index("user_id")
+        for ty in types:
+            out[f"n_{ty}"] = (df[df["event_type"] == ty]
+                              .groupby("user_id").size())
+        out["total_value"] = g["value"].sum()
+        out = out.fillna(0).reset_index()
+        out["bucket"] = (out["user_id"].to_numpy(np.int64) % 64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.drop(columns=["bucket"]).groupby(
+            "user_id", as_index=False).sum()
+        for ty in types:
+            agg[f"n_{ty}"] = agg[f"n_{ty}"].astype(np.int64)
+        agg["total_value"] = agg["total_value"].round(4)
+        return agg
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket").map_groups(fold, batch_format="pandas"))
+
+
 def q_chunk_dedup(sf_dir: str):
     """Paragraph-level exact dedup with doc rebuild (CCNet/Dolma curation):
     fixed 16-token chunks, first corpus occurrence by (doc_id, position)
@@ -2424,6 +2570,9 @@ QUERIES = {
     "token_entropy": q_token_entropy,
     "rollup_summary": q_rollup_summary,
     "chunk_dedup": q_chunk_dedup,
+    "rrf_fusion": q_rrf_fusion,
+    "type_regression": q_type_regression,
+    "pivot_events": q_pivot_events,
     "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
     "knn_graph_ivf": q_knn_graph_ivf,
     "stratified_sample": q_stratified_sample,
@@ -3241,6 +3390,55 @@ def _bm25_sql(terms: list[str], k: int, k1: float, b: float) -> str:
 
 
 ORACLE_SQL["bm25_search"] = _bm25_sql(_BM25_TERMS, _BM25_K, _BM25_K1, _BM25_B)
+
+# reciprocal-rank fusion: both legs rank on the 6 dp-rounded score with id
+# tiebreak (the shared selection contract), fused = 1/(60+r) per leg summed
+# in the same left-to-right order as the engine
+ORACLE_SQL["rrf_fusion"] = (
+    "WITH bm_raw AS (" + _bm25_sql(_BM25_TERMS, 50, _BM25_K1, _BM25_B) + "), "
+    "bm AS (SELECT doc_id AS id, row_number() OVER "
+    "(ORDER BY score DESC, doc_id) AS r FROM bm_raw), "
+    "qv AS (SELECT embedding FROM embeddings ORDER BY vec_id LIMIT 1), "
+    "sc AS (SELECT e.vec_id, round(list_cosine_similarity("
+    "CAST((SELECT embedding FROM qv) AS DOUBLE[]), "
+    "CAST(e.embedding AS DOUBLE[])), 6) AS score FROM embeddings e), "
+    "cosr AS (SELECT vec_id, row_number() OVER "
+    "(ORDER BY score DESC, vec_id) AS r FROM sc), "
+    "cos AS (SELECT vec_id AS id, r FROM cosr WHERE r <= 50), "
+    "fused AS (SELECT coalesce(bm.id, cos.id) AS doc_id, "
+    "round(coalesce(1.0 / (60 + bm.r), 0) + coalesce(1.0 / (60 + cos.r), 0), 6) "
+    "AS rrf_score, bm.r AS bm25_rank, cos.r AS cosine_rank "
+    "FROM bm FULL OUTER JOIN cos ON bm.id = cos.id) "
+    "SELECT doc_id, rrf_score, bm25_rank, cosine_rank FROM "
+    "(SELECT *, row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rn "
+    "FROM fused) WHERE rn <= 20 ORDER BY doc_id"
+)
+
+ORACLE_SQL["type_regression"] = (
+    "WITH t AS (SELECT event_type, "
+    "date_diff('microsecond', TIMESTAMP '2024-01-01', ts) / 3600000000.0 "
+    "AS x, value AS y FROM events), "
+    "a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, "
+    "sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy "
+    "FROM t GROUP BY event_type) "
+    "SELECT event_type, n, "
+    "round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope, "
+    "round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) "
+    "AS intercept, "
+    "round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) / "
+    "((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2 "
+    "FROM a ORDER BY event_type"
+)
+
+ORACLE_SQL["pivot_events"] = (
+    "SELECT user_id, "
+    + ", ".join(
+        f"CAST(sum(CASE WHEN event_type = '{ty}' THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS n_{ty}"
+        for ty in ["click", "error", "purchase", "signup", "view"]) + ", "
+    "round(sum(value), 4) AS total_value "
+    "FROM events GROUP BY user_id ORDER BY user_id"
+)
 
 # sequence packing: the greedy fold as a linear recursive CTE — one row per
 # recursion step carries (seq_id, fill); the CASE mirrors the engine's
