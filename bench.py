@@ -157,6 +157,7 @@ def run_bench() -> dict:
         "incremental_view", "pq_topk", "ivfpq_topk", "zorder_lookup",
         "image_near_dup", "bpe_tokens", "token_entropy", "rollup_summary",
         "chunk_dedup", "rrf_fusion", "type_regression", "pivot_events",
+        "token_mix_sample",
     ]
     panel_results: dict = {}
     panel_trials = int(os.environ.get("BENCH_PANEL_TRIALS", "2"))

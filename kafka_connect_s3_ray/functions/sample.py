@@ -319,3 +319,66 @@ def weighted_sample_k(ds, key_col: str, weight_col: str, k: int,
                         parts["_ekey"].to_numpy()))[:k]
     sel = parts.iloc[order][cols].reset_index(drop=True)
     return pa.Table.from_pandas(sel, preserve_index=False)
+
+
+def token_mix_sample(ds: "ray.data.Dataset", shares_pct: dict[str, int],
+                     budget_pct: int, text_col: str = "text",
+                     source_col: str = "source", id_col: str = "doc_id"):
+    """Data mixing by TOKEN budget (the DoReMi-lite static-mix step: 'the
+    training set should be budget_pct% of the corpus tokens, split across
+    domains per shares_pct'): per-source keep rates are derived from exact
+    per-source token totals so each domain's EXPECTED kept tokens hit
+    budget_pct/100 * shares_pct[s]/100 * T.
+
+    Determinism contract — NO float touches membership: the keep threshold
+    is thr_s = floor(shares_pct[s] * budget_pct * T * 2^64
+    / (10000 * T_s)), capped at 2^64 - 1, computed in exact Python integer
+    arithmetic; a doc survives iff splitmix64(doc_id) < thr_s. The SQL
+    oracle replays the identical integer expression in HUGEINT, so the
+    sample is bit-reproducible from (corpus, shares, budget) alone. An
+    over-demanded tiny domain saturates at keep-everything (rate 1), the
+    standard static-mix behavior — shares are targets, not guarantees.
+
+    Shape: pass 1 = tiny per-block (source, token-sum) partials, zero
+    shuffle; driver computes S thresholds; pass 2 = zero-shuffle vectorized
+    filter (hash probe + per-source threshold lookup). Sources absent from
+    shares_pct get threshold 0 (dropped), loudly listed in the docstring
+    contract rather than silently defaulted."""
+    import pandas as pd
+
+    def tok_rows(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        n = np.fromiter((len(("" if x is None else x).lower().split())
+                         for x in texts), np.int64, len(texts))
+        return pa.table({
+            id_col: pc.cast(t.column(id_col), pa.int64()),
+            source_col: t.column(source_col),
+            "n_tokens": pa.array(n, pa.int64()),
+        })
+
+    toks = ds.map_batches(tok_rows, batch_format="pyarrow")
+
+    def totals(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({source_col: t.column(source_col).to_pandas(),
+                           "n": t.column("n_tokens").to_pandas()})
+        g = df.groupby(source_col, as_index=False)["n"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    part = toks.map_batches(totals, batch_format="pyarrow").to_pandas()
+    per_src = part.groupby(source_col)["n"].sum().to_dict()
+    big_t = int(sum(per_src.values()))
+    thr = {}
+    for s, ts in per_src.items():
+        share = int(shares_pct.get(s, 0))
+        thr[s] = min((share * int(budget_pct) * big_t << 64)
+                     // (10000 * int(ts)), (1 << 64) - 1) if ts else 0
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        h = key_hash(ids)
+        srcs = t.column(source_col).to_pylist()
+        row_thr = np.fromiter((thr.get(s, 0) for s in srcs),
+                              np.uint64, len(srcs))
+        return t.filter(pa.array(h < row_thr))
+
+    return toks.map_batches(keep, batch_format="pyarrow")

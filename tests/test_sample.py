@@ -254,3 +254,59 @@ def test_weighted_sample_excludes_nonpositive_weights(ray_session):
     out = weighted_sample_k(ray.data.from_arrow(t), "doc_id", "w",
                             k=10).to_pandas()
     assert out["doc_id"].tolist() == [4]
+
+
+# ---------------------------------------------------------------------------
+# token_mix_sample (domain mixing by token budget)
+# ---------------------------------------------------------------------------
+
+def _mix_docs(n=400, seed=9):
+    import numpy as np
+    import pyarrow as pa
+
+    rng = np.random.default_rng(seed)
+    srcs = np.array(["a", "b", "c"])[rng.integers(0, 3, n)]
+    texts = [" ".join(f"w{j}" for j in rng.integers(0, 30,
+                                                    rng.integers(5, 40)))
+             for _ in range(n)]
+    return pa.table({"doc_id": pa.array(np.arange(n), pa.int64()),
+                     "text": pa.array(texts, pa.string()),
+                     "source": pa.array(srcs, pa.string())})
+
+
+def test_token_mix_proportions_and_determinism():
+    import numpy as np
+    import ray.data
+
+    from kafka_connect_s3_ray.functions.sample import token_mix_sample
+
+    docs = _mix_docs()
+    shares = {"a": 50, "b": 30, "c": 20}
+    out = token_mix_sample(ray.data.from_arrow(docs), shares,
+                           budget_pct=50).to_pandas()
+    total = sum(len((x or "").split())
+                for x in docs.column("text").to_pylist())
+    got = out.groupby("source")["n_tokens"].sum()
+    for s, pct in shares.items():
+        target = 0.5 * pct / 100 * total
+        assert abs(got.get(s, 0) - target) / target < 0.35, (s, got.get(s), target)
+    # bit-reproducible: same inputs -> same ids, any layout
+    out2 = token_mix_sample(ray.data.from_arrow(docs).repartition(7),
+                            shares, budget_pct=50).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+
+
+def test_token_mix_saturation_and_absent_source():
+    import ray.data
+
+    from kafka_connect_s3_ray.functions.sample import token_mix_sample
+
+    docs = _mix_docs(200)
+    # 'a' demanded far above its supply -> keeps everything it has;
+    # 'c' absent from shares -> dropped entirely
+    out = token_mix_sample(ray.data.from_arrow(docs),
+                           {"a": 90, "b": 10}, budget_pct=90).to_pandas()
+    df = docs.to_pandas()
+    n_a = (df["source"] == "a").sum()
+    assert (out["source"] == "a").sum() == n_a          # saturated: rate 1
+    assert (out["source"] == "c").sum() == 0            # absent: threshold 0
