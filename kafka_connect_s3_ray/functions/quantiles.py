@@ -300,17 +300,43 @@ def global_rank(ds, val_col: str, id_col: str, n_buckets: int = 32):
 
     import ray.data
 
-    from .rank import bucket_offsets, rank_by_bucket
+    from .rank import rank_by_bucket
 
-    fracs = [i / n_buckets for i in range(1, n_buckets)]
-    try:
-        bounds = np.asarray(exact_quantiles(ds, val_col, fracs), np.float64)
-    except ValueError:  # no non-null values: the oracle's empty set
+    got = _value_bucketed(ds, val_col, id_col, n_buckets)
+    if got is None:  # no non-null values: the oracle's empty set
         return ray.data.from_arrow(pa.table({
             id_col: pa.array([], pa.int64()),
             val_col: pa.array([], pa.float64()),
             "rnk": pa.array([], pa.int64()),
             "pct": pa.array([], pa.float64())}))
+    meta, offsets, n_all = got
+    denom = float(max(n_all - 1, 1))
+
+    def rank(g: pd.DataFrame, off: int) -> pd.DataFrame:
+        v = g["v"].to_numpy(np.float64)
+        k = g[id_col].to_numpy(np.int64)
+        order = np.lexsort((k, v))
+        pos = np.empty(len(g), np.int64)
+        pos[order] = off + np.arange(len(g))
+        return pd.DataFrame({id_col: k, val_col: v, "rnk": pos,
+                             "pct": np.round(pos / denom, 6)})
+
+    return rank_by_bucket(meta, offsets, rank)
+
+
+def _value_bucketed(ds, val_col: str, id_col: str, n_buckets: int):
+    """Shared front of the value-ordered offset-rank family (``global_rank``,
+    ``ntile``): exact-quantile bucket bounds, one column-pruned projection to
+    (id, v, bucket) with NULL/NaN rows dropped, and the bincount prefix
+    offsets. Returns (meta, offsets, n_all), or None when no non-null value
+    exists (callers emit their typed empty result)."""
+    from .rank import bucket_offsets
+
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    try:
+        bounds = np.asarray(exact_quantiles(ds, val_col, fracs), np.float64)
+    except ValueError:
+        return None
 
     def project(t: pa.Table) -> pa.Table:
         t = t.filter(pc.is_valid(t.column(val_col)))
@@ -326,15 +352,56 @@ def global_rank(ds, val_col: str, id_col: str, n_buckets: int = 32):
 
     meta = ds.map_batches(project, batch_format="pyarrow").materialize()
     offsets, n_all = bucket_offsets(meta, n_buckets)
-    denom = float(max(n_all - 1, 1))
+    return meta, offsets, n_all
 
-    def rank(g: pd.DataFrame, off: int) -> pd.DataFrame:
+
+def ntile(ds, val_col: str, id_col: str, k: int, n_buckets: int = 32):
+    """SQL ``NTILE(k) OVER (ORDER BY val, id)`` without a global sort: the
+    same value-bucketed offset rank as ``global_rank``, then the standard
+    NTILE split applied to the global 0-based rank r in closed form — with
+    n rows, q = n // k and rem = n % k, the first rem tiles hold q + 1 rows:
+
+        tile(r) = r // (q+1) + 1                      if r <  rem * (q+1)
+                  rem + (r - rem*(q+1)) // q + 1      otherwise
+
+    (q == 0, i.e. n < k, degenerates to tile = r + 1 — one row per leading
+    tile — which is exactly SQL's behavior). Tiles are 1-based int64 like
+    DuckDB's BIGINT NTILE. NULL/NaN values are excluded on both sides, same
+    contract as ``global_rank``; ties across bucket bounds are settled by
+    the (val, id) lexsort inside one bucket because bucket assignment uses
+    searchsorted 'left' on the value alone. One exchange, never a sort."""
+    import pandas as pd
+
+    import ray.data
+
+    from .rank import rank_by_bucket
+
+    if int(k) < 1:
+        raise ValueError(f"ntile k must be >= 1, got {k}")
+    k = int(k)
+    got = _value_bucketed(ds, val_col, id_col, n_buckets)
+    if got is None:
+        return ray.data.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            val_col: pa.array([], pa.float64()),
+            "tile": pa.array([], pa.int64())}))
+    meta, offsets, n_all = got
+    q, rem = divmod(n_all, k)
+    cut = rem * (q + 1)  # first rank NOT in an oversized tile
+
+    def tiles(g: pd.DataFrame, off: int) -> pd.DataFrame:
         v = g["v"].to_numpy(np.float64)
-        k = g[id_col].to_numpy(np.int64)
-        order = np.lexsort((k, v))
-        pos = np.empty(len(g), np.int64)
-        pos[order] = off + np.arange(len(g))
-        return pd.DataFrame({id_col: k, val_col: v, "rnk": pos,
-                             "pct": np.round(pos / denom, 6)})
+        ids = g[id_col].to_numpy(np.int64)
+        order = np.lexsort((ids, v))
+        r = np.empty(len(g), np.int64)
+        r[order] = off + np.arange(len(g))
+        if q == 0:
+            t = r + 1
+        else:
+            big = r < cut
+            t = np.where(big, r // (q + 1),
+                         rem + (r - cut) // max(q, 1)) + 1
+        return pd.DataFrame({id_col: ids, val_col: v,
+                             "tile": t.astype(np.int64)})
 
-    return rank_by_bucket(meta, offsets, rank)
+    return rank_by_bucket(meta, offsets, tiles)

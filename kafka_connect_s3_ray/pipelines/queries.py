@@ -1766,6 +1766,18 @@ def q_percentile_rank(sf_dir: str):
     return out.select_columns(["event_id", "value", "rnk", "pct"])
 
 
+def q_ntile(sf_dir: str):
+    """SQL NTILE(8) parity over event values (the quality-band split of a
+    curation pipeline: route each band to a different sampling rate): the
+    value-bucketed offset rank shared with percentile_rank, then the NTILE
+    split in closed form from the global rank — one exchange, no sort."""
+    from ..functions.quantiles import ntile
+
+    out = ntile(_events(sf_dir, ["event_id", "value"]),
+                "value", "event_id", k=8)
+    return out.select_columns(["event_id", "value", "tile"])
+
+
 def q_quality_filtered(sf_dir: str):
     """Median-threshold quality gate: keep documents whose whitespace token
     count >= the exact corpus median (computed by the distributed
@@ -2552,6 +2564,7 @@ QUERIES = {
     "sequence_packing": q_sequence_packing,
     "seeded_shuffle": q_seeded_shuffle,
     "percentile_rank": q_percentile_rank,
+    "ntile_buckets": q_ntile,
     "exact_k_sample": q_exact_k_sample,
     "pmi_pairs": q_pmi_pairs,
     "grouped_packing": q_grouped_packing,
@@ -3490,6 +3503,15 @@ ORACLE_SQL["sequence_packing"] = (
 # percentile rank: row_number over (value, event_id) minus one; pct uses the
 # engine's greatest(n-1, 1) denominator and the shared round-6 contract.
 # NULL values excluded on both sides ('rnk' because rank is a SQL keyword).
+# NTILE parity: DuckDB's BIGINT NTILE over the same (value, event_id) order
+# and the same non-null scope as percentile_rank; the engine computes the
+# split in closed form from the bucket-offset global rank.
+ORACLE_SQL["ntile_buckets"] = (
+    "WITH t AS (SELECT event_id, value FROM events WHERE value IS NOT NULL) "
+    "SELECT event_id, value, "
+    "CAST(ntile(8) OVER (ORDER BY value, event_id) AS BIGINT) AS tile FROM t"
+)
+
 ORACLE_SQL["percentile_rank"] = (
     "WITH t AS (SELECT event_id, value FROM events WHERE value IS NOT NULL), "
     "r AS (SELECT event_id, value, "

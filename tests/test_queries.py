@@ -84,7 +84,7 @@ SQL_CHECKED = [
     "tfidf_terms",
     "embedding_centroids", "embedding_covariance",
     "value_histogram", "zscore_outliers", "bm25_search",
-    "sequence_packing", "seeded_shuffle", "percentile_rank",
+    "sequence_packing", "seeded_shuffle", "percentile_rank", "ntile_buckets",
     "exact_k_sample", "grouped_exact_k", "heavy_hitters",
     "grouped_heavy_hitters", "semantic_unseen", "weighted_sample",
     "left_join", "full_outer_join", "running_totals",

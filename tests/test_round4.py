@@ -396,3 +396,40 @@ def test_semdedup_no_duplicates_keeps_everything(ray_session):
            .to_pandas().sort_values("vec_id"))
     assert out["kept"].all()
     assert (out["cluster_id"].to_numpy() == out["vec_id"].to_numpy()).all()
+
+
+def test_ntile_matches_duckdb_including_ties_and_small_n(ray_session):
+    """NTILE split equals DuckDB's on a tied fixture across k values,
+    including n < k (one row per leading tile) and k = 1 (all tile 1)."""
+    import duckdb
+
+    from kafka_connect_s3_ray.functions.quantiles import ntile
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "event_id": np.arange(101, dtype=np.int64),
+        # heavy ties so runs of duplicates straddle bucket bounds
+        "value": rng.integers(0, 12, 101).astype(np.float64),
+    })
+    for k in (1, 4, 7, 200):
+        got = (ntile(ray.data.from_pandas(df).repartition(5),
+                     "value", "event_id", k=k)
+               .to_pandas().sort_values("event_id").reset_index(drop=True))
+        exp = duckdb.sql(
+            f"SELECT event_id, CAST(ntile({k}) OVER (ORDER BY value, "
+            "event_id) AS BIGINT) AS tile FROM df ORDER BY event_id").df()
+        assert (got["event_id"].to_numpy() == exp["event_id"].to_numpy()).all()
+        assert (got["tile"].to_numpy() == exp["tile"].to_numpy()).all(), k
+
+
+def test_ntile_degenerate_inputs(ray_session):
+    """All-null values give the typed empty result; k < 1 raises."""
+    from kafka_connect_s3_ray.functions.quantiles import ntile
+
+    dead = pd.DataFrame({"event_id": [1, 2],
+                         "value": pd.array([None, None], dtype="float64")})
+    out = ntile(ray.data.from_pandas(dead), "value", "event_id", k=4)
+    assert out.schema().names == ["event_id", "value", "tile"]
+    assert len(out.to_pandas()) == 0
+    with pytest.raises(ValueError):
+        ntile(ray.data.from_pandas(dead), "value", "event_id", k=0)
