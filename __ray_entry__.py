@@ -34,6 +34,7 @@ def oracle_sql() -> dict[str, str]:
     from kafka_connect_s3_ray.pipelines.queries import (
         ORACLE_SQL,
         cdc_transcripts_oracle_sql,
+        conversation_rebuild_oracle_sql,
         conversation_stats_oracle_sql,
         transcripts_fixture,
     )
@@ -49,4 +50,5 @@ def oracle_sql() -> dict[str, str]:
     out["cdc_transcripts"] = cdc_transcripts_oracle_sql(fx["root"])
     out["conversation_stats"] = conversation_stats_oracle_sql(fx["root"])
     out["incremental_view"] = conversation_stats_oracle_sql(fx["root"])
+    out["conversation_rebuild"] = conversation_rebuild_oracle_sql(fx["root"])
     return out

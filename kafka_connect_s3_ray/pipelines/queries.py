@@ -2476,6 +2476,61 @@ def q_conversation_stats(sf_dir: str, tmp_root: str = "/tmp/kcs3_ray"):
     return conversation_stats_table(read_lake(m))
 
 
+def q_conversation_rebuild(sf_dir: str, tmp_root: str = "/tmp/kcs3_ray"):
+    """Export-ready transcript text (the 'give me training text' step after
+    CDC): per conversation, ``role: text`` lines joined in turn order —
+    SQL ``string_agg(line, chr(10) ORDER BY turn_idx)`` parity over the
+    MERGED lake. Same two-level shape as ``conversation_stats``: per-block
+    vectorized line render (Arrow ``binary_join_element_wise``, NULL role /
+    text -> '' via COALESCE on BOTH sides so no turn is ever dropped —
+    DuckDB's string_agg would silently skip a NULL line), coarse conv-hash
+    bucket exchange, per-bucket sort + join. A conversation lives wholly in
+    one bucket and its text is bounded (turns x turn length), so the
+    per-group join is heap-safe; bucket count is a dial for corpus scale.
+    LWW dedup upstream guarantees (conv_id, turn_idx) is unique, so the
+    ORDER BY has no ties to settle."""
+    fx = transcripts_fixture(sf_dir, tmp_root)
+    out_dir = os.path.join(fx["root"], "lake_out_rebuild")
+    mpath = os.path.join(fx["root"], "manifest_rebuild.json")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    Manifest.delete(mpath)
+    m = run_upsert(
+        fx["changelog_dir"], out_dir, mpath, lake_dir=fx["lake_dir"],
+        num_partitions=fx["num_partitions"], hot_keys="auto",
+    )
+    from .upsert import read_lake
+
+    def project(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column("conv_id").to_pylist(), dtype=object)
+        b = (pd.util.hash_array(ids) % np.uint64(64)).astype(np.int32)
+        role = pc.fill_null(pc.cast(t.column("role"), pa.string()), "")
+        text = pc.fill_null(pc.cast(t.column("text"), pa.string()), "")
+        line = pc.binary_join_element_wise(role, text, ": ")
+        return pa.table({"conv_id": pc.cast(t.column("conv_id"), pa.string()),
+                         "turn_idx": pc.cast(t.column("turn_idx"), pa.int64()),
+                         "line": line,
+                         "_bkt": pa.array(b)})
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="stable")
+        grp = g.groupby("conv_id", sort=False)
+        out = grp["line"].agg("\n".join).reset_index().rename(
+            columns={"line": "convo"})
+        out["turns"] = grp.size().to_numpy()
+        return out[["conv_id", "turns", "convo"]]
+
+    out = (read_lake(m)
+           .map_batches(project, batch_format="pyarrow")
+           .groupby("_bkt").map_groups(rebuild, batch_format="pandas"))
+
+    def fix(t: pa.Table) -> pa.Table:
+        return pa.table({"conv_id": pc.cast(t.column("conv_id"), pa.string()),
+                         "turns": pc.cast(t.column("turns"), pa.int64()),
+                         "convo": pc.cast(t.column("convo"), pa.string())})
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
 def q_incremental_view(sf_dir: str, tmp_root: str = "/tmp/kcs3_ray"):
     """Incrementally-maintained materialized view (pipelines/views.py): the
     per-conversation rollup kept fresh ACROSS upsert rounds instead of
@@ -2565,6 +2620,7 @@ QUERIES = {
     "seeded_shuffle": q_seeded_shuffle,
     "percentile_rank": q_percentile_rank,
     "ntile_buckets": q_ntile,
+    "conversation_rebuild": q_conversation_rebuild,
     "exact_k_sample": q_exact_k_sample,
     "pmi_pairs": q_pmi_pairs,
     "grouped_packing": q_grouped_packing,
@@ -4278,6 +4334,23 @@ def conversation_stats_oracle_sql(
 
 
 ORACLE_SQL["conversation_stats"] = conversation_stats_oracle_sql()
+
+
+def conversation_rebuild_oracle_sql(
+        root: str = "/tmp/kcs3_ray/transcripts_sf0.01") -> str:
+    """string_agg in turn order over the flagship replay; COALESCE keeps a
+    NULL-text turn as an empty line (string_agg would otherwise skip it),
+    mirroring the engine's fill_null render."""
+    return (
+        "SELECT conv_id, CAST(count(*) AS BIGINT) AS turns, "
+        "string_agg(COALESCE(role, '') || ': ' || COALESCE(text, ''), "
+        "chr(10) ORDER BY turn_idx) AS convo "
+        f"FROM ({cdc_transcripts_oracle_sql(root)}) "
+        "GROUP BY conv_id ORDER BY conv_id"
+    )
+
+
+ORACLE_SQL["conversation_rebuild"] = conversation_rebuild_oracle_sql()
 # The incrementally-maintained view must equal the from-scratch rollup over
 # the FULL replay — same oracle, so hash-green IS the incremental-equals-full
 # proof at gate scale.

@@ -103,6 +103,7 @@ SQL_CHECKED = [
     "hash_join", "anti_join", "semi_join_bloom", "pricing_summary",
     "topk_per_group",
     "cdc_transcripts", "conversation_stats", "incremental_view",
+    "conversation_rebuild",
     "nb_classify",
     # exhaustive-probe IVF (nprobe == n_clusters) is exact: scanning every
     # cluster makes clustering irrelevant to the result, so the brute-force
@@ -135,7 +136,7 @@ def test_query_matches_oracle(name):
     # /tmp (the scale the driver gate runs at) — compare both sides there
     sf = ("/root/testdata/sf0.01"
           if name in ("cdc_transcripts", "conversation_stats",
-                      "incremental_view") else SF)
+                      "incremental_view", "conversation_rebuild") else SF)
     got = _canon(_to_pandas(queries[name](sf)))
     exp = _canon(_oracle(oracles[name]))
     assert list(got.columns) == list(exp.columns), (
