@@ -36,6 +36,7 @@ def oracle_sql() -> dict[str, str]:
         cdc_transcripts_oracle_sql,
         conversation_rebuild_oracle_sql,
         conversation_stats_oracle_sql,
+        dialog_integrity_oracle_sql,
         transcripts_fixture,
     )
 
@@ -51,4 +52,5 @@ def oracle_sql() -> dict[str, str]:
     out["conversation_stats"] = conversation_stats_oracle_sql(fx["root"])
     out["incremental_view"] = conversation_stats_oracle_sql(fx["root"])
     out["conversation_rebuild"] = conversation_rebuild_oracle_sql(fx["root"])
+    out["dialog_integrity"] = dialog_integrity_oracle_sql(fx["root"])
     return out

@@ -279,3 +279,66 @@ def pca_project(ds, q: int, vec_col: str = "embedding",
 
     return ds.map_batches(Project, batch_format="pyarrow", concurrency=2,
                           fn_constructor_kwargs={"ref": ref})
+
+
+def mad_outliers(ds, group_col: str, val_col: str, k: float = 3.0):
+    """Per-group robust (median/MAD) outlier detection — the heavy-tail-safe
+    sibling of ``zscore_outliers``: one extreme value drags mu and sd and so
+    can MASK itself from a z-test; it cannot move the median. Keeps rows
+    where ``|v - med_g| > k * MAD_g`` with ``med_g = quantile_disc(v, 0.5)``
+    per group and ``MAD_g = quantile_disc(|v - med_g|, 0.5)`` — DISCRETE
+    medians via the exact-quantiles refinement kernel, so both statistics
+    are bit-equal to the SQL oracle's quantile_disc and the strict compare
+    can never straddle float noise (the engine and oracle evaluate the SAME
+    subtraction on the SAME med/MAD doubles). Cost: two grouped
+    exact-quantile fronts (each a few column-pruned scans emitting tiny
+    histogram partials, zero shuffle, driver state O(groups x bins)) plus
+    one broadcast filter pass — scale-safe for dimension-like groups, same
+    contract as zscore_outliers. NULL groups/values excluded (SQL aggregate
+    + join scope). A MAD of 0 (majority-duplicate group) keeps only rows
+    strictly off the median, exactly as the SQL reads. Returns a Dataset of
+    the input row (group/id/value) plus ``dev = round(|v - med_g|, 6)``."""
+    import ray
+
+    from .quantiles import grouped_exact_quantiles
+
+    meds = grouped_exact_quantiles(ds, group_col, val_col, 0.5)
+    if not meds:
+        raise ValueError("mad_outliers: no non-null rows")
+    med_ref = ray.put(meds)
+
+    def _clean(t: pa.Table):
+        t = t.filter(pc.and_(pc.is_valid(t.column(group_col)),
+                             pc.is_valid(t.column(val_col))))
+        v = t.column(val_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = ~np.isnan(v)
+        if not keep.all():
+            t = t.filter(pa.array(keep))
+            v = v[keep]
+        g = t.column(group_col).to_pandas().astype(str)
+        return t, g, v
+
+    def absdev(t: pa.Table) -> pa.Table:
+        med_of = ray.get(med_ref) if isinstance(med_ref, ray.ObjectRef) \
+            else med_ref
+        t, g, v = _clean(t)
+        med = g.map(med_of).to_numpy(np.float64)
+        return pa.table({group_col: pa.array(g.to_numpy(), pa.string()),
+                         "dev": pa.array(np.abs(v - med), pa.float64())})
+
+    mads = grouped_exact_quantiles(
+        ds.map_batches(absdev, batch_format="pyarrow"), group_col, "dev", 0.5)
+    pair_ref = ray.put((meds, {g: float(k) * m for g, m in mads.items()}))
+
+    def score(t: pa.Table) -> pa.Table:
+        med_of, thr_of = ray.get(pair_ref) \
+            if isinstance(pair_ref, ray.ObjectRef) else pair_ref
+        t, g, v = _clean(t)
+        med = g.map(med_of).to_numpy(np.float64)
+        thr = g.map(thr_of).to_numpy(np.float64)
+        dev = np.abs(v - med)
+        keep = dev > thr
+        return t.filter(pa.array(keep)).append_column(
+            "dev", pa.array(np.round(dev[keep], 6), pa.float64()))
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -1766,6 +1766,19 @@ def q_percentile_rank(sf_dir: str):
     return out.select_columns(["event_id", "value", "rnk", "pct"])
 
 
+def q_mad_outliers(sf_dir: str):
+    """Robust per-type outliers: |value - median| > 3 x MAD with discrete
+    medians from the exact-quantiles kernel (two grouped quantile fronts +
+    one broadcast filter, zero shuffle) — the heavy-tail-safe sibling of
+    zscore_outliers, where an extreme value cannot mask itself."""
+    from ..functions.profile import mad_outliers
+
+    out = mad_outliers(
+        _events(sf_dir, ["event_id", "event_type", "value"]),
+        "event_type", "value", k=3.0)
+    return out.select_columns(["event_id", "event_type", "value", "dev"])
+
+
 def q_ntile(sf_dir: str):
     """SQL NTILE(8) parity over event values (the quality-band split of a
     curation pipeline: route each band to a different sampling rate): the
@@ -2531,6 +2544,64 @@ def q_conversation_rebuild(sf_dir: str, tmp_root: str = "/tmp/kcs3_ray"):
     return out.map_batches(fix, batch_format="pyarrow")
 
 
+def q_dialog_integrity(sf_dir: str, tmp_root: str = "/tmp/kcs3_ray"):
+    """Dialog-structure quality gate over the MERGED lake (the chat-training
+    data check: does the conversation open with the expected role, and do
+    roles actually alternate?): per conversation, turn count, the number of
+    adjacent same-role pairs (lag-window parity; a NULL role never matches —
+    SQL's ``role = prev`` NULL semantics, NOT pandas NaN==NaN), and the
+    first turn's role. Same one-exchange shape as the sequence ops: coarse
+    conv-hash buckets, per-bucket lexsort + vectorized shift compare."""
+    fx = transcripts_fixture(sf_dir, tmp_root)
+    out_dir = os.path.join(fx["root"], "lake_out_integrity")
+    mpath = os.path.join(fx["root"], "manifest_integrity.json")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    Manifest.delete(mpath)
+    m = run_upsert(
+        fx["changelog_dir"], out_dir, mpath, lake_dir=fx["lake_dir"],
+        num_partitions=fx["num_partitions"], hot_keys="auto",
+    )
+    from .upsert import read_lake
+
+    def project(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column("conv_id").to_pylist(), dtype=object)
+        b = (pd.util.hash_array(ids) % np.uint64(64)).astype(np.int32)
+        return pa.table({"conv_id": pc.cast(t.column("conv_id"), pa.string()),
+                         "turn_idx": pc.cast(t.column("turn_idx"), pa.int64()),
+                         "role": pc.cast(t.column("role"), pa.string()),
+                         "_bkt": pa.array(b)})
+
+    def integrity(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"],
+                          kind="stable").reset_index(drop=True)
+        same_conv = g["conv_id"].eq(g["conv_id"].shift())
+        role, prev = g["role"], g["role"].shift()
+        rep = (same_conv & role.notna() & prev.notna()
+               & (role == prev)).to_numpy()
+        grp = g.assign(rep=rep).groupby("conv_id", sort=False)
+        out = grp.agg(turns=("rep", "size"),
+                      role_repeats=("rep", "sum")).reset_index()
+        # first TURN's role, NULL included (pandas GroupBy.first would skip
+        # NaN; SQL first() does not) — groups are contiguous after the sort,
+        # and groupby(sort=False) keys follow first-occurrence order, so the
+        # not-same-conv row mask picks exactly one row per group, in order.
+        out["first_role"] = g.loc[~same_conv.to_numpy(), "role"].to_numpy()
+        return out[["conv_id", "turns", "role_repeats", "first_role"]]
+
+    out = (read_lake(m)
+           .map_batches(project, batch_format="pyarrow")
+           .groupby("_bkt").map_groups(integrity, batch_format="pandas"))
+
+    def fix(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": pc.cast(t.column("conv_id"), pa.string()),
+            "turns": pc.cast(t.column("turns"), pa.int64()),
+            "role_repeats": pc.cast(t.column("role_repeats"), pa.int64()),
+            "first_role": pc.cast(t.column("first_role"), pa.string())})
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
 def q_incremental_view(sf_dir: str, tmp_root: str = "/tmp/kcs3_ray"):
     """Incrementally-maintained materialized view (pipelines/views.py): the
     per-conversation rollup kept fresh ACROSS upsert rounds instead of
@@ -2615,12 +2686,14 @@ QUERIES = {
     "embedding_covariance": q_embedding_covariance,
     "value_histogram": q_value_histogram,
     "zscore_outliers": q_zscore_outliers,
+    "mad_outliers": q_mad_outliers,
     "bm25_search": q_bm25_search,
     "sequence_packing": q_sequence_packing,
     "seeded_shuffle": q_seeded_shuffle,
     "percentile_rank": q_percentile_rank,
     "ntile_buckets": q_ntile,
     "conversation_rebuild": q_conversation_rebuild,
+    "dialog_integrity": q_dialog_integrity,
     "exact_k_sample": q_exact_k_sample,
     "pmi_pairs": q_pmi_pairs,
     "grouped_packing": q_grouped_packing,
@@ -3626,6 +3699,22 @@ ORACLE_SQL["grouped_packing"] = (
 # float summation order, absorbed by the shared round-6 compare; the JOIN
 # drops NULL event_type and the WHERE drops NULL values/z, matching the
 # engine's explicit null filters.
+# robust outliers: both medians are quantile_disc (the exact kernel's rank
+# semantics), so engine and oracle compare the SAME doubles; the strict >
+# runs on the unrounded deviation on both sides, dev rounds only for output.
+ORACLE_SQL["mad_outliers"] = (
+    "WITH t AS (SELECT event_id, event_type, value FROM events "
+    "WHERE value IS NOT NULL AND event_type IS NOT NULL), "
+    "m AS (SELECT event_type, quantile_disc(value, 0.5) AS med "
+    "FROM t GROUP BY 1), "
+    "d AS (SELECT t.event_id, t.event_type, t.value, "
+    "abs(t.value - m.med) AS dev FROM t JOIN m USING (event_type)), "
+    "a AS (SELECT event_type, quantile_disc(dev, 0.5) AS mad "
+    "FROM d GROUP BY 1) "
+    "SELECT d.event_id, d.event_type, d.value, round(d.dev, 6) AS dev "
+    "FROM d JOIN a USING (event_type) WHERE d.dev > 3 * a.mad"
+)
+
 ORACLE_SQL["zscore_outliers"] = (
     "WITH s AS (SELECT event_type, count(value) AS n, sum(value) AS s, "
     "sum(value * value) AS s2 FROM events "
@@ -4351,6 +4440,26 @@ def conversation_rebuild_oracle_sql(
 
 
 ORACLE_SQL["conversation_rebuild"] = conversation_rebuild_oracle_sql()
+
+
+def dialog_integrity_oracle_sql(
+        root: str = "/tmp/kcs3_ray/transcripts_sf0.01") -> str:
+    """lag-window role-repeat count + first-turn role over the flagship
+    replay; ``role = prev`` leaves NULL-role pairs uncounted (CASE falls to
+    0), matching the engine's notna-guarded shift compare."""
+    return (
+        "WITH l AS (SELECT conv_id, turn_idx, role, "
+        "lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev "
+        f"FROM ({cdc_transcripts_oracle_sql(root)})) "
+        "SELECT conv_id, CAST(count(*) AS BIGINT) AS turns, "
+        "CAST(sum(CASE WHEN prev IS NOT NULL AND role = prev THEN 1 "
+        "ELSE 0 END) AS BIGINT) AS role_repeats, "
+        "first(role ORDER BY turn_idx) AS first_role "
+        "FROM l GROUP BY conv_id ORDER BY conv_id"
+    )
+
+
+ORACLE_SQL["dialog_integrity"] = dialog_integrity_oracle_sql()
 # The incrementally-maintained view must equal the from-scratch rollup over
 # the FULL replay — same oracle, so hash-green IS the incremental-equals-full
 # proof at gate scale.

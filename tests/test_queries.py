@@ -83,7 +83,7 @@ SQL_CHECKED = [
     "cohort_retention", "unigram_logprob", "event_transitions",
     "tfidf_terms",
     "embedding_centroids", "embedding_covariance",
-    "value_histogram", "zscore_outliers", "bm25_search",
+    "value_histogram", "zscore_outliers", "mad_outliers", "bm25_search",
     "sequence_packing", "seeded_shuffle", "percentile_rank", "ntile_buckets",
     "exact_k_sample", "grouped_exact_k", "heavy_hitters",
     "grouped_heavy_hitters", "semantic_unseen", "weighted_sample",
@@ -103,7 +103,7 @@ SQL_CHECKED = [
     "hash_join", "anti_join", "semi_join_bloom", "pricing_summary",
     "topk_per_group",
     "cdc_transcripts", "conversation_stats", "incremental_view",
-    "conversation_rebuild",
+    "conversation_rebuild", "dialog_integrity",
     "nb_classify",
     # exhaustive-probe IVF (nprobe == n_clusters) is exact: scanning every
     # cluster makes clustering irrelevant to the result, so the brute-force
@@ -136,7 +136,8 @@ def test_query_matches_oracle(name):
     # /tmp (the scale the driver gate runs at) — compare both sides there
     sf = ("/root/testdata/sf0.01"
           if name in ("cdc_transcripts", "conversation_stats",
-                      "incremental_view", "conversation_rebuild") else SF)
+                      "incremental_view", "conversation_rebuild",
+                      "dialog_integrity") else SF)
     got = _canon(_to_pandas(queries[name](sf)))
     exp = _canon(_oracle(oracles[name]))
     assert list(got.columns) == list(exp.columns), (

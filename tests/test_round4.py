@@ -433,3 +433,38 @@ def test_ntile_degenerate_inputs(ray_session):
     assert len(out.to_pandas()) == 0
     with pytest.raises(ValueError):
         ntile(ray.data.from_pandas(dead), "value", "event_id", k=0)
+
+
+def test_mad_outliers_catch_what_zscore_masks(ray_session):
+    """The robust-statistics point: ONE enormous value inflates sd enough
+    that its own z stays under 3 (self-masking), while the median/MAD gate
+    still flags it — and only it."""
+    from kafka_connect_s3_ray.functions.profile import mad_outliers, zscore_outliers
+
+    vals = [10.0, 10.1, 9.9, 10.05, 9.95, 10.2, 9.8, 1000.0]
+    df = pd.DataFrame({"event_id": np.arange(len(vals), dtype=np.int64),
+                       "event_type": ["a"] * len(vals),
+                       "value": vals})
+    ds = ray.data.from_pandas(df).repartition(3)
+    z = zscore_outliers(ds, "event_type", "value", threshold=3.0).to_pandas()
+    assert len(z) == 0  # sd ~ 327: the outlier's own z ~ 2.6 — masked
+    m = mad_outliers(ds, "event_type", "value", k=3.0).to_pandas()
+    assert list(m["event_id"]) == [7]
+    # discrete median of 8 values = rank ceil(.5*8)-1 = 10.0 (not the
+    # interpolated 10.05); MAD = median(|v - 10.0|) = 0.1; dev = 990.0
+    assert abs(m["dev"].iloc[0] - 990.0) < 1e-9
+
+
+def test_mad_outliers_zero_mad_and_null_scope(ray_session):
+    """A majority-duplicate group (MAD 0) keeps only strictly-off-median
+    rows; NULL values and NULL groups are excluded like the SQL scope."""
+    from kafka_connect_s3_ray.functions.profile import mad_outliers
+
+    df = pd.DataFrame({
+        "event_id": np.arange(6, dtype=np.int64),
+        "event_type": ["c", "c", "c", "c", None, "c"],
+        "value": pd.array([5.0, 5.0, 5.0, 7.0, 99.0, None], dtype="float64"),
+    })
+    out = mad_outliers(ray.data.from_pandas(df), "event_type", "value",
+                       k=3.0).to_pandas()
+    assert list(out["event_id"]) == [3]  # NULL group/value rows never emit
