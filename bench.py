@@ -157,7 +157,8 @@ def run_bench() -> dict:
         "incremental_view", "pq_topk", "ivfpq_topk", "zorder_lookup",
         "image_near_dup", "bpe_tokens", "token_entropy", "rollup_summary",
         "chunk_dedup", "rrf_fusion", "type_regression", "pivot_events",
-        "token_mix_sample",
+        "token_mix_sample", "ntile_buckets", "conversation_rebuild",
+        "dialog_integrity", "mad_outliers", "grouped_ntile", "winsorize",
     ]
     panel_results: dict = {}
     panel_trials = int(os.environ.get("BENCH_PANEL_TRIALS", "2"))

@@ -342,3 +342,44 @@ def mad_outliers(ds, group_col: str, val_col: str, k: float = 3.0):
             "dev", pa.array(np.round(dev[keep], 6), pa.float64()))
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def winsorize(ds, group_col: str, val_col: str, lo_q: float = 0.05,
+              hi_q: float = 0.95):
+    """Per-group winsorization (the outlier-CLIPPING cleaner, where
+    ``mad_outliers`` is the outlier DETECTOR): clip each value into its
+    group's [quantile_disc(lo_q), quantile_disc(hi_q)] — discrete bounds
+    from the exact-quantiles kernel, bit-equal to the SQL oracle's, so
+    least/greatest resolve identically on both engines. Two grouped
+    quantile fronts (tiny histogram partials, zero shuffle) + one broadcast
+    clip pass. NULL groups/values excluded (the mad_outliers scope).
+    Returns the row plus ``clipped = round(clip(v), 6)`` (the catalog float
+    contract; the unrounded original rides along in ``val_col``)."""
+    import ray
+
+    from .quantiles import grouped_exact_quantiles
+
+    if not (0.0 <= float(lo_q) <= float(hi_q) <= 1.0):
+        raise ValueError(f"need 0 <= lo_q <= hi_q <= 1: {lo_q}, {hi_q}")
+    los = grouped_exact_quantiles(ds, group_col, val_col, lo_q)
+    his = grouped_exact_quantiles(ds, group_col, val_col, hi_q)
+    if not los:
+        raise ValueError("winsorize: no non-null rows")
+    ref = ray.put((los, his))
+
+    def clip(t: pa.Table) -> pa.Table:
+        lo_of, hi_of = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        t = t.filter(pc.and_(pc.is_valid(t.column(group_col)),
+                             pc.is_valid(t.column(val_col))))
+        v = t.column(val_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = ~np.isnan(v)
+        if not keep.all():
+            t = t.filter(pa.array(keep))
+            v = v[keep]
+        g = t.column(group_col).to_pandas().astype(str)
+        lo = g.map(lo_of).to_numpy(np.float64)
+        hi = g.map(hi_of).to_numpy(np.float64)
+        return t.append_column("clipped", pa.array(
+            np.round(np.minimum(np.maximum(v, lo), hi), 6), pa.float64()))
+
+    return ds.map_batches(clip, batch_format="pyarrow")

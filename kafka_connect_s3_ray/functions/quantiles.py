@@ -405,3 +405,55 @@ def ntile(ds, val_col: str, id_col: str, k: int, n_buckets: int = 32):
                              "tile": t.astype(np.int64)})
 
     return rank_by_bucket(meta, offsets, tiles)
+
+
+def grouped_ntile(ds, group_col: str, val_col: str, id_col: str, k: int,
+                  n_buckets: int = 64):
+    """``NTILE(k) OVER (PARTITION BY group ORDER BY val, id)`` — and unlike
+    the global ``ntile``, this needs NO driver offsets at all: the coarse
+    group-hash exchange co-locates each partition's rows in exactly one
+    bucket, so the group's size and local sort order ARE the window, and the
+    closed-form NTILE split (see ``ntile``) applies bucket-locally. ONE
+    exchange, zero driver state, any number of groups. NULL groups and
+    NULL/NaN values are excluded on both sides (the mad_outliers WHERE
+    scope — SQL's PARTITION BY would otherwise make NULL its own partition
+    and NULLS LAST would tile null values, a contract nobody wants from a
+    quality-band splitter). Returns (id, group, val, tile int64 1-based)."""
+    import pandas as pd
+
+    if int(k) < 1:
+        raise ValueError(f"grouped_ntile k must be >= 1, got {k}")
+    k = int(k)
+
+    def project(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t.column(group_col)),
+                             pc.is_valid(t.column(val_col))))
+        v = t.column(val_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = ~np.isnan(v)
+        ids = pc.cast(t.column(id_col), pa.int64()).to_numpy(
+            zero_copy_only=False)[keep]
+        g = t.column(group_col).to_pandas().astype(str).to_numpy()[keep]
+        b = (pd.util.hash_array(g.astype(object)) %
+             np.uint64(n_buckets)).astype(np.int64)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         group_col: pa.array(g, pa.string()),
+                         "v": pa.array(v[keep], pa.float64()),
+                         "bucket": pa.array(b, pa.int64())})
+
+    def tiles(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([group_col, "v", id_col],
+                          kind="stable").reset_index(drop=True)
+        grp = g.groupby(group_col, sort=False)
+        r = grp.cumcount().to_numpy(np.int64)
+        n = grp[id_col].transform("size").to_numpy(np.int64)
+        q, rem = n // k, n % k
+        cut = rem * (q + 1)
+        t = np.where(q == 0, r,
+                     np.where(r < cut, r // np.maximum(q + 1, 1),
+                              rem + (r - cut) // np.maximum(q, 1))) + 1
+        return pd.DataFrame({id_col: g[id_col], group_col: g[group_col],
+                             val_col: g["v"],
+                             "tile": t.astype(np.int64)})
+
+    return (ds.map_batches(project, batch_format="pyarrow")
+            .groupby("bucket").map_groups(tiles, batch_format="pandas"))

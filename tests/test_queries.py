@@ -85,6 +85,7 @@ SQL_CHECKED = [
     "embedding_centroids", "embedding_covariance",
     "value_histogram", "zscore_outliers", "mad_outliers", "bm25_search",
     "sequence_packing", "seeded_shuffle", "percentile_rank", "ntile_buckets",
+    "grouped_ntile", "winsorize",
     "exact_k_sample", "grouped_exact_k", "heavy_hitters",
     "grouped_heavy_hitters", "semantic_unseen", "weighted_sample",
     "left_join", "full_outer_join", "running_totals",

@@ -468,3 +468,51 @@ def test_mad_outliers_zero_mad_and_null_scope(ray_session):
     out = mad_outliers(ray.data.from_pandas(df), "event_type", "value",
                        k=3.0).to_pandas()
     assert list(out["event_id"]) == [3]  # NULL group/value rows never emit
+
+
+def test_grouped_ntile_matches_duckdb_per_group(ray_session):
+    """Per-partition NTILE equals DuckDB's, including a group smaller than
+    k (one row per leading tile) and heavy within-group ties."""
+    import duckdb
+
+    from kafka_connect_s3_ray.functions.quantiles import grouped_ntile
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "event_id": np.arange(90, dtype=np.int64),
+        "event_type": (["a"] * 50 + ["b"] * 38 + ["tiny"] * 2),
+        "value": rng.integers(0, 9, 90).astype(np.float64),
+    })
+    got = (grouped_ntile(ray.data.from_pandas(df).repartition(4),
+                         "event_type", "value", "event_id", k=4)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    exp = duckdb.sql(
+        "SELECT event_id, CAST(ntile(4) OVER (PARTITION BY event_type "
+        "ORDER BY value, event_id) AS BIGINT) AS tile "
+        "FROM df ORDER BY event_id").df()
+    assert (got["tile"].to_numpy() == exp["tile"].to_numpy()).all()
+    assert got.loc[got["event_type"] == "tiny", "tile"].tolist() == [1, 2]
+
+
+def test_winsorize_bounds_and_scope(ray_session):
+    """Clip lands exactly on the group's discrete p05/p95; NULL group/value
+    rows are excluded; a reversed quantile pair raises."""
+    from kafka_connect_s3_ray.functions.profile import winsorize
+
+    df = pd.DataFrame({
+        "event_id": np.arange(22, dtype=np.int64),
+        "event_type": ["g"] * 20 + [None, "g"],
+        "value": pd.array(list(np.arange(1.0, 21.0)) + [5.0, None],
+                          dtype="float64"),
+    })
+    out = (winsorize(ray.data.from_pandas(df), "event_type", "value",
+                     lo_q=0.05, hi_q=0.95)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    assert len(out) == 20  # NULL group + NULL value rows dropped
+    # quantile_disc over 1..20: p05 -> rank ceil(.05*20)-1 = 0 -> 1.0;
+    # p95 -> rank ceil(.95*20)-1 = 18 -> 19.0
+    assert out["clipped"].min() == 1.0 and out["clipped"].max() == 19.0
+    assert (out.loc[out["value"] == 20.0, "clipped"] == 19.0).all()
+    with pytest.raises(ValueError):
+        winsorize(ray.data.from_pandas(df), "event_type", "value",
+                  lo_q=0.9, hi_q=0.1)
