@@ -37,6 +37,7 @@ def oracle_sql() -> dict[str, str]:
         conversation_rebuild_oracle_sql,
         conversation_stats_oracle_sql,
         dialog_integrity_oracle_sql,
+        turn_pairs_oracle_sql,
         transcripts_fixture,
     )
 
@@ -53,4 +54,5 @@ def oracle_sql() -> dict[str, str]:
     out["incremental_view"] = conversation_stats_oracle_sql(fx["root"])
     out["conversation_rebuild"] = conversation_rebuild_oracle_sql(fx["root"])
     out["dialog_integrity"] = dialog_integrity_oracle_sql(fx["root"])
+    out["turn_pairs"] = turn_pairs_oracle_sql(fx["root"])
     return out

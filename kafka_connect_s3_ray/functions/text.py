@@ -990,3 +990,46 @@ def bm25_search(docs, terms: list[str], k: int = 20, k1: float = 1.2,
                           kind="mergesort").head(k).reset_index(drop=True)
     return pa.table({id_col: pa.array(top[id_col], pa.int64()),
                      "score": pa.array(top["score"], pa.float64())})
+
+
+def chunk_documents(ds, size: int = 32, stride: int = 24,
+                    text_col: str = "text", id_col: str = "doc_id"):
+    """RAG/embedding-prep chunking: split each document into overlapping
+    whitespace-token windows (``size`` tokens every ``stride``) and emit
+    (id, chunk_idx, chunk text, n_tokens). Zero shuffle — one stateless
+    vectorized-per-batch pass whose output streams straight to a sink or an
+    embedding stage; the per-doc slice loop is inherent to ragged token
+    arrays (the pmi_pairs posture), bounded by batch size. Tokenization is
+    the engine-wide whitespace contract (Python ``str.split()`` ==
+    ``list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')`` on
+    ASCII whitespace). NULL and zero-token documents emit nothing (the SQL
+    unnest scope). A trailing window shorter than ``size`` IS emitted —
+    dropping it would lose the document tail forever, the one thing a
+    chunker must not do."""
+    if int(size) < 1 or int(stride) < 1:
+        raise ValueError(f"size and stride must be >= 1: {size}, {stride}")
+    size, stride = int(size), int(stride)
+
+    def chunks(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column(text_col)))
+        ids = pc.cast(t.column(id_col), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        out_id: list = []
+        out_ci: list = []
+        out_chunk: list = []
+        out_n: list = []
+        for did, txt in zip(ids, t.column(text_col).to_pylist()):
+            toks = txt.split()
+            n = len(toks)
+            for ci, s in enumerate(range(0, n, stride)):
+                piece = toks[s:s + size]
+                out_id.append(did)
+                out_ci.append(ci)
+                out_chunk.append(" ".join(piece))
+                out_n.append(len(piece))
+        return pa.table({id_col: pa.array(out_id, pa.int64()),
+                         "chunk_idx": pa.array(out_ci, pa.int64()),
+                         "chunk": pa.array(out_chunk, pa.string()),
+                         "n_tokens": pa.array(out_n, pa.int64())})
+
+    return ds.map_batches(chunks, batch_format="pyarrow")
