@@ -139,6 +139,14 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("--snapshot", type=int, default=None,
                     help="commit id to time-travel to (negative = from latest)")
 
+    tp = sub.add_parser("export-pairs", help="mine (prompt, response) SFT "
+                                             "pairs from the lake and write "
+                                             "them as parquet")
+    tp.add_argument("--manifest", required=True)
+    tp.add_argument("--out", required=True)
+    tp.add_argument("--snapshot", type=int, default=None,
+                    help="commit id to time-travel to (negative = from latest)")
+
     pk = sub.add_parser("pack", help="greedy sequence packing of a documents "
                                      "parquet into fixed-token-budget training "
                                      "shards (partitioned, resumable output)")
@@ -487,7 +495,7 @@ def main(argv: list[str] | None = None) -> int:
 
             print(json.dumps(validate_lake(args.manifest)))
             return 0
-        if args.cmd == "export":
+        if args.cmd in ("export", "export-pairs"):
             from kafka_connect_s3_ray.pipelines.upsert import read_lake
 
             def _parquet_files(d):
@@ -507,6 +515,12 @@ def main(argv: list[str] | None = None) -> int:
                       "files; export to a fresh directory", file=sys.stderr)
                 return 2
             ds = read_lake(args.manifest, snapshot=args.snapshot)
+            if args.cmd == "export-pairs":
+                from kafka_connect_s3_ray.pipelines.maintenance import (
+                    turn_pairs_dataset,
+                )
+
+                ds = turn_pairs_dataset(ds)
             ds.write_parquet(args.out)
             # one execution: ds.count() would re-run the whole read (incl.
             # merge-on-read delta resolution); the footers of the files just

@@ -444,3 +444,50 @@ def conversation_stats_table(ds) -> "pa.Table":
     df = (parts.groupby("_bkt").map_groups(final, batch_format="pandas")
           .to_pandas())
     return _conv_typed(df)
+
+
+def turn_pairs_dataset(ds):
+    """Instruction-response pair mining over a transcript Dataset — the
+    kernel shared by the ``turn_pairs`` catalog entry and the
+    ``export-pairs`` CLI verb (same single-kernel discipline as
+    ``conversation_stats_table``). Every user turn whose NEXT surviving
+    turn (positional lead in turn order — deletes can gap turn_idx) is an
+    assistant turn yields (conv_id, turn_idx, prompt, response). One coarse
+    conv-hash exchange; per-bucket lexsort + shift(-1) compare; NULL texts
+    pass through as genuine NULLs (SQL lead semantics)."""
+    import numpy as np
+    import pandas as pd
+
+    def project(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column("conv_id").to_pylist(), dtype=object)
+        b = (pd.util.hash_array(ids) % np.uint64(64)).astype(np.int32)
+        return pa.table({"conv_id": pc.cast(t.column("conv_id"), pa.string()),
+                         "turn_idx": pc.cast(t.column("turn_idx"), pa.int64()),
+                         "role": pc.cast(t.column("role"), pa.string()),
+                         "text": pc.cast(t.column("text"), pa.string()),
+                         "_bkt": pa.array(b)})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"],
+                          kind="stable").reset_index(drop=True)
+        same_next = g["conv_id"].eq(g["conv_id"].shift(-1))
+        nrole = g["role"].shift(-1)
+        keep = (same_next & (g["role"] == "user")
+                & (nrole == "assistant")).to_numpy()
+        out = pd.DataFrame({"conv_id": g["conv_id"],
+                            "turn_idx": g["turn_idx"],
+                            "prompt": g["text"],
+                            "response": g["text"].shift(-1)})
+        return out[keep]
+
+    out = (ds.map_batches(project, batch_format="pyarrow")
+           .groupby("_bkt").map_groups(pairs, batch_format="pandas"))
+
+    def fix(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": pc.cast(t.column("conv_id"), pa.string()),
+            "turn_idx": pc.cast(t.column("turn_idx"), pa.int64()),
+            "prompt": pc.cast(t.column("prompt"), pa.string()),
+            "response": pc.cast(t.column("response"), pa.string())})
+
+    return out.map_batches(fix, batch_format="pyarrow")

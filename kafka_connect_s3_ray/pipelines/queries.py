@@ -2644,42 +2644,10 @@ def q_turn_pairs(sf_dir: str, tmp_root: str = "/tmp/kcs3_ray"):
         fx["changelog_dir"], out_dir, mpath, lake_dir=fx["lake_dir"],
         num_partitions=fx["num_partitions"], hot_keys="auto",
     )
+    from .maintenance import turn_pairs_dataset
     from .upsert import read_lake
 
-    def project(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t.column("conv_id").to_pylist(), dtype=object)
-        b = (pd.util.hash_array(ids) % np.uint64(64)).astype(np.int32)
-        return pa.table({"conv_id": pc.cast(t.column("conv_id"), pa.string()),
-                         "turn_idx": pc.cast(t.column("turn_idx"), pa.int64()),
-                         "role": pc.cast(t.column("role"), pa.string()),
-                         "text": pc.cast(t.column("text"), pa.string()),
-                         "_bkt": pa.array(b)})
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["conv_id", "turn_idx"],
-                          kind="stable").reset_index(drop=True)
-        same_next = g["conv_id"].eq(g["conv_id"].shift(-1))
-        nrole = g["role"].shift(-1)
-        keep = (same_next & (g["role"] == "user")
-                & (nrole == "assistant")).to_numpy()
-        out = pd.DataFrame({"conv_id": g["conv_id"],
-                            "turn_idx": g["turn_idx"],
-                            "prompt": g["text"],
-                            "response": g["text"].shift(-1)})
-        return out[keep]
-
-    out = (read_lake(m)
-           .map_batches(project, batch_format="pyarrow")
-           .groupby("_bkt").map_groups(pairs, batch_format="pandas"))
-
-    def fix(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "conv_id": pc.cast(t.column("conv_id"), pa.string()),
-            "turn_idx": pc.cast(t.column("turn_idx"), pa.int64()),
-            "prompt": pc.cast(t.column("prompt"), pa.string()),
-            "response": pc.cast(t.column("response"), pa.string())})
-
-    return out.map_batches(fix, batch_format="pyarrow")
+    return turn_pairs_dataset(read_lake(m))
 
 
 def q_rag_chunks(sf_dir: str):

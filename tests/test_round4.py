@@ -516,3 +516,35 @@ def test_winsorize_bounds_and_scope(ray_session):
     with pytest.raises(ValueError):
         winsorize(ray.data.from_pandas(df), "event_type", "value",
                   lo_q=0.9, hi_q=0.1)
+
+
+def test_export_pairs_cli_matches_lead_replay(delta_only, tmp_path, capsys):
+    """`export-pairs` writes exactly the user->assistant lead pairs of the
+    lake (DuckDB lead-window replay over the merged table), and refuses a
+    reused output directory like `export` does."""
+    import duckdb
+    import pyarrow.dataset as pads
+
+    from kafka_connect_s3_ray.__main__ import main
+    from kafka_connect_s3_ray.pipelines.upsert import lake_table
+
+    out = str(tmp_path / "pairs")
+    assert main(["export-pairs", "--manifest", delta_only["mpath"],
+                 "--out", out]) == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    got = (pads.dataset(out).to_table().to_pandas()
+           .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    assert report["rows"] == len(got)
+    lake = lake_table(delta_only["m"]).to_pandas()  # noqa: F841 (duckdb ref)
+    exp = duckdb.sql(
+        "WITH l AS (SELECT conv_id, turn_idx, role, text, "
+        "lead(role) OVER w AS nrole, lead(text) OVER w AS ntext FROM lake "
+        "WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)) "
+        "SELECT conv_id, turn_idx, text AS prompt, ntext AS response FROM l "
+        "WHERE role = 'user' AND nrole = 'assistant' "
+        "ORDER BY conv_id, turn_idx").df()
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, exp[got.columns], check_dtype=False)
+    # reused directory refused, content untouched
+    assert main(["export-pairs", "--manifest", delta_only["mpath"],
+                 "--out", out]) == 2
