@@ -90,7 +90,7 @@ SQL_CHECKED = [
     "grouped_heavy_hitters", "semantic_unseen", "weighted_sample",
     "left_join", "full_outer_join", "running_totals",
     "event_lag_lead", "bigram_logprob", "pq_topk", "zorder_lookup",
-    "token_entropy", "rollup_summary", "chunk_dedup",
+    "token_entropy", "rollup_summary", "cube_summary", "chunk_dedup",
     "rrf_fusion", "type_regression", "pivot_events", "token_mix_sample",
     "pmi_pairs", "grouped_packing", "order_revenue",
     "quality_filtered", "rolling_fingerprint",
