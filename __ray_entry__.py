@@ -37,6 +37,7 @@ def oracle_sql() -> dict[str, str]:
         conversation_rebuild_oracle_sql,
         conversation_stats_oracle_sql,
         dialog_integrity_oracle_sql,
+        sft_curation_oracle_sql,
         turn_pairs_oracle_sql,
         transcripts_fixture,
     )
@@ -55,4 +56,5 @@ def oracle_sql() -> dict[str, str]:
     out["conversation_rebuild"] = conversation_rebuild_oracle_sql(fx["root"])
     out["dialog_integrity"] = dialog_integrity_oracle_sql(fx["root"])
     out["turn_pairs"] = turn_pairs_oracle_sql(fx["root"])
+    out["sft_curation"] = sft_curation_oracle_sql(fx["root"])
     return out

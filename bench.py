@@ -159,7 +159,7 @@ def run_bench() -> dict:
         "chunk_dedup", "rrf_fusion", "type_regression", "pivot_events",
         "token_mix_sample", "ntile_buckets", "conversation_rebuild",
         "dialog_integrity", "mad_outliers", "grouped_ntile", "winsorize",
-        "turn_pairs", "rag_chunks", "cube_summary",
+        "turn_pairs", "rag_chunks", "cube_summary", "sft_curation",
     ]
     panel_results: dict = {}
     panel_trials = int(os.environ.get("BENCH_PANEL_TRIALS", "2"))

@@ -2677,6 +2677,66 @@ def q_turn_pairs(sf_dir: str, tmp_root: str = "/tmp/kcs3_ray"):
     return turn_pairs_dataset(read_lake(m))
 
 
+def q_sft_curation(sf_dir: str, tmp_root: str = "/tmp/kcs3_ray"):
+    """The composed SFT data pipeline end to end — merge the CDC lake, mine
+    instruction-response pairs, exact-dedup on prompt text (keep the FIRST
+    occurrence by (conv_id, turn_idx); duplicate prompts are rampant in
+    chat corpora and leak across train/val), then token-gate (prompt >= 1
+    ws-token, response >= 2). Shapes: the flagship upsert, the turn_pairs
+    conv-hash exchange, then ONE prompt-hash exchange for the dedup (equal
+    prompts co-locate; bucket-local first-by-(conv,idx) IS the global
+    first, the dedup_exact argument); token counting and the gate are
+    vectorized in the same per-bucket finish. NULL prompts form one group
+    (SQL GROUP BY NULL semantics) and are then gated out by the >= 1
+    token rule on both sides."""
+    fx = transcripts_fixture(sf_dir, tmp_root)
+    out_dir = os.path.join(fx["root"], "lake_out_sft")
+    mpath = os.path.join(fx["root"], "manifest_sft.json")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    Manifest.delete(mpath)
+    m = run_upsert(
+        fx["changelog_dir"], out_dir, mpath, lake_dir=fx["lake_dir"],
+        num_partitions=fx["num_partitions"], hot_keys="auto",
+    )
+    from .maintenance import turn_pairs_dataset
+    from .upsert import read_lake
+
+    pairs = turn_pairs_dataset(read_lake(m))
+
+    def tag(t: pa.Table) -> pa.Table:
+        p = np.asarray(
+            ["" if x is None else x
+             for x in t.column("prompt").to_pylist()], dtype=object)
+        b = (pd.util.hash_array(p) % np.uint64(64)).astype(np.int32)
+        return t.append_column("_pbkt", pa.array(b))
+
+    def dedup_gate(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"],
+                          kind="stable").reset_index(drop=True)
+        g = g.groupby("prompt", dropna=False, sort=False).head(1)
+        npt = g["prompt"].fillna("").str.split().str.len().to_numpy(np.int64)
+        nrt = (g["response"].fillna("").str.split().str.len()
+               .to_numpy(np.int64))
+        g = g.assign(n_prompt_tokens=npt, n_response_tokens=nrt)
+        return g[(npt >= 1) & (nrt >= 2)].drop(columns=["_pbkt"])
+
+    out = (pairs.map_batches(tag, batch_format="pyarrow")
+           .groupby("_pbkt").map_groups(dedup_gate, batch_format="pandas"))
+
+    def fix(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": pc.cast(t.column("conv_id"), pa.string()),
+            "turn_idx": pc.cast(t.column("turn_idx"), pa.int64()),
+            "prompt": pc.cast(t.column("prompt"), pa.string()),
+            "response": pc.cast(t.column("response"), pa.string()),
+            "n_prompt_tokens": pc.cast(t.column("n_prompt_tokens"),
+                                       pa.int64()),
+            "n_response_tokens": pc.cast(t.column("n_response_tokens"),
+                                         pa.int64())})
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
 def q_rag_chunks(sf_dir: str):
     """Overlapping token-window chunking of documents (RAG/embedding prep:
     32-token windows every 24): one stateless zero-shuffle pass; the short
@@ -2766,7 +2826,6 @@ def q_nb_classify(sf_dir: str):
 # tests/test_queries.py regardless of position.
 QUERIES = {
     # --- unchecked by the round-3 driver gate (its 50-entry cap) ---------
-    "embedding_covariance": q_embedding_covariance,
     "value_histogram": q_value_histogram,
     "zscore_outliers": q_zscore_outliers,
     "mad_outliers": q_mad_outliers,
@@ -2781,6 +2840,7 @@ QUERIES = {
     "dialog_integrity": q_dialog_integrity,
     "turn_pairs": q_turn_pairs,
     "rag_chunks": q_rag_chunks,
+    "sft_curation": q_sft_curation,
     "exact_k_sample": q_exact_k_sample,
     "pmi_pairs": q_pmi_pairs,
     "grouped_packing": q_grouped_packing,
@@ -2821,6 +2881,7 @@ QUERIES = {
     # (r3-driver-checked or judge-verified; the pytest gate replica still
     # oracle-checks every entry below every run)
     "embedding_centroids": q_embedding_centroids,      # judge-verified r3
+    "embedding_covariance": q_embedding_covariance,    # judge-verified r3
     "exact_quantiles": q_exact_quantiles,              # judge-verified r3
     "grouped_quantiles": q_grouped_quantiles,          # judge-verified r3
     "windowed_distinct": q_windowed_distinct,          # judge-verified r3
@@ -4601,6 +4662,34 @@ def turn_pairs_oracle_sql(
 
 
 ORACLE_SQL["turn_pairs"] = turn_pairs_oracle_sql()
+
+
+def _tokens_ws_sql_for(col: str) -> str:
+    """The engine-wide whitespace-token count for an arbitrary column (the
+    _TOKENS_WS_SQL contract, parameterized): NULL/blank -> 0."""
+    return (f"CAST(COALESCE(CASE WHEN trim({col}) = '' THEN 0 "
+            f"ELSE array_length(regexp_split_to_array(trim({col}), "
+            f"'\\s+')) END, 0) AS BIGINT)")
+
+
+def sft_curation_oracle_sql(
+        root: str = "/tmp/kcs3_ray/transcripts_sf0.01") -> str:
+    """The composed pipeline's full SQL replay: lead pairs -> keep-first per
+    prompt (row_number over (conv_id, turn_idx)) -> token gate."""
+    return (
+        f"WITH p AS ({turn_pairs_oracle_sql(root)}), "
+        "d AS (SELECT *, row_number() OVER (PARTITION BY prompt "
+        "ORDER BY conv_id, turn_idx) AS rn FROM p), "
+        "t AS (SELECT conv_id, turn_idx, prompt, response, "
+        f"{_tokens_ws_sql_for('prompt')} AS n_prompt_tokens, "
+        f"{_tokens_ws_sql_for('response')} AS n_response_tokens "
+        "FROM d WHERE rn = 1) "
+        "SELECT * FROM t "
+        "WHERE n_prompt_tokens >= 1 AND n_response_tokens >= 2"
+    )
+
+
+ORACLE_SQL["sft_curation"] = sft_curation_oracle_sql()
 
 # chunking: unnest(generate_series) replays the stride walk 1-based; the
 # engine's str.split() and the RE2 \s+ filter agree on ASCII whitespace

@@ -85,7 +85,7 @@ SQL_CHECKED = [
     "embedding_centroids", "embedding_covariance",
     "value_histogram", "zscore_outliers", "mad_outliers", "bm25_search",
     "sequence_packing", "seeded_shuffle", "percentile_rank", "ntile_buckets",
-    "grouped_ntile", "winsorize", "turn_pairs", "rag_chunks",
+    "grouped_ntile", "winsorize", "turn_pairs", "rag_chunks", "sft_curation",
     "exact_k_sample", "grouped_exact_k", "heavy_hitters",
     "grouped_heavy_hitters", "semantic_unseen", "weighted_sample",
     "left_join", "full_outer_join", "running_totals",
@@ -138,7 +138,8 @@ def test_query_matches_oracle(name):
     sf = ("/root/testdata/sf0.01"
           if name in ("cdc_transcripts", "conversation_stats",
                       "incremental_view", "conversation_rebuild",
-                      "dialog_integrity", "turn_pairs") else SF)
+                      "dialog_integrity", "turn_pairs",
+                      "sft_curation") else SF)
     got = _canon(_to_pandas(queries[name](sf)))
     exp = _canon(_oracle(oracles[name]))
     assert list(got.columns) == list(exp.columns), (
