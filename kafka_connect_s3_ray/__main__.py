@@ -138,6 +138,10 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("--out", required=True)
     ex.add_argument("--snapshot", type=int, default=None,
                     help="commit id to time-travel to (negative = from latest)")
+    ex.add_argument("--format", choices=("parquet", "jsonl"),
+                    default="parquet",
+                    help="output format (jsonl = one JSON object per line, "
+                         "the training-data interchange default)")
 
     tp = sub.add_parser("export-pairs", help="mine (prompt, response) SFT "
                                              "pairs from the lake and write "
@@ -146,6 +150,10 @@ def main(argv: list[str] | None = None) -> int:
     tp.add_argument("--out", required=True)
     tp.add_argument("--snapshot", type=int, default=None,
                     help="commit id to time-travel to (negative = from latest)")
+    tp.add_argument("--format", choices=("parquet", "jsonl"),
+                    default="parquet",
+                    help="output format (jsonl = one JSON object per line, "
+                         "the training-data interchange default)")
 
     pk = sub.add_parser("pack", help="greedy sequence packing of a documents "
                                      "parquet into fixed-token-budget training "
@@ -498,20 +506,23 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd in ("export", "export-pairs"):
             from kafka_connect_s3_ray.pipelines.upsert import read_lake
 
-            def _parquet_files(d):
+            fmt = getattr(args, "format", "parquet")
+            suffix = ".parquet" if fmt == "parquet" else ".json"
+
+            def _out_files(d, suffix=suffix):
                 out = set()
                 if os.path.isdir(d):
                     for dirpath, _, fnames in os.walk(d):
                         out.update(os.path.join(dirpath, fn) for fn in fnames
-                                   if fn.endswith(".parquet"))
-                return out
+                                   if fn.endswith((".parquet", ".json")))
+                return {f for f in out if f.endswith(suffix)} or out
 
-            if _parquet_files(args.out):
+            if _out_files(args.out):
                 # a reused directory would hold the UNION of every export
-                # (write_parquet appends uniquely-named files) while any
+                # (the writers append uniquely-named files) while any
                 # count describes only one run — refuse instead of
                 # producing a directory whose content nobody asked for
-                print(f"error: --out {args.out} already contains parquet "
+                print(f"error: --out {args.out} already contains export "
                       "files; export to a fresh directory", file=sys.stderr)
                 return 2
             ds = read_lake(args.manifest, snapshot=args.snapshot)
@@ -521,16 +532,23 @@ def main(argv: list[str] | None = None) -> int:
                 )
 
                 ds = turn_pairs_dataset(ds)
-            ds.write_parquet(args.out)
-            # one execution: ds.count() would re-run the whole read (incl.
-            # merge-on-read delta resolution); the footers of the files just
-            # written carry the row count as metadata
-            import pyarrow.parquet as _pq
+            # one execution either way: ds.count() would re-run the whole
+            # read (incl. merge-on-read delta resolution); parquet footers /
+            # JSONL line counts of the files just written carry the count
+            if fmt == "jsonl":
+                ds.write_json(args.out)
+                rows = 0
+                for f in _out_files(args.out):
+                    with open(f, "rb") as fh:
+                        rows += sum(1 for _ in fh)
+            else:
+                ds.write_parquet(args.out)
+                import pyarrow.parquet as _pq
 
-            rows = sum(_pq.read_metadata(f).num_rows
-                       for f in _parquet_files(args.out))
+                rows = sum(_pq.read_metadata(f).num_rows
+                           for f in _out_files(args.out))
             print(json.dumps({"out": args.out, "rows": rows,
-                              "snapshot": args.snapshot}))
+                              "format": fmt, "snapshot": args.snapshot}))
             return 0
         if args.cmd == "diff":
             from kafka_connect_s3_ray.pipelines.upsert import snapshot_diff

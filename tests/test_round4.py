@@ -548,3 +548,31 @@ def test_export_pairs_cli_matches_lead_replay(delta_only, tmp_path, capsys):
     # reused directory refused, content untouched
     assert main(["export-pairs", "--manifest", delta_only["mpath"],
                  "--out", out]) == 2
+
+
+def test_export_pairs_jsonl_format(delta_only, tmp_path, capsys):
+    """`--format jsonl` writes one JSON object per line with the same rows
+    the parquet export carries, and a jsonl directory refuses re-export."""
+    import glob
+
+    from kafka_connect_s3_ray.__main__ import main
+
+    pq_out = str(tmp_path / "pq")
+    jl_out = str(tmp_path / "jl")
+    assert main(["export-pairs", "--manifest", delta_only["mpath"],
+                 "--out", pq_out]) == 0
+    assert main(["export-pairs", "--manifest", delta_only["mpath"],
+                 "--out", jl_out, "--format", "jsonl"]) == 0
+    reports = [json.loads(x) for x in
+               capsys.readouterr().out.strip().splitlines() if x.startswith("{")]
+    assert reports[-1]["format"] == "jsonl"
+    assert reports[-1]["rows"] == reports[-2]["rows"] > 0
+    lines = []
+    for f in glob.glob(os.path.join(jl_out, "**", "*.json"), recursive=True):
+        with open(f) as fh:
+            lines += [json.loads(ln) for ln in fh]
+    assert len(lines) == reports[-1]["rows"]
+    assert set(lines[0]) == {"conv_id", "turn_idx", "prompt", "response"}
+    # cross-format refusal: parquet export into the jsonl dir is refused
+    assert main(["export-pairs", "--manifest", delta_only["mpath"],
+                 "--out", jl_out]) == 2
