@@ -83,7 +83,8 @@ SQL_CHECKED = [
     "cohort_retention", "unigram_logprob", "event_transitions",
     "tfidf_terms",
     "embedding_centroids", "embedding_covariance",
-    "value_histogram", "zscore_outliers", "mad_outliers", "bm25_search",
+    "value_histogram", "zscore_outliers", "mad_outliers", "users_intersect",
+    "bm25_search",
     "sequence_packing", "seeded_shuffle", "percentile_rank", "ntile_buckets",
     "grouped_ntile", "winsorize", "turn_pairs", "rag_chunks", "sft_curation",
     "exact_k_sample", "grouped_exact_k", "heavy_hitters",
