@@ -386,8 +386,6 @@ def ntile(ds, val_col: str, id_col: str, k: int, n_buckets: int = 32):
             val_col: pa.array([], pa.float64()),
             "tile": pa.array([], pa.int64())}))
     meta, offsets, n_all = got
-    q, rem = divmod(n_all, k)
-    cut = rem * (q + 1)  # first rank NOT in an oversized tile
 
     def tiles(g: pd.DataFrame, off: int) -> pd.DataFrame:
         v = g["v"].to_numpy(np.float64)
@@ -395,16 +393,27 @@ def ntile(ds, val_col: str, id_col: str, k: int, n_buckets: int = 32):
         order = np.lexsort((ids, v))
         r = np.empty(len(g), np.int64)
         r[order] = off + np.arange(len(g))
-        if q == 0:
-            t = r + 1
-        else:
-            big = r < cut
-            t = np.where(big, r // (q + 1),
-                         rem + (r - cut) // max(q, 1)) + 1
         return pd.DataFrame({id_col: ids, val_col: v,
-                             "tile": t.astype(np.int64)})
+                             "tile": ntile_of_rank(r, n_all, k)})
 
     return rank_by_bucket(meta, offsets, tiles)
+
+
+def ntile_of_rank(r, n, k: int) -> np.ndarray:
+    """SQL ``NTILE(k)`` of 0-based rank ``r`` among ``n`` rows, vectorized
+    (``n`` scalar for the global window, per-row array for the grouped one):
+    with q = n // k and rem = n % k the first rem tiles take q + 1 rows;
+    n < k degenerates to one row per leading tile. The ONE closed form both
+    ``ntile`` and ``grouped_ntile`` apply — property-tested against DuckDB's
+    NTILE over randomized (n, k) in test_property_round4."""
+    r = np.asarray(r, np.int64)
+    n = np.asarray(n, np.int64)
+    q, rem = np.divmod(n, k)
+    cut = rem * (q + 1)
+    return (np.where(q == 0, r,
+                     np.where(r < cut, r // np.maximum(q + 1, 1),
+                              rem + (r - cut) // np.maximum(q, 1)))
+            + 1).astype(np.int64)
 
 
 def grouped_ntile(ds, group_col: str, val_col: str, id_col: str, k: int,
@@ -446,14 +455,9 @@ def grouped_ntile(ds, group_col: str, val_col: str, id_col: str, k: int,
         grp = g.groupby(group_col, sort=False)
         r = grp.cumcount().to_numpy(np.int64)
         n = grp[id_col].transform("size").to_numpy(np.int64)
-        q, rem = n // k, n % k
-        cut = rem * (q + 1)
-        t = np.where(q == 0, r,
-                     np.where(r < cut, r // np.maximum(q + 1, 1),
-                              rem + (r - cut) // np.maximum(q, 1))) + 1
         return pd.DataFrame({id_col: g[id_col], group_col: g[group_col],
                              val_col: g["v"],
-                             "tile": t.astype(np.int64)})
+                             "tile": ntile_of_rank(r, n, k)})
 
     return (ds.map_batches(project, batch_format="pyarrow")
             .groupby("bucket").map_groups(tiles, batch_format="pandas"))
