@@ -533,10 +533,15 @@ def main(argv: list[str] | None = None) -> int:
 
                 ds = turn_pairs_dataset(ds)
             # one execution either way: ds.count() would re-run the whole
-            # read (incl. merge-on-read delta resolution); parquet footers /
-            # JSONL line counts of the files just written carry the count
+            # read (incl. merge-on-read delta resolution). Parquet counts
+            # come from footers (O(files)); JSONL has no metadata, so its
+            # count is one line scan of the just-written (page-cache-warm)
+            # local files — O(bytes), the honest price of the format.
             if fmt == "jsonl":
-                ds.write_json(args.out)
+                # ISO microsecond timestamps: pandas to_json defaults to
+                # epoch-MILLISECONDS, silently truncating lake event times
+                # and diverging from the parquet export of the same verb
+                ds.write_json(args.out, date_format="iso", date_unit="us")
                 rows = 0
                 for f in _out_files(args.out):
                     with open(f, "rb") as fh:

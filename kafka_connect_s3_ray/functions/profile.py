@@ -307,21 +307,10 @@ def mad_outliers(ds, group_col: str, val_col: str, k: float = 3.0):
         raise ValueError("mad_outliers: no non-null rows")
     med_ref = ray.put(meds)
 
-    def _clean(t: pa.Table):
-        t = t.filter(pc.and_(pc.is_valid(t.column(group_col)),
-                             pc.is_valid(t.column(val_col))))
-        v = t.column(val_col).to_numpy(zero_copy_only=False).astype(np.float64)
-        keep = ~np.isnan(v)
-        if not keep.all():
-            t = t.filter(pa.array(keep))
-            v = v[keep]
-        g = t.column(group_col).to_pandas().astype(str)
-        return t, g, v
-
     def absdev(t: pa.Table) -> pa.Table:
         med_of = ray.get(med_ref) if isinstance(med_ref, ray.ObjectRef) \
             else med_ref
-        t, g, v = _clean(t)
+        t, g, v = _clean_group_val(t, group_col, val_col)
         med = g.map(med_of).to_numpy(np.float64)
         return pa.table({group_col: pa.array(g.to_numpy(), pa.string()),
                          "dev": pa.array(np.abs(v - med), pa.float64())})
@@ -333,7 +322,7 @@ def mad_outliers(ds, group_col: str, val_col: str, k: float = 3.0):
     def score(t: pa.Table) -> pa.Table:
         med_of, thr_of = ray.get(pair_ref) \
             if isinstance(pair_ref, ray.ObjectRef) else pair_ref
-        t, g, v = _clean(t)
+        t, g, v = _clean_group_val(t, group_col, val_col)
         med = g.map(med_of).to_numpy(np.float64)
         thr = g.map(thr_of).to_numpy(np.float64)
         dev = np.abs(v - med)
@@ -342,6 +331,22 @@ def mad_outliers(ds, group_col: str, val_col: str, k: float = 3.0):
             "dev", pa.array(np.round(dev[keep], 6), pa.float64()))
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def _clean_group_val(t: pa.Table, group_col: str, val_col: str):
+    """The robust-statistics family's shared row scope (mad_outliers,
+    winsorize — SQL aggregate + equi-join semantics): drop NULL-group and
+    NULL/NaN-value rows; return (filtered table, str group keys, float64
+    values). One definition so a scope fix cannot miss a sibling."""
+    t = t.filter(pc.and_(pc.is_valid(t.column(group_col)),
+                         pc.is_valid(t.column(val_col))))
+    v = t.column(val_col).to_numpy(zero_copy_only=False).astype(np.float64)
+    keep = ~np.isnan(v)
+    if not keep.all():
+        t = t.filter(pa.array(keep))
+        v = v[keep]
+    g = t.column(group_col).to_pandas().astype(str)
+    return t, g, v
 
 
 def winsorize(ds, group_col: str, val_col: str, lo_q: float = 0.05,
@@ -369,14 +374,7 @@ def winsorize(ds, group_col: str, val_col: str, lo_q: float = 0.05,
 
     def clip(t: pa.Table) -> pa.Table:
         lo_of, hi_of = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-        t = t.filter(pc.and_(pc.is_valid(t.column(group_col)),
-                             pc.is_valid(t.column(val_col))))
-        v = t.column(val_col).to_numpy(zero_copy_only=False).astype(np.float64)
-        keep = ~np.isnan(v)
-        if not keep.all():
-            t = t.filter(pa.array(keep))
-            v = v[keep]
-        g = t.column(group_col).to_pandas().astype(str)
+        t, g, v = _clean_group_val(t, group_col, val_col)
         lo = g.map(lo_of).to_numpy(np.float64)
         hi = g.map(hi_of).to_numpy(np.float64)
         return t.append_column("clipped", pa.array(

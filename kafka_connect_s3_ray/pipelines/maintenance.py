@@ -418,6 +418,22 @@ def conv_rollup_table(t: pa.Table) -> "pa.Table":
     return _conv_typed(_conv_final(_conv_partial(t).to_pandas()))
 
 
+def string_hash_buckets(col, n_buckets: int = 64) -> "pa.Array":
+    """Coarse hash-bucket ids (int32) for a string key column — THE exchange
+    key of every per-conversation / per-prompt analytics stage
+    (conversation_stats, conversation_rebuild, dialog_integrity, turn_pairs,
+    sft_curation's prompt dedup). One definition so the bucket count, the
+    hash, and the NULL rule ('' — bucketing only; grouping still sees the
+    real value) can never drift between the five callers."""
+    import numpy as np
+    import pandas as pd
+
+    ids = np.asarray(["" if x is None else x for x in col.to_pylist()],
+                     dtype=object)
+    return pa.array((pd.util.hash_array(ids)
+                     % np.uint64(n_buckets)).astype(np.int32))
+
+
 def conversation_stats_table(ds) -> "pa.Table":
     """Per-conversation rollup of a transcript Dataset (turns, role mix,
     tool usage, whitespace-token volume, tokens/turn) — the shared kernel
@@ -429,12 +445,8 @@ def conversation_stats_table(ds) -> "pa.Table":
     import pandas as pd
 
     def add_bkt(t: pa.Table) -> pa.Table:
-        import numpy as _np
-        import pandas as _pd
-
-        ids = _np.asarray(t.column("conv_id").to_pylist(), dtype=object)
-        b = (_pd.util.hash_array(ids) % _np.uint64(64)).astype(_np.int32)
-        return t.append_column("_bkt", pa.array(b))
+        return t.append_column("_bkt",
+                               string_hash_buckets(t.column("conv_id")))
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         return _conv_final(g)
@@ -455,17 +467,14 @@ def turn_pairs_dataset(ds):
     assistant turn yields (conv_id, turn_idx, prompt, response). One coarse
     conv-hash exchange; per-bucket lexsort + shift(-1) compare; NULL texts
     pass through as genuine NULLs (SQL lead semantics)."""
-    import numpy as np
     import pandas as pd
 
     def project(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t.column("conv_id").to_pylist(), dtype=object)
-        b = (pd.util.hash_array(ids) % np.uint64(64)).astype(np.int32)
         return pa.table({"conv_id": pc.cast(t.column("conv_id"), pa.string()),
                          "turn_idx": pc.cast(t.column("turn_idx"), pa.int64()),
                          "role": pc.cast(t.column("role"), pa.string()),
                          "text": pc.cast(t.column("text"), pa.string()),
-                         "_bkt": pa.array(b)})
+                         "_bkt": string_hash_buckets(t.column("conv_id"))})
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["conv_id", "turn_idx"],

@@ -1787,12 +1787,22 @@ def q_users_intersect(sf_dir: str):
         g["bucket"] = (pd.util.hash_array(
             g["user_id"].fillna(-1).to_numpy(np.int64))
             % np.uint64(64)).astype(np.int64)
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # explicit schema: a NULL-bearing block must not emit user_id as
+        # double while null-free blocks emit int64 (the zscore_outliers
+        # partial's block-schema-drift guard)
+        return pa.table({
+            "user_id": pa.array(g["user_id"].astype("Int64"), pa.int64()),
+            "c": pa.array(g["c"], pa.bool_()),
+            "p": pa.array(g["p"], pa.bool_()),
+            "bucket": pa.array(g["bucket"], pa.int64())})
 
     def finish(g: pd.DataFrame) -> pd.DataFrame:
         f = g.groupby("user_id", dropna=False, as_index=False).agg(
             c=("c", "max"), p=("p", "max"))
-        return f.loc[f["c"] & f["p"], ["user_id"]]
+        f = f.loc[f["c"] & f["p"], ["user_id"]]
+        # nullable Int64 so a surviving NULL user converts to an Arrow null,
+        # never a NaN double the final cast would choke on
+        return f.assign(user_id=f["user_id"].astype("Int64"))
 
     out = (ev.map_batches(partial, batch_format="pyarrow")
            .groupby("bucket").map_groups(finish, batch_format="pandas"))
@@ -2600,18 +2610,17 @@ def q_conversation_rebuild(sf_dir: str, tmp_root: str = "/tmp/kcs3_ray"):
         fx["changelog_dir"], out_dir, mpath, lake_dir=fx["lake_dir"],
         num_partitions=fx["num_partitions"], hot_keys="auto",
     )
+    from .maintenance import string_hash_buckets
     from .upsert import read_lake
 
     def project(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t.column("conv_id").to_pylist(), dtype=object)
-        b = (pd.util.hash_array(ids) % np.uint64(64)).astype(np.int32)
         role = pc.fill_null(pc.cast(t.column("role"), pa.string()), "")
         text = pc.fill_null(pc.cast(t.column("text"), pa.string()), "")
         line = pc.binary_join_element_wise(role, text, ": ")
         return pa.table({"conv_id": pc.cast(t.column("conv_id"), pa.string()),
                          "turn_idx": pc.cast(t.column("turn_idx"), pa.int64()),
                          "line": line,
-                         "_bkt": pa.array(b)})
+                         "_bkt": string_hash_buckets(t.column("conv_id"))})
 
     def rebuild(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["conv_id", "turn_idx"], kind="stable")
@@ -2650,15 +2659,14 @@ def q_dialog_integrity(sf_dir: str, tmp_root: str = "/tmp/kcs3_ray"):
         fx["changelog_dir"], out_dir, mpath, lake_dir=fx["lake_dir"],
         num_partitions=fx["num_partitions"], hot_keys="auto",
     )
+    from .maintenance import string_hash_buckets
     from .upsert import read_lake
 
     def project(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t.column("conv_id").to_pylist(), dtype=object)
-        b = (pd.util.hash_array(ids) % np.uint64(64)).astype(np.int32)
         return pa.table({"conv_id": pc.cast(t.column("conv_id"), pa.string()),
                          "turn_idx": pc.cast(t.column("turn_idx"), pa.int64()),
                          "role": pc.cast(t.column("role"), pa.string()),
-                         "_bkt": pa.array(b)})
+                         "_bkt": string_hash_buckets(t.column("conv_id"))})
 
     def integrity(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["conv_id", "turn_idx"],
@@ -2735,17 +2743,14 @@ def q_sft_curation(sf_dir: str, tmp_root: str = "/tmp/kcs3_ray"):
         fx["changelog_dir"], out_dir, mpath, lake_dir=fx["lake_dir"],
         num_partitions=fx["num_partitions"], hot_keys="auto",
     )
-    from .maintenance import turn_pairs_dataset
+    from .maintenance import string_hash_buckets, turn_pairs_dataset
     from .upsert import read_lake
 
     pairs = turn_pairs_dataset(read_lake(m))
 
     def tag(t: pa.Table) -> pa.Table:
-        p = np.asarray(
-            ["" if x is None else x
-             for x in t.column("prompt").to_pylist()], dtype=object)
-        b = (pd.util.hash_array(p) % np.uint64(64)).astype(np.int32)
-        return t.append_column("_pbkt", pa.array(b))
+        return t.append_column("_pbkt",
+                               string_hash_buckets(t.column("prompt")))
 
     def dedup_gate(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["conv_id", "turn_idx"],
@@ -4711,11 +4716,13 @@ ORACLE_SQL["turn_pairs"] = turn_pairs_oracle_sql()
 
 
 def _tokens_ws_sql_for(col: str) -> str:
-    """The engine-wide whitespace-token count for an arbitrary column (the
-    _TOKENS_WS_SQL contract, parameterized): NULL/blank -> 0."""
-    return (f"CAST(COALESCE(CASE WHEN trim({col}) = '' THEN 0 "
-            f"ELSE array_length(regexp_split_to_array(trim({col}), "
-            f"'\\s+')) END, 0) AS BIGINT)")
+    """The engine-wide whitespace-token count for an arbitrary column:
+    NULL/blank -> 0. Split-then-filter rather than trim-then-split, because
+    DuckDB ``trim()`` strips only SPACES — a leading tab/newline would leave
+    an empty edge token and over-count by up to 2 vs the engine's Python
+    ``str.split()`` (which this form matches exactly on ASCII whitespace)."""
+    return (f"CAST(COALESCE(len(list_filter(regexp_split_to_array({col}, "
+            f"'\\s+'), x -> x <> '')), 0) AS BIGINT)")
 
 
 def sft_curation_oracle_sql(
