@@ -84,7 +84,7 @@ SQL_CHECKED = [
     "tfidf_terms",
     "embedding_centroids", "embedding_covariance",
     "value_histogram", "zscore_outliers", "mad_outliers", "users_intersect",
-    "bm25_search",
+    "users_except", "daily_trends", "bm25_search",
     "sequence_packing", "seeded_shuffle", "percentile_rank", "ntile_buckets",
     "grouped_ntile", "winsorize", "turn_pairs", "rag_chunks", "sft_curation",
     "exact_k_sample", "grouped_exact_k", "heavy_hitters",
