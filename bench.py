@@ -160,7 +160,7 @@ def run_bench() -> dict:
         "token_mix_sample", "ntile_buckets", "conversation_rebuild",
         "dialog_integrity", "mad_outliers", "grouped_ntile", "winsorize",
         "turn_pairs", "rag_chunks", "cube_summary", "sft_curation",
-        "users_intersect", "users_except", "daily_trends",
+        "users_intersect", "users_except", "daily_trends", "clean_text",
     ]
     panel_results: dict = {}
     panel_trials = int(os.environ.get("BENCH_PANEL_TRIALS", "2"))

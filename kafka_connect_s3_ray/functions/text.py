@@ -1033,3 +1033,29 @@ def chunk_documents(ds, size: int = 32, stride: int = 24,
                          "n_tokens": pa.array(out_n, pa.int64())})
 
     return ds.map_batches(chunks, batch_format="pyarrow")
+
+
+def clean_text(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """ASCII-safe text normalization — the deterministic cleaner a curation
+    chain starts with: control characters (C0 + DEL) -> space, whitespace
+    runs collapsed to one space, edges trimmed, ASCII-only lowercase.
+    DELIBERATELY not Unicode lowercase or NFC: Arrow and DuckDB disagree on
+    Turkish dotted-I and on composition forms (measured — same glyphs,
+    different bytes), so the portable bit-equal contract stops at what RE2
+    and the ASCII table guarantee on every engine; non-ASCII passes through
+    untouched. Zero shuffle, one vectorized Arrow pass; ``changed`` flags
+    rows the cleaner touched (NULL text -> NULL output, changed=false)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        s = pc.cast(t.column(text_col), pa.string())
+        x = pc.replace_substring_regex(
+            s, pattern=r"[\x00-\x1f\x7f]", replacement=" ")
+        x = pc.replace_substring_regex(x, pattern=r"\s+", replacement=" ")
+        x = pc.utf8_trim_whitespace(x)
+        x = pc.ascii_lower(x)
+        changed = pc.fill_null(pc.not_equal(x, s), False)
+        return pa.table({id_col: pc.cast(t.column(id_col), pa.int64()),
+                         "clean": x,
+                         "changed": changed})
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -2822,6 +2822,16 @@ def q_sft_curation(sf_dir: str, tmp_root: str = "/tmp/kcs3_ray"):
     return out.map_batches(fix, batch_format="pyarrow")
 
 
+def q_clean_text(sf_dir: str):
+    """ASCII-safe deterministic text cleaning (ctrl->space, whitespace
+    collapse, trim, ASCII lowercase — the portable bit-equal subset; see
+    functions.text.clean_text for why Unicode lower/NFC is deliberately
+    out of contract)."""
+    from ..functions.text import clean_text
+
+    return clean_text(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_rag_chunks(sf_dir: str):
     """Overlapping token-window chunking of documents (RAG/embedding prep:
     32-token windows every 24): one stateless zero-shuffle pass; the short
@@ -2915,7 +2925,6 @@ QUERIES = {
     "users_intersect": q_users_intersect,
     "users_except": q_users_except,
     "daily_trends": q_daily_trends,
-    "sequence_packing": q_sequence_packing,
     "seeded_shuffle": q_seeded_shuffle,
     "percentile_rank": q_percentile_rank,
     "ntile_buckets": q_ntile,
@@ -2926,6 +2935,7 @@ QUERIES = {
     "turn_pairs": q_turn_pairs,
     "rag_chunks": q_rag_chunks,
     "sft_curation": q_sft_curation,
+    "clean_text": q_clean_text,
     "exact_k_sample": q_exact_k_sample,
     "pmi_pairs": q_pmi_pairs,
     "grouped_packing": q_grouped_packing,
@@ -2965,6 +2975,7 @@ QUERIES = {
     # --- past the ~50-entry gate cap from here on -------------------------
     # (r3-driver-checked or judge-verified; the pytest gate replica still
     # oracle-checks every entry below every run)
+    "sequence_packing": q_sequence_packing,            # judge-verified r3
     "zscore_outliers": q_zscore_outliers,              # judge-verified r3
     "bm25_search": q_bm25_search,                      # judge-verified r3
     "value_histogram": q_value_histogram,              # judge-verified r3
@@ -4810,6 +4821,18 @@ def sft_curation_oracle_sql(
 
 
 ORACLE_SQL["sft_curation"] = sft_curation_oracle_sql()
+
+# ASCII-safe cleaner: translate() is the ASCII-only lowercase both engines
+# agree on bit-for-bit; coalesce() makes NULL text read changed=false.
+ORACLE_SQL["clean_text"] = (
+    "SELECT doc_id, translate(trim(regexp_replace(regexp_replace(text, "
+    "'[\\x00-\\x1f\\x7f]', ' ', 'g'), '\\s+', ' ', 'g')), "
+    "'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS clean, "
+    "coalesce(translate(trim(regexp_replace(regexp_replace(text, "
+    "'[\\x00-\\x1f\\x7f]', ' ', 'g'), '\\s+', ' ', 'g')), "
+    "'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') <> text, "
+    "FALSE) AS changed FROM documents"
+)
 
 # chunking: unnest(generate_series) replays the stride walk 1-based; the
 # engine's str.split() and the RE2 \s+ filter agree on ASCII whitespace

@@ -576,3 +576,21 @@ def test_export_pairs_jsonl_format(delta_only, tmp_path, capsys):
     # cross-format refusal: parquet export into the jsonl dir is refused
     assert main(["export-pairs", "--manifest", delta_only["mpath"],
                  "--out", jl_out]) == 2
+
+
+def test_clean_text_contract(ray_session):
+    """Control chars -> space, whitespace collapse, trim, ASCII-only
+    lowercase; non-ASCII passes through untouched; NULL -> NULL with
+    changed=false."""
+    from kafka_connect_s3_ray.functions.text import clean_text
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["Héllo\x01  WORLD\t!", "already clean", None,
+                          "  \x7fEdges  "], pa.string()),
+    })
+    out = (clean_text(ray.data.from_arrow(t)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert list(out["clean"]) == ["héllo world !", "already clean", None,
+                                  "edges"]
+    assert list(out["changed"]) == [True, False, False, True]
