@@ -168,6 +168,20 @@ def main(argv: list[str] | None = None) -> int:
     pk.add_argument("--id-col", default="doc_id")
     pk.add_argument("--text-col", default="text")
 
+    ck = sub.add_parser("chunk", help="overlapping token-window chunking of "
+                                      "a documents parquet (RAG/embedding "
+                                      "prep) to parquet or JSONL")
+    ck.add_argument("--docs", required=True, help="documents parquet file/dir")
+    ck.add_argument("--out", required=True)
+    ck.add_argument("--size", type=int, default=32,
+                    help="tokens per chunk window")
+    ck.add_argument("--stride", type=int, default=24,
+                    help="tokens between window starts (overlap = size-stride)")
+    ck.add_argument("--id-col", default="doc_id")
+    ck.add_argument("--text-col", default="text")
+    ck.add_argument("--format", choices=("parquet", "jsonl"),
+                    default="parquet")
+
     sb = sub.add_parser("seen-build", help="build a persisted seen-content "
                                            "index from a documents parquet")
     sb.add_argument("--docs", required=True, help="documents parquet file/dir")
@@ -579,6 +593,26 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"from": args.from_snapshot, "to": args.to_snapshot,
                               "out": args.out, "changes": ops,
                               "total": sum(ops.values())}))
+            return 0
+        if args.cmd == "chunk":
+            import ray.data
+
+            from kafka_connect_s3_ray.functions.text import chunk_documents
+
+            if os.path.isdir(args.out) and os.listdir(args.out):
+                print(f"error: --out {args.out} is not empty; chunk to a "
+                      "fresh directory", file=sys.stderr)
+                return 2
+            ds = chunk_documents(
+                ray.data.read_parquet(args.docs),
+                size=args.size, stride=args.stride,
+                text_col=args.text_col, id_col=args.id_col)
+            if args.format == "jsonl":
+                ds.write_json(args.out, date_format="iso", date_unit="us")
+            else:
+                ds.write_parquet(args.out)
+            print(json.dumps({"out": args.out, "format": args.format,
+                              "size": args.size, "stride": args.stride}))
             return 0
         if args.cmd == "pack":
             import shutil

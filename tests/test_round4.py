@@ -594,3 +594,33 @@ def test_clean_text_contract(ray_session):
     assert list(out["clean"]) == ["héllo world !", "already clean", None,
                                   "edges"]
     assert list(out["changed"]) == [True, False, False, True]
+
+
+def test_chunk_cli_matches_library(tmp_path, ray_session, capsys):
+    """`chunk` writes exactly the library chunking of the input docs and
+    refuses a non-empty output directory."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq_
+
+    from kafka_connect_s3_ray.__main__ import main
+    from kafka_connect_s3_ray.functions.text import chunk_documents
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["one two three four five", None, "a b"],
+                         pa.string()),
+    })
+    src = str(tmp_path / "docs.parquet")
+    pq_.write_table(docs, src)
+    out = str(tmp_path / "chunks")
+    assert main(["chunk", "--docs", src, "--out", out,
+                 "--size", "3", "--stride", "2"]) == 0
+    got = (pads.dataset(out).to_table().to_pandas()
+           .sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True))
+    exp = (chunk_documents(ray.data.from_arrow(docs), size=3, stride=2)
+           .to_pandas().sort_values(["doc_id", "chunk_idx"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert list(got.loc[got["doc_id"] == 1, "chunk"]) == [
+        "one two three", "three four five", "five"]
+    assert main(["chunk", "--docs", src, "--out", out]) == 2
