@@ -461,3 +461,68 @@ def grouped_ntile(ds, group_col: str, val_col: str, id_col: str, k: int,
 
     return (ds.map_batches(project, batch_format="pyarrow")
             .groupby("bucket").map_groups(tiles, batch_format="pandas"))
+
+
+def global_value_ranks(ds, val_col: str, id_col: str, n_buckets: int = 32):
+    """The full SQL rank family in ONE sortless shape — ``row_number() - 1``
+    (by (val, id)), ``dense_rank()`` and ``cume_dist()`` (by val) — over the
+    same value-bucketed meta as ``global_rank``. Ties never straddle
+    buckets (searchsorted 'left' on the value alone), so every per-value
+    statistic is bucket-local plus a driver offset:
+
+    - row rank: bucket row-count prefix + local lexsort position;
+    - dense rank: bucket DISTINCT-count prefix + local run index — distinct
+      counts need the whole bucket, so a first tiny per-bucket stats
+      exchange (one row per bucket) precedes the ranking exchange (two
+      exchanges total, both of the already-materialized meta);
+    - cume_dist: (bucket row offset + local count of values <= v) / n,
+      rounded to 6 dp (the catalog float contract).
+
+    NULL/NaN excluded as in ``global_rank``; empty input -> typed empty."""
+    import pandas as pd
+
+    import ray
+    import ray.data
+
+    got = _value_bucketed(ds, val_col, id_col, n_buckets)
+    if got is None:
+        return ray.data.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            val_col: pa.array([], pa.float64()),
+            "rnk": pa.array([], pa.int64()),
+            "dense_rnk": pa.array([], pa.int64()),
+            "cume": pa.array([], pa.float64())}))
+    meta, offsets, n_all = got
+
+    def bucket_stats(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"bucket": [int(g["bucket"].iloc[0])],
+                             "rows": [len(g)],
+                             "distinct": [int(g["v"].nunique())]})
+
+    stats = (meta.groupby("bucket")
+             .map_groups(bucket_stats, batch_format="pandas").to_pandas()
+             .sort_values("bucket"))
+    dense_off = np.zeros(n_buckets, np.int64)
+    d = np.zeros(n_buckets, np.int64)
+    d[stats["bucket"].to_numpy()] = stats["distinct"].to_numpy()
+    dense_off[1:] = np.cumsum(d)[:-1]
+    ref = ray.put((offsets, dense_off))
+
+    def ranks(g: pd.DataFrame) -> pd.DataFrame:
+        offs, doffs = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        b = int(g["bucket"].iloc[0])
+        v = g["v"].to_numpy(np.float64)
+        ids = g[id_col].to_numpy(np.int64)
+        order = np.lexsort((ids, v))
+        rnk = np.empty(len(g), np.int64)
+        rnk[order] = int(offs[b]) + np.arange(len(g))
+        vs = v[order]
+        dense_sorted = np.cumsum(np.r_[True, np.diff(vs) != 0])  # 1-based
+        dense = np.empty(len(g), np.int64)
+        dense[order] = int(doffs[b]) + dense_sorted
+        count_le = int(offs[b]) + np.searchsorted(vs, v, side="right")
+        return pd.DataFrame({id_col: ids, val_col: v, "rnk": rnk,
+                             "dense_rnk": dense,
+                             "cume": np.round(count_le / n_all, 6)})
+
+    return meta.groupby("bucket").map_groups(ranks, batch_format="pandas")

@@ -87,7 +87,7 @@ SQL_CHECKED = [
     "users_except", "daily_trends", "bm25_search",
     "sequence_packing", "seeded_shuffle", "percentile_rank", "ntile_buckets",
     "grouped_ntile", "winsorize", "turn_pairs", "rag_chunks", "sft_curation",
-    "clean_text",
+    "clean_text", "value_ranks",
     "exact_k_sample", "grouped_exact_k", "heavy_hitters",
     "grouped_heavy_hitters", "semantic_unseen", "weighted_sample",
     "left_join", "full_outer_join", "running_totals",

@@ -624,3 +624,27 @@ def test_chunk_cli_matches_library(tmp_path, ray_session, capsys):
     assert list(got.loc[got["doc_id"] == 1, "chunk"]) == [
         "one two three", "three four five", "five"]
     assert main(["chunk", "--docs", src, "--out", out]) == 2
+
+
+def test_value_ranks_ties_match_duckdb(ray_session):
+    """dense_rank and cume_dist with heavy ties (runs straddling quantile
+    bounds) equal DuckDB's windows; row_number settles by id."""
+    import duckdb
+
+    from kafka_connect_s3_ray.functions.quantiles import global_value_ranks
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"event_id": np.arange(120, dtype=np.int64),
+                       "value": rng.integers(0, 7, 120).astype(np.float64)})
+    got = (global_value_ranks(ray.data.from_pandas(df).repartition(5),
+                              "value", "event_id")
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    exp = duckdb.sql(
+        "SELECT event_id, "
+        "CAST(row_number() OVER (ORDER BY value, event_id) - 1 AS BIGINT) "
+        "AS rnk, CAST(dense_rank() OVER (ORDER BY value) AS BIGINT) AS d, "
+        "round(cume_dist() OVER (ORDER BY value), 6) AS c "
+        "FROM df ORDER BY event_id").df()
+    assert (got["rnk"].to_numpy() == exp["rnk"].to_numpy()).all()
+    assert (got["dense_rnk"].to_numpy() == exp["d"].to_numpy()).all()
+    assert np.allclose(got["cume"].to_numpy(), exp["c"].to_numpy())
