@@ -2641,7 +2641,8 @@ def q_conversation_stats(sf_dir: str, tmp_root: str = "/tmp/kcs3_ray"):
     from .maintenance import conversation_stats_table
     from .upsert import read_lake
 
-    return conversation_stats_table(read_lake(m))
+    return conversation_stats_table(read_lake(
+        m, columns=["conv_id", "turn_idx", "role", "text", "tool"]))
 
 
 def q_conversation_rebuild(sf_dir: str, tmp_root: str = "/tmp/kcs3_ray"):
@@ -2686,7 +2687,7 @@ def q_conversation_rebuild(sf_dir: str, tmp_root: str = "/tmp/kcs3_ray"):
         out["turns"] = grp.size().to_numpy()
         return out[["conv_id", "turns", "convo"]]
 
-    out = (read_lake(m)
+    out = (read_lake(m, columns=["conv_id", "turn_idx", "role", "text"])
            .map_batches(project, batch_format="pyarrow")
            .groupby("_bkt").map_groups(rebuild, batch_format="pandas"))
 
@@ -2741,7 +2742,7 @@ def q_dialog_integrity(sf_dir: str, tmp_root: str = "/tmp/kcs3_ray"):
         out["first_role"] = g.loc[~same_conv.to_numpy(), "role"].to_numpy()
         return out[["conv_id", "turns", "role_repeats", "first_role"]]
 
-    out = (read_lake(m)
+    out = (read_lake(m, columns=["conv_id", "turn_idx", "role"])
            .map_batches(project, batch_format="pyarrow")
            .groupby("_bkt").map_groups(integrity, batch_format="pandas"))
 
@@ -2775,7 +2776,8 @@ def q_turn_pairs(sf_dir: str, tmp_root: str = "/tmp/kcs3_ray"):
     from .maintenance import turn_pairs_dataset
     from .upsert import read_lake
 
-    return turn_pairs_dataset(read_lake(m))
+    return turn_pairs_dataset(
+        read_lake(m, columns=["conv_id", "turn_idx", "role", "text"]))
 
 
 def q_sft_curation(sf_dir: str, tmp_root: str = "/tmp/kcs3_ray"):
@@ -2802,7 +2804,8 @@ def q_sft_curation(sf_dir: str, tmp_root: str = "/tmp/kcs3_ray"):
     from .maintenance import string_hash_buckets, turn_pairs_dataset
     from .upsert import read_lake
 
-    pairs = turn_pairs_dataset(read_lake(m))
+    pairs = turn_pairs_dataset(
+        read_lake(m, columns=["conv_id", "turn_idx", "role", "text"]))
 
     def tag(t: pa.Table) -> pa.Table:
         return t.append_column("_pbkt",

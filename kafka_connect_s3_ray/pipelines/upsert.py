@@ -806,11 +806,22 @@ def _resolve_manifest(manifest: Manifest | str,
 
 
 def read_lake(manifest: Manifest | str,
-              snapshot: int | None = None) -> "ray.data.Dataset":
+              snapshot: int | None = None,
+              columns: "list[str] | None" = None) -> "ray.data.Dataset":
     """Current lake snapshot as a streaming Dataset. With rewrite commits this
     is a plain parquet read; with pending deltas each partition resolves
     merge-on-read in its own Ray task first. ``snapshot`` time-travels to a
-    retained commit (see ``Manifest.snapshots`` / ``snapshot_for_watermark``)."""
+    retained commit (see ``Manifest.snapshots`` / ``snapshot_for_watermark``).
+
+    ``columns`` prunes the read to the named payload columns — the
+    100-TB lever for analytics that never touch the text/ts columns
+    (dialog_integrity reads 3 of the lake's 6). Pruning applies only on the
+    no-delta path AND only when every current file's footer carries all
+    requested columns (schema evolution can leave an older base without a
+    later column, and a pruned read of a missing column is a hard error —
+    measured); otherwise it silently falls back to the full read, which the
+    caller's own projection then narrows. Footer checks are driver-side
+    metadata reads, O(files)."""
     manifest = _resolve_manifest(manifest, snapshot)
     current = manifest.current_files()
     if not any(_is_delta(f) for fs in current.values() for f in fs):
@@ -819,6 +830,9 @@ def read_lake(manifest: Manifest | str,
             from ..schema import LAKE_SCHEMA  # read_parquet([]) crash
 
             return ray.data.from_arrow(LAKE_SCHEMA.empty_table())
+        if columns and all(
+                set(columns) <= set(pq.read_schema(f).names) for f in files):
+            return ray.data.read_parquet(files, columns=list(columns))
         return ray.data.read_parquet(files)
     refs = [_resolve_partition_task.remote(fs) for fs in current.values() if fs]
     return ray.data.from_arrow_refs(refs)

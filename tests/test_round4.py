@@ -648,3 +648,34 @@ def test_value_ranks_ties_match_duckdb(ray_session):
     assert (got["rnk"].to_numpy() == exp["rnk"].to_numpy()).all()
     assert (got["dense_rnk"].to_numpy() == exp["d"].to_numpy()).all()
     assert np.allclose(got["cume"].to_numpy(), exp["c"].to_numpy())
+
+
+def test_read_lake_column_pruning_and_evolution_fallback(tmp_path,
+                                                         ray_session):
+    """`read_lake(columns=...)` prunes the parquet read when every current
+    file carries the columns, matches the full read's projection exactly,
+    and silently falls back to the full read when schema evolution left a
+    file without a requested column (a pruned read of it would hard-error)."""
+    import pyarrow.parquet as pq_
+
+    from kafka_connect_s3_ray.pipelines.upsert import read_lake, run_upsert
+    from kafka_connect_s3_ray.synth import write_fixture
+
+    root = str(tmp_path)
+    fx = write_fixture(root, n_conv=40, n_events=600, num_partitions=2)
+    mpath = os.path.join(root, "m.json")
+    m = run_upsert(fx["changelog_dir"], os.path.join(root, "out"), mpath,
+                   lake_dir=fx["lake_dir"], num_partitions=2)
+    cols = ["conv_id", "turn_idx", "role"]
+    pruned = read_lake(m, columns=cols)
+    assert set(pruned.schema().names) == set(cols)  # actually pruned
+    full = (read_lake(m).to_pandas()[cols]
+            .sort_values(cols).reset_index(drop=True))
+    got = pruned.to_pandas().sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, full, check_dtype=False)
+    # evolve one current file: drop 'tool' — the guard must refuse to prune
+    victim = next(f for fs in m.current_files().values() for f in fs)
+    t = pq_.read_table(victim)
+    pq_.write_table(t.drop_columns(["tool"]), victim)
+    fb = read_lake(m, columns=["conv_id", "turn_idx", "tool"])
+    assert set(fb.schema().names) != {"conv_id", "turn_idx", "tool"}
