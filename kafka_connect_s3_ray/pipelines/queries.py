@@ -172,6 +172,65 @@ def q_lww_keep_last(sf_dir: str):
     return out.map_batches(rename, batch_format="pyarrow")
 
 
+def q_patch_merge(sf_dir: str):
+    """Coalescing partial-update (patch) merge — the Debezium-style CDC
+    contract where a delta sets only SOME columns and the merge must take,
+    per key and per column independently, the last non-null value in offset
+    order (whole-row LWW would erase untouched columns with the newest
+    row's NULLs). Fixture mapping: each event patches only the column of
+    its type (click -> last_click, view -> last_view, purchase ->
+    last_purchase; other types patch nothing but still advance the offset),
+    key = user_id, offset = event_id. Distribution is the LWW shape: one
+    coarse user-hash exchange, then the exact vectorized ``patch_merge``
+    kernel (stages/merge.py: composite-key factorize + integer lexsort +
+    per-column maximum.reduceat) inside each bucket — a key lives wholly in
+    one bucket, so bucket-local per-column lasts ARE the global ones."""
+    from ..stages.merge import patch_merge
+
+    def add_patch_cols(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        val = batch.column("value")
+        et = batch.column("event_type")
+        cols = {
+            "user_id": batch.column("user_id"),
+            "event_id": pc.cast(batch.column("event_id"), pa.int64()),
+        }
+        for typ in ("click", "view", "purchase"):
+            cols[f"last_{typ}"] = pc.if_else(
+                pc.equal(et, typ), val, pa.scalar(None, type=pa.float64()))
+        cols["coarse"] = pa.array((uid % 64).astype(np.int32))
+        return pa.table(cols)
+
+    def bucket_patch(g: pa.Table) -> pa.Table:
+        # last_offset rides along as a payload column: event_id is never
+        # null, so its per-key last non-null IS max(event_id)
+        g = g.append_column("last_offset", g.column("event_id"))
+        return patch_merge(
+            g.drop_columns(["coarse"]), key_cols=["user_id"],
+            order_col="event_id",
+            payload_cols=["last_click", "last_view", "last_purchase",
+                          "last_offset"],
+            count_col="n_events")
+
+    out = (
+        _events(sf_dir, ["event_id", "user_id", "event_type", "value"])
+        .map_batches(add_patch_cols, batch_format="pyarrow")
+        .groupby("coarse")
+        .map_groups(bucket_patch, batch_format="pyarrow")
+    )
+
+    def fix(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(t.column("user_id"), pa.int64()),
+            "last_click": pc.cast(t.column("last_click"), pa.float64()),
+            "last_view": pc.cast(t.column("last_view"), pa.float64()),
+            "last_purchase": pc.cast(t.column("last_purchase"), pa.float64()),
+            "last_offset": pc.cast(t.column("last_offset"), pa.int64()),
+            "n_events": pc.cast(t.column("n_events"), pa.int64())})
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
 def _events_to_change(batch: pa.Table) -> pa.Table:
     """events row -> changelog row: key = user_id, op = 'D' iff
     event_type = 'error', LWW offset = event_id."""
@@ -2976,7 +3035,7 @@ QUERIES = {
     "zorder_lookup": q_zorder_lookup,
     "token_entropy": q_token_entropy,
     "rollup_summary": q_rollup_summary,
-    "cube_summary": q_cube_summary,
+    "patch_merge": q_patch_merge,
     "chunk_dedup": q_chunk_dedup,
     "rrf_fusion": q_rrf_fusion,
     "type_regression": q_type_regression,
@@ -2991,6 +3050,8 @@ QUERIES = {
     # --- past the ~50-entry gate cap from here on -------------------------
     # (r3-driver-checked or judge-verified; the pytest gate replica still
     # oracle-checks every entry below every run)
+    "cube_summary": q_cube_summary,  # spilled: derived from the SAME shared
+    #                          rollup leaves as in-window rollup_summary
     "seeded_shuffle": q_seeded_shuffle,                # judge-verified r3
     "sequence_packing": q_sequence_packing,            # judge-verified r3
     "zscore_outliers": q_zscore_outliers,              # judge-verified r3
@@ -3141,6 +3202,20 @@ ORACLE_SQL = {
         "SELECT CAST(user_id AS BIGINT) AS user_id, event_type, value, props, ts "
         "FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) "
         "AS rn FROM events) WHERE rn = 1 AND event_type <> 'error'"
+    ),
+    # per-column coalescing patch merge: max_by(col, offset) over only the
+    # rows that SET the column == last non-null in offset order
+    "patch_merge": (
+        "SELECT CAST(user_id AS BIGINT) AS user_id, "
+        "max_by(value, event_id) FILTER (WHERE event_type = 'click') "
+        "AS last_click, "
+        "max_by(value, event_id) FILTER (WHERE event_type = 'view') "
+        "AS last_view, "
+        "max_by(value, event_id) FILTER (WHERE event_type = 'purchase') "
+        "AS last_purchase, "
+        "CAST(max(event_id) AS BIGINT) AS last_offset, "
+        "CAST(count(*) AS BIGINT) AS n_events "
+        "FROM events GROUP BY user_id"
     ),
     # the lake as of snapshot 1 = LWW replay over ONLY phase-1 events
     # (event_id <= max(event_id)//2, the same split the engine computes)

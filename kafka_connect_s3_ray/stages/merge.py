@@ -102,6 +102,75 @@ def compact_events(
     return events.take(pa.array(keep))
 
 
+def patch_merge(
+    events: pa.Table,
+    key_cols: list[str] = KEY_COLUMNS,
+    order_col: str = "offset",
+    payload_cols: list[str] | None = None,
+    count_col: str | None = None,
+) -> pa.Table:
+    """Coalescing partial-update (patch) merge: one row per key, where each
+    payload column independently takes its value from the LAST (max
+    ``order_col``) event that SET it (non-null) and stays NULL if no event
+    for that key ever set it.
+
+    This is the Debezium/JDBC-source partial-update contract: a CDC delta
+    may carry only the columns the upstream UPDATE touched (the rest NULL).
+    Whole-row LWW (``compact_events`` + ``lww_merge``) would wrongly erase
+    untouched columns with the newest row's NULLs; patch semantics coalesce
+    per column instead. The reference never merges at all — it keeps every
+    record version (sink/.../S3SinkTask.java:249-254) — so like J1/D3 this
+    is a north-rule extension, the sibling of ``lww_merge`` for sources
+    that emit sparse deltas.
+
+    Same per-partition assumption as every merge here: all events for a key
+    are present in ``events`` (keys are co-partitioned upstream). Ties in
+    ``order_col`` within a key resolve to the later input row (stable
+    lexsort), so callers wanting full determinism need unique order values —
+    identical to ``compact_events``. Vectorized end to end: composite-key
+    factorize (``_key_codes``) + integer lexsort + ``np.maximum.reduceat``
+    per payload column; no per-row Python.
+
+    ``count_col``: optionally emit the per-key event count under this name
+    (int64) — the audit column a CDC consumer wants next to the patched row.
+    """
+    if payload_cols is None:
+        payload_cols = [
+            c for c in events.column_names
+            if c not in key_cols and c != order_col and c not in NON_PAYLOAD
+        ]
+    n = len(events)
+    if n == 0:
+        cols = {c: events.column(c) for c in key_cols}
+        cols.update({c: events.column(c) for c in payload_cols})
+        if count_col is not None:
+            cols[count_col] = pa.array([], type=pa.int64())
+        return pa.table(cols)
+    codes = _key_codes([events], key_cols)
+    order = events.column(order_col).to_numpy(zero_copy_only=False)
+    idx = np.lexsort((order, codes))  # by key, then order; stable
+    scodes = codes[idx]
+    starts = np.flatnonzero(np.r_[True, scodes[1:] != scodes[:-1]])
+    ends = np.r_[starts[1:], n] - 1  # last row of each key (sorted space)
+    cols = {}
+    key_take = pa.array(idx[ends])
+    for c in key_cols:
+        cols[c] = events.column(c).take(key_take)
+    arange = np.arange(n, dtype=np.int64)
+    for c in payload_cols:
+        col = events.column(c).combine_chunks()
+        svalid = pc.is_valid(col).to_numpy(zero_copy_only=False)[idx]
+        # sorted-space position of each non-null row; -1 marks null, so the
+        # per-key running max is the LAST position that set the column
+        pos = np.where(svalid, arange, np.int64(-1))
+        last = np.maximum.reduceat(pos, starts)
+        src = idx[np.where(last >= 0, last, 0)]
+        cols[c] = col.take(pa.array(src, mask=last < 0))
+    if count_col is not None:
+        cols[count_col] = pa.array(np.diff(np.r_[starts, n]).astype(np.int64))
+    return pa.table(cols)
+
+
 def lww_merge(
     lake: pa.Table | None,
     events: pa.Table,

@@ -131,3 +131,61 @@ def test_last_per_key_and_align():
     target = pa.schema([("k", pa.string()), ("v", pa.int64()), ("w", pa.string())])
     al = align_to_schema(t, target)
     assert al.schema.equals(target) and al.column("w").null_count == 3
+
+
+def test_patch_merge_matches_duckdb_max_by():
+    """Coalescing partial-update merge: per key, per column, last non-null in
+    offset order — checked value-for-value against DuckDB max_by + FILTER."""
+    import duckdb
+
+    from kafka_connect_s3_ray.stages.merge import patch_merge
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    t = pa.table({
+        "k": rng.integers(0, 250, n),
+        "g": rng.choice(["x", "y", "z"], n),  # composite string key part
+        "offset": rng.permutation(n),
+        "a": pa.array(np.where(rng.random(n) < 0.5,
+                               rng.random(n).round(3), np.nan),
+                      from_pandas=True),
+        "b": pa.array(np.where(rng.random(n) < 0.2,
+                               rng.integers(0, 9, n).astype(float), np.nan),
+                      from_pandas=True),
+    })
+    got = (patch_merge(t, ["k", "g"], "offset", ["a", "b"], count_col="n")
+           .to_pandas().sort_values(["k", "g"]).reset_index(drop=True))
+    exp = duckdb.sql(
+        'SELECT k, g, max_by(a, "offset") FILTER (a IS NOT NULL) AS a, '
+        'max_by(b, "offset") FILTER (b IS NOT NULL) AS b, '
+        'CAST(count(*) AS BIGINT) AS n FROM t GROUP BY k, g ORDER BY k, g'
+    ).df()
+    pd.testing.assert_frame_equal(
+        got.astype({"k": "int64"}), exp.astype({"k": "int64"}),
+        check_dtype=False)
+
+
+def test_patch_merge_vs_whole_row_lww():
+    """The semantic point: a newest row with NULLs must NOT erase columns an
+    older row set (whole-row LWW does; patch merge must not)."""
+    from kafka_connect_s3_ray.stages.merge import compact_events, patch_merge
+
+    t = pa.table({
+        "k": [1, 1, 1],
+        "offset": [10, 20, 30],
+        "a": pa.array([1.0, None, None], pa.float64()),
+        "b": pa.array([None, 2.0, None], pa.float64()),
+    })
+    out = patch_merge(t, ["k"], "offset").to_pydict()
+    assert out == {"k": [1], "a": [1.0], "b": [2.0]}
+    lww = compact_events(t, ["k"], "offset").to_pydict()
+    assert lww["a"] == [None] and lww["b"] == [None]  # what LWW would do
+    # never-set column stays NULL; empty input keeps the schema
+    t2 = pa.table({"k": [5], "offset": [1],
+                   "a": pa.array([None], pa.float64()),
+                   "b": pa.array([None], pa.float64())})
+    out2 = patch_merge(t2, ["k"], "offset", count_col="n").to_pydict()
+    assert out2 == {"k": [5], "a": [None], "b": [None], "n": [1]}
+    empty = patch_merge(t.slice(0, 0), ["k"], "offset", count_col="n")
+    assert empty.num_rows == 0
+    assert empty.schema.names == ["k", "a", "b", "n"]
