@@ -161,7 +161,7 @@ def run_bench() -> dict:
         "dialog_integrity", "mad_outliers", "grouped_ntile", "winsorize",
         "turn_pairs", "rag_chunks", "cube_summary", "sft_curation",
         "users_intersect", "users_except", "daily_trends", "clean_text",
-        "value_ranks", "patch_merge", "pagerank",
+        "value_ranks", "patch_merge", "pagerank", "moving_average",
     ]
     panel_results: dict = {}
     panel_trials = int(os.environ.get("BENCH_PANEL_TRIALS", "2"))

@@ -2606,6 +2606,55 @@ def q_event_lag_lead(sf_dir: str):
     return out.map_batches(fix, batch_format="pyarrow")
 
 
+def q_moving_average(sf_dir: str):
+    """Bounded-rows window frame parity (ROWS BETWEEN 3 PRECEDING AND
+    CURRENT ROW): per-user moving sum/avg/count over the (ts, event_id)
+    stream — the smoothing primitive running_totals (unbounded frame) and
+    event_lag_lead (single-offset) don't cover. Same distribution shape:
+    one coarse user-hash exchange, then per-bucket lexsort + grouped
+    shift(1..3) and a fixed-order nansum across the <=4 frame members — a
+    user lives wholly in one bucket, so bucket-local frames ARE the global
+    ones. Frame sums of 4 doubles differ from DuckDB's only at ULP level,
+    absorbed by the gate's 6-dp rounding."""
+    from ..functions.funnel import _user_bucketer
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+    tagged = ev.map_batches(_user_bucketer("user_id", 64, ts_col="ts"),
+                            batch_format="pyarrow")
+
+    def bucket_frame(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="stable").reset_index(drop=True)
+        grp = g.groupby("user_id", sort=False)["value"]
+        stack = np.vstack([
+            g["value"].to_numpy(dtype=np.float64),
+            grp.shift(1).to_numpy(dtype=np.float64),
+            grp.shift(2).to_numpy(dtype=np.float64),
+            grp.shift(3).to_numpy(dtype=np.float64)])
+        valid = ~np.isnan(stack)
+        sum4 = np.where(valid, stack, 0.0).sum(axis=0)
+        n = valid.sum(axis=0)
+        return pd.DataFrame({
+            "event_id": g["event_id"].astype("int64"),
+            "user_id": g["user_id"],
+            "sum4": sum4,
+            "avg4": sum4 / np.maximum(n, 1),
+            "n_frame": n.astype("int64")})
+
+    out = tagged.groupby("bucket").map_groups(bucket_frame,
+                                              batch_format="pandas")
+
+    def fix(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": pc.cast(t.column("event_id"), pa.int64()),
+            "user_id": pc.cast(t.column("user_id"), pa.int64()),
+            "sum4": pc.cast(t.column("sum4"), pa.float64()),
+            "avg4": pc.cast(t.column("avg4"), pa.float64()),
+            "n_frame": pc.cast(t.column("n_frame"), pa.int64())})
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
 def q_left_join(sf_dir: str):
     """customer LEFT JOIN orders through the coarse-bucket exchange:
     unmatched customers carry NULL order columns (nullable-dtype discipline
@@ -3052,7 +3101,7 @@ QUERIES = {
     "percentile_rank": q_percentile_rank,
     "ntile_buckets": q_ntile,
     "value_ranks": q_value_ranks,
-    "grouped_ntile": q_grouped_ntile,
+    "moving_average": q_moving_average,
     "winsorize": q_winsorize,
     "conversation_rebuild": q_conversation_rebuild,
     "dialog_integrity": q_dialog_integrity,
@@ -3103,6 +3152,9 @@ QUERIES = {
     #                          rollup leaves as in-window rollup_summary
     "users_except": q_users_except,  # spilled: same _users_setop kernel as
     #                          in-window users_intersect (bit-mask differs)
+    "grouped_ntile": q_grouped_ntile,  # spilled: same NTILE closed-form
+    #                          kernel as in-window ntile_buckets (DuckDB
+    #                          property-tested in test_round4.py)
     "seeded_shuffle": q_seeded_shuffle,                # judge-verified r3
     "sequence_packing": q_sequence_packing,            # judge-verified r3
     "zscore_outliers": q_zscore_outliers,              # judge-verified r3
@@ -3446,6 +3498,13 @@ ORACLE_SQL = {
         "CAST(date_diff('microsecond', lag(ts) OVER w, ts) AS BIGINT) "
         "AS gap_us FROM events "
         "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+    ),
+    "moving_average": (
+        "SELECT event_id, user_id, sum(value) OVER w AS sum4, "
+        "avg(value) OVER w AS avg4, "
+        "CAST(count(value) OVER w AS BIGINT) AS n_frame FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)"
     ),
     "left_join": (
         "SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows, "
