@@ -162,6 +162,7 @@ def run_bench() -> dict:
         "turn_pairs", "rag_chunks", "cube_summary", "sft_curation",
         "users_intersect", "users_except", "daily_trends", "clean_text",
         "value_ranks", "patch_merge", "pagerank", "moving_average",
+        "unpivot_events", "revenue_filter", "numeric_corr",
     ]
     panel_results: dict = {}
     panel_trials = int(os.environ.get("BENCH_PANEL_TRIALS", "2"))

@@ -117,3 +117,55 @@ def test_commit_file_rotation(tmp_path):
     assert m2.current_files()[0] == paths
     t = lake_table(m2)
     assert len(t) == n
+
+
+@st.composite
+def patch_tables(draw):
+    n = draw(st.integers(0, 40))
+    keys = draw(st.lists(st.integers(0, 4), min_size=n, max_size=n))
+    a = draw(st.lists(st.one_of(st.none(), st.floats(-9, 9, allow_nan=False)),
+                      min_size=n, max_size=n))
+    b = draw(st.lists(st.one_of(st.none(), st.integers(0, 99)),
+                      min_size=n, max_size=n))
+    return pa.table({
+        "k": pa.array(keys, pa.int64()),
+        "offset": pa.array(list(range(n)), pa.int64()),
+        "a": pa.array(a, pa.float64()),
+        "b": pa.array([None if x is None else float(x) for x in b],
+                      pa.float64()),
+    })
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(patch_tables(), st.randoms(use_true_random=False))
+def test_patch_merge_matches_naive_and_is_permutation_invariant(t, rnd):
+    from kafka_connect_s3_ray.stages.merge import patch_merge
+
+    # naive per-key per-column oracle
+    df = t.to_pandas()
+    exp = {}
+    for _, row in df.sort_values("offset").iterrows():
+        e = exp.setdefault(row["k"], {"a": None, "b": None, "n": 0})
+        e["n"] += 1
+        for c in ("a", "b"):
+            if pd.notna(row[c]):
+                e[c] = row[c]
+    got = patch_merge(t, ["k"], "offset", ["a", "b"], count_col="n")
+    gdf = got.to_pandas().sort_values("k").reset_index(drop=True)
+    assert len(gdf) == len(exp)
+    for _, row in gdf.iterrows():
+        e = exp[row["k"]]
+        for c in ("a", "b"):
+            if e[c] is None:
+                assert pd.isna(row[c])
+            else:
+                assert row[c] == e[c]
+        assert row["n"] == e["n"]
+    # permutation invariance: offsets are unique, so input row order is noise
+    perm = list(range(len(t)))
+    rnd.shuffle(perm)
+    got2 = patch_merge(t.take(pa.array(perm, type=pa.int64())), ["k"], "offset",
+                       ["a", "b"], count_col="n")
+    g2 = got2.to_pandas().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(gdf, g2)

@@ -91,7 +91,8 @@ SQL_CHECKED = [
     "exact_k_sample", "grouped_exact_k", "heavy_hitters",
     "grouped_heavy_hitters", "semantic_unseen", "weighted_sample",
     "left_join", "full_outer_join", "running_totals", "patch_merge",
-    "pagerank", "moving_average",
+    "pagerank", "moving_average", "unpivot_events", "revenue_filter",
+    "numeric_corr",
     "event_lag_lead", "bigram_logprob", "pq_topk", "zorder_lookup",
     "token_entropy", "rollup_summary", "cube_summary", "chunk_dedup",
     "rrf_fusion", "type_regression", "pivot_events", "token_mix_sample",
