@@ -2341,6 +2341,61 @@ def q_cube_summary(sf_dir: str):
     return _finish_grouping_sets([leaves, by_type, by_day, grand])
 
 
+def q_grouping_sets(sf_dir: str):
+    """GROUP BY GROUPING SETS ((event_type), (day)) parity — the arbitrary
+    (non-hierarchical) grouping-set selection ROLLUP/CUBE are special cases
+    of, derived from the SAME driver-folded (type, day) leaves as X75/X89:
+    choosing WHICH super-aggregate levels to emit is free once leaves fold
+    on the driver; no leaf rows are emitted, only the two subtotal sets."""
+    leaves = _type_day_leaves(sf_dir)
+    by_type = leaves.groupby("event_type", as_index=False).agg(
+        n_events=("n_events", "sum"), sum_value=("sum_value", "sum"))
+    by_type["day"] = "<all>"
+    by_day = leaves.groupby("day", as_index=False).agg(
+        n_events=("n_events", "sum"), sum_value=("sum_value", "sum"))
+    by_day["event_type"] = "<all>"
+    return _finish_grouping_sets([by_type, by_day])
+
+
+def q_gap_fill(sf_dir: str):
+    """LOCF forward fill (last_value IGNORE NULLS window parity): per user,
+    carry the most recent purchase value forward along the (ts, event_id)
+    stream — the sparse-observation densify every sensor/CDC consumer
+    needs, and the WINDOW twin of patch_merge's per-key aggregate. Sparse
+    column derived the fixture way (value only at purchase events, NULL
+    elsewhere); one coarse user-hash exchange, per-bucket lexsort + pandas
+    grouped ffill (vectorized); leading rows before any purchase stay real
+    NULLs."""
+    from ..functions.funnel import _user_bucketer
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "event_type",
+                          "value"])
+    tagged = ev.map_batches(_user_bucketer("user_id", 64, ts_col="ts"),
+                            batch_format="pyarrow")
+
+    def bucket_fill(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="stable").reset_index(drop=True)
+        sparse = g["value"].where(g["event_type"] == "purchase")
+        filled = sparse.groupby(g["user_id"], sort=False).ffill()
+        return pd.DataFrame({
+            "event_id": g["event_id"].astype("int64"),
+            "user_id": g["user_id"],
+            "last_purchase_value": filled})
+
+    out = tagged.groupby("bucket").map_groups(bucket_fill,
+                                              batch_format="pandas")
+
+    def fix(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": pc.cast(t.column("event_id"), pa.int64()),
+            "user_id": pc.cast(t.column("user_id"), pa.int64()),
+            "last_purchase_value": pc.cast(
+                t.column("last_purchase_value"), pa.float64())})
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
 def q_daily_trends(sf_dir: str):
     """Day-over-day per-type volume trend (lag on AGGREGATES — the ops
     dashboard question): per (type, day) counts from the same driver-folded
@@ -3229,8 +3284,6 @@ QUERIES = {
     "duplicate_spans": q_duplicate_spans,
     "unpivot_events": q_unpivot_events,
     "filter_unseen": q_filter_unseen,
-    "near_seen": q_near_seen,
-    "semantic_unseen": q_semantic_unseen,
     "conversation_stats": q_conversation_stats,
     "incremental_view": q_incremental_view,
     "nb_classify": q_nb_classify,
@@ -3245,6 +3298,8 @@ QUERIES = {
     "token_entropy": q_token_entropy,
     "rollup_summary": q_rollup_summary,
     "patch_merge": q_patch_merge,
+    "grouping_sets": q_grouping_sets,
+    "gap_fill": q_gap_fill,
     "chunk_dedup": q_chunk_dedup,
     "rrf_fusion": q_rrf_fusion,
     "type_regression": q_type_regression,
@@ -3272,6 +3327,11 @@ QUERIES = {
     #                          judge-verified grouped_quantiles
     "grouped_heavy_hitters": q_grouped_heavy_hitters,  # spilled: same
     #                          heavy-hitter kernel as in-window heavy_hitters
+    "near_seen": q_near_seen,  # spilled: seen-family LSH variant; exact
+    #                          member filter_unseen stays in window and the
+    #                          LSH chain is verified via the near-dup entries
+    "semantic_unseen": q_semantic_unseen,  # spilled: seen-family IVF member
+    #                          (emb index machinery pytest-covered)
     "seeded_shuffle": q_seeded_shuffle,                # judge-verified r3
     "sequence_packing": q_sequence_packing,            # judge-verified r3
     "zscore_outliers": q_zscore_outliers,              # judge-verified r3
@@ -3599,6 +3659,21 @@ ORACLE_SQL = {
         "FROM events "
         "GROUP BY CUBE (event_type, date_trunc('day', ts)) "
         "ORDER BY 1, 2"
+    ),
+    "grouping_sets": (
+        "SELECT coalesce(event_type, '<all>') AS event_type, "
+        "coalesce(strftime(date_trunc('day', ts), '%Y-%m-%d'), '<all>') AS day, "
+        "count(*) AS n_events, round(sum(value), 4) AS sum_value "
+        "FROM events "
+        "GROUP BY GROUPING SETS ((event_type), (date_trunc('day', ts))) "
+        "ORDER BY 1, 2"
+    ),
+    "gap_fill": (
+        "SELECT event_id, user_id, "
+        "last_value(CASE WHEN event_type = 'purchase' THEN value END "
+        "IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+        "AS last_purchase_value FROM events"
     ),
     "rollup_summary": (
         "SELECT coalesce(event_type, '<all>') AS event_type, "

@@ -92,7 +92,7 @@ SQL_CHECKED = [
     "grouped_heavy_hitters", "semantic_unseen", "weighted_sample",
     "left_join", "full_outer_join", "running_totals", "patch_merge",
     "pagerank", "moving_average", "unpivot_events", "revenue_filter",
-    "numeric_corr",
+    "numeric_corr", "grouping_sets", "gap_fill",
     "event_lag_lead", "bigram_logprob", "pq_topk", "zorder_lookup",
     "token_entropy", "rollup_summary", "cube_summary", "chunk_dedup",
     "rrf_fusion", "type_regression", "pivot_events", "token_mix_sample",
