@@ -413,10 +413,52 @@ def run_sustained() -> dict:
     }
 
 
+def emit(full: dict, limit: int | None = None) -> str:
+    """Render the final stdout JSON line, bounded to fit the driver's 2 KB
+    stdout-tail capture.
+
+    BENCH_r03 lesson: the driver records only the last ~2000 characters of
+    stdout and json-parses the final line; round 3's line was longer than
+    that, arrived front-truncated, and the round's bench record shows
+    ``parsed: null``. When the full result doesn't fit, the complete dict is
+    written to ``BENCH_FULL_LATEST.json`` next to this script (the driver
+    commits the working tree at round end, so the sidecar is preserved) and
+    the printed line drops ``queries_sf1`` first, then trailing panel
+    entries, keeping the headline metric plus as many timings as fit;
+    ``queries_elided`` counts the dropped entries and ``full`` names the
+    sidecar."""
+    limit = limit if limit is not None else int(
+        os.environ.get("BENCH_LINE_LIMIT", "1900"))
+    line = json.dumps(full, separators=(",", ":"))
+    if len(line) <= limit:
+        return line
+    sidecar = os.environ.get("BENCH_SIDECAR") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_LATEST.json")
+    compact = dict(full)
+    try:
+        with open(sidecar, "w") as f:
+            json.dump(full, f, indent=1)
+            f.write("\n")
+        compact["full"] = os.path.basename(sidecar)
+    except OSError:
+        pass
+    compact.pop("queries_sf1", None)
+    compact.pop("sf1_dir", None)
+    queries = dict(compact.get("queries") or {})
+    n_total = len(queries)
+    line = json.dumps(compact, separators=(",", ":"))
+    while len(line) > limit and queries:
+        queries.popitem()  # drop newest-listed panel timings first
+        compact["queries"] = queries
+        compact["queries_elided"] = n_total - len(queries)
+        line = json.dumps(compact, separators=(",", ":"))
+    return line
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        print(emit(run_scaling()))
     elif "--sustained" in sys.argv:
-        print(json.dumps(run_sustained()))
+        print(emit(run_sustained()))
     else:
-        print(json.dumps(run_bench()))
+        print(emit(run_bench()))
