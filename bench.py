@@ -439,7 +439,10 @@ def emit(full: dict, limit: int | None = None) -> str:
         with open(sidecar, "w") as f:
             json.dump(full, f, indent=1)
             f.write("\n")
-        compact["full"] = os.path.basename(sidecar)
+        # default sidecar sits next to this script -> basename is resolvable;
+        # an explicit BENCH_SIDECAR may point anywhere -> record it verbatim
+        compact["full"] = (sidecar if os.environ.get("BENCH_SIDECAR")
+                           else os.path.basename(sidecar))
     except OSError:
         pass
     compact.pop("queries_sf1", None)

@@ -38,6 +38,15 @@ import ray.data
 from ..stages.joins import _coarse_of, hash_join
 
 
+def _check_weights(w: np.ndarray) -> None:
+    """Loud input contract (the _user_bucketer pattern): weights must be
+    finite and non-negative, or the 0/0 and NaN arithmetic below silently
+    propagates garbage into every reachable node's rank."""
+    if w.size and (not np.isfinite(w).all() or (w < 0.0).any()):
+        raise ValueError(
+            "pagerank weights must be finite and >= 0 (got NaN/inf/negative)")
+
+
 def _bucketer(col: str, n: int):
     def fn(t: pa.Table) -> pa.Table:
         vals = t.column(col).to_numpy(zero_copy_only=False)
@@ -97,8 +106,14 @@ def pagerank(
         si = code[df[src_col]].to_numpy()
         di = code[df[dst_col]].to_numpy()
         w = df[w_col].to_numpy(dtype=np.float64)
+        _check_weights(w)
         outw = np.zeros(n_nodes)
         np.add.at(outw, si, w)
+        if (outw[si] <= 0.0).any():
+            raise ValueError(
+                "pagerank: a src's edge weights sum to 0 — its normalized "
+                "contribution would be 0/0 NaN and silently poison every "
+                "reachable rank; drop zero-out-weight sources first")
         wn = w / outw[si]
         r = np.full(n_nodes, 1.0 / n_nodes)
         tele = (1.0 - damping) / n_nodes
@@ -111,7 +126,13 @@ def pagerank(
         return ray.data.from_pandas(pd.DataFrame({"node": nodes_cat, "pr": r}))
 
     def norm(g: pd.DataFrame) -> pd.DataFrame:
+        _check_weights(g[w_col].to_numpy(dtype=np.float64))
         ow = g.groupby(src_col)[w_col].transform("sum")
+        if (ow.to_numpy(dtype=np.float64) <= 0.0).any():
+            raise ValueError(
+                "pagerank: a src's edge weights sum to 0 — its normalized "
+                "contribution would be 0/0 NaN and silently poison every "
+                "reachable rank; drop zero-out-weight sources first")
         return pd.DataFrame({
             src_col: g[src_col], dst_col: g[dst_col],
             "_wn": g[w_col].astype(np.float64) / ow})

@@ -93,6 +93,14 @@ def _sum_partials(ds: "ray.data.Dataset", keys, renames: dict[str, str],
     first — same contract as every other coarse-bucket final."""
     keys = [keys] if isinstance(keys, str) else list(keys)
     df = ds.to_pandas()  # bounded: <= #blocks x #groups combiner rows
+    if len(df) == 0:
+        # a fully-filtered input yields ZERO partial batches — a columnless
+        # frame whose groupby would KeyError; SQL's GROUP BY on an empty
+        # relation is an empty result, so synthesize the empty typed frame
+        empty = {k: pd.Series([], dtype=object) for k in keys}
+        empty.update({v: pd.Series([], dtype=np.float64)
+                      for v in renames.values()})
+        return ray.data.from_pandas(pd.DataFrame(empty))
     g = df.groupby(keys, as_index=False, dropna=False)[list(renames)].agg(agg)
     return ray.data.from_pandas(g.rename(columns=renames))
 
@@ -719,7 +727,15 @@ def q_revenue_filter(sf_dir: str):
             "revenue": pc.round(pc.cast(t.column("revenue"), pa.float64()), 4),
             "n_rows": pc.cast(t.column("n_rows"), pa.int64())})
 
-    return out.map_batches(fix, batch_format="pyarrow")
+    # scalar aggregate (no GROUP BY): SQL returns exactly ONE row even when
+    # the predicate matches nothing — (NULL, 0), not an empty result. The
+    # folded partial is <= 1 row, so driver-side assembly is bounded.
+    batches = list(out.map_batches(fix, batch_format="pyarrow")
+                   .iter_batches(batch_format="pyarrow"))
+    if not batches or sum(b.num_rows for b in batches) == 0:
+        return pa.table({"revenue": pa.array([None], pa.float64()),
+                         "n_rows": pa.array([0], pa.int64())})
+    return pa.concat_tables(batches)
 
 
 def q_numeric_corr(sf_dir: str):
@@ -2800,6 +2816,9 @@ def q_moving_average(sf_dir: str):
         valid = ~np.isnan(stack)
         sum4 = np.where(valid, stack, 0.0).sum(axis=0)
         n = valid.sum(axis=0)
+        # all-NULL frame: SQL's sum/avg OVER w are NULL, not 0.0 — NaN here
+        # becomes an Arrow null on the pandas->Arrow hop (count stays 0)
+        sum4 = np.where(n > 0, sum4, np.nan)
         return pd.DataFrame({
             "event_id": g["event_id"].astype("int64"),
             "user_id": g["user_id"],
@@ -2916,7 +2935,7 @@ def q_conversation_stats(sf_dir: str, tmp_root: str = "/tmp/kcs3_ray"):
     from .upsert import read_lake
 
     return conversation_stats_table(read_lake(
-        m, columns=["conv_id", "turn_idx", "role", "text", "tool"]))
+        m, columns=["conv_id", "role", "text", "tool"]))
 
 
 def q_conversation_rebuild(sf_dir: str, tmp_root: str = "/tmp/kcs3_ray"):
@@ -5325,8 +5344,10 @@ def _pagerank_sql(iterations: int = 3, damping: float = 0.85) -> str:
     iteration, numerically the same recurrence the Ray rounds compute
     (teleport + damping * sum of in-contributions over out-normalized
     weights); the 6-dp gate rounding absorbs summation-order ULP noise."""
-    tele = f"{1.0 - damping:.2f}"
-    d = f"{damping:.2f}"
+    # full precision: a damping like 0.875 rendered at 2 dp would make the
+    # oracle disagree with a CORRECT engine (repr round-trips the float)
+    tele = repr(1.0 - damping)
+    d = repr(damping)
     ctes = [
         "pairs AS (SELECT 'u' || CAST(user_id AS VARCHAR) AS un, "
         "'t' || event_type AS tn, CAST(count(*) AS DOUBLE) AS w "
