@@ -21,7 +21,10 @@ def entry() -> Any:
     merged transcript table."""
     from kafka_connect_s3_ray.pipelines.queries import q_cdc_transcripts
 
-    return q_cdc_transcripts("/root/testdata/sf0.001")
+    res = q_cdc_transcripts("/root/testdata/sf0.001")
+    # contract is Dataset | pandas.DataFrame; the pipeline returns the
+    # merged table as pyarrow (bounded at this sf), so hand back a DataFrame
+    return res.to_pandas() if hasattr(res, "to_pandas") else res
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
