@@ -163,7 +163,7 @@ def run_bench() -> dict:
         "users_intersect", "users_except", "daily_trends", "clean_text",
         "value_ranks", "patch_merge", "pagerank", "moving_average",
         "unpivot_events", "revenue_filter", "numeric_corr",
-        "grouping_sets", "gap_fill",
+        "grouping_sets", "gap_fill", "windowed_dedup", "regex_extract",
     ]
     panel_results: dict = {}
     panel_trials = int(os.environ.get("BENCH_PANEL_TRIALS", "2"))

@@ -3265,6 +3265,91 @@ def q_pagerank(sf_dir: str):
     return out.map_batches(fix, batch_format="pyarrow")
 
 
+def q_windowed_dedup(sf_dir: str):
+    """At-least-once delivery duplicate suppression — the cdc_ingest tier's
+    streaming dedup: within each 1 h tumbling event-time window, keep only
+    the FIRST event per (user_id, event_type), the idempotent-consumer
+    pattern for a retrying upstream producer (the reference's exactly-once
+    story is file-level, sink/.../S3Writer.java:47-67; this is its
+    record-level analogue). Distribution shape = windowed_distinct: a
+    per-batch keep-first combiner (later in-batch duplicates never cross the
+    wire), then one coarse exchange on hash(user, type, window) where
+    bucket-local firsts ARE global firsts (equal keys co-locate). "First" is
+    min (ts, event_id) — deterministic under replay, matching the SQL
+    row_number() ORDER BY ts, event_id."""
+    from ..stages.joins import _coarse_of
+
+    W_US = 3_600_000_000
+    KEY = ["user_id", "event_type", "window"]
+
+    def keep_first(d: pd.DataFrame) -> pd.DataFrame:
+        d = d.sort_values(KEY + ["ts_us", "event_id"], kind="stable")
+        return d.drop_duplicates(KEY, keep="first")
+
+    def combine(t: pa.Table) -> pa.Table:
+        ts_us = (t.column("ts").to_numpy(zero_copy_only=False)
+                 .astype("datetime64[us]").astype(np.int64))
+        d = keep_first(pd.DataFrame({
+            "event_id": t.column("event_id").to_numpy(zero_copy_only=False),
+            "user_id": t.column("user_id").to_numpy(zero_copy_only=False),
+            "event_type": t.column("event_type").to_numpy(
+                zero_copy_only=False),
+            "ts_us": ts_us,
+            "window": ts_us // W_US}))
+        out = pa.table({
+            "event_id": pa.array(d["event_id"].to_numpy(), pa.int64()),
+            "user_id": pa.array(d["user_id"].to_numpy(), pa.int64()),
+            "event_type": pa.array(d["event_type"], pa.string()),
+            "ts_us": pa.array(d["ts_us"].to_numpy(), pa.int64()),
+            "window": pa.array(d["window"].to_numpy(), pa.int64())})
+        return out.append_column("coarse", pa.array(_coarse_of(
+            [d["user_id"].to_numpy(), d["event_type"].to_numpy(),
+             d["window"].to_numpy()], 64)))
+
+    def bucket_first(g: pd.DataFrame) -> pd.DataFrame:
+        return keep_first(g)[["event_id", "user_id", "event_type", "window"]]
+
+    out = (_events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+           .map_batches(combine, batch_format="pyarrow")
+           .groupby("coarse").map_groups(bucket_first, batch_format="pandas"))
+
+    def fix(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": pc.cast(t.column("event_id"), pa.int64()),
+            "user_id": pc.cast(t.column("user_id"), pa.int64()),
+            "event_type": pc.cast(t.column("event_type"), pa.string()),
+            # "window" is a DuckDB reserved word; alias as win
+            "win": pc.cast(t.column("window"), pa.int64())})
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
+def q_regex_extract(sf_dir: str):
+    """Vectorized RE2 field extraction — the structured-extraction stage of
+    a log/text ingest (the reference's records are opaque lines; a real
+    pipeline's next step is pulling typed fields out of them): first >=5
+    letter word and the count of such words per document, via Arrow's
+    ``extract_regex`` / ``count_substring_regex`` kernels per batch, ZERO
+    exchanges. Both engines run RE2 (the lang_id precedent), so
+    leftmost-greedy match semantics agree exactly; DuckDB's
+    ``regexp_extract`` returns '' on no-match where Arrow returns null, so
+    the oracle wraps it in nullif."""
+    pat = r"[a-z]{5,}"
+
+    def extract(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        first = pc.struct_field(
+            pc.extract_regex(txt, pattern=f"(?P<w>{pat})"), "w")
+        return pa.table({
+            "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+            "first_long": pc.cast(first, pa.string()),
+            "n_long": pc.cast(pc.count_substring_regex(txt, pat),
+                              pa.int64())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        extract, batch_format="pyarrow")
+
+
 # Catalog order is a VERIFICATION BUDGET: the driver's correctness gate
 # checks the first ~50 entries, so the dict leads with EXACTLY the 50
 # SQL-hash-checkable entries no driver gate has yet verified (round-4
@@ -3428,6 +3513,11 @@ QUERIES = {
     "distinct_users_by_type": q_distinct_users_by_type,
     # approximate regime — deliberately no oracle; see the entry's docstring
     "knn_graph_ivf_nprobe6": q_knn_graph_ivf_nprobe6,
+    # round-4 session-C additions — appended PAST the gate window so the 50
+    # already-staged never-verified entries keep their round-4 slots; these
+    # rotate forward in round 5 (BASELINE.md handoff note)
+    "windowed_dedup": q_windowed_dedup,
+    "regex_extract": q_regex_extract,
 }
 
 _TOKENS_WS_SQL = (
@@ -3981,6 +4071,22 @@ ORACLE_SQL = {
         "FROM (SELECT doc_id FROM documents) d "
         "LEFT JOIN scored s USING (doc_id) "
         "GROUP BY d.doc_id ORDER BY d.doc_id"
+    ),
+    "windowed_dedup": (
+        "SELECT event_id, user_id, event_type, win FROM ("
+        "SELECT event_id, user_id, event_type, "
+        "CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS win, "
+        "row_number() OVER (PARTITION BY user_id, event_type, "
+        "epoch_us(ts) // 3600000000 ORDER BY ts, event_id) AS rn "
+        "FROM events) t WHERE rn = 1"
+    ),
+    "regex_extract": (
+        # DuckDB regexp_extract returns '' on no-match (Arrow: null);
+        # a [a-z]{5,} capture can never be '', so nullif is lossless
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "nullif(regexp_extract(text, '([a-z]{5,})', 1), '') AS first_long, "
+        "CAST(len(regexp_extract_all(text, '[a-z]{5,}')) AS BIGINT) "
+        "AS n_long FROM documents"
     ),
     # rolling_fingerprint / minhash / simhash / IVF / sketches:
     # non-SQL-expressible (seeded LSH, mergeable sketches, rolling hashes)

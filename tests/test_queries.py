@@ -115,6 +115,7 @@ SQL_CHECKED = [
     # cosine SQL is the oracle
     "cosine_topk_ivf", "cosine_topk_ivf_indexed",
     "repetition_signals", "knn_graph", "knn_graph_ivf",
+    "windowed_dedup", "regex_extract",
 ]
 # the legitimately non-SQL-checkable entries: the quantile sketch's thinning
 # depends on batch boundaries, and media decode is binary.
