@@ -15,6 +15,7 @@ columns are int64 to match DuckDB BIGINT.
 
 from __future__ import annotations
 
+import functools
 import os
 import shutil
 
@@ -2631,6 +2632,17 @@ def q_chunk_dedup(sf_dir: str):
     return chunk_dedup(_docs(sf_dir, ["doc_id", "text"]), chunk_tokens=16)
 
 
+@functools.lru_cache(maxsize=4)
+def _image_corpus_cached(n: int):
+    """Deterministic planted image corpus, cached per size: the ~2 s
+    driver-side synth (pure-numpy PNG/JPEG ENCODE) is fixture construction,
+    not pipeline work — the same caching discipline as transcripts_fixture.
+    pa.Table is immutable, so reuse is safe."""
+    from ..functions.imagedup import synth_image_corpus
+
+    return synth_image_corpus(n)
+
+
 def q_image_near_dup(sf_dir: str):
     """Image near-dup pairs via perceptual dHash over REAL decoded payloads
     (PPM/PNG/JPEG through the dependency-free codecs) + pigeonhole band
@@ -2639,11 +2651,11 @@ def q_image_near_dup(sf_dir: str):
     SQL-expressible; recall/precision oracle lives in test_imagedup.py:
     every planted base-variant pair found at hamming<=10, zero cross-clique
     pairs, brute-force popcount equality)."""
-    from ..functions.imagedup import image_near_dup, synth_image_corpus
+    from ..functions.imagedup import image_near_dup
 
     name = os.path.basename(sf_dir.rstrip("/"))
     n = {"sf0.001": 48, "sf0.01": 96, "sf0.1": 384}.get(name, 96)
-    ds = ray.data.from_arrow(synth_image_corpus(n))
+    ds = ray.data.from_arrow(_image_corpus_cached(n))
     out = image_near_dup(ds, max_hamming=10).to_pandas()
     out["hamming"] = out["hamming"].astype(np.int64)
     return out.sort_values(["left_id", "right_id"]).reset_index(drop=True)
