@@ -3362,6 +3362,235 @@ def q_regex_extract(sf_dir: str):
         extract, batch_format="pyarrow")
 
 
+def q_table_profile(sf_dir: str):
+    """Data-quality audit: one profile row per events column — row count,
+    NULL count, EXACT distinct count, numeric min/max — the schema-drift /
+    quality gate a lake ingest runs before committing a batch (the CDC
+    analogue of the reference's record counters, sink/.../Metrics.java).
+    Distribution: per-block combiners shrink each column to its block-local
+    distinct KEYS (int64 for ints/timestamps, float64 bits for doubles,
+    the string itself otherwise — injective, never a formatted value), then
+    ONE coarse hash exchange dedups keys globally and per-bucket distinct
+    partials sum on the driver (<= 64 x #cols tiny rows). NULL/min/max ride
+    per-block partial rows (no exchange). Exact distinct at 100 TB stays
+    bounded because only distinct KEYS per block ever leave a task, and the
+    bucket final sees each global key once per block at worst."""
+    N_B = 64
+    COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    NUMERIC = {"event_id", "user_id", "value"}
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        """One (rows, nulls, min, max) stats row per column per block."""
+        rows = {"col": [], "p_rows": [], "p_nulls": [],
+                "p_min": [], "p_max": [], "p_has_nan": []}
+        for c in COLS:
+            a = t.column(c)
+            rows["col"].append(c)
+            rows["p_rows"].append(len(a))
+            rows["p_nulls"].append(a.null_count)
+            if c in NUMERIC and len(a) > a.null_count:
+                v = a.drop_null().to_numpy(zero_copy_only=False) \
+                    .astype(np.float64)
+                # DuckDB orders NaN greatest: min skips NaN, max returns
+                # NaN whenever one exists — the NaN presence rides its own
+                # flag because the pandas driver-fold's max skips NaN
+                all_nan = bool(np.isnan(v).all())
+                rows["p_min"].append(np.nan if all_nan
+                                     else float(np.nanmin(v)))
+                rows["p_max"].append(np.nan if all_nan
+                                     else float(np.nanmax(v)))
+                rows["p_has_nan"].append(bool(np.isnan(v).any()))
+            else:
+                rows["p_min"].append(np.nan)
+                rows["p_max"].append(np.nan)
+                rows["p_has_nan"].append(False)
+        return pa.table({
+            "col": pa.array(rows["col"], pa.string()),
+            "p_rows": pa.array(rows["p_rows"], pa.int64()),
+            "p_nulls": pa.array(rows["p_nulls"], pa.int64()),
+            "p_min": pa.array(rows["p_min"], pa.float64()),
+            "p_max": pa.array(rows["p_max"], pa.float64()),
+            "p_has_nan": pa.array(rows["p_has_nan"], pa.bool_())})
+
+    def keys_partial(t: pa.Table) -> pa.Table:
+        """Block-distinct (col, key) rows: injective per dtype, dropping
+        NULLs (SQL's count(DISTINCT c) ignores NULLs)."""
+        cols, keys = [], []
+        for c in COLS:
+            a = t.column(c)
+            av = a.drop_null()
+            if pa.types.is_timestamp(a.type):
+                kk = np.unique(av.to_numpy(zero_copy_only=False)
+                               .astype("datetime64[us]")
+                               .astype(np.int64)).astype(str)
+            elif pa.types.is_floating(a.type):
+                # bit pattern as the key, canonicalized first: DuckDB's
+                # DISTINCT treats -0.0 == 0.0 and all NaNs as ONE value
+                v = av.to_numpy(zero_copy_only=False).astype(np.float64,
+                                                             copy=True)
+                v[v == 0.0] = 0.0
+                v[np.isnan(v)] = np.nan
+                kk = np.unique(v.view(np.int64)).astype(str)
+            elif pa.types.is_integer(a.type):
+                kk = np.unique(av.to_numpy(zero_copy_only=False)).astype(str)
+            else:
+                kk = np.unique(np.asarray(av.to_pylist(),
+                                          dtype=object)).astype(str)
+            cols.append(np.full(len(kk), c, dtype=object))
+            keys.append(kk.astype(object))
+        kcol = np.concatenate(cols) if cols else np.empty(0, object)
+        kkey = np.concatenate(keys) if keys else np.empty(0, object)
+        bkt = (pd.util.hash_array(kkey, categorize=False)
+               % N_B).astype(np.int32)
+        return pa.table({
+            "col": pa.array(kcol, pa.string()),
+            "key": pa.array(kkey, pa.string()),
+            "bucket": pa.array(bkt, pa.int32())})
+
+    ev = _events(sf_dir, COLS)
+    stats_ds = ev.map_batches(stats_partial, batch_format="pyarrow")
+    keys_ds = ev.map_batches(keys_partial, batch_format="pyarrow")
+
+    def bucket_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["col", "key"])
+        out = d.groupby("col", as_index=False).agg(p_distinct=("key", "size"))
+        return out
+
+    dist = _sum_partials(
+        keys_ds.groupby("bucket").map_groups(
+            bucket_distinct, batch_format="pandas"),
+        "col", {"p_distinct": "n_distinct"})
+
+    stats_df = stats_ds.to_pandas()  # bounded: #blocks x #cols rows
+    agg = stats_df.groupby("col", as_index=False).agg(
+        n_rows=("p_rows", "sum"), n_nulls=("p_nulls", "sum"),
+        min_num=("p_min", "min"), max_num=("p_max", "max"),
+        has_nan=("p_has_nan", "any"))
+    # DuckDB's max returns NaN whenever any NaN exists (NaN sorts greatest)
+    agg.loc[agg["has_nan"], "max_num"] = np.nan
+    dist_df = dist.to_pandas()
+    out = agg.merge(dist_df, on="col", how="left")
+    out["n_distinct"] = out["n_distinct"].fillna(0)
+    return pa.table({
+        "col": pa.array(out["col"], pa.string()),
+        "n_rows": pa.array(out["n_rows"].astype(np.int64), pa.int64()),
+        "n_nulls": pa.array(out["n_nulls"].astype(np.int64), pa.int64()),
+        "n_distinct": pa.array(out["n_distinct"].astype(np.int64),
+                               pa.int64()),
+        "min_num": pa.array(out["min_num"], pa.float64()),
+        "max_num": pa.array(out["max_num"], pa.float64())})
+
+
+def q_burst_counts(sf_dir: str):
+    """Event-time RANGE-frame window parity (RANGE BETWEEN INTERVAL 1 HOUR
+    PRECEDING AND CURRENT ROW): for every event, how many of the same
+    user's events fall in the trailing hour — the burst / rate-limit signal
+    a streaming ingest computes before throttling a hot producer, and the
+    one window-frame kind (value-ranged) moving_average's ROWS frame does
+    not cover. Distribution: one coarse user-hash exchange
+    (``_user_bucketer``), then per bucket a SINGLE vectorized two-sided
+    ``searchsorted`` over a composite (user_rank, ts) key — no per-user
+    Python loop; a user lives wholly in one bucket so bucket-local frames
+    ARE the global ones. The composite key packs user_rank * span + ts_rel
+    into int64 with an explicit overflow guard (users x span < 2^63 holds
+    through 10^5 users x decades of microseconds)."""
+    from ..functions.funnel import _user_bucketer
+
+    WIN_US = 3_600_000_000
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts"])
+    tagged = ev.map_batches(_user_bucketer("user_id", 64, ts_col="ts"),
+                            batch_format="pyarrow")
+
+    def bucket_count(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="stable").reset_index(drop=True)
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        uid = g["user_id"].to_numpy()
+        _, urank = np.unique(uid, return_inverse=True)
+        base = ts_us.min() if len(ts_us) else 0
+        t_rel = ts_us - base
+        span = int(t_rel.max()) + WIN_US + 2 if len(t_rel) else 1
+        if len(urank) and (int(urank.max()) + 1) > (2**62) // span:
+            raise OverflowError(
+                "burst window composite key would overflow int64: "
+                "re-bucket with a narrower user range or wider N_B")
+        key = urank.astype(np.int64) * span + t_rel
+        # frame = [ts - 1h, ts] inclusive both ends (DuckDB RANGE PRECEDING
+        # .. CURRENT ROW includes ALL ts-peers of the current row)
+        hi = np.searchsorted(key, key, side="right")
+        lo = np.searchsorted(key, key - WIN_US, side="left")
+        # clamp lo to the user's segment start (key - WIN_US may cross into
+        # the previous user's range only if span were too small; span >=
+        # t_range + WIN_US + 2 makes that impossible — keep as assertion)
+        return pd.DataFrame({
+            "event_id": g["event_id"].astype("int64"),
+            "user_id": g["user_id"].astype("int64"),
+            "n_win": (hi - lo).astype(np.int64)})
+
+    out = tagged.groupby("bucket").map_groups(bucket_count,
+                                              batch_format="pandas")
+
+    def fix(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": pc.cast(t.column("event_id"), pa.int64()),
+            "user_id": pc.cast(t.column("user_id"), pa.int64()),
+            "n_win": pc.cast(t.column("n_win"), pa.int64())})
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
+def q_ewma(sf_dir: str):
+    """Bounded-window exponential moving average per user (decay 0.9 over
+    the trailing 8 events, weights normalized): the smoothing primitive
+    behind drift detection and metric dashboards, and the weighted
+    counterpart of moving_average's uniform frame. y_i = sum_{j<m} 0.9^j *
+    x_{i-j} / sum_{j<m} 0.9^j with m = min(i+1, 8) — a FIXED window so the
+    weights are a closed form both engines can state exactly (the oracle
+    builds the same dot product from a list() window frame). Distribution =
+    moving_average: one coarse user-hash exchange, per-bucket grouped
+    shift(1..7) and a fixed-order weighted nansum; frame sums of 8 doubles
+    differ from DuckDB's fold only at ULP level, absorbed by the gate's
+    6-dp rounding."""
+    from ..functions.funnel import _user_bucketer
+
+    W = 8
+    DECAY = 0.9
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+    tagged = ev.map_batches(_user_bucketer("user_id", 64, ts_col="ts"),
+                            batch_format="pyarrow")
+
+    def bucket_ewma(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="stable").reset_index(drop=True)
+        grp = g.groupby("user_id", sort=False)["value"]
+        stack = np.vstack(
+            [g["value"].to_numpy(dtype=np.float64)]
+            + [grp.shift(j).to_numpy(dtype=np.float64)
+               for j in range(1, W)])
+        valid = ~np.isnan(stack)
+        w = DECAY ** np.arange(W, dtype=np.float64)
+        num = (np.where(valid, stack, 0.0) * w[:, None]).sum(axis=0)
+        den = (valid * w[:, None]).sum(axis=0)
+        return pd.DataFrame({
+            "event_id": g["event_id"].astype("int64"),
+            "user_id": g["user_id"].astype("int64"),
+            "ewma": np.where(den > 0, num / np.maximum(den, 1e-300),
+                             np.nan)})
+
+    out = tagged.groupby("bucket").map_groups(bucket_ewma,
+                                              batch_format="pandas")
+
+    def fix(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": pc.cast(t.column("event_id"), pa.int64()),
+            "user_id": pc.cast(t.column("user_id"), pa.int64()),
+            "ewma": pc.cast(t.column("ewma"), pa.float64())})
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
 # Catalog order is a VERIFICATION BUDGET: the driver's correctness gate
 # checks the first ~50 entries, so the dict leads with EXACTLY the 50
 # SQL-hash-checkable entries no driver gate has yet verified (round-4
@@ -3530,6 +3759,11 @@ QUERIES = {
     # rotate forward in round 5 (BASELINE.md handoff note)
     "windowed_dedup": q_windowed_dedup,
     "regex_extract": q_regex_extract,
+    # round-4 session-D additions — appended PAST the gate window for the
+    # same reason; rotate forward in round 5 (BASELINE.md handoff note)
+    "table_profile": q_table_profile,
+    "burst_counts": q_burst_counts,
+    "ewma": q_ewma,
 }
 
 _TOKENS_WS_SQL = (
@@ -4099,6 +4333,36 @@ ORACLE_SQL = {
         "nullif(regexp_extract(text, '([a-z]{5,})', 1), '') AS first_long, "
         "CAST(len(regexp_extract_all(text, '[a-z]{5,}')) AS BIGINT) "
         "AS n_long FROM documents"
+    ),
+    "table_profile": (" UNION ALL ".join(
+        f"SELECT '{c}' AS col, count(*) AS n_rows, "
+        f"count(*) - count({c}) AS n_nulls, "
+        f"count(DISTINCT {c}) AS n_distinct, "
+        + (f"CAST(min({c}) AS DOUBLE) AS min_num, "
+           f"CAST(max({c}) AS DOUBLE) AS max_num "
+           if c in ("event_id", "user_id", "value")
+           else "CAST(NULL AS DOUBLE) AS min_num, "
+                "CAST(NULL AS DOUBLE) AS max_num ")
+        + "FROM events"
+        for c in ["event_id", "ts", "user_id", "event_type", "value",
+                  "props"])),
+    "burst_counts": (
+        "SELECT event_id, user_id, count(*) OVER ("
+        "PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) "
+        "AS n_win FROM events"
+    ),
+    # same fixed-window weighted dot product the engine computes: frame =
+    # trailing 8 values oldest-first, weight 0.9^(age), normalized by the
+    # geometric partial sum (1 - 0.9^m) / 0.1
+    "ewma": (
+        "WITH w AS (SELECT event_id, user_id, value, "
+        "list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS lst FROM events) "
+        "SELECT event_id, user_id, "
+        "list_dot_product(lst, list_transform(generate_series(1, len(lst)), "
+        "i -> pow(0.9, len(lst) - i))) / ((1 - pow(0.9, len(lst))) / 0.1) "
+        "AS ewma FROM w"
     ),
     # rolling_fingerprint / minhash / simhash / IVF / sketches:
     # non-SQL-expressible (seeded LSH, mergeable sketches, rolling hashes)

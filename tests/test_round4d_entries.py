@@ -1,0 +1,138 @@
+"""Crafted-fixture tests for the session-D catalog additions beyond the
+DuckDB-oracle gate replica (which checks them on the driver tables):
+
+- table_profile: NULLs, -0.0 vs 0.0 (DuckDB DISTINCT merges them), NaN
+  (counts once in DISTINCT; max returns NaN because NaN sorts greatest;
+  min skips it), duplicates split across parquet row groups so the
+  per-block distinct partial alone cannot win.
+- burst_counts: the exact 1-hour boundary is INSIDE the frame (RANGE
+  PRECEDING is inclusive), ts peers all count, cross-row-group windows.
+- ewma: frames shorter than the 8-row window (normalization denominator
+  follows the frame), single-event users, exact closed-form check.
+"""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write_events(tmp_path, df: pd.DataFrame, row_group_size: int = 3) -> str:
+    for col, default in [("event_type", "click"), ("value", 1.0),
+                         ("props", "{}")]:
+        if col not in df.columns:
+            df[col] = default
+    sf = str(tmp_path)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(sf, "events.parquet"),
+                   row_group_size=row_group_size)
+    return sf
+
+
+def _oracle(sf: str, sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{os.path.join(sf, 'events.parquet')}'")
+    return con.execute(sql).df()
+
+
+def test_table_profile_nulls_negzero_nan(tmp_path, ray_session):
+    from kafka_connect_s3_ray.pipelines.queries import (ORACLE_SQL,
+                                                        q_table_profile)
+
+    base = pd.Timestamp("2026-03-01")
+    n = 12
+    # built column-wise in Arrow: pandas->Arrow would silently turn the
+    # true NaN payloads into NULLs, and the NaN row is the point here
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array([base + pd.Timedelta(minutes=i) for i in range(n)],
+                       pa.timestamp("us")),
+        "user_id": pa.array([7] * n, pa.int64()),  # one distinct, repeated
+        "event_type": pa.array(["click", "view"] * 6),
+        # -0.0 and 0.0 merge in DuckDB DISTINCT; two NaNs count ONCE;
+        # duplicates (5.5) straddle row groups (row_group_size=3)
+        "value": pa.array([0.0, -0.0, np.nan, np.nan, 5.5, 1.25,
+                           5.5, 2.0, 5.5, 3.0, 5.5, 4.0], pa.float64()),
+        "props": pa.array(['{"a":1}', None, '{"a":1}', '{"b":2}'] * 3),
+    })
+    sf = str(tmp_path)
+    pq.write_table(tbl, os.path.join(sf, "events.parquet"),
+                   row_group_size=3)
+    got = (q_table_profile(sf).to_pandas()
+           .sort_values("col").reset_index(drop=True))
+    exp = (_oracle(sf, ORACLE_SQL["table_profile"])
+           .sort_values("col").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    row = got.set_index("col")
+    # semantic spot-checks, independent of the oracle
+    assert row.loc["props", "n_nulls"] == 3
+    assert row.loc["props", "n_distinct"] == 2
+    # {0.0(-0.0 merged), NaN(once), 5.5, 1.25, 2.0, 3.0, 4.0} = 7
+    assert row.loc["value", "n_distinct"] == 7
+    assert row.loc["value", "min_num"] == 0.0
+    assert np.isnan(row.loc["value", "max_num"])  # NaN sorts greatest
+    assert row.loc["user_id", "n_distinct"] == 1
+
+
+def test_burst_counts_boundary_and_peers(tmp_path, ray_session):
+    from kafka_connect_s3_ray.pipelines.queries import (ORACLE_SQL,
+                                                        q_burst_counts)
+
+    base = pd.Timestamp("2026-03-01 10:00:00")
+    rows = [
+        # user 1: e0 at t0, e1 exactly 1h later (frame INCLUDES e0),
+        # e2 at 1h + 1us after e0 (frame excludes e0, includes e1)
+        (0, 1, base),
+        (1, 1, base + pd.Timedelta(hours=1)),
+        (2, 1, base + pd.Timedelta(hours=1, microseconds=1)),
+        # user 2: three ts PEERS — every row's frame counts all three
+        (3, 2, base), (4, 2, base), (5, 2, base),
+        # user 3: single event
+        (6, 3, base),
+        # user 1 again, far away (fresh window)
+        (7, 1, base + pd.Timedelta(days=2)),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts"])
+    df = df.sample(frac=1.0, random_state=3).reset_index(drop=True)
+    sf = _write_events(tmp_path, df)
+    got = (q_burst_counts(sf).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    exp = (_oracle(sf, ORACLE_SQL["burst_counts"])
+           .sort_values("event_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    n = got.set_index("event_id")["n_win"]
+    assert n[0] == 1 and n[1] == 2 and n[2] == 2
+    assert (n[[3, 4, 5]] == 3).all()
+    assert n[6] == 1 and n[7] == 1
+
+
+def test_ewma_short_frames_closed_form(tmp_path, ray_session):
+    from kafka_connect_s3_ray.pipelines.queries import ORACLE_SQL, q_ewma
+
+    base = pd.Timestamp("2026-03-01")
+    # user 1: 12 events (frames grow 1..8 then slide); user 2: single event
+    rows = [(i, 1, base + pd.Timedelta(minutes=i), float(i + 1))
+            for i in range(12)]
+    rows.append((100, 2, base, 42.0))
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "value"])
+    df = df.sample(frac=1.0, random_state=5).reset_index(drop=True)
+    sf = _write_events(tmp_path, df)
+    got = (q_ewma(sf).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    exp = (_oracle(sf, ORACLE_SQL["ewma"])
+           .sort_values("event_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False,
+                                  rtol=1e-9, atol=1e-12)
+    e = got.set_index("event_id")["ewma"]
+    # closed-form checks: first row is its own value; single-event user too
+    assert e[0] == 1.0 and e[100] == 42.0
+    # second row: (2 + 0.9*1) / (1 + 0.9)
+    assert abs(e[1] - (2 + 0.9) / 1.9) < 1e-12
+    # row 11 uses exactly the trailing 8 values 5..12
+    w = 0.9 ** np.arange(8)
+    x = np.arange(12, 4, -1, dtype=float)
+    assert abs(e[11] - (w * x).sum() / w.sum()) < 1e-12
