@@ -164,6 +164,7 @@ def run_bench() -> dict:
         "value_ranks", "patch_merge", "pagerank", "moving_average",
         "unpivot_events", "revenue_filter", "numeric_corr",
         "grouping_sets", "gap_fill", "windowed_dedup", "regex_extract",
+        "table_profile", "burst_counts", "ewma", "edit_distance_join",
     ]
     panel_results: dict = {}
     panel_trials = int(os.environ.get("BENCH_PANEL_TRIALS", "2"))
@@ -205,6 +206,10 @@ def run_bench() -> dict:
             "repetition_signals", "knn_graph", "knn_graph_ivf_nprobe6",
             "zscore_outliers", "bm25_search", "sequence_packing",
             "seeded_shuffle", "percentile_rank", "pmi_pairs",
+            # output-bound: the sf1 answer is ~81x the sf0.1 one (template
+            # near-key clusters pair quadratically) — wall time tracks TRUE
+            # pairs, not corpus^2 (see functions/editdist.py)
+            "edit_distance_join",
         ]
         for name in sf1_panel:
             consume(Q.QUERIES[name](sf1_dir))  # warm (see panel loop above)

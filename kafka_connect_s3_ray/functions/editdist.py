@@ -1,0 +1,302 @@
+"""Edit-distance (Levenshtein) similarity join over fixed-width string keys.
+
+The record-linkage / fuzzy-key member of the dedup family: find all pairs of
+documents whose WIDTH-codepoint key prefix is within ``k`` edits — the
+classic blocking primitive for near-identical titles, IDs-with-typos, and
+template-generated text where token-level Jaccard (``ngram_prefix_join``) is
+too coarse. Reference parity: the reference engine has no string operators
+(records are opaque bytes, common/.../AlreadyBytesConverter.java:16-23);
+this is an extension operator in the SURVEY §2.11 family.
+
+Exactness strategy (PassJoin-style segment pigeonhole, Li et al. VLDB'11):
+partition each key into ``k + 1`` contiguous segments. If ``ed(a, b) <= k``
+then at least one segment of ``a`` is untouched by every edit, and its exact
+text occurs in ``b`` at an offset shifted by at most the number of
+insertions/deletions before it — i.e. within ``±k`` of its own offset. So
+joining { (slot, segment-text) } of every string against
+{ (slot, every window of the segment length within ±k of that slot's
+offset) } of every string surfaces EVERY true pair at least once; the
+vectorized banded DP then verifies candidates exactly. Window texts are
+compared via a mixed 64-bit hash: equal windows always hash equal (recall
+stays 1.0), collisions only add false CANDIDATES, which the DP kills.
+
+Distribution (the house coarse-bucket shape):
+1. one pass builds the (id, key) table and the codepoint matrix per block;
+   segment/window rows (≈ (k+1) + (k+1)(2k+1) rows per key, ~46 at the
+   defaults) flow into ONE hash exchange on the window hash;
+2. per-bucket sorted searchsorted match emits candidate id pairs in bounded
+   chunks (hot windows never materialize a df_i x df_p cross product wider
+   than the chunk), canonicalized and bucket-deduped, then globally
+   deduped pair-keyed (``_distinct_pairs``);
+3. exact verify: the (id -> codepoint row) corpus broadcasts ONCE via
+   ``ray.put`` below ``corpus_broadcast_bytes`` (4 x WIDTH bytes per key —
+   40 MB at a million keys) and pairs stream through the vectorized
+   Levenshtein DP; above the budget the pair-payload exchange ships each
+   pair's two keys instead (``_pair_payload_exchange``), same combine.
+
+Scale posture: emission is O(k^2) rows per key, candidates are
+window-selective (4-codepoint exact match at a pinned slot), verify is
+candidate-bound — no stage holds more than a bucket. The one assumption is
+WIDTH-codepoint fixed keys: shorter keys are excluded (the oracle mirrors
+this), which is the honest contract for a fuzzy KEY join; variable-length
+PassJoin (length-grouped segment widths) is the documented extension if a
+corpus ever needs it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+_PAIR_OUT = pa.schema([("left_id", pa.int64()), ("right_id", pa.int64()),
+                       ("dist", pa.int64())])
+
+# multiplicative mixing constants (splitmix64 finalizer style)
+_MIX1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX2 = np.uint64(0x94D049BB133111EB)
+
+
+def _hash_windows(mat: np.ndarray, off: int, seg: int) -> np.ndarray:
+    """64-bit mixed hash of the ``seg`` codepoints at column ``off`` of
+    every row — equal windows hash equal (exact recall); collisions only
+    create extra candidates for the DP to reject."""
+    h = np.full(mat.shape[0], np.uint64(0x9E3779B97F4A7C15))
+    for j in range(off, off + seg):
+        h = (h ^ mat[:, j].astype(np.uint64)) * _MIX1
+        h ^= h >> np.uint64(31)
+    return h
+
+
+def _codepoint_matrix(keys: np.ndarray, width: int) -> np.ndarray:
+    """(N, width) uint32 codepoint matrix from an object array of
+    equal-length strings — numpy's fixed-width unicode dtype IS the
+    codepoint layout, so this is one view, no per-char Python."""
+    if len(keys) == 0:
+        return np.empty((0, width), np.uint32)
+    u = keys.astype(f"U{width}")
+    return u.view(np.uint32).reshape(len(keys), width)
+
+
+def _lev_vectorized(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Exact Levenshtein distance for P aligned pairs of equal-width
+    codepoint rows, vectorized ACROSS pairs: the (W+1)^2 DP runs as W^2
+    numpy ops over all P pairs at once — never a per-pair Python loop."""
+    P, W = A.shape
+    prev = np.broadcast_to(np.arange(W + 1, dtype=np.int32),
+                           (P, W + 1)).copy()
+    cur = np.empty((P, W + 1), np.int32)
+    for i in range(1, W + 1):
+        cur[:, 0] = i
+        cost = (A[:, i - 1][:, None] != B).astype(np.int32)  # (P, W)
+        for j in range(1, W + 1):
+            np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1, out=cur[:, j])
+            np.minimum(cur[:, j], prev[:, j - 1] + cost[:, j - 1],
+                       out=cur[:, j])
+        prev, cur = cur, prev
+    return prev[:, W].copy()
+
+
+def edit_distance_join(docs: "ray.data.Dataset", k: int = 4,
+                       width: int = 20, id_col: str = "doc_id",
+                       text_col: str = "text", n_coarse: int = 64,
+                       corpus_broadcast_bytes: int = 1 << 30,
+                       pair_chunk: int = 1 << 20) -> "ray.data.Dataset":
+    """All pairs (left_id < right_id, dist) with Levenshtein distance
+    ``<= k`` between the first ``width`` codepoints of ``text_col``; keys
+    shorter than ``width`` are excluded (fixed-width fuzzy-key contract,
+    mirrored by the SQL oracle)."""
+    if k < 1 or width < (k + 1):
+        raise ValueError("edit_distance_join needs k >= 1 and width > k")
+    seg_starts = [round(i * width / (k + 1)) for i in range(k + 1)]
+    seg_lens = [seg_starts[i + 1] - seg_starts[i] for i in range(k)] + \
+        [width - seg_starts[k]]
+    seg = min(seg_lens)
+    # uniform windows of the SHORTEST segment length keep the hash kernel
+    # one-shape; a longer segment's pigeonhole guarantee transfers to its
+    # leading `seg` codepoints (an untouched segment has an untouched prefix)
+    del seg_lens
+
+    def keyed(t: pa.Table) -> pa.Table:
+        txt = t.column(text_col)
+        sl = pc.utf8_slice_codeunits(txt, 0, width)
+        keep = pc.and_(pc.is_valid(sl),
+                       pc.equal(pc.utf8_length(sl), width))
+        f = t.filter(keep)
+        return pa.table({
+            "kid": pc.cast(f.column(id_col), pa.int64()),
+            "key": pc.cast(pc.utf8_slice_codeunits(f.column(text_col), 0,
+                                                   width), pa.string())})
+
+    keys_ds = docs.map_batches(keyed, batch_format="pyarrow").materialize()
+
+    # --- broadcast corpus (codepoints + char-bag) when it fits ------------
+    # The bag powers an EXACT in-kernel prefilter: for equal-width strings
+    # every edit changes the L1 distance of character counts by at most 2,
+    # so ed >= L1/2; hashed 64-bin counts only MERGE bins (L1_binned <=
+    # L1_true), keeping the bound safe. Template corpora share hot 4-char
+    # windows ("the ", "ing ") across wildly different keys, so candidates
+    # are ~10^3 x the answer without this — the bag kills them before the
+    # pair ever leaves its bucket. Above the broadcast budget the prefilter
+    # is skipped and the payload exchange carries verification alone.
+    n_keys = keys_ds.count()
+    corpus_bytes = n_keys * (8 + 4 * width + 64)
+    corpus_ref = None
+    if corpus_bytes <= corpus_broadcast_bytes:
+        tbls = [t for t in ray.get(keys_ds.to_arrow_refs()) if len(t)]
+        if not tbls:
+            return ray.data.from_arrow(_PAIR_OUT.empty_table())
+        tbl = pa.concat_tables(tbls)
+        cids = tbl.column("kid").to_numpy(zero_copy_only=False)
+        cmat = _codepoint_matrix(
+            np.asarray(tbl.column("key").to_pylist(), dtype=object), width)
+        o = np.argsort(cids, kind="stable")
+        cids, cmat = cids[o], np.ascontiguousarray(cmat[o])
+        binned = (cmat % np.uint32(61)).astype(np.int64)
+        flat = (np.arange(len(cids))[:, None] * 64 + binned).ravel()
+        cbag = np.bincount(flat, minlength=len(cids) * 64) \
+            .reshape(len(cids), 64).astype(np.int16)
+        corpus_ref = ray.put((cids, cmat, cbag))
+
+    def emit(t: pa.Table) -> pa.Table:
+        ids = t.column("kid").to_numpy(zero_copy_only=False)
+        keys = np.asarray(t.column("key").to_pylist(), dtype=object)
+        mat = _codepoint_matrix(keys, width)
+        out_h, out_id, out_role = [], [], []
+        for slot, start in enumerate(seg_starts):
+            # index role: the segment's own window
+            h = _hash_windows(mat, start, seg) ^ np.uint64(slot * 0x9E37)
+            out_h.append(h)
+            out_id.append(ids)
+            out_role.append(np.zeros(len(ids), np.int8))
+            # probe role: every window within ±k of the slot offset
+            for off in range(max(0, start - k),
+                             min(width - seg, start + k) + 1):
+                hp = _hash_windows(mat, off, seg) ^ np.uint64(slot * 0x9E37)
+                out_h.append(hp)
+                out_id.append(ids)
+                out_role.append(np.ones(len(ids), np.int8))
+        h = np.concatenate(out_h) if out_h else np.empty(0, np.uint64)
+        return pa.table({
+            "wkey": pa.array(h.view(np.int64), pa.int64()),
+            "kid": pa.array(np.concatenate(out_id) if out_id else
+                            np.empty(0, np.int64), pa.int64()),
+            "role": pa.array(np.concatenate(out_role) if out_role else
+                             np.empty(0, np.int8), pa.int8()),
+            "bucket": pa.array((h % np.uint64(n_coarse)).astype(np.int32)),
+        })
+
+    emitted = keys_ds.map_batches(emit, batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        wk = g["wkey"].to_numpy(np.int64)
+        ids = g["kid"].to_numpy(np.int64)
+        role = g["role"].to_numpy(np.int8)
+        im = role == 0
+        iw, iid = wk[im], ids[im]
+        pw, pid = wk[~im], ids[~im]
+        io = np.argsort(iw, kind="stable")
+        iw, iid = iw[io], iid[io]
+        lo = np.searchsorted(iw, pw, side="left")
+        hi = np.searchsorted(iw, pw, side="right")
+        cnt = hi - lo
+        keep = cnt > 0
+        lo, cnt, pid_k = lo[keep], cnt[keep], pid[keep]
+        out = []
+        csum = np.cumsum(cnt)
+        # chunk the expansion so a hot window never materializes wide
+        # (a single probe row bigger than the chunk still emits alone)
+        start_row = 0
+        while start_row < len(cnt):
+            base = int(csum[start_row]) - int(cnt[start_row])
+            end_row = int(np.searchsorted(csum, base + pair_chunk,
+                                          side="right"))
+            end_row = min(max(end_row, start_row + 1), len(cnt))
+            c = cnt[start_row:end_row]
+            offs = np.cumsum(c) - c
+            tot = int(c.sum())
+            left = np.repeat(pid_k[start_row:end_row], c)
+            idx = np.arange(tot) - np.repeat(offs, c) + np.repeat(
+                lo[start_row:end_row], c)
+            right = iid[idx]
+            # keep ONE direction only: ed is symmetric, so the pigeonhole
+            # guarantee holds with a as the index side and b as the probe
+            # side for BOTH orderings of a true pair — enumerating only
+            # index_id < probe_id halves candidate volume exactly
+            m = right < left
+            l, r = left[m], right[m]
+            if corpus_ref is not None and len(l):
+                cid, _, cbag = ray.get(corpus_ref)
+                li = np.searchsorted(cid, l)
+                ri = np.searchsorted(cid, r)
+                l1 = np.abs(cbag[li] - cbag[ri]).sum(axis=1)
+                keep_m = l1 <= 2 * k  # ed >= L1/2 (exact bound, see above)
+                l, r = l[keep_m], r[keep_m]
+            pairs = pd.DataFrame({"left_id": np.minimum(l, r),
+                                  "right_id": np.maximum(l, r)})
+            out.append(pairs.drop_duplicates())
+            start_row = end_row
+        if not out:
+            return pd.DataFrame({"left_id": pd.Series([], dtype=np.int64),
+                                 "right_id": pd.Series([], dtype=np.int64)})
+        return pd.concat(out, ignore_index=True).drop_duplicates()
+
+    cand = (emitted.groupby("bucket")
+            .map_groups(bucket_pairs, batch_format="pandas"))
+
+    from .dedup import _distinct_pairs, _pair_payload_exchange
+    cand = _distinct_pairs(cand)
+
+    def verify_tables(lkeys: np.ndarray, rkeys: np.ndarray,
+                      lids: np.ndarray, rids: np.ndarray) -> pa.Table:
+        A = _codepoint_matrix(lkeys, width)
+        B = _codepoint_matrix(rkeys, width)
+        d = _lev_vectorized(A, B)
+        m = d <= k
+        return pa.Table.from_arrays(
+            [pa.array(lids[m], pa.int64()), pa.array(rids[m], pa.int64()),
+             pa.array(d[m].astype(np.int64), pa.int64())],
+            schema=_PAIR_OUT)
+
+    if corpus_ref is not None:
+        def bverify(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return _PAIR_OUT.empty_table()
+            cid, cm, _ = ray.get(corpus_ref)
+            l = t.column("left_id").to_numpy(zero_copy_only=False)
+            r = t.column("right_id").to_numpy(zero_copy_only=False)
+            li = np.searchsorted(cid, l)
+            ri = np.searchsorted(cid, r)
+            d = _lev_vectorized(cm[li], cm[ri])
+            m = d <= k
+            return pa.Table.from_arrays(
+                [pa.array(l[m], pa.int64()), pa.array(r[m], pa.int64()),
+                 pa.array(d[m].astype(np.int64), pa.int64())],
+                schema=_PAIR_OUT)
+
+        out = cand.map_batches(bverify, batch_format="pyarrow",
+                               batch_size=64 * 1024).materialize()
+        if out.count() == 0:
+            return ray.data.from_arrow(_PAIR_OUT.empty_table())
+        return out
+
+    # scale path: ship each pair's two keys through the payload exchange
+    def as_payload(t: pa.Table) -> pa.Table:
+        return pa.table({"join_id": t.column("kid"),
+                         "key": t.column("key")})
+
+    def combine(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        lk = np.asarray(lt.column("key").to_pylist(), dtype=object)
+        rk = np.asarray(rt.column("key").to_pylist(), dtype=object)
+        return verify_tables(
+            lk, rk,
+            lt.column("left_id").to_numpy(zero_copy_only=False),
+            lt.column("right_id").to_numpy(zero_copy_only=False))
+
+    return _pair_payload_exchange(
+        cand, keys_ds.map_batches(as_payload, batch_format="pyarrow"),
+        ["key"], [pa.string()], combine, _PAIR_OUT, n_coarse)

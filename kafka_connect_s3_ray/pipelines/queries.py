@@ -3591,6 +3591,25 @@ def q_ewma(sf_dir: str):
     return out.map_batches(fix, batch_format="pyarrow")
 
 
+def q_edit_distance_join(sf_dir: str):
+    """Fuzzy-key record linkage: all document pairs whose first-20-codepoint
+    key is within 4 Levenshtein edits (``functions/editdist.py`` — PassJoin
+    segment pigeonhole -> one window-hash exchange -> vectorized banded DP
+    verify). The fixture's template-generated texts give a non-degenerate
+    distance spread (exact-dup prefixes at 0 plus mutated near-keys at 2-4).
+    Oracle = DuckDB ``levenshtein`` over the same fixed-width keys, so
+    hash-green certifies the pigeonhole recall AND the DP against a second
+    engine's implementation, value-for-value."""
+    from ..functions.editdist import edit_distance_join
+
+    out = edit_distance_join(_docs(sf_dir, ["doc_id", "text"]),
+                             k=4, width=20).to_pandas()
+    out = out.sort_values(["left_id", "right_id"]).reset_index(drop=True)
+    return pa.table({"left_id": pa.array(out["left_id"], pa.int64()),
+                     "right_id": pa.array(out["right_id"], pa.int64()),
+                     "dist": pa.array(out["dist"], pa.int64())})
+
+
 # Catalog order is a VERIFICATION BUDGET: the driver's correctness gate
 # checks the first ~50 entries, so the dict leads with EXACTLY the 50
 # SQL-hash-checkable entries no driver gate has yet verified (round-4
@@ -3764,6 +3783,7 @@ QUERIES = {
     "table_profile": q_table_profile,
     "burst_counts": q_burst_counts,
     "ewma": q_ewma,
+    "edit_distance_join": q_edit_distance_join,
 }
 
 _TOKENS_WS_SQL = (
@@ -4363,6 +4383,16 @@ ORACLE_SQL = {
         "list_dot_product(lst, list_transform(generate_series(1, len(lst)), "
         "i -> pow(0.9, len(lst) - i))) / ((1 - pow(0.9, len(lst))) / 0.1) "
         "AS ewma FROM w"
+    ),
+    # fixed-width fuzzy-key contract: keys shorter than 20 codepoints are
+    # excluded on BOTH sides (see functions/editdist.py docstring)
+    "edit_distance_join": (
+        "WITH p AS (SELECT doc_id, substr(text, 1, 20) AS s FROM documents "
+        "WHERE text IS NOT NULL AND length(substr(text, 1, 20)) = 20) "
+        "SELECT a.doc_id AS left_id, b.doc_id AS right_id, "
+        "CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist "
+        "FROM p a JOIN p b ON a.doc_id < b.doc_id "
+        "WHERE levenshtein(a.s, b.s) <= 4"
     ),
     # rolling_fingerprint / minhash / simhash / IVF / sketches:
     # non-SQL-expressible (seeded LSH, mergeable sketches, rolling hashes)

@@ -116,7 +116,7 @@ SQL_CHECKED = [
     "cosine_topk_ivf", "cosine_topk_ivf_indexed",
     "repetition_signals", "knn_graph", "knn_graph_ivf",
     "windowed_dedup", "regex_extract",
-    "table_profile", "burst_counts", "ewma",
+    "table_profile", "burst_counts", "ewma", "edit_distance_join",
 ]
 # the legitimately non-SQL-checkable entries: the quantile sketch's thinning
 # depends on batch boundaries, and media decode is binary.

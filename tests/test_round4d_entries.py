@@ -136,3 +136,87 @@ def test_ewma_short_frames_closed_form(tmp_path, ray_session):
     w = 0.9 ** np.arange(8)
     x = np.arange(12, 4, -1, dtype=float)
     assert abs(e[11] - (w * x).sum() / w.sum()) < 1e-12
+
+
+def _lev_ref(a: str, b: str) -> int:
+    import duckdb
+
+    return duckdb.connect().execute(
+        "SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
+
+
+def test_lev_vectorized_matches_duckdb_randomized():
+    """The vectorized banded DP against DuckDB's levenshtein on seeded
+    random equal-width pairs spanning distances 0..width."""
+    from kafka_connect_s3_ray.functions.editdist import (_codepoint_matrix,
+                                                         _lev_vectorized)
+
+    rng = np.random.default_rng(11)
+    W = 20
+    alphabet = np.array(list("abcdefg "))
+    lefts, rights = [], []
+    for _ in range(60):
+        a = rng.choice(alphabet, W)
+        b = a.copy()
+        for _ in range(int(rng.integers(0, 9))):
+            op = rng.integers(0, 3)
+            pos = int(rng.integers(0, W))
+            if op == 0:  # substitute
+                b[pos] = rng.choice(alphabet)
+            elif op == 1:  # delete+pad (keeps fixed width, still an edit mix)
+                b = np.delete(b, pos)
+                b = np.append(b, rng.choice(alphabet))
+            else:  # insert+trim
+                b = np.insert(b, pos, rng.choice(alphabet))[:W]
+        lefts.append("".join(a))
+        rights.append("".join(b))
+    A = _codepoint_matrix(np.array(lefts, dtype=object), W)
+    B = _codepoint_matrix(np.array(rights, dtype=object), W)
+    got = _lev_vectorized(A, B)
+    exp = np.array([_lev_ref(l, r) for l, r in zip(lefts, rights)])
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_edit_distance_join_planted(tmp_path, ray_session):
+    """Planted fixture: pairs at distances 0, 1 (sub), 2 (ins+del shift —
+    the segment-shift case the ±k probe window exists for), 4 (boundary,
+    kept), 5 (just over, dropped); a short key (<20 chars) is excluded;
+    duplicates straddle row groups."""
+    from kafka_connect_s3_ray.functions.editdist import edit_distance_join
+    from kafka_connect_s3_ray.pipelines.queries import (
+        ORACLE_SQL, q_edit_distance_join)
+
+    base = "the quick brown fox jumps over it"  # >= 20 chars
+    k20 = base[:20]                      # 'the quick brown fox '
+    docs = [
+        (0, base),
+        (1, base),                                        # d=0 vs 0
+        (2, "thX quick brown fox jumps"),                 # d=1 vs 0
+        (3, "he quick brown fox Zjumps"),                 # del at 0 -> shift
+        (4, "thX qXick brXwn fXx jumps over it"),         # 4 subs, d=4
+        (5, "thX qXick brXwn fXX jumps over it"),         # 5 subs, d=5
+        (6, "short key"),                                 # < 20 cp: excluded
+        (7, "completely different text entirely"),
+    ]
+    df = pd.DataFrame(docs, columns=["doc_id", "text"])
+    df["lang"], df["source"], df["n_chars"] = "en", "s", df["text"].str.len()
+    sf = str(tmp_path)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(sf, "documents.parquet"), row_group_size=2)
+
+    got = (q_edit_distance_join(sf).to_pandas()
+           .sort_values(["left_id", "right_id"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{os.path.join(sf, 'documents.parquet')}'")
+    exp = (con.execute(ORACLE_SQL["edit_distance_join"]).df()
+           .sort_values(["left_id", "right_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    pairs = {(l, r): d for l, r, d in got.itertuples(index=False)}
+    assert pairs[(0, 1)] == 0
+    assert pairs[(0, 2)] == 1
+    assert (0, 4) in pairs and pairs[(0, 4)] == 4   # boundary kept
+    assert (0, 5) not in pairs                      # just over
+    assert not any(6 in p for p in pairs)           # short key excluded
+    # the deletion-shift pair: every segment of doc 3's key is shifted
+    assert (0, 3) in pairs
