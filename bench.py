@@ -165,6 +165,7 @@ def run_bench() -> dict:
         "unpivot_events", "revenue_filter", "numeric_corr",
         "grouping_sets", "gap_fill", "windowed_dedup", "regex_extract",
         "table_profile", "burst_counts", "ewma", "edit_distance_join",
+        "triangle_count",
     ]
     panel_results: dict = {}
     panel_trials = int(os.environ.get("BENCH_PANEL_TRIALS", "2"))

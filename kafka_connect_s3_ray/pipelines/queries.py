@@ -3610,6 +3610,73 @@ def q_edit_distance_join(sf_dir: str):
                      "dist": pa.array(out["dist"], pa.int64())})
 
 
+def _adjacent_user_edges(sf_dir: str) -> "ray.data.Dataset":
+    """Edges between CONSECUTIVE DISTINCT users in the global (ts, event_id)
+    event stream — the deterministic interaction graph the graph entries
+    share (SQL: lag(user_id) OVER (ORDER BY ts, event_id)). Distributed
+    global lag without a global sort: one coarse exchange on the event-DAY
+    (a prefix of the ordering key, so day buckets partition the order),
+    per-day sort + in-day adjacent pairs, and a driver stitch of the
+    per-day (first, last) boundary rows — 2 tiny rows per day are ALL the
+    driver ever sees. Assumes event time spans many days (it partitions the
+    order); NULL user/ts are rejected loudly (the _user_bucketer
+    contract)."""
+    DAY_US = 86_400_000_000
+
+    def tag(t: pa.Table) -> pa.Table:
+        if t.column("user_id").null_count or t.column("ts").null_count:
+            raise ValueError(
+                "adjacent-user edges: NULL user_id/ts — fill or filter "
+                "first (the stream order and the lag chain need both)")
+        ts_us = (t.column("ts").to_numpy(zero_copy_only=False)
+                 .astype("datetime64[us]").astype(np.int64))
+        return pa.table({
+            "event_id": pc.cast(t.column("event_id"), pa.int64()),
+            "user_id": pc.cast(t.column("user_id"), pa.int64()),
+            "ts_us": pa.array(ts_us, pa.int64()),
+            "day": pa.array(ts_us // DAY_US, pa.int64())})
+
+    tagged = _events(sf_dir, ["event_id", "user_id", "ts"]).map_batches(
+        tag, batch_format="pyarrow").materialize()
+
+    def day_edges(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts_us", "event_id"], kind="stable")
+        u = g["user_id"].to_numpy(np.int64)
+        return pd.DataFrame({"u": u[:-1], "v": u[1:]})
+
+    def day_bounds(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts_us", "event_id"], kind="stable")
+        u = g["user_id"].to_numpy(np.int64)
+        return pd.DataFrame({"day": [int(g["day"].iloc[0])],
+                             "first_u": [int(u[0])], "last_u": [int(u[-1])]})
+
+    in_day = tagged.groupby("day").map_groups(day_edges,
+                                              batch_format="pandas")
+    bounds = (tagged.groupby("day")
+              .map_groups(day_bounds, batch_format="pandas")
+              .to_pandas().sort_values("day"))  # bounded: one row per day
+    lu = bounds["last_u"].to_numpy(np.int64)[:-1]
+    fu = bounds["first_u"].to_numpy(np.int64)[1:]
+    cross = ray.data.from_arrow(pa.table({
+        "u": pa.array(lu, pa.int64()), "v": pa.array(fu, pa.int64())}))
+    return in_day.union(cross) if len(lu) else in_day
+
+
+def q_triangle_count(sf_dir: str):
+    """Per-user triangle participation in the adjacent-user interaction
+    graph (``functions/graph.py::triangle_counts`` — degree-ordered wedge
+    enumeration, O(m^1.5)): the clustering-density companion to pagerank
+    over the SAME deterministic edge derivation, so the SQL oracle's
+    three-way self-join certifies edge construction, orientation, wedge
+    closure, and corner counting value-for-value."""
+    from ..functions.graph import triangle_counts
+
+    out = triangle_counts(_adjacent_user_edges(sf_dir)).to_pandas()
+    out = out.sort_values("node").reset_index(drop=True)
+    return pa.table({"user_id": pa.array(out["node"], pa.int64()),
+                     "n_tri": pa.array(out["n_tri"], pa.int64())})
+
+
 # Catalog order is a VERIFICATION BUDGET: the driver's correctness gate
 # checks the first ~50 entries, so the dict leads with EXACTLY the 50
 # SQL-hash-checkable entries no driver gate has yet verified (round-4
@@ -3784,6 +3851,7 @@ QUERIES = {
     "burst_counts": q_burst_counts,
     "ewma": q_ewma,
     "edit_distance_join": q_edit_distance_join,
+    "triangle_count": q_triangle_count,
 }
 
 _TOKENS_WS_SQL = (
@@ -4393,6 +4461,23 @@ ORACLE_SQL = {
         "CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist "
         "FROM p a JOIN p b ON a.doc_id < b.doc_id "
         "WHERE levenshtein(a.s, b.s) <= 4"
+    ),
+    # triangles of the adjacent-user graph: edges between consecutive
+    # distinct users in (ts, event_id) order, canonical u < v, distinct;
+    # the b.u = a.v / c.u = a.u / c.v = b.v join enumerates each triangle
+    # exactly once (x < y < z by edge canonicalization)
+    "triangle_count": (
+        "WITH seq AS (SELECT user_id, lag(user_id) OVER "
+        "(ORDER BY ts, event_id) AS prev FROM events), "
+        "e AS (SELECT DISTINCT least(user_id, prev) AS u, "
+        "greatest(user_id, prev) AS v FROM seq "
+        "WHERE prev IS NOT NULL AND prev <> user_id), "
+        "tri AS (SELECT a.u AS x, a.v AS y, b.v AS z FROM e a "
+        "JOIN e b ON b.u = a.v JOIN e c ON c.u = a.u AND c.v = b.v), "
+        "corners AS (SELECT x AS node FROM tri UNION ALL "
+        "SELECT y FROM tri UNION ALL SELECT z FROM tri) "
+        "SELECT node AS user_id, count(*) AS n_tri FROM corners "
+        "GROUP BY node"
     ),
     # rolling_fingerprint / minhash / simhash / IVF / sketches:
     # non-SQL-expressible (seeded LSH, mergeable sketches, rolling hashes)

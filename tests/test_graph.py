@@ -76,3 +76,45 @@ def test_pagerank_auto_switch_and_empty():
     assert empty.count() == 0
     with pytest.raises(ValueError):
         pagerank(ds, method="nope")
+
+
+def test_triangle_counts_known_graph(ray_session):
+    """K4 minus one edge: triangles {a,b,c} and {a,b,d} — a,b in 2 each,
+    c,d in 1 each; self-loops and duplicate/reversed edges must not
+    change the answer."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from kafka_connect_s3_ray.functions.graph import triangle_counts
+
+    edges = pd.DataFrame({
+        "u": [1, 1, 1, 2, 2, 2, 1, 3, 3],
+        "v": [2, 3, 4, 3, 4, 1, 1, 1, 3],
+        #     ^real K4-minus-(3,4)^  dup rev  self
+    })
+    out = (triangle_counts(ray.data.from_pandas(edges))
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    assert dict(zip(out["node"], out["n_tri"])) == {1: 2, 2: 2, 3: 1, 4: 1}
+
+
+def test_triangle_counts_degree_join_fallback(ray_session):
+    """The past-broadcast-budget path (two coarse hash joins) must agree
+    with the broadcast path on a random graph."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from kafka_connect_s3_ray.functions.graph import triangle_counts
+
+    rng = np.random.default_rng(13)
+    edges = pd.DataFrame({"u": rng.integers(0, 40, 400),
+                          "v": rng.integers(0, 40, 400)})
+    a = (triangle_counts(ray.data.from_pandas(edges))
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    b = (triangle_counts(ray.data.from_pandas(edges),
+                         degree_broadcast_nodes=0)
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
