@@ -165,7 +165,7 @@ def run_bench() -> dict:
         "unpivot_events", "revenue_filter", "numeric_corr",
         "grouping_sets", "gap_fill", "windowed_dedup", "regex_extract",
         "table_profile", "burst_counts", "ewma", "edit_distance_join",
-        "triangle_count",
+        "triangle_count", "containment_join",
     ]
     panel_results: dict = {}
     panel_trials = int(os.environ.get("BENCH_PANEL_TRIALS", "2"))
@@ -210,7 +210,7 @@ def run_bench() -> dict:
             # output-bound: the sf1 answer is ~81x the sf0.1 one (template
             # near-key clusters pair quadratically) — wall time tracks TRUE
             # pairs, not corpus^2 (see functions/editdist.py)
-            "edit_distance_join",
+            "edit_distance_join", "containment_join", "triangle_count",
         ]
         for name in sf1_panel:
             consume(Q.QUERIES[name](sf1_dir))  # warm (see panel loop above)

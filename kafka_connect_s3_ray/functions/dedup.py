@@ -1659,6 +1659,81 @@ def _ngram_rows(t: pa.Table, id_col: str, text_col: str, n: int) -> pa.Table:
     return out.filter(pa.array(counts > 0))
 
 
+def _token_df_ref(sets: "ray.data.Dataset", hot_tokens: int,
+                  hot_partial_cap: int):
+    """Broadcast (sorted_tokens, df) of the globally hottest tokens from
+    bounded per-block count partials — the AllPairs frequency-ordering
+    table shared by the prefix and containment joins. Tokens outside the
+    table rank df=1 (rare-first). Approximate df (cross-block singletons
+    are missed) — an ordering optimization only, never a correctness
+    input."""
+    def tok_partial(t: pa.Table) -> pa.Table:
+        flat, _ = _list_flat(t.column("grams"))
+        tok, cnt = np.unique(flat, return_counts=True)
+        keep = cnt >= 2  # a block-locally-unique token can't be ranked hot
+        tok, cnt = tok[keep], cnt[keep]
+        if len(tok) > hot_partial_cap:
+            top = np.argpartition(cnt, -hot_partial_cap)[-hot_partial_cap:]
+            tok, cnt = tok[top], cnt[top]
+        return pa.table({"tok": pa.array(tok, pa.uint64()),
+                         "cnt": pa.array(cnt, pa.int64())})
+
+    partials = sets.map_batches(tok_partial, batch_format="pyarrow").take_all()
+    if partials:
+        ptoks = np.array([r["tok"] for r in partials], np.uint64)
+        pcnts = np.array([r["cnt"] for r in partials], np.float64)
+        utok, inv = np.unique(ptoks, return_inverse=True)
+        df = np.bincount(inv, weights=pcnts)
+        if len(utok) > hot_tokens:
+            top = np.argpartition(df, -hot_tokens)[-hot_tokens:]
+            utok, df = utok[top], df[top]
+        order = np.argsort(utok)
+        df_tok, df_val = utok[order], df[order].astype(np.int64)
+    else:
+        df_tok = np.empty(0, np.uint64)
+        df_val = np.empty(0, np.int64)
+    return ray.put((df_tok, df_val))
+
+
+def _sig_rows_fn(hasher: "MinHasher", num_perm: int, id_col: str):
+    """(join_id, sig list<uint64>) rows from the SAME gram sets the join
+    runs on, so signature agreement estimates exactly the target overlap
+    measure."""
+    def sig_rows(t: pa.Table) -> pa.Table:
+        flat, lens = _list_flat(t.column("grams"))
+        sigs = hasher.sigs_from_sets(flat, lens) if len(t) else \
+            np.empty((num_perm, 0), np.uint64)
+        off = np.arange(0, (len(t) + 1) * num_perm, num_perm,
+                        dtype=np.int32)
+        lists = pa.ListArray.from_arrays(
+            pa.array(off, pa.int32()),
+            pa.array(np.ascontiguousarray(sigs.T).ravel(), pa.uint64()))
+        return pa.table({"join_id": pc.cast(t.column(id_col), pa.int64()),
+                         "sig": lists})
+
+    return sig_rows
+
+
+def _sig_matrix8_ref(sig_ds: "ray.data.Dataset", num_perm: int):
+    """Driver gather of the whole (id, sig) matrix as LOW-BYTE uint8 lanes,
+    id-sorted, via one ray.put — the fused in-kernel prefilter's broadcast
+    form. Equality compare on uint8 truncations can only FALSE-MATCH
+    (p=1/256 per perm), so the estimated agreement is biased UP: the
+    prefilter keeps strictly more than the full-width compare would, never
+    fewer. Returns None when the matrix is empty."""
+    tbls = [t for t in ray.get(sig_ds.to_arrow_refs()) if len(t)]
+    if not tbls:
+        return None
+    stbl = pa.concat_tables(tbls)
+    sids = stbl.column("join_id").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    sflat, _ = _list_flat(stbl.column("sig"))
+    sorder = np.argsort(sids, kind="stable")
+    mat8 = (sflat.reshape(len(sids), num_perm)[sorder]
+            & np.uint64(0xFF)).astype(np.uint8)
+    return ray.put((sids[sorder], mat8))
+
+
 def ngram_prefix_join(docs: "ray.data.Dataset", n: int = 2,
                       threshold: float = 0.8, id_col: str = "doc_id",
                       text_col: str = "text", hot_tokens: int = 4096,
@@ -1740,35 +1815,7 @@ def ngram_prefix_join(docs: "ray.data.Dataset", n: int = 2,
         return ray.data.from_arrow(_NGRAM_OUT.empty_table())
 
     # --- hot-token detection: bounded per-block partials, driver top-H ---
-    def tok_partial(t: pa.Table) -> pa.Table:
-        flat, _ = _list_flat(t.column("grams"))
-        tok, cnt = np.unique(flat, return_counts=True)
-        keep = cnt >= 2  # a block-locally-unique token can't be ranked hot
-        tok, cnt = tok[keep], cnt[keep]
-        if len(tok) > hot_partial_cap:
-            top = np.argpartition(cnt, -hot_partial_cap)[-hot_partial_cap:]
-            tok, cnt = tok[top], cnt[top]
-        return pa.table({"tok": pa.array(tok, pa.uint64()),
-                         "cnt": pa.array(cnt, pa.int64())})
-
-    # driver fold over bounded partials (<= hot_partial_cap rows per block):
-    # sum block counts per token, keep the global top-H. Approximate df
-    # (cross-block singletons are missed) — harmless, see docstring.
-    partials = sets.map_batches(tok_partial, batch_format="pyarrow").take_all()
-    if partials:
-        ptoks = np.array([r["tok"] for r in partials], np.uint64)
-        pcnts = np.array([r["cnt"] for r in partials], np.float64)
-        utok, inv = np.unique(ptoks, return_inverse=True)
-        df = np.bincount(inv, weights=pcnts)
-        if len(utok) > hot_tokens:
-            top = np.argpartition(df, -hot_tokens)[-hot_tokens:]
-            utok, df = utok[top], df[top]
-        order = np.argsort(utok)
-        df_tok, df_val = utok[order], df[order].astype(np.int64)
-    else:
-        df_tok = np.empty(0, np.uint64)
-        df_val = np.empty(0, np.int64)
-    df_ref = ray.put((df_tok, df_val))
+    df_ref = _token_df_ref(sets, hot_tokens, hot_partial_cap)
 
     # --- prefix emission ---
     PREFIX = pa.schema([("tok", pa.int64()), (id_col, pa.int64()),
@@ -1822,42 +1869,17 @@ def ngram_prefix_join(docs: "ray.data.Dataset", n: int = 2,
         hasher = MinHasher(num_perm=num_perm, bands=1, seed=seed,
                            id_col=id_col)
         sig_type = pa.list_(pa.uint64())
-
-        def sig_rows(t: pa.Table) -> pa.Table:
-            flat, lens = _list_flat(t.column("grams"))
-            sigs = hasher.sigs_from_sets(flat, lens) if len(t) else \
-                np.empty((num_perm, 0), np.uint64)
-            off = np.arange(0, (len(t) + 1) * num_perm, num_perm,
-                            dtype=np.int32)
-            lists = pa.ListArray.from_arrays(
-                pa.array(off, pa.int32()),
-                pa.array(np.ascontiguousarray(sigs.T).ravel(), pa.uint64()))
-            return pa.table({"join_id": pc.cast(t.column(id_col), pa.int64()),
-                             "sig": lists})
-
-        sig_ds = sets.map_batches(sig_rows, batch_format="pyarrow")
+        sig_ds = sets.map_batches(_sig_rows_fn(hasher, num_perm, id_col),
+                                  batch_format="pyarrow")
         cutoff = _est_cutoff(threshold, num_perm, prefilter_margin_sigmas)
         if n_docs <= sig_broadcast_docs:
             # broadcast path: whole (id, sig) matrix once via ray.put
-            # (num_perm x 8 B per doc), consumed INSIDE the pair kernel —
-            # candidates are prefiltered before they ever materialize, so
-            # the kernel's output is near-true-pair-sized even when the
-            # vocabulary is degenerate and candidate volume is ~all-pairs
-            tbls = [t for t in ray.get(sig_ds.to_arrow_refs()) if len(t)]
-            if tbls:
-                stbl = pa.concat_tables(tbls)
-                sids = stbl.column("join_id").to_numpy(
-                    zero_copy_only=False).astype(np.int64)
-                sflat, _ = _list_flat(stbl.column("sig"))
-                sorder = np.argsort(sids, kind="stable")
-                # low-byte lanes: equality compare on uint8 truncations can
-                # only FALSE-MATCH (p=1/256 per perm), so the estimated
-                # agreement is biased UP — the prefilter keeps strictly
-                # more than the full-width compare would, never fewer. 8x
-                # less broadcast + gather traffic on the candidate bulk.
-                mat8 = (sflat.reshape(len(sids), num_perm)[sorder]
-                        & np.uint64(0xFF)).astype(np.uint8)
-                sig_ref = ray.put((sids[sorder], mat8))
+            # (one uint8 lane per perm per doc), consumed INSIDE the pair
+            # kernel — candidates are prefiltered before they ever
+            # materialize, so the kernel's output is near-true-pair-sized
+            # even when the vocabulary is degenerate and candidate volume
+            # is ~all-pairs (see _sig_matrix8_ref for the bias contract)
+            sig_ref = _sig_matrix8_ref(sig_ds, num_perm)
 
     def prefix_pairs(g: pd.DataFrame) -> pd.DataFrame:
         tok = g["tok"].to_numpy(np.int64)
@@ -1984,6 +2006,278 @@ def ngram_prefix_join(docs: "ray.data.Dataset", n: int = 2,
         ["grams"], [pa.list_(pa.uint64())],
         _exact_jaccard_combine(threshold, _NGRAM_OUT, col="grams"),
         _NGRAM_OUT, n_coarse,
+    )
+
+
+_CONTAIN_OUT = pa.schema([("left_id", pa.int64()), ("right_id", pa.int64()),
+                          ("containment", pa.float64())])
+
+
+def ngram_containment_join(docs: "ray.data.Dataset", n: int = 2,
+                           threshold: float = 0.7, id_col: str = "doc_id",
+                           text_col: str = "text", hot_tokens: int = 4096,
+                           hot_partial_cap: int = 16_384,
+                           n_coarse_tok: int = 509,
+                           n_coarse: int = 64, ell: int = 4,
+                           corpus_broadcast_bytes: int = 1 << 30
+                           ) -> "ray.data.Dataset":
+    """ASYMMETRIC n-gram set-containment pairs: every ORDERED pair
+    (left_id, right_id, containment) with ``|A ∩ B| / |A| >= threshold``
+    (A = left's gram set, B = right's); A != B, both orderings when mutual.
+    The quote / subset / superset-dedup member of the family — Jaccard
+    misses a short document wholly contained in a long one (the union
+    dilutes it), which is exactly the contamination shape quote-detection
+    and superset-dedup need. Reference parity: extension operator (the
+    reference has no string operators); SQL oracle = DuckDB list_intersect
+    over the identical gram definition.
+
+    Exactness scheme — one-sided ell-EXTENDED prefix COUNTING (the
+    adaptive-prefix idea of ED-Join / Xiao et al., recast for containment):
+    fix the (df asc, hash) total token order. A true pair misses at most
+    ``m_A = |A| - ceil(t|A|)`` of A's tokens in B, so among A's first
+    ``min(|A|, m_A + ell)`` tokens at least ``req = min(ell, ceil(t|A|))``
+    occur in B. The left side therefore emits its extended prefix, the
+    right side emits FULL postings (containment puts NO bound on where B's
+    matching tokens rank), and a pair survives iff its shared-emission
+    COUNT reaches ``req`` — an exact necessary condition, enforced with
+    one pair-keyed counting exchange. The only other exact prune is the
+    one-sided length filter ``|B| >= ceil(t|A|)``. (The PPJoin positional
+    prune is deliberately ABSENT: it may drop non-smallest emissions of a
+    true pair, which is harmless under candidate DEDUP but breaks
+    candidate COUNTING.)
+
+    Why no minhash prefilter (the prefix join's weapon): signature
+    agreement estimates JACCARD, and a small-in-big true containment pair
+    has J ~ t|A|/|B| — arbitrarily small. At any practical num_perm the
+    estimator cannot separate J=0.04 from J=0 (sigma ~ 0.025 at 64 perms),
+    so the converted cutoff goes negative and the filter admits
+    everything; measured on the 10x corpus it passed 172M of 172M
+    candidates. The counting scheme replaces it with an EXACT filter that
+    needs no signatures at all.
+
+    Distribution (all stages bounded, the house coarse-bucket shape):
+    gram sets once -> token-hash exchange (prefix + posting rows) ->
+    per-token-bucket vectorized enumeration emitting PARTIAL pair counts
+    (lexsort + run-length, never a pandas dedup) -> one pair-hash counting
+    exchange applying ``req`` -> exact verify: broadcast popcount corpus
+    under ``corpus_broadcast_bytes``, pair-payload gram exchange past it.
+    Candidate volume is Sum_tok df_prefix(tok) * df(tok) — the inherent
+    cost of exact containment joins (no symmetric prefix exists); the
+    rare-first order keeps prefixes off the hot tokens, and the counting
+    filter keeps everything downstream true-pair-sized."""
+    sets = docs.map_batches(
+        lambda t: _ngram_rows(t, id_col, text_col, n),
+        batch_format="pyarrow",
+    ).materialize()
+    n_docs = sets.count()
+    if n_docs < 2:
+        return ray.data.from_arrow(_CONTAIN_OUT.empty_table())
+
+    df_ref = _token_df_ref(sets, hot_tokens, hot_partial_cap)
+
+    EMIT = pa.schema([("tok", pa.int64()), (id_col, pa.int64()),
+                      ("set_len", pa.int32()), ("role", pa.int8()),
+                      ("coarse", pa.int32())])
+
+    def emit_rows(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return EMIT.empty_table()
+        df_tok, df_val = ray.get(df_ref)
+        flat, lens = _list_flat(t.column("grams"))
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(t), dtype=np.int64), lens)
+        if len(df_tok):
+            dpos = np.clip(np.searchsorted(df_tok, flat), 0, len(df_tok) - 1)
+            dfv = np.where(df_tok[dpos] == flat, df_val[dpos], 1)
+        else:
+            dfv = np.ones(len(flat), np.int64)
+        order = np.lexsort((flat, dfv, doc_idx))
+        starts = np.cumsum(lens) - lens
+        rank_in_doc = np.arange(len(flat), dtype=np.int64) - np.repeat(
+            starts, lens)
+        # LEFT: ell-extended prefix = first min(|A|, m_A + ell) tokens
+        # (m_A = |A| - ceil(t|A|)); RIGHT: all tokens
+        m_a = lens - np.ceil(threshold * lens - 1e-9).astype(np.int64)
+        p = np.minimum(lens, m_a + ell)
+        tok_o = flat[order].view(np.int64)
+        id_o = ids[doc_idx[order]]
+        len_o = lens[doc_idx[order]].astype(np.int32)
+        # `order` permutes WITHIN each doc segment only (doc_idx is the
+        # primary lexsort key), so the UNpermuted 0..len-1 labels ARE the
+        # sorted ranks (the prefix-join trick)
+        pref_o = rank_in_doc < np.repeat(p, lens)
+        tok2 = np.concatenate([tok_o[pref_o], tok_o])
+        id2 = np.concatenate([id_o[pref_o], id_o])
+        len2 = np.concatenate([len_o[pref_o], len_o])
+        role2 = np.concatenate([np.zeros(int(pref_o.sum()), np.int8),
+                                np.ones(len(tok_o), np.int8)])
+        return pa.Table.from_arrays(
+            [pa.array(tok2, pa.int64()), pa.array(id2, pa.int64()),
+             pa.array(len2, pa.int32()), pa.array(role2, pa.int8()),
+             pa.array((tok2 % n_coarse_tok).astype(np.int32), pa.int32())],
+            schema=EMIT)
+
+    emitted = sets.map_batches(emit_rows, batch_format="pyarrow")
+    min_blocks = int(ray.cluster_resources().get("CPU", 8)) * 2
+    if sets.num_blocks() < min_blocks:
+        emitted = emitted.repartition(min_blocks)
+
+    def contain_partials(g: pd.DataFrame) -> pd.DataFrame:
+        """Per-token-bucket PARTIAL pair counts: enumerate (A-prefix row x
+        B-posting row) per token under the one-sided length prune, then
+        collapse duplicates with a lexsort + run-length — one (left,
+        right, la, cnt) row per pair per bucket, fully vectorized."""
+        tok = g["tok"].to_numpy(np.int64)
+        ids = g[id_col].to_numpy(np.int64)
+        slen = g["set_len"].to_numpy(np.int64)
+        role = g["role"].to_numpy(np.int8)
+        o = np.lexsort((slen, role, tok))
+        tok, ids, slen, role = tok[o], ids[o], slen[o], role[o]
+        seg = np.flatnonzero(np.r_[True, tok[1:] != tok[:-1]])
+        seg_end = np.append(seg[1:], len(tok))
+        out_l, out_r, out_la = [], [], []
+        CH = 1_048_576
+        for s, e in zip(seg, seg_end):
+            nl = int(np.searchsorted(role[s:e], 1, side="left"))
+            if nl == 0 or nl == e - s:
+                continue
+            r0 = s + nl
+            r_len = slen[r0:e]  # ascending within rights
+            need = np.ceil(threshold * slen[s:s + nl] - 1e-9)
+            lo = r0 + np.searchsorted(r_len, need, side="left")
+            cnt = np.maximum(e - lo, 0)
+            csum = np.cumsum(cnt)
+            if not len(csum) or csum[-1] == 0:
+                continue
+            bounds = np.searchsorted(csum, np.arange(CH, csum[-1], CH)) + 1
+            for ii, jj in zip(np.r_[0, bounds], np.r_[bounds, nl]):
+                c = cnt[ii:jj]
+                tot = int(c.sum())
+                if tot == 0:
+                    continue
+                offs = np.cumsum(c) - c
+                li = np.repeat(np.arange(s + ii, s + jj), c)
+                ri = np.arange(tot) - np.repeat(offs, c) + np.repeat(
+                    lo[ii:jj], c)
+                m = ids[li] != ids[ri]
+                li, ri = li[m], ri[m]
+                if len(li):
+                    out_l.append(ids[li])
+                    out_r.append(ids[ri])
+                    out_la.append(slen[li])
+        if not out_l:
+            return pd.DataFrame({"left_id": pd.Series([], dtype=np.int64),
+                                 "right_id": pd.Series([], dtype=np.int64),
+                                 "la": pd.Series([], dtype=np.int64),
+                                 "cnt": pd.Series([], dtype=np.int64)})
+        l = np.concatenate(out_l)
+        r = np.concatenate(out_r)
+        la = np.concatenate(out_la)
+        po = np.lexsort((r, l))
+        l, r, la = l[po], r[po], la[po]
+        new = np.r_[True, (l[1:] != l[:-1]) | (r[1:] != r[:-1])]
+        starts_p = np.flatnonzero(new)
+        counts = np.diff(np.append(starts_p, len(l)))
+        return pd.DataFrame({"left_id": l[starts_p],
+                             "right_id": r[starts_p],
+                             "la": la[starts_p],
+                             "cnt": counts.astype(np.int64)})
+
+    partial_counts = (emitted.groupby("coarse")
+                      .map_groups(contain_partials, batch_format="pandas"))
+
+    # --- pair-keyed counting exchange: sum partials, apply the exact
+    # req = min(ell, ceil(t|A|)) necessary condition -----------------------
+    def add_pair_bucket(t: pa.Table) -> pa.Table:
+        l = t.column("left_id").to_numpy(zero_copy_only=False)
+        r = t.column("right_id").to_numpy(zero_copy_only=False)
+        return t.append_column("pb", pa.array(
+            ((l * 1000003 + r) % N_COARSE).astype(np.int32)))
+
+    def count_filter(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["left_id", "right_id"], as_index=False).agg(
+            la=("la", "first"), cnt=("cnt", "sum"))
+        req = np.minimum(ell, np.ceil(
+            threshold * agg["la"].to_numpy(np.float64) - 1e-9))
+        keep = agg["cnt"].to_numpy(np.int64) >= req
+        return agg.loc[keep, ["left_id", "right_id"]]
+
+    cand = (partial_counts.map_batches(add_pair_bucket,
+                                       batch_format="pyarrow")
+            .groupby("pb").map_groups(count_filter, batch_format="pandas"))
+
+    # --- exact verify ------------------------------------------------------
+    def g_nbytes(t: pa.Table) -> pa.Table:
+        flat, _ = _list_flat(t.column("grams"))
+        return pa.table({"nb": pa.array([int(flat.nbytes)], pa.int64())})
+
+    corpus_bytes = sum(r["nb"] for r in sets.map_batches(
+        g_nbytes, batch_format="pyarrow").take_all())
+    if corpus_bytes <= corpus_broadcast_bytes:
+        tbls = [t for t in ray.get(sets.to_arrow_refs()) if len(t)]
+        tbl = pa.concat_tables(tbls)
+        gids = tbl.column(id_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        gflat, glens = _list_flat(tbl.column("grams"))
+        corpus_ref, use_bitmap = _broadcast_corpus_ref(
+            gids, gflat, glens, corpus_broadcast_bytes)
+        jverify = _broadcast_verify_fn(corpus_ref, use_bitmap, 0.0,
+                                       _NGRAM_OUT)
+
+        def cverify(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return _CONTAIN_OUT.empty_table()
+            jt = jverify(t)  # (left, right, jaccard) for every candidate
+            sid = ray.get(corpus_ref)[0]
+            clen = ray.get(corpus_ref)[2] if use_bitmap else \
+                ray.get(corpus_ref)[3]
+            l = jt.column("left_id").to_numpy(zero_copy_only=False)
+            r = jt.column("right_id").to_numpy(zero_copy_only=False)
+            j = jt.column("jaccard").to_numpy(zero_copy_only=False)
+            la = clen[np.searchsorted(sid, l)].astype(np.float64)
+            lb = clen[np.searchsorted(sid, r)].astype(np.float64)
+            # recover the INTEGER intersection from Jaccard exactly:
+            # I = J(|A|+|B|)/(1+J) is an integer and doubles resolve it
+            # far beyond any realistic set size
+            inter = np.rint(j * (la + lb) / (1.0 + j))
+            c = inter / np.maximum(la, 1.0)
+            keep = c >= threshold
+            return pa.Table.from_arrays(
+                [pa.array(l[keep], pa.int64()),
+                 pa.array(r[keep], pa.int64()),
+                 pa.array(c[keep], pa.float64())],
+                schema=_CONTAIN_OUT)
+
+        out = cand.map_batches(cverify, batch_format="pyarrow",
+                               batch_size=16 * 1024).materialize()
+        if out.count() == 0:
+            return ray.data.from_arrow(_CONTAIN_OUT.empty_table())
+        return out
+
+    # scale path: gram payload exchange with a containment combine
+    def as_payload(t: pa.Table) -> pa.Table:
+        return pa.table({"join_id": pc.cast(t.column(id_col), pa.int64()),
+                         "grams": t.column("grams")})
+
+    def contain_combine(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        lv, ll = _list_flat(lt.column("grams"))
+        rv, rl = _list_flat(rt.column("grams"))
+        j = _batch_jaccard_flat(lv, ll, rv, rl)
+        la = ll.astype(np.float64)
+        lb = rl.astype(np.float64)
+        inter = np.rint(j * (la + lb) / (1.0 + j))
+        c = inter / np.maximum(la, 1.0)
+        keep = c >= threshold
+        return pa.Table.from_arrays(
+            [lt.column("left_id").filter(pa.array(keep)),
+             lt.column("right_id").filter(pa.array(keep)),
+             pa.array(c[keep], pa.float64())],
+            schema=_CONTAIN_OUT)
+
+    return _pair_payload_exchange(
+        cand, sets.map_batches(as_payload, batch_format="pyarrow"),
+        ["grams"], [pa.list_(pa.uint64())], contain_combine,
+        _CONTAIN_OUT, n_coarse,
     )
 
 

@@ -3662,6 +3662,25 @@ def _adjacent_user_edges(sf_dir: str) -> "ray.data.Dataset":
     return in_day.union(cross) if len(lu) else in_day
 
 
+def q_containment_join(sf_dir: str):
+    """Asymmetric n-gram set containment at 0.7 (|A∩B|/|A| — the
+    quote/subset shape Jaccard dilutes away;
+    ``functions/dedup.py::ngram_containment_join``): one-sided ell-extended
+    prefix emission + full right postings, exact shared-count filter
+    (min(ell, ceil(t|A|)) — the prefilter minhash cannot provide at small
+    J), exact popcount verify. ORDERED pairs: a short doc contained in a
+    long one appears as (short, long) only."""
+    from ..functions.dedup import ngram_containment_join
+
+    out = ngram_containment_join(_docs(sf_dir, ["doc_id", "text"]),
+                                 n=3, threshold=0.7).to_pandas()
+    out = out.sort_values(["left_id", "right_id"]).reset_index(drop=True)
+    return pa.table({
+        "left_id": pa.array(out["left_id"], pa.int64()),
+        "right_id": pa.array(out["right_id"], pa.int64()),
+        "containment": pa.array(out["containment"].round(6), pa.float64())})
+
+
 def q_triangle_count(sf_dir: str):
     """Per-user triangle participation in the adjacent-user interaction
     graph (``functions/graph.py::triangle_counts`` — degree-ordered wedge
@@ -3852,6 +3871,7 @@ QUERIES = {
     "ewma": q_ewma,
     "edit_distance_join": q_edit_distance_join,
     "triangle_count": q_triangle_count,
+    "containment_join": q_containment_join,
 }
 
 _TOKENS_WS_SQL = (
@@ -4478,6 +4498,25 @@ ORACLE_SQL = {
         "SELECT y FROM tri UNION ALL SELECT z FROM tri) "
         "SELECT node AS user_id, count(*) AS n_tri FROM corners "
         "GROUP BY node"
+    ),
+    # asymmetric containment over word TRIGRAMS (the longer shingle is the
+    # realistic quote-detection unit AND keeps full right-side postings
+    # cheap — rare grams; see ngram_containment_join's docstring); ORDERED
+    # pairs a <> b, containment = |A∩B| / |A|
+    "containment_join": (
+        "WITH wrd AS (SELECT doc_id, regexp_split_to_array(trim(text), "
+        "'\\s+') AS ws FROM documents WHERE text IS NOT NULL AND "
+        "trim(text) <> ''), "
+        "g AS (SELECT doc_id, list_distinct(list_transform("
+        "generate_series(1, array_length(ws) - 2), "
+        "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS grams "
+        "FROM wrd WHERE array_length(ws) >= 3) "
+        "SELECT a.doc_id AS left_id, b.doc_id AS right_id, "
+        "round(CAST(array_length(list_intersect(a.grams, b.grams)) "
+        "AS DOUBLE) / array_length(a.grams), 6) AS containment "
+        "FROM g a JOIN g b ON a.doc_id <> b.doc_id "
+        "WHERE CAST(array_length(list_intersect(a.grams, b.grams)) "
+        "AS DOUBLE) / array_length(a.grams) >= 0.70"
     ),
     # rolling_fingerprint / minhash / simhash / IVF / sketches:
     # non-SQL-expressible (seeded LSH, mergeable sketches, rolling hashes)

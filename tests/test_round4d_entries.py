@@ -220,3 +220,45 @@ def test_edit_distance_join_planted(tmp_path, ray_session):
     assert not any(6 in p for p in pairs)           # short key excluded
     # the deletion-shift pair: every segment of doc 3's key is shifted
     assert (0, 3) in pairs
+
+
+def test_containment_join_planted(tmp_path, ray_session):
+    """Planted containment: a short quote wholly inside a long doc pairs
+    as (short, long) at containment 1.0 but NOT the reverse (the long
+    doc's containment in the short one is tiny) — the asymmetric shape
+    Jaccard misses; mutual near-duplicates pair BOTH ways; a sub-threshold
+    overlap stays out."""
+    from kafka_connect_s3_ray.functions.dedup import ngram_containment_join
+    from kafka_connect_s3_ray.pipelines.queries import (
+        ORACLE_SQL, q_containment_join)
+
+    quote = "the five boxing wizards jump quickly over the lazy brown dog"
+    long_doc = ("it was widely reported that " + quote +
+                " which many observers found remarkable at the time and "
+                "subsequently quoted in every retrospective essay written")
+    near_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near_b = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    docs = [(0, quote), (1, long_doc), (2, near_a), (3, near_b),
+            (4, "completely different words compose this other document "
+                "about sailing ships and maritime navigation techniques")]
+    df = pd.DataFrame(docs, columns=["doc_id", "text"])
+    df["lang"], df["source"], df["n_chars"] = "en", "s", df["text"].str.len()
+    sf = str(tmp_path)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(sf, "documents.parquet"), row_group_size=2)
+
+    got = (q_containment_join(sf).to_pandas()
+           .sort_values(["left_id", "right_id"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{os.path.join(sf, 'documents.parquet')}'")
+    exp = (con.execute(ORACLE_SQL["containment_join"]).df()
+           .sort_values(["left_id", "right_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False,
+                                  rtol=1e-6, atol=1e-9)
+    pairs = {(l, r): c for l, r, c in got.itertuples(index=False)}
+    assert pairs[(0, 1)] == 1.0          # quote contained in long doc
+    assert (1, 0) not in pairs           # NOT the reverse
+    # near-duplicates of equal length: mutual containment, both orderings
+    assert (2, 3) in pairs and (3, 2) in pairs
+    assert all(4 not in p for p in pairs)
