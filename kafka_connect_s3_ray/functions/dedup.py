@@ -287,6 +287,26 @@ def _pairs_by_bucket(g: pd.DataFrame, id_col: str, bucket_cols: "str | list[str]
 N_COARSE = 64  # coarse-bucket count for high-cardinality groupbys
 
 
+def _chunk_bounds(counts: np.ndarray, chunk: int):
+    """Yield (lo, hi) index ranges over ``counts`` so each range's total
+    stays ~<= ``chunk`` — the shared boundary arithmetic of every
+    repeat-expansion kernel (pair enumeration, wedge emission). Progress is
+    guaranteed: a single item larger than ``chunk`` is yielded alone (the
+    one unavoidable over-wide emission; callers chunk WITHIN an item when
+    its expansion can itself be split)."""
+    n = len(counts)
+    if n == 0:
+        return
+    csum = np.cumsum(counts)
+    lo = 0
+    while lo < n:
+        base = int(csum[lo]) - int(counts[lo])
+        hi = int(np.searchsorted(csum, base + chunk, side="right"))
+        hi = min(max(hi, lo + 1), n)
+        yield lo, hi
+        lo = hi
+
+
 def _distinct_pairs(cand: "ray.data.Dataset") -> "ray.data.Dataset":
     """Distinct (left_id, right_id), exactly, without a high-cardinality
     groupby: Ray's groupby pays per-group overhead, so grouping by ~10^5
@@ -2146,11 +2166,9 @@ def ngram_containment_join(docs: "ray.data.Dataset", n: int = 2,
             need = np.ceil(threshold * slen[s:s + nl] - 1e-9)
             lo = r0 + np.searchsorted(r_len, need, side="left")
             cnt = np.maximum(e - lo, 0)
-            csum = np.cumsum(cnt)
-            if not len(csum) or csum[-1] == 0:
+            if not cnt.sum():
                 continue
-            bounds = np.searchsorted(csum, np.arange(CH, csum[-1], CH)) + 1
-            for ii, jj in zip(np.r_[0, bounds], np.r_[bounds, nl]):
+            for ii, jj in _chunk_bounds(cnt, CH):
                 c = cnt[ii:jj]
                 tot = int(c.sum())
                 if tot == 0:

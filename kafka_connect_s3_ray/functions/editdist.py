@@ -124,8 +124,14 @@ def edit_distance_join(docs: "ray.data.Dataset", k: int = 4,
     def keyed(t: pa.Table) -> pa.Table:
         txt = t.column(text_col)
         sl = pc.utf8_slice_codeunits(txt, 0, width)
-        keep = pc.and_(pc.is_valid(sl),
-                       pc.equal(pc.utf8_length(sl), width))
+        # single-byte (ASCII) keys only, on BOTH engines: DuckDB's
+        # levenshtein counts BYTES while this kernel counts codepoints, so
+        # a multibyte key would measure differently there — excluding them
+        # (byte length == codepoint length == width) keeps the contract
+        # identical; the oracle mirrors with octet_length(s) = width
+        keep = pc.and_(pc.and_(pc.is_valid(sl),
+                               pc.equal(pc.utf8_length(sl), width)),
+                       pc.equal(pc.binary_length(sl), width))
         f = t.filter(keep)
         return pa.table({
             "kid": pc.cast(f.column(id_col), pa.int64()),
@@ -156,28 +162,35 @@ def edit_distance_join(docs: "ray.data.Dataset", k: int = 4,
             np.asarray(tbl.column("key").to_pylist(), dtype=object), width)
         o = np.argsort(cids, kind="stable")
         cids, cmat = cids[o], np.ascontiguousarray(cmat[o])
-        binned = (cmat % np.uint32(61)).astype(np.int64)
-        flat = (np.arange(len(cids))[:, None] * 64 + binned).ravel()
-        cbag = np.bincount(flat, minlength=len(cids) * 64) \
-            .reshape(len(cids), 64).astype(np.int16)
+        # column-wise add into a preallocated int16 bag: no N*width int64
+        # index temporaries (a bincount over N*64 would transiently cost
+        # ~7x the broadcast budget on the driver)
+        binned = (cmat % np.uint32(61)).astype(np.int16)
+        cbag = np.zeros((len(cids), 64), np.int16)
+        rows = np.arange(len(cids))
+        for j in range(width):
+            np.add.at(cbag, (rows, binned[:, j]), 1)
         corpus_ref = ray.put((cids, cmat, cbag))
 
     def emit(t: pa.Table) -> pa.Table:
         ids = t.column("kid").to_numpy(zero_copy_only=False)
         keys = np.asarray(t.column("key").to_pylist(), dtype=object)
         mat = _codepoint_matrix(keys, width)
+        # hash every window offset ONCE; the ±k ranges of adjacent slots
+        # overlap ~3x, so slots index this cache instead of re-hashing
+        hcache = [_hash_windows(mat, off, seg)
+                  for off in range(width - seg + 1)]
         out_h, out_id, out_role = [], [], []
         for slot, start in enumerate(seg_starts):
+            salt = np.uint64(slot * 0x9E37)
             # index role: the segment's own window
-            h = _hash_windows(mat, start, seg) ^ np.uint64(slot * 0x9E37)
-            out_h.append(h)
+            out_h.append(hcache[start] ^ salt)
             out_id.append(ids)
             out_role.append(np.zeros(len(ids), np.int8))
             # probe role: every window within ±k of the slot offset
             for off in range(max(0, start - k),
                              min(width - seg, start + k) + 1):
-                hp = _hash_windows(mat, off, seg) ^ np.uint64(slot * 0x9E37)
-                out_h.append(hp)
+                out_h.append(hcache[off] ^ salt)
                 out_id.append(ids)
                 out_role.append(np.ones(len(ids), np.int8))
         h = np.concatenate(out_h) if out_h else np.empty(0, np.uint64)
@@ -206,16 +219,11 @@ def edit_distance_join(docs: "ray.data.Dataset", k: int = 4,
         cnt = hi - lo
         keep = cnt > 0
         lo, cnt, pid_k = lo[keep], cnt[keep], pid[keep]
+        from .dedup import _chunk_bounds
         out = []
-        csum = np.cumsum(cnt)
         # chunk the expansion so a hot window never materializes wide
         # (a single probe row bigger than the chunk still emits alone)
-        start_row = 0
-        while start_row < len(cnt):
-            base = int(csum[start_row]) - int(cnt[start_row])
-            end_row = int(np.searchsorted(csum, base + pair_chunk,
-                                          side="right"))
-            end_row = min(max(end_row, start_row + 1), len(cnt))
+        for start_row, end_row in _chunk_bounds(cnt, pair_chunk):
             c = cnt[start_row:end_row]
             offs = np.cumsum(c) - c
             tot = int(c.sum())
@@ -239,7 +247,6 @@ def edit_distance_join(docs: "ray.data.Dataset", k: int = 4,
             pairs = pd.DataFrame({"left_id": np.minimum(l, r),
                                   "right_id": np.maximum(l, r)})
             out.append(pairs.drop_duplicates())
-            start_row = end_row
         if not out:
             return pd.DataFrame({"left_id": pd.Series([], dtype=np.int64),
                                  "right_id": pd.Series([], dtype=np.int64)})

@@ -268,6 +268,8 @@ def triangle_counts(edges: "ray.data.Dataset", src: str = "u",
            .groupby("_b").map_groups(bucket_deg, batch_format="pandas")
            ).materialize()
     n_nodes = deg.count()
+    if n_nodes == 0:  # empty input or self-loops only: no edge, no triangle
+        return ray.data.from_arrow(_TRI_OUT.empty_table())
 
     if n_nodes <= degree_broadcast_nodes:
         dtbl = pa.concat_tables(
@@ -336,26 +338,26 @@ def triangle_counts(edges: "ray.data.Dataset", src: str = "u",
         d = g["d"].to_numpy(np.int64)
         seg = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
         sizes = np.diff(np.append(seg, len(s)))
-        pair_cnt = sizes * (sizes - 1) // 2
         out_v, out_w, out_u = [], [], []
-        # chunk over src segments so hub nodes never materialize wide
-        start = 0
-        csum = np.cumsum(pair_cnt)
-        while start < len(sizes):
-            base = int(csum[start]) - int(pair_cnt[start])
-            end = int(np.searchsorted(csum, base + wedge_chunk,
-                                      side="right"))
-            end = min(max(end, start + 1), len(sizes))
-            for si in range(start, end):
-                n = int(sizes[si])
-                if n < 2:
-                    continue
-                off = int(seg[si])
-                iu, iv = np.triu_indices(n, k=1)
+        # chunk WITHIN each segment too: a hub source's D(D-1)/2 pairs are
+        # emitted by leading-row ranges, so no single np allocation exceeds
+        # ~wedge_chunk rows even when one node's wedge count does
+        from .dedup import _chunk_bounds
+        for si in range(len(sizes)):
+            n = int(sizes[si])
+            if n < 2:
+                continue
+            off = int(seg[si])
+            cnt = np.arange(n - 1, 0, -1, dtype=np.int64)  # pairs per row i
+            for row, end in _chunk_bounds(cnt, wedge_chunk):
+                c = cnt[row:end]
+                tot = int(c.sum())
+                offs = np.cumsum(c) - c
+                iu = np.repeat(np.arange(row, end), c)
+                iv = np.arange(tot) - np.repeat(offs, c) + iu + 1
                 out_v.append(d[off + iu])
                 out_w.append(d[off + iv])
-                out_u.append(np.full(len(iu), s[off], np.int64))
-            start = end
+                out_u.append(np.full(tot, s[off], np.int64))
         if not out_v:
             return pd.DataFrame({"v": pd.Series([], dtype=np.int64),
                                  "w": pd.Series([], dtype=np.int64),

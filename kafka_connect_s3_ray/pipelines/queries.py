@@ -3558,8 +3558,22 @@ def q_ewma(sf_dir: str):
     DECAY = 0.9
 
     ev = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
-    tagged = ev.map_batches(_user_bucketer("user_id", 64, ts_col="ts"),
-                            batch_format="pyarrow")
+
+    def check_values(t: pa.Table) -> pa.Table:
+        # loud NULL contract (the _user_bucketer pattern): DuckDB's
+        # list_dot_product REJECTS NULL list elements outright, so there is
+        # no SQL-expressible renormalize-over-nulls semantics to match —
+        # callers with NULL values must fill or filter first
+        if t.column("value").null_count:
+            raise ValueError(
+                "ewma: column 'value' holds NULLs — fill or filter them "
+                "first (the oracle's list_dot_product rejects NULL frame "
+                "members, so no shared semantics exists)")
+        return t
+
+    tagged = ev.map_batches(check_values, batch_format="pyarrow") \
+        .map_batches(_user_bucketer("user_id", 64, ts_col="ts"),
+                     batch_format="pyarrow")
 
     def bucket_ewma(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"],
@@ -3691,6 +3705,9 @@ def q_triangle_count(sf_dir: str):
     from ..functions.graph import triangle_counts
 
     out = triangle_counts(_adjacent_user_edges(sf_dir)).to_pandas()
+    if out.empty:  # typed empty (Ray drops the schema on empty to_pandas)
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "n_tri": pa.array([], pa.int64())})
     out = out.sort_values("node").reset_index(drop=True)
     return pa.table({"user_id": pa.array(out["node"], pa.int64()),
                      "n_tri": pa.array(out["n_tri"], pa.int64())})
@@ -4472,11 +4489,14 @@ ORACLE_SQL = {
         "i -> pow(0.9, len(lst) - i))) / ((1 - pow(0.9, len(lst))) / 0.1) "
         "AS ewma FROM w"
     ),
-    # fixed-width fuzzy-key contract: keys shorter than 20 codepoints are
-    # excluded on BOTH sides (see functions/editdist.py docstring)
+    # fixed-width fuzzy-key contract: keys shorter than 20 codepoints OR
+    # containing multibyte chars are excluded on BOTH sides — DuckDB's
+    # levenshtein is byte-based while the engine's DP is codepoint-based,
+    # so only single-byte keys share semantics (editdist.py docstring)
     "edit_distance_join": (
         "WITH p AS (SELECT doc_id, substr(text, 1, 20) AS s FROM documents "
-        "WHERE text IS NOT NULL AND length(substr(text, 1, 20)) = 20) "
+        "WHERE text IS NOT NULL AND length(substr(text, 1, 20)) = 20 "
+        "AND octet_length(encode(substr(text, 1, 20))) = 20) "
         "SELECT a.doc_id AS left_id, b.doc_id AS right_id, "
         "CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist "
         "FROM p a JOIN p b ON a.doc_id < b.doc_id "

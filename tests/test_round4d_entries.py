@@ -18,6 +18,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
+import pytest
 
 
 def _write_events(tmp_path, df: pd.DataFrame, row_group_size: int = 3) -> str:
@@ -262,3 +263,107 @@ def test_containment_join_planted(tmp_path, ray_session):
     # near-duplicates of equal length: mutual containment, both orderings
     assert (2, 3) in pairs and (3, 2) in pairs
     assert all(4 not in p for p in pairs)
+
+
+# --- review-pass regressions (session D) -----------------------------------
+
+
+def test_triangle_counts_selfloops_only_empty(ray_session):
+    """Self-loops-only input: empty typed result, not an ArrowInvalid from
+    an empty concat_tables (review finding)."""
+    import ray.data
+
+    from kafka_connect_s3_ray.functions.graph import triangle_counts
+
+    out = triangle_counts(ray.data.from_pandas(
+        pd.DataFrame({"u": [1, 2], "v": [1, 2]})))
+    assert out.count() == 0
+    assert out.schema().names == ["node", "n_tri"]
+
+
+def test_ewma_null_value_raises(tmp_path, ray_session):
+    """NULL value must fail LOUDLY: the oracle's list_dot_product rejects
+    NULL frame members, so silent renormalization would diverge (review
+    finding)."""
+    from kafka_connect_s3_ray.pipelines.queries import q_ewma
+
+    base = pd.Timestamp("2026-03-01")
+    tbl = pa.table({
+        "event_id": pa.array([0, 1], pa.int64()),
+        "ts": pa.array([base, base + pd.Timedelta(minutes=1)],
+                       pa.timestamp("us")),
+        "user_id": pa.array([1, 1], pa.int64()),
+        "event_type": pa.array(["a", "a"]),
+        "value": pa.array([1.0, None], pa.float64()),
+        "props": pa.array(["{}", "{}"]),
+    })
+    sf = str(tmp_path)
+    pq.write_table(tbl, os.path.join(sf, "events.parquet"))
+    with pytest.raises(Exception, match="NULL"):
+        q_ewma(sf).to_pandas()
+
+
+def test_edit_distance_join_multibyte_keys_excluded(tmp_path, ray_session):
+    """Keys containing multibyte chars are excluded on BOTH engines (DuckDB
+    levenshtein counts bytes, the DP counts codepoints — no shared
+    semantics; review finding): the accented twin of a real pair must not
+    appear, and the remaining ASCII pairs still match the oracle."""
+    from kafka_connect_s3_ray.pipelines.queries import (
+        ORACLE_SQL, q_edit_distance_join)
+
+    base = "the quick brown fox jumps over it"
+    docs = [(0, base), (1, base),
+            (2, "thé quick brown fox jumps over it"),  # multibyte: excluded
+            (3, "thX quick brown fox jumps over it")]
+    df = pd.DataFrame(docs, columns=["doc_id", "text"])
+    df["lang"], df["source"], df["n_chars"] = "en", "s", df["text"].str.len()
+    sf = str(tmp_path)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(sf, "documents.parquet"))
+    got = (q_edit_distance_join(sf).to_pandas()
+           .sort_values(["left_id", "right_id"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{os.path.join(sf, 'documents.parquet')}'")
+    exp = (con.execute(ORACLE_SQL["edit_distance_join"]).df()
+           .sort_values(["left_id", "right_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert not any(2 in (l, r) for l, r in zip(got["left_id"],
+                                               got["right_id"]))
+    assert {(0, 1), (0, 3), (1, 3)} <= set(
+        zip(got["left_id"], got["right_id"]))
+
+
+def test_chunk_bounds_progress_and_totals():
+    """The shared expansion chunker: covers all indices exactly once, each
+    range's total <= chunk except a single oversized item, which is
+    yielded alone (review finding: three independent copies drifted)."""
+    from kafka_connect_s3_ray.functions.dedup import _chunk_bounds
+
+    counts = np.array([3, 1, 4, 100, 2, 2, 5], np.int64)
+    ranges = list(_chunk_bounds(counts, 8))
+    covered = [i for lo, hi in ranges for i in range(lo, hi)]
+    assert covered == list(range(len(counts)))
+    for lo, hi in ranges:
+        tot = int(counts[lo:hi].sum())
+        assert tot <= 8 or (hi - lo) == 1  # oversized item rides alone
+    assert list(_chunk_bounds(np.array([], np.int64), 8)) == []
+
+
+def test_triangle_hub_chunking_consistent(ray_session):
+    """A hub star + closing edges with wedge_chunk=1 (every within-segment
+    chunk split) must equal the default-chunk answer (review finding: hub
+    segments previously emitted whole)."""
+    import ray.data
+
+    from kafka_connect_s3_ray.functions.graph import triangle_counts
+
+    rng = np.random.default_rng(7)
+    edges = pd.DataFrame({"u": rng.integers(0, 12, 120),
+                          "v": rng.integers(0, 12, 120)})
+    a = (triangle_counts(ray.data.from_pandas(edges))
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    b = (triangle_counts(ray.data.from_pandas(edges), wedge_chunk=1)
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
