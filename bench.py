@@ -165,7 +165,8 @@ def run_bench() -> dict:
         "unpivot_events", "revenue_filter", "numeric_corr",
         "grouping_sets", "gap_fill", "windowed_dedup", "regex_extract",
         "table_profile", "burst_counts", "ewma", "edit_distance_join",
-        "triangle_count", "containment_join",
+        "triangle_count", "containment_join", "weighted_median",
+        "grouped_mode",
     ]
     panel_results: dict = {}
     panel_trials = int(os.environ.get("BENCH_PANEL_TRIALS", "2"))

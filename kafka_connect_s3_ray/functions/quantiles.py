@@ -526,3 +526,192 @@ def global_value_ranks(ds, val_col: str, id_col: str, n_buckets: int = 32):
                              "cume": np.round(count_le / n_all, 6)})
 
     return meta.groupby("bucket").map_groups(ranks, batch_format="pandas")
+
+
+def _refine_weighted(ds, gvw, keys: list, targets: np.ndarray,
+                     lo: np.ndarray, hi: np.ndarray, n_bins: int,
+                     max_collect: int, max_rounds: int, what: str
+                     ) -> np.ndarray:
+    """Weighted sibling of ``_refine``: item i seeks the smallest value v
+    with cumulative WEIGHT(values <= v) >= targets[i] inside [lo[i], hi[i])
+    — the weighted-quantile selector. Kept as a sibling rather than a
+    parameter of ``_refine`` because the two differ in kind, not degree:
+    ranks are exact int64 arithmetic, weight masses are float64 partial
+    sums (exact for integer-valued weights under 2^53, the documented
+    contract), the crossing test is >= on mass instead of searchsorted on
+    count, and the collect step resolves WITHIN a value's weight. The
+    histogram/below/observed-min-max invariants and the shrink-to-observed-
+    range progress guarantee are copied from ``_refine`` verbatim.
+    ``gvw(batch) -> (labels, v, w)`` yields null-filtered values, their
+    group labels, and strictly-positive weights."""
+    m = len(keys)
+    out = np.full(m, np.nan)
+    below_w = np.zeros(m, np.float64)  # weight of values < lo[i]
+    pending = list(range(m))
+
+    for _ in range(max_rounds):
+        if not pending:
+            break
+        edges = np.stack([np.linspace(lo[i], hi[i], n_bins + 1)
+                          for i in pending])
+        edges[:, -1] = hi[pending]
+        pkeys = [keys[i] for i in pending]
+
+        def hist_pass(batch: pa.Table, edges=edges, pkeys=pkeys) -> pa.Table:
+            labels, v, w = gvw(batch)
+            k = len(pkeys)
+            wsum = np.zeros((k, n_bins), np.float64)
+            cnt = np.zeros((k, n_bins), np.int64)
+            bmin = np.full((k, n_bins), np.inf)
+            bmax = np.full((k, n_bins), -np.inf)
+            below = np.zeros(k, np.float64)
+            for j in range(k):
+                sel = labels == pkeys[j]
+                vv, ww = v[sel], w[sel]
+                below[j] = float(ww[vv < edges[j, 0]].sum())
+                idx = np.searchsorted(edges[j], vv, side="right") - 1
+                s = (idx >= 0) & (idx < n_bins)
+                iv, iw, ix = vv[s], ww[s], idx[s]
+                np.add.at(wsum[j], ix, iw)
+                np.add.at(cnt[j], ix, 1)
+                np.minimum.at(bmin[j], ix, iv)
+                np.maximum.at(bmax[j], ix, iv)
+            return pa.table({
+                "qrow": pa.array(np.arange(k, dtype=np.int32)),
+                "below": pa.array(below),
+                "wsum": pa.array(wsum.tolist(), pa.list_(pa.float64())),
+                "cnt": pa.array(cnt.tolist(), pa.list_(pa.int64())),
+                "bmin": pa.array(bmin.tolist(), pa.list_(pa.float64())),
+                "bmax": pa.array(bmax.tolist(), pa.list_(pa.float64())),
+            })
+
+        agg = ds.map_batches(hist_pass, batch_format="pyarrow").to_pandas()
+        still = []
+        for row, i in enumerate(pending):
+            sub = agg[agg["qrow"] == row]
+            ws = np.sum(np.stack([np.asarray(x) for x in sub["wsum"]]), axis=0)
+            ct = np.sum(np.stack([np.asarray(x) for x in sub["cnt"]]), axis=0)
+            mn = np.min(np.stack([np.asarray(x) for x in sub["bmin"]]), axis=0)
+            mx = np.max(np.stack([np.asarray(x) for x in sub["bmax"]]), axis=0)
+            below = float(sub["below"].sum())
+            cum = below + np.cumsum(ws)
+            crossing = np.flatnonzero(cum >= targets[i])
+            if not len(crossing):
+                raise AssertionError(
+                    f"{what} lost target {targets[i]} for item {keys[i]!r} "
+                    f"(below={below}, in-interval mass={float(ws.sum())}) — "
+                    f"non-deterministic input?")
+            b = int(crossing[0])
+            if mn[b] == mx[b]:  # whole bin is one value: that IS the answer
+                out[i] = mn[b]
+                continue
+            lo[i] = mn[b]
+            hi[i] = np.nextafter(mx[b], np.inf)
+            below_w[i] = below + (float(np.cumsum(ws)[b - 1]) if b > 0
+                                  else 0.0)
+            still.append((i, int(ct[b]) <= max_collect))
+        ready = [i for i, small in still if small]
+        pending = [i for i, small in still if not small]
+        if ready:
+            clo, chi = lo[ready].copy(), hi[ready].copy()
+            rkeys = [keys[i] for i in ready]
+
+            def collect(batch: pa.Table, clo=clo, chi=chi,
+                        rkeys=rkeys) -> pa.Table:
+                labels, v, w = gvw(batch)
+                qidx, vals, wts = [], [], []
+                for j in range(len(clo)):
+                    sel = labels == rkeys[j]
+                    vv, ww = v[sel], w[sel]
+                    msk = (vv >= clo[j]) & (vv < chi[j])
+                    vals.append(vv[msk])
+                    wts.append(ww[msk])
+                    qidx.append(np.full(int(msk.sum()), j, np.int32))
+                return pa.table({"qidx": pa.array(np.concatenate(qidx)),
+                                 "v": pa.array(np.concatenate(vals)),
+                                 "w": pa.array(np.concatenate(wts))})
+
+            got = ds.map_batches(collect, batch_format="pyarrow").to_pandas()
+            for j, i in enumerate(ready):
+                sub = got[got["qidx"] == j]
+                vs = sub["v"].to_numpy(np.float64)
+                ws_ = sub["w"].to_numpy(np.float64)
+                o = np.argsort(vs, kind="stable")
+                vs, ws_ = vs[o], ws_[o]
+                # cumulative mass AT each value = below_w + cumsum through
+                # ALL rows of that value (ties share their peak cumsum,
+                # matching SQL's RANGE-frame sum over value peers)
+                cumw = below_w[i] + np.cumsum(ws_)
+                # last index of each distinct value carries the full mass
+                last = np.r_[vs[1:] != vs[:-1], True]
+                vs_d, cum_d = vs[last], cumw[last]
+                hit = np.flatnonzero(cum_d >= targets[i])
+                if not len(hit):
+                    raise AssertionError(
+                        f"{what} collect lost target for {keys[i]!r}")
+                out[i] = vs_d[hit[0]]
+    if pending:
+        raise AssertionError(
+            f"{what} did not converge for items "
+            f"{[keys[i] for i in pending]} within {max_rounds} rounds")
+    return out
+
+
+def grouped_weighted_quantile(ds: "ray.data.Dataset", group_col: str,
+                              val_col: str, w_col: str, q: float = 0.5,
+                              n_bins: int = 128, max_collect: int = 65536,
+                              max_rounds: int = 40):
+    """Exact weighted quantile per group: the smallest value v in the group
+    with sum(weight | value <= v) >= q * sum(weight) — the
+    weighted-median/quantile selector (token-weighted length cuts, spend-
+    weighted percentiles) that plain quantiles misstate whenever weights
+    skew. NULL/NaN values and non-positive/NULL weights are excluded (the
+    documented scope, mirrored by the SQL oracle's WHERE). Integer-valued
+    weights keep every mass comparison exact in float64 (< 2^53).
+
+    Same scale story as ``grouped_exact_quantiles``: O(rounds) pruned
+    column scans, a few KB of partials per batch, no shuffle, driver holds
+    O(groups x bins). Returns a pandas DataFrame (group, wq)."""
+    import pandas as pd
+
+    def gvw(batch: pa.Table):
+        g = batch.column(group_col).to_numpy(zero_copy_only=False)
+        v = batch.column(val_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        w = batch.column(w_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        keep = ~np.isnan(v) & ~np.isnan(w) & (w > 0)
+        return g[keep], v[keep], w[keep]
+
+    def pass0(batch: pa.Table) -> pa.Table:
+        g, v, w = gvw(batch)
+        if len(g) == 0:
+            return pa.table({"g": pa.array([], pa.string()),
+                             "w": pa.array([], pa.float64()),
+                             "mn": pa.array([], pa.float64()),
+                             "mx": pa.array([], pa.float64())})
+        import pandas as pd
+        df = pd.DataFrame({"g": g.astype(str), "v": v, "w": w})
+        a = df.groupby("g", as_index=False).agg(
+            w=("w", "sum"), mn=("v", "min"), mx=("v", "max"))
+        return pa.Table.from_pandas(a, preserve_index=False)
+
+    parts = ds.map_batches(pass0, batch_format="pyarrow").to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame({group_col: pd.Series([], dtype=object),
+                             "wq": pd.Series([], dtype=np.float64)})
+    tot = parts.groupby("g", as_index=False).agg(
+        w=("w", "sum"), mn=("mn", "min"), mx=("mx", "max"))
+    keys = tot["g"].tolist()
+    targets = q * tot["w"].to_numpy(np.float64)
+    lo = tot["mn"].to_numpy(np.float64).copy()
+    hi = np.nextafter(tot["mx"].to_numpy(np.float64), np.inf)
+
+    def gvw_str(batch: pa.Table):
+        g, v, w = gvw(batch)
+        return g.astype(str), v, w
+
+    vals = _refine_weighted(ds, gvw_str, keys, targets, lo, hi, n_bins,
+                            max_collect, max_rounds,
+                            "grouped_weighted_quantile")
+    return pd.DataFrame({group_col: keys, "wq": vals})

@@ -3695,6 +3695,83 @@ def q_containment_join(sf_dir: str):
         "containment": pa.array(out["containment"].round(6), pa.float64())})
 
 
+def q_weighted_median(sf_dir: str):
+    """Exact weighted median of event value per type, weight = the JSON
+    ``k`` payload field (``functions/quantiles.py::grouped_weighted_quantile``
+    — weighted histogram refinement, zero shuffle, O(rounds) pruned scans):
+    the spend/token-weighted percentile plain quantiles misstate under
+    weight skew, composed with the vectorized JSON extraction
+    (``functions/jsoncol.py``). Integer weights keep every mass comparison
+    exact in float64, so the cumsum-window SQL oracle matches
+    value-for-value."""
+    from ..functions.jsoncol import json_extract
+    from ..functions.quantiles import grouped_weighted_quantile
+
+    ev = _events(sf_dir, ["event_type", "value", "props"]).map_batches(
+        lambda t: json_extract(t, "props", {"k": pa.float64()}, drop=True),
+        batch_format="pyarrow").materialize()  # parse JSON once, scan many
+    out = grouped_weighted_quantile(ev, "event_type", "value", "k", q=0.5)
+    out = out.sort_values("event_type").reset_index(drop=True)
+    return pa.table({"event_type": pa.array(out["event_type"], pa.string()),
+                     "wq": pa.array(out["wq"].round(6), pa.float64())})
+
+
+def q_grouped_mode(sf_dir: str):
+    """Exact most-frequent value per group with a DETERMINISTIC tie-break
+    (count desc, then smallest value) — the categorical summary DuckDB's
+    own ``mode()`` leaves tie-undefined, so the oracle spells the same
+    row_number contract. Distribution: per-block (group, value) count
+    combiners -> one coarse (group, value)-hash exchange summing exact
+    counts (equal keys co-locate) -> one tiny group-hash exchange where a
+    group's full count table fits one bucket and the argmax is a sort-free
+    idxmax. Nothing driver-side; count-table rows are bounded by data
+    distinctness, not row count."""
+    from ..stages.joins import _coarse_of
+
+    ev = _events(sf_dir, ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": t.column("event_type").to_numpy(
+                zero_copy_only=False),
+            "value": t.column("value").to_numpy(zero_copy_only=False)})
+        df = df[df["value"].notna()]
+        g = df.groupby(["event_type", "value"], as_index=False).size()
+        g = g.rename(columns={"size": "n"})
+        out = pa.Table.from_pandas(g, preserve_index=False)
+        return out.append_column("pvb", pa.array(_coarse_of(
+            [g["event_type"].to_numpy(), g["value"].to_numpy()], 64)))
+
+    def bucket_sum(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby(["event_type", "value"], as_index=False).agg(
+            n=("n", "sum"))
+        return a
+
+    counts = (ev.map_batches(partial, batch_format="pyarrow")
+              .groupby("pvb").map_groups(bucket_sum, batch_format="pandas"))
+
+    def tag_group(t: pa.Table) -> pa.Table:
+        return t.append_column("gb", pa.array(_coarse_of(
+            [t.column("event_type").to_numpy(zero_copy_only=False)], 64)))
+
+    def bucket_mode(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["event_type", "n", "value"],
+                          ascending=[True, False, True], kind="stable")
+        top = g.drop_duplicates("event_type", keep="first")
+        return top[["event_type", "value", "n"]]
+
+    out = (counts.map_batches(tag_group, batch_format="pyarrow")
+           .groupby("gb").map_groups(bucket_mode, batch_format="pandas"))
+
+    def fix(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": pc.cast(t.column("event_type"), pa.string()),
+            "mode_value": pc.cast(t.column("value"), pa.float64()),
+            "n": pc.cast(t.column("n"), pa.int64())})
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
 def q_triangle_count(sf_dir: str):
     """Per-user triangle participation in the adjacent-user interaction
     graph (``functions/graph.py::triangle_counts`` — degree-ordered wedge
@@ -3889,6 +3966,8 @@ QUERIES = {
     "edit_distance_join": q_edit_distance_join,
     "triangle_count": q_triangle_count,
     "containment_join": q_containment_join,
+    "weighted_median": q_weighted_median,
+    "grouped_mode": q_grouped_mode,
 }
 
 _TOKENS_WS_SQL = (
@@ -4537,6 +4616,32 @@ ORACLE_SQL = {
         "FROM g a JOIN g b ON a.doc_id <> b.doc_id "
         "WHERE CAST(array_length(list_intersect(a.grams, b.grams)) "
         "AS DOUBLE) / array_length(a.grams) >= 0.70"
+    ),
+    # weighted median: smallest v with cumW(<= v) >= 0.5 * W per group;
+    # the RANGE-default window frame makes cw include all ts... value
+    # PEERS, matching the engine's per-distinct-value mass resolution;
+    # integer k weights keep the float comparisons exact on both engines
+    "weighted_median": (
+        "WITH x AS (SELECT event_type AS g, value AS v, "
+        "CAST(json_extract_string(props, '$.k') AS DOUBLE) AS w "
+        "FROM events WHERE value IS NOT NULL AND isfinite(value) "
+        "AND CAST(json_extract_string(props, '$.k') AS DOUBLE) > 0), "
+        "t AS (SELECT g, sum(w) AS tw FROM x GROUP BY g), "
+        "o AS (SELECT g, v, sum(w) OVER (PARTITION BY g ORDER BY v) AS cw "
+        "FROM x) "
+        "SELECT o.g AS event_type, round(min(o.v), 6) AS wq "
+        "FROM o JOIN t USING (g) WHERE o.cw >= 0.5 * t.tw GROUP BY o.g"
+    ),
+    # exact grouped mode with the tie-break spelled out (count desc, value
+    # asc) — DuckDB's mode() is tie-undefined, so the oracle states the
+    # same deterministic row_number contract the engine computes
+    "grouped_mode": (
+        "SELECT event_type, mode_value, n FROM ("
+        "SELECT event_type, value AS mode_value, count(*) AS n, "
+        "row_number() OVER (PARTITION BY event_type "
+        "ORDER BY count(*) DESC, value) AS rn "
+        "FROM events WHERE value IS NOT NULL GROUP BY event_type, value) "
+        "WHERE rn = 1"
     ),
     # rolling_fingerprint / minhash / simhash / IVF / sketches:
     # non-SQL-expressible (seeded LSH, mergeable sketches, rolling hashes)

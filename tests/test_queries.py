@@ -117,7 +117,8 @@ SQL_CHECKED = [
     "repetition_signals", "knn_graph", "knn_graph_ivf",
     "windowed_dedup", "regex_extract",
     "table_profile", "burst_counts", "ewma", "edit_distance_join",
-    "triangle_count", "containment_join",
+    "triangle_count", "containment_join", "weighted_median",
+    "grouped_mode",
 ]
 # the legitimately non-SQL-checkable entries: the quantile sketch's thinning
 # depends on batch boundaries, and media decode is binary.

@@ -367,3 +367,65 @@ def test_triangle_hub_chunking_consistent(ray_session):
          .to_pandas().sort_values("node").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
     assert len(a) > 0
+
+
+def test_weighted_median_skew_and_ties(tmp_path, ray_session):
+    """Weight skew must pull the weighted median off the plain median, and
+    a target landing exactly on a value boundary resolves to that value on
+    both engines (integer weights keep mass comparisons exact)."""
+    from kafka_connect_s3_ray.pipelines.queries import (ORACLE_SQL,
+                                                        q_weighted_median)
+
+    base = pd.Timestamp("2026-03-01")
+    rows = []
+    # group 'a': values 1..5 weight 1 except value 5 weight 100 -> wmedian 5
+    for i, (v, k) in enumerate([(1, 1), (2, 1), (3, 1), (4, 1), (5, 100)]):
+        rows.append((i, "a", float(v), '{"k": %d}' % k))
+    # group 'b': exact boundary — w {1:1, 2:1} target 1.0 lands ON value 1
+    rows.append((10, "b", 1.0, '{"k": 1}'))
+    rows.append((11, "b", 2.0, '{"k": 1}'))
+    # group 'c': zero/NULL weights excluded; only value 7 has w>0
+    rows.append((20, "c", 3.0, '{"k": 0}'))
+    rows.append((21, "c", 7.0, '{"k": 2}'))
+    rows.append((22, "c", 9.0, None))
+    df = pd.DataFrame(rows, columns=["event_id", "event_type", "value",
+                                     "props"])
+    df["user_id"] = np.int64(1)
+    df["ts"] = base
+    sf = str(tmp_path)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(sf, "events.parquet"), row_group_size=3)
+    got = (q_weighted_median(sf).to_pandas()
+           .sort_values("event_type").reset_index(drop=True))
+    exp = (_oracle(sf, ORACLE_SQL["weighted_median"])
+           .sort_values("event_type").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    m = dict(zip(got["event_type"], got["wq"]))
+    assert m == {"a": 5.0, "b": 1.0, "c": 7.0}
+
+
+def test_grouped_mode_tiebreak(tmp_path, ray_session):
+    """Equal counts break to the SMALLEST value, duplicates straddle row
+    groups so block-local counting alone cannot win."""
+    from kafka_connect_s3_ray.pipelines.queries import (ORACLE_SQL,
+                                                        q_grouped_mode)
+
+    base = pd.Timestamp("2026-03-01")
+    # 'x': 2.0 and 1.0 appear twice each -> tie -> 1.0 wins
+    vals = [("x", 2.0), ("x", 1.0), ("x", 2.0), ("x", 1.0), ("x", 9.0),
+            ("y", 5.0), ("y", 5.0), ("y", 4.0)]
+    df = pd.DataFrame(vals, columns=["event_type", "value"])
+    df["event_id"] = np.arange(len(df), dtype=np.int64)
+    df["user_id"] = np.int64(1)
+    df["ts"] = base
+    df["props"] = "{}"
+    sf = str(tmp_path)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(sf, "events.parquet"), row_group_size=2)
+    got = (q_grouped_mode(sf).to_pandas()
+           .sort_values("event_type").reset_index(drop=True))
+    exp = (_oracle(sf, ORACLE_SQL["grouped_mode"])
+           .sort_values("event_type").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    m = {r.event_type: (r.mode_value, r.n) for r in got.itertuples()}
+    assert m == {"x": (1.0, 2), "y": (5.0, 2)}
