@@ -607,8 +607,7 @@ def _refine_weighted(ds, gvw, keys: list, targets: np.ndarray,
                 continue
             lo[i] = mn[b]
             hi[i] = np.nextafter(mx[b], np.inf)
-            below_w[i] = below + (float(np.cumsum(ws)[b - 1]) if b > 0
-                                  else 0.0)
+            below_w[i] = float(cum[b - 1]) if b > 0 else below
             still.append((i, int(ct[b]) <= max_collect))
         ready = [i for i, small in still if small]
         pending = [i for i, small in still if not small]
@@ -674,13 +673,21 @@ def grouped_weighted_quantile(ds: "ray.data.Dataset", group_col: str,
     O(groups x bins). Returns a pandas DataFrame (group, wq)."""
     import pandas as pd
 
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"grouped_weighted_quantile: q must be in [0, 1], "
+                         f"got {q}")
+
     def gvw(batch: pa.Table):
         g = batch.column(group_col).to_numpy(zero_copy_only=False)
         v = batch.column(val_col).to_numpy(zero_copy_only=False) \
             .astype(np.float64)
         w = batch.column(w_col).to_numpy(zero_copy_only=False) \
             .astype(np.float64)
-        keep = ~np.isnan(v) & ~np.isnan(w) & (w > 0)
+        # finite values only (an inf would poison the linspace bin edges),
+        # strictly-positive finite weights, and NO NULL group labels — the
+        # grouped_exact_quantiles scope, mirrored by the oracle's WHERE
+        keep = (np.isfinite(v) & np.isfinite(w) & (w > 0)
+                & pd.notna(g))
         return g[keep], v[keep], w[keep]
 
     def pass0(batch: pa.Table) -> pa.Table:

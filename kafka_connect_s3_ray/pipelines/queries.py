@@ -3730,17 +3730,30 @@ def q_grouped_mode(sf_dir: str):
 
     ev = _events(sf_dir, ["event_type", "value"])
 
+    PARTIAL = pa.schema([("event_type", pa.string()),
+                         ("value", pa.float64()), ("n", pa.int64()),
+                         ("pvb", pa.int32())])
+
     def partial(t: pa.Table) -> pa.Table:
         df = pd.DataFrame({
             "event_type": t.column("event_type").to_numpy(
                 zero_copy_only=False),
             "value": t.column("value").to_numpy(zero_copy_only=False)})
-        df = df[df["value"].notna()]
+        # NULL group or NULL value excluded — documented contract, mirrored
+        # by the oracle's WHERE (SQL's NULL-group semantics don't survive a
+        # pandas groupby round-trip)
+        df = df[df["value"].notna() & df["event_type"].notna()]
+        if df.empty:  # typed empty: an all-null block must not emit a
+            return PARTIAL.empty_table()  # null-typed event_type column
         g = df.groupby(["event_type", "value"], as_index=False).size()
         g = g.rename(columns={"size": "n"})
-        out = pa.Table.from_pandas(g, preserve_index=False)
-        return out.append_column("pvb", pa.array(_coarse_of(
-            [g["event_type"].to_numpy(), g["value"].to_numpy()], 64)))
+        return pa.Table.from_arrays(
+            [pa.array(g["event_type"], pa.string()),
+             pa.array(g["value"].to_numpy(np.float64), pa.float64()),
+             pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+             pa.array(_coarse_of([g["event_type"].to_numpy(),
+                                  g["value"].to_numpy()], 64))],
+            schema=PARTIAL)
 
     def bucket_sum(g: pd.DataFrame) -> pd.DataFrame:
         a = g.groupby(["event_type", "value"], as_index=False).agg(
@@ -4625,7 +4638,9 @@ ORACLE_SQL = {
         "WITH x AS (SELECT event_type AS g, value AS v, "
         "CAST(json_extract_string(props, '$.k') AS DOUBLE) AS w "
         "FROM events WHERE value IS NOT NULL AND isfinite(value) "
-        "AND CAST(json_extract_string(props, '$.k') AS DOUBLE) > 0), "
+        "AND event_type IS NOT NULL "
+        "AND CAST(json_extract_string(props, '$.k') AS DOUBLE) > 0 "
+        "AND isfinite(CAST(json_extract_string(props, '$.k') AS DOUBLE))), "
         "t AS (SELECT g, sum(w) AS tw FROM x GROUP BY g), "
         "o AS (SELECT g, v, sum(w) OVER (PARTITION BY g ORDER BY v) AS cw "
         "FROM x) "
@@ -4640,7 +4655,8 @@ ORACLE_SQL = {
         "SELECT event_type, value AS mode_value, count(*) AS n, "
         "row_number() OVER (PARTITION BY event_type "
         "ORDER BY count(*) DESC, value) AS rn "
-        "FROM events WHERE value IS NOT NULL GROUP BY event_type, value) "
+        "FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL "
+        "GROUP BY event_type, value) "
         "WHERE rn = 1"
     ),
     # rolling_fingerprint / minhash / simhash / IVF / sketches:

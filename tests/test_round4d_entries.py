@@ -429,3 +429,71 @@ def test_grouped_mode_tiebreak(tmp_path, ray_session):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     m = {r.event_type: (r.mode_value, r.n) for r in got.itertuples()}
     assert m == {"x": (1.0, 2), "y": (5.0, 2)}
+
+
+def test_weighted_median_inf_and_null_group(tmp_path, ray_session):
+    """Infinite values and NULL groups are excluded on BOTH engines (second
+    review batch: inf poisoned the linspace edges; NULL groups fabricated a
+    'None' string group)."""
+    from kafka_connect_s3_ray.pipelines.queries import (ORACLE_SQL,
+                                                        q_weighted_median)
+
+    base = pd.Timestamp("2026-03-01")
+    tbl = pa.table({
+        "event_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "ts": pa.array([base] * 5, pa.timestamp("us")),
+        "user_id": pa.array([1] * 5, pa.int64()),
+        "event_type": pa.array(["a", "a", "a", None, "a"]),
+        "value": pa.array([1.0, np.inf, 2.0, 5.0, 3.0], pa.float64()),
+        "props": pa.array(['{"k": 1}'] * 5),
+    })
+    sf = str(tmp_path)
+    pq.write_table(tbl, os.path.join(sf, "events.parquet"))
+    got = (q_weighted_median(sf).to_pandas()
+           .sort_values("event_type").reset_index(drop=True))
+    exp = (_oracle(sf, ORACLE_SQL["weighted_median"])
+           .sort_values("event_type").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # inf excluded -> weights {1,2,3}, median 2; NULL group absent
+    assert dict(zip(got["event_type"], got["wq"])) == {"a": 2.0}
+
+
+def test_weighted_quantile_q_validation(ray_session):
+    import ray.data
+
+    from kafka_connect_s3_ray.functions.quantiles import (
+        grouped_weighted_quantile)
+
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"g": ["a"], "v": [1.0], "w": [1.0]}))
+    with pytest.raises(ValueError, match="q must be"):
+        grouped_weighted_quantile(ds, "g", "v", "w", q=1.5)
+
+
+def test_grouped_mode_null_group_and_allnull_block(tmp_path, ray_session):
+    """NULL event_type rows are excluded on BOTH engines, and an all-null
+    block emits a TYPED empty partial (no null-typed schema drift across
+    the exchange) — second review batch."""
+    from kafka_connect_s3_ray.pipelines.queries import (ORACLE_SQL,
+                                                        q_grouped_mode)
+
+    base = pd.Timestamp("2026-03-01")
+    tbl = pa.table({
+        "event_id": pa.array(list(range(6)), pa.int64()),
+        "ts": pa.array([base] * 6, pa.timestamp("us")),
+        "user_id": pa.array([1] * 6, pa.int64()),
+        # first row group (size 2) is ALL-NULL types -> typed-empty partial
+        "event_type": pa.array([None, None, "y", "y", "y", None]),
+        "value": pa.array([1.0, 1.0, 2.0, 2.0, 3.0, None], pa.float64()),
+        "props": pa.array(["{}"] * 6),
+    })
+    sf = str(tmp_path)
+    pq.write_table(tbl, os.path.join(sf, "events.parquet"),
+                   row_group_size=2)
+    got = (q_grouped_mode(sf).to_pandas()
+           .sort_values("event_type").reset_index(drop=True))
+    exp = (_oracle(sf, ORACLE_SQL["grouped_mode"])
+           .sort_values("event_type").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert len(got) == 1 and got.loc[0, "event_type"] == "y"
+    assert got.loc[0, "mode_value"] == 2.0 and got.loc[0, "n"] == 2
