@@ -101,6 +101,27 @@ def _lev_vectorized(A: np.ndarray, B: np.ndarray) -> np.ndarray:
     return prev[:, W].copy()
 
 
+def keyed_table(t: pa.Table, id_col: str, text_col: str,
+                width: int) -> pa.Table:
+    """(kid, key) rows for the WIDTH-codepoint fixed key contract shared by
+    the join and the dedup composition. Single-byte (ASCII) keys only, on
+    BOTH engines: DuckDB's levenshtein counts BYTES while this kernel
+    counts codepoints, so a multibyte key would measure differently there —
+    excluding them (byte length == codepoint length == width) keeps the
+    contract identical; the oracle mirrors with octet_length(encode(s)) =
+    width."""
+    txt = t.column(text_col)
+    sl = pc.utf8_slice_codeunits(txt, 0, width)
+    keep = pc.and_(pc.and_(pc.is_valid(sl),
+                           pc.equal(pc.utf8_length(sl), width)),
+                   pc.equal(pc.binary_length(sl), width))
+    f = t.filter(keep)
+    return pa.table({
+        "kid": pc.cast(f.column(id_col), pa.int64()),
+        "key": pc.cast(pc.utf8_slice_codeunits(f.column(text_col), 0,
+                                               width), pa.string())})
+
+
 def edit_distance_join(docs: "ray.data.Dataset", k: int = 4,
                        width: int = 20, id_col: str = "doc_id",
                        text_col: str = "text", n_coarse: int = 64,
@@ -122,21 +143,7 @@ def edit_distance_join(docs: "ray.data.Dataset", k: int = 4,
     del seg_lens
 
     def keyed(t: pa.Table) -> pa.Table:
-        txt = t.column(text_col)
-        sl = pc.utf8_slice_codeunits(txt, 0, width)
-        # single-byte (ASCII) keys only, on BOTH engines: DuckDB's
-        # levenshtein counts BYTES while this kernel counts codepoints, so
-        # a multibyte key would measure differently there — excluding them
-        # (byte length == codepoint length == width) keeps the contract
-        # identical; the oracle mirrors with octet_length(s) = width
-        keep = pc.and_(pc.and_(pc.is_valid(sl),
-                               pc.equal(pc.utf8_length(sl), width)),
-                       pc.equal(pc.binary_length(sl), width))
-        f = t.filter(keep)
-        return pa.table({
-            "kid": pc.cast(f.column(id_col), pa.int64()),
-            "key": pc.cast(pc.utf8_slice_codeunits(f.column(text_col), 0,
-                                                   width), pa.string())})
+        return keyed_table(t, id_col, text_col, width)
 
     keys_ds = docs.map_batches(keyed, batch_format="pyarrow").materialize()
 

@@ -3716,6 +3716,38 @@ def q_weighted_median(sf_dir: str):
                      "wq": pa.array(out["wq"].round(6), pa.float64())})
 
 
+def q_fuzzy_key_dedup(sf_dir: str):
+    """End-to-end fuzzy dedup over the fixed-width keys: edit-distance
+    pairs (k<=4) -> connected components (transitive closure — pairwise
+    output alone splits {a,b,c} found as (a,b),(b,c)) -> keep-one-per-
+    cluster decision for EVERY valid-key document (singletons keep
+    themselves). The edit-distance twin of semdedup's compose-then-decide
+    chain; the SQL oracle replays the closure with a recursive CTE over
+    the identical levenshtein pair set, so hash-green certifies pair
+    generation, closure, and the keep rule together."""
+    from ..functions.dedup import connected_components
+    from ..functions.editdist import edit_distance_join, keyed_table
+    from ..stages.joins import hash_join
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    pairs = edit_distance_join(docs, k=4, width=20)
+    cc = connected_components(pairs)
+    keys = docs.map_batches(
+        lambda t: keyed_table(t, "doc_id", "text", 20).select(["kid"]),
+        batch_format="pyarrow")
+    joined = hash_join(keys, cc, on="kid", right_on=("doc_id",),
+                       join_type="left", num_partitions=8)
+    out = joined.to_pandas()  # one row per valid-key doc — bounded
+    cid = out["cluster_id"].fillna(out["kid"]).astype(np.int64)
+    out = (pd.DataFrame({"doc_id": out["kid"].astype(np.int64),
+                         "cluster_id": cid,
+                         "kept": cid.to_numpy() == out["kid"].to_numpy()})
+           .sort_values("doc_id").reset_index(drop=True))
+    return pa.table({"doc_id": pa.array(out["doc_id"], pa.int64()),
+                     "cluster_id": pa.array(out["cluster_id"], pa.int64()),
+                     "kept": pa.array(out["kept"], pa.bool_())})
+
+
 def q_grouped_mode(sf_dir: str):
     """Exact most-frequent value per group with a DETERMINISTIC tie-break
     (count desc, then smallest value) — the categorical summary DuckDB's
@@ -3981,6 +4013,7 @@ QUERIES = {
     "containment_join": q_containment_join,
     "weighted_median": q_weighted_median,
     "grouped_mode": q_grouped_mode,
+    "fuzzy_key_dedup": q_fuzzy_key_dedup,
 }
 
 _TOKENS_WS_SQL = (
@@ -4646,6 +4679,29 @@ ORACLE_SQL = {
         "FROM x) "
         "SELECT o.g AS event_type, round(min(o.v), 6) AS wq "
         "FROM o JOIN t USING (g) WHERE o.cw >= 0.5 * t.tw GROUP BY o.g"
+    ),
+    # fuzzy dedup closure: recursive-CTE transitive closure over the SAME
+    # levenshtein pair set as edit_distance_join, LEFT JOIN so singleton
+    # valid-key docs keep themselves (the near_dup_clusters closure shape)
+    "fuzzy_key_dedup": (
+        "WITH RECURSIVE p AS (SELECT doc_id, substr(text, 1, 20) AS s "
+        "FROM documents WHERE text IS NOT NULL "
+        "AND length(substr(text, 1, 20)) = 20 "
+        "AND octet_length(encode(substr(text, 1, 20))) = 20), "
+        "np AS (SELECT a.doc_id AS l, b.doc_id AS r FROM p a "
+        "JOIN p b ON a.doc_id < b.doc_id "
+        "WHERE levenshtein(a.s, b.s) <= 4), "
+        "e AS (SELECT l AS u, r AS v FROM np "
+        "UNION SELECT r, l FROM np), "
+        "walk(node, reach) AS (SELECT u, v FROM e "
+        "UNION SELECT wk.node, e2.v FROM walk wk "
+        "JOIN e e2 ON e2.u = wk.reach), "
+        "cl AS (SELECT node, least(node, min(reach)) AS cid FROM walk "
+        "GROUP BY node) "
+        "SELECT p.doc_id, "
+        "CAST(coalesce(cl.cid, p.doc_id) AS BIGINT) AS cluster_id, "
+        "coalesce(cl.cid, p.doc_id) = p.doc_id AS kept "
+        "FROM p LEFT JOIN cl ON cl.node = p.doc_id"
     ),
     # exact grouped mode with the tie-break spelled out (count desc, value
     # asc) — DuckDB's mode() is tie-undefined, so the oracle states the

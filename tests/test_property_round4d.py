@@ -127,3 +127,27 @@ def test_event_window_ops_random(tmp_path, ray_session, seed):
         pd.testing.assert_frame_equal(got, exp, check_dtype=False,
                                       rtol=1e-6, atol=1e-9,
                                       obj=name)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_fuzzy_key_dedup_random(tmp_path, ray_session, seed):
+    """Closure composition over random mutated-template corpora: clusters
+    formed through chains (a~b, b~c but a!~c) must close transitively and
+    the keep rule must hold for every valid-key doc."""
+    from kafka_connect_s3_ray.pipelines.queries import (ORACLE_SQL,
+                                                        q_fuzzy_key_dedup)
+
+    rng = np.random.default_rng(400 + seed)
+    df = _random_docs(rng, int(rng.integers(30, 80)))
+    sf = str(tmp_path)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(sf, "documents.parquet"), row_group_size=9)
+    got = _canon(q_fuzzy_key_dedup(sf).to_pandas())
+    exp = _canon(_oracle(sf, "documents", ORACLE_SQL["fuzzy_key_dedup"]))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    g = q_fuzzy_key_dedup(sf).to_pandas()
+    # exactly one kept doc per cluster, and it is the cluster minimum
+    per = g.groupby("cluster_id")
+    assert (per["kept"].sum() == 1).all()
+    assert (per["doc_id"].min() == g[g["kept"]].set_index("cluster_id")
+            ["doc_id"]).all()
