@@ -497,3 +497,32 @@ def test_grouped_mode_null_group_and_allnull_block(tmp_path, ray_session):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     assert len(got) == 1 and got.loc[0, "event_type"] == "y"
     assert got.loc[0, "mode_value"] == 2.0 and got.loc[0, "n"] == 2
+
+
+def test_lev_banded_equals_full_dp():
+    """The banded+compacted DP must equal the full DP wherever distance
+    <= k, and report exactly k+1 beyond it — across random pairs spanning
+    the whole distance range and both k values the engine uses."""
+    from kafka_connect_s3_ray.functions.editdist import (_codepoint_matrix,
+                                                         _lev_banded,
+                                                         _lev_vectorized)
+
+    rng = np.random.default_rng(17)
+    W = 20
+    alphabet = np.array(list("abcd "))
+    lefts = ["".join(rng.choice(alphabet, W)) for _ in range(400)]
+    rights = []
+    for a in lefts:
+        b = np.array(list(a))
+        for _ in range(int(rng.integers(0, 12))):
+            b[int(rng.integers(0, W))] = rng.choice(alphabet)
+        rights.append("".join(b))
+    A = _codepoint_matrix(np.array(lefts, dtype=object), W)
+    B = _codepoint_matrix(np.array(rights, dtype=object), W)
+    full = _lev_vectorized(A, B)
+    for k in (2, 4):
+        banded = _lev_banded(A, B, k)
+        exp = np.where(full <= k, full, k + 1)
+        np.testing.assert_array_equal(banded, exp)
+    # degenerate: empty pair set
+    assert len(_lev_banded(A[:0], B[:0], 4)) == 0
