@@ -122,6 +122,16 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("--snapshot", type=int, default=None,
                     help="commit id to time-travel to (negative = from latest)")
 
+    pf = sub.add_parser("profile", help="per-column data-quality audit of "
+                                        "the committed lake (rows, NULLs, "
+                                        "exact distinct, numeric min/max)")
+    pf.add_argument("--manifest", required=True)
+    pf.add_argument("--out", default=None,
+                    help="parquet file for the full profile table "
+                         "(default: print the JSON summary only)")
+    pf.add_argument("--snapshot", type=int, default=None,
+                    help="commit id to time-travel to (negative = from latest)")
+
     vw = sub.add_parser("view-refresh",
                         help="build or incrementally refresh the materialized "
                              "per-conversation rollup view: only partitions "
@@ -510,6 +520,29 @@ def main(argv: list[str] | None = None) -> int:
                 "tokens_ws": int(t.column("tokens_ws")
                                  .to_numpy(zero_copy_only=False).sum()),
                 "max_turns": int(turns.max()) if len(t) else 0,
+                "out": args.out, "snapshot": args.snapshot}))
+            return 0
+        if args.cmd == "profile":
+            import pyarrow as pa
+
+            from kafka_connect_s3_ray.functions.profile import column_profile
+            from kafka_connect_s3_ray.pipelines.upsert import read_lake
+
+            lake = read_lake(args.manifest, snapshot=args.snapshot)
+            cols = lake.schema().names
+            numeric = {c for c, t in zip(cols, lake.schema().types)
+                       if pa.types.is_integer(t) or pa.types.is_floating(t)}
+            t = column_profile(lake, cols, numeric=numeric)
+            if args.out:
+                import pyarrow.parquet as _pq
+
+                _pq.write_table(t, args.out, compression="zstd")
+            print(json.dumps({
+                "columns": {
+                    r["col"]: {"n_rows": r["n_rows"],
+                               "n_nulls": r["n_nulls"],
+                               "n_distinct": r["n_distinct"]}
+                    for r in t.to_pylist()},
                 "out": args.out, "snapshot": args.snapshot}))
             return 0
         if args.cmd == "validate":

@@ -381,3 +381,122 @@ def winsorize(ds, group_col: str, val_col: str, lo_q: float = 0.05,
             np.round(np.minimum(np.maximum(v, lo), hi), 6), pa.float64()))
 
     return ds.map_batches(clip, batch_format="pyarrow")
+
+
+_PROFILE_OUT = pa.schema([
+    ("col", pa.string()), ("n_rows", pa.int64()), ("n_nulls", pa.int64()),
+    ("n_distinct", pa.int64()), ("min_num", pa.float64()),
+    ("max_num", pa.float64())])
+
+
+def column_profile(ds, cols: list, numeric: set,
+                   n_buckets: int = 64) -> pa.Table:
+    """Data-quality audit: one profile row per column — row count, NULL
+    count, EXACT distinct count, numeric min/max — the schema-drift gate a
+    lake ingest runs before committing (the CDC analogue of the reference's
+    record counters, sink/.../Metrics.java). Shared by the events catalog
+    entry and the `profile` CLI verb over the merged lake.
+
+    Distribution: per-block combiners shrink each column to its
+    block-local distinct KEYS (int64 for ints/timestamps, canonicalized
+    float64 bits for doubles — DuckDB DISTINCT semantics: -0.0 == 0.0, all
+    NaN one value — the string itself otherwise; injective, never a
+    formatted value), then ONE coarse hash exchange dedups keys globally
+    and per-bucket distinct partials sum on the driver (<= n_buckets x
+    #cols tiny rows). NULL/min/max ride per-block partial rows (no
+    exchange); NaN-greatest max (DuckDB ordering) rides a partial flag.
+    Exact distinct at 100 TB stays bounded because only distinct keys per
+    block ever leave a task."""
+    import ray
+
+    from ..pipelines.queries import _sum_partials
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        rows = {"col": [], "p_rows": [], "p_nulls": [],
+                "p_min": [], "p_max": [], "p_has_nan": []}
+        for c in cols:
+            a = t.column(c)
+            rows["col"].append(c)
+            rows["p_rows"].append(len(a))
+            rows["p_nulls"].append(a.null_count)
+            if c in numeric and len(a) > a.null_count:
+                v = a.drop_null().to_numpy(zero_copy_only=False) \
+                    .astype(np.float64)
+                all_nan = bool(np.isnan(v).all())
+                rows["p_min"].append(np.nan if all_nan
+                                     else float(np.nanmin(v)))
+                rows["p_max"].append(np.nan if all_nan
+                                     else float(np.nanmax(v)))
+                rows["p_has_nan"].append(bool(np.isnan(v).any()))
+            else:
+                rows["p_min"].append(np.nan)
+                rows["p_max"].append(np.nan)
+                rows["p_has_nan"].append(False)
+        return pa.table({
+            "col": pa.array(rows["col"], pa.string()),
+            "p_rows": pa.array(rows["p_rows"], pa.int64()),
+            "p_nulls": pa.array(rows["p_nulls"], pa.int64()),
+            "p_min": pa.array(rows["p_min"], pa.float64()),
+            "p_max": pa.array(rows["p_max"], pa.float64()),
+            "p_has_nan": pa.array(rows["p_has_nan"], pa.bool_())})
+
+    def keys_partial(t: pa.Table) -> pa.Table:
+        kcols, keys = [], []
+        for c in cols:
+            a = t.column(c)
+            av = a.drop_null()
+            if pa.types.is_timestamp(a.type):
+                kk = np.unique(av.to_numpy(zero_copy_only=False)
+                               .astype("datetime64[us]")
+                               .astype(np.int64)).astype(str)
+            elif pa.types.is_floating(a.type):
+                v = av.to_numpy(zero_copy_only=False).astype(np.float64,
+                                                             copy=True)
+                v[v == 0.0] = 0.0
+                v[np.isnan(v)] = np.nan
+                kk = np.unique(v.view(np.int64)).astype(str)
+            elif pa.types.is_integer(a.type):
+                kk = np.unique(av.to_numpy(zero_copy_only=False)).astype(str)
+            else:
+                kk = np.unique(np.asarray(av.to_pylist(),
+                                          dtype=object)).astype(str)
+            kcols.append(np.full(len(kk), c, dtype=object))
+            keys.append(kk.astype(object))
+        kcol = np.concatenate(kcols) if kcols else np.empty(0, object)
+        kkey = np.concatenate(keys) if keys else np.empty(0, object)
+        bkt = (pd.util.hash_array(kkey, categorize=False)
+               % n_buckets).astype(np.int32)
+        return pa.table({
+            "col": pa.array(kcol, pa.string()),
+            "key": pa.array(kkey, pa.string()),
+            "bucket": pa.array(bkt, pa.int32())})
+
+    def bucket_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["col", "key"])
+        return d.groupby("col", as_index=False).agg(
+            p_distinct=("key", "size"))
+
+    stats_ds = ds.map_batches(stats_partial, batch_format="pyarrow")
+    keys_ds = ds.map_batches(keys_partial, batch_format="pyarrow")
+    dist = _sum_partials(
+        keys_ds.groupby("bucket").map_groups(
+            bucket_distinct, batch_format="pandas"),
+        "col", {"p_distinct": "n_distinct"})
+
+    stats_df = stats_ds.to_pandas()  # bounded: #blocks x #cols rows
+    agg = stats_df.groupby("col", as_index=False).agg(
+        n_rows=("p_rows", "sum"), n_nulls=("p_nulls", "sum"),
+        min_num=("p_min", "min"), max_num=("p_max", "max"),
+        has_nan=("p_has_nan", "any"))
+    # DuckDB's max returns NaN whenever any NaN exists (NaN sorts greatest)
+    agg.loc[agg["has_nan"], "max_num"] = np.nan
+    out = agg.merge(dist.to_pandas(), on="col", how="left")
+    out["n_distinct"] = out["n_distinct"].fillna(0)
+    return pa.table({
+        "col": pa.array(out["col"], pa.string()),
+        "n_rows": pa.array(out["n_rows"].astype(np.int64), pa.int64()),
+        "n_nulls": pa.array(out["n_nulls"].astype(np.int64), pa.int64()),
+        "n_distinct": pa.array(out["n_distinct"].astype(np.int64),
+                               pa.int64()),
+        "min_num": pa.array(out["min_num"], pa.float64()),
+        "max_num": pa.array(out["max_num"], pa.float64())})

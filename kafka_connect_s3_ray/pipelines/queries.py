@@ -3363,122 +3363,17 @@ def q_regex_extract(sf_dir: str):
 
 
 def q_table_profile(sf_dir: str):
-    """Data-quality audit: one profile row per events column — row count,
-    NULL count, EXACT distinct count, numeric min/max — the schema-drift /
-    quality gate a lake ingest runs before committing a batch (the CDC
-    analogue of the reference's record counters, sink/.../Metrics.java).
-    Distribution: per-block combiners shrink each column to its block-local
-    distinct KEYS (int64 for ints/timestamps, float64 bits for doubles,
-    the string itself otherwise — injective, never a formatted value), then
-    ONE coarse hash exchange dedups keys globally and per-bucket distinct
-    partials sum on the driver (<= 64 x #cols tiny rows). NULL/min/max ride
-    per-block partial rows (no exchange). Exact distinct at 100 TB stays
-    bounded because only distinct KEYS per block ever leave a task, and the
-    bucket final sees each global key once per block at worst."""
-    N_B = 64
+    """Data-quality audit of the events table: one profile row per column
+    (rows, NULLs, EXACT distinct, numeric min/max) via the shared
+    ``functions/profile.py::column_profile`` kernel — block-distinct key
+    partials + one coarse hash exchange; DuckDB float DISTINCT semantics
+    pinned (-0.0 == 0.0, one NaN; NaN-greatest max). The same kernel
+    backs the ``profile`` CLI verb over the committed lake."""
+    from ..functions.profile import column_profile
+
     COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
-    NUMERIC = {"event_id", "user_id", "value"}
-
-    def stats_partial(t: pa.Table) -> pa.Table:
-        """One (rows, nulls, min, max) stats row per column per block."""
-        rows = {"col": [], "p_rows": [], "p_nulls": [],
-                "p_min": [], "p_max": [], "p_has_nan": []}
-        for c in COLS:
-            a = t.column(c)
-            rows["col"].append(c)
-            rows["p_rows"].append(len(a))
-            rows["p_nulls"].append(a.null_count)
-            if c in NUMERIC and len(a) > a.null_count:
-                v = a.drop_null().to_numpy(zero_copy_only=False) \
-                    .astype(np.float64)
-                # DuckDB orders NaN greatest: min skips NaN, max returns
-                # NaN whenever one exists — the NaN presence rides its own
-                # flag because the pandas driver-fold's max skips NaN
-                all_nan = bool(np.isnan(v).all())
-                rows["p_min"].append(np.nan if all_nan
-                                     else float(np.nanmin(v)))
-                rows["p_max"].append(np.nan if all_nan
-                                     else float(np.nanmax(v)))
-                rows["p_has_nan"].append(bool(np.isnan(v).any()))
-            else:
-                rows["p_min"].append(np.nan)
-                rows["p_max"].append(np.nan)
-                rows["p_has_nan"].append(False)
-        return pa.table({
-            "col": pa.array(rows["col"], pa.string()),
-            "p_rows": pa.array(rows["p_rows"], pa.int64()),
-            "p_nulls": pa.array(rows["p_nulls"], pa.int64()),
-            "p_min": pa.array(rows["p_min"], pa.float64()),
-            "p_max": pa.array(rows["p_max"], pa.float64()),
-            "p_has_nan": pa.array(rows["p_has_nan"], pa.bool_())})
-
-    def keys_partial(t: pa.Table) -> pa.Table:
-        """Block-distinct (col, key) rows: injective per dtype, dropping
-        NULLs (SQL's count(DISTINCT c) ignores NULLs)."""
-        cols, keys = [], []
-        for c in COLS:
-            a = t.column(c)
-            av = a.drop_null()
-            if pa.types.is_timestamp(a.type):
-                kk = np.unique(av.to_numpy(zero_copy_only=False)
-                               .astype("datetime64[us]")
-                               .astype(np.int64)).astype(str)
-            elif pa.types.is_floating(a.type):
-                # bit pattern as the key, canonicalized first: DuckDB's
-                # DISTINCT treats -0.0 == 0.0 and all NaNs as ONE value
-                v = av.to_numpy(zero_copy_only=False).astype(np.float64,
-                                                             copy=True)
-                v[v == 0.0] = 0.0
-                v[np.isnan(v)] = np.nan
-                kk = np.unique(v.view(np.int64)).astype(str)
-            elif pa.types.is_integer(a.type):
-                kk = np.unique(av.to_numpy(zero_copy_only=False)).astype(str)
-            else:
-                kk = np.unique(np.asarray(av.to_pylist(),
-                                          dtype=object)).astype(str)
-            cols.append(np.full(len(kk), c, dtype=object))
-            keys.append(kk.astype(object))
-        kcol = np.concatenate(cols) if cols else np.empty(0, object)
-        kkey = np.concatenate(keys) if keys else np.empty(0, object)
-        bkt = (pd.util.hash_array(kkey, categorize=False)
-               % N_B).astype(np.int32)
-        return pa.table({
-            "col": pa.array(kcol, pa.string()),
-            "key": pa.array(kkey, pa.string()),
-            "bucket": pa.array(bkt, pa.int32())})
-
-    ev = _events(sf_dir, COLS)
-    stats_ds = ev.map_batches(stats_partial, batch_format="pyarrow")
-    keys_ds = ev.map_batches(keys_partial, batch_format="pyarrow")
-
-    def bucket_distinct(g: pd.DataFrame) -> pd.DataFrame:
-        d = g.drop_duplicates(["col", "key"])
-        out = d.groupby("col", as_index=False).agg(p_distinct=("key", "size"))
-        return out
-
-    dist = _sum_partials(
-        keys_ds.groupby("bucket").map_groups(
-            bucket_distinct, batch_format="pandas"),
-        "col", {"p_distinct": "n_distinct"})
-
-    stats_df = stats_ds.to_pandas()  # bounded: #blocks x #cols rows
-    agg = stats_df.groupby("col", as_index=False).agg(
-        n_rows=("p_rows", "sum"), n_nulls=("p_nulls", "sum"),
-        min_num=("p_min", "min"), max_num=("p_max", "max"),
-        has_nan=("p_has_nan", "any"))
-    # DuckDB's max returns NaN whenever any NaN exists (NaN sorts greatest)
-    agg.loc[agg["has_nan"], "max_num"] = np.nan
-    dist_df = dist.to_pandas()
-    out = agg.merge(dist_df, on="col", how="left")
-    out["n_distinct"] = out["n_distinct"].fillna(0)
-    return pa.table({
-        "col": pa.array(out["col"], pa.string()),
-        "n_rows": pa.array(out["n_rows"].astype(np.int64), pa.int64()),
-        "n_nulls": pa.array(out["n_nulls"].astype(np.int64), pa.int64()),
-        "n_distinct": pa.array(out["n_distinct"].astype(np.int64),
-                               pa.int64()),
-        "min_num": pa.array(out["min_num"], pa.float64()),
-        "max_num": pa.array(out["max_num"], pa.float64())})
+    return column_profile(_events(sf_dir, COLS), COLS,
+                          numeric={"event_id", "user_id", "value"})
 
 
 def q_burst_counts(sf_dir: str):

@@ -110,3 +110,24 @@ def test_cli_stats_summary_and_table(committed, capsys, ray_session):
     lake = read_lake(committed["mpath"]).to_pandas()
     assert summary["turns"] == len(lake)
     assert summary["tool_turns"] == int(lake["tool"].notna().sum())
+
+
+def test_cli_profile_lake_audit(committed, capsys, ray_session):
+    """`profile` audits every lake column: row counts equal the lake, NULL
+    and distinct counts match a direct pandas check, --out writes the full
+    typed table."""
+    import pyarrow.parquet as pq
+
+    out = os.path.join(committed["root"], "profile.parquet")
+    assert main(["profile", "--manifest", committed["mpath"],
+                 "--out", out]) == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    lake = read_lake(committed["mpath"]).to_pandas()
+    cols = summary["columns"]
+    assert set(cols) == set(lake.columns)
+    for c, row in cols.items():
+        assert row["n_rows"] == len(lake)
+        assert row["n_nulls"] == int(lake[c].isna().sum())
+        assert row["n_distinct"] == int(lake[c].dropna().nunique())
+    t = pq.read_table(out)
+    assert set(t.column("col").to_pylist()) == set(lake.columns)
