@@ -537,11 +537,18 @@ def main(argv: list[str] | None = None) -> int:
                 import pyarrow.parquet as _pq
 
                 _pq.write_table(t, args.out, compression="zstd")
+            def _num(x):
+                # NaN is not valid JSON; a non-numeric column's min/max is
+                # semantically "none", so serialize it that way
+                return None if x is None or x != x else x
+
             print(json.dumps({
                 "columns": {
                     r["col"]: {"n_rows": r["n_rows"],
                                "n_nulls": r["n_nulls"],
-                               "n_distinct": r["n_distinct"]}
+                               "n_distinct": r["n_distinct"],
+                               "min_num": _num(r["min_num"]),
+                               "max_num": _num(r["max_num"])}
                     for r in t.to_pylist()},
                 "out": args.out, "snapshot": args.snapshot}))
             return 0

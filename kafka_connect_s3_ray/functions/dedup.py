@@ -2538,12 +2538,25 @@ def semdedup(ds: "ray.data.Dataset", threshold: float = 0.95,
     to a k-means centroid; the keep-min-id rule here is its deterministic,
     oracle-checkable specialization (identical drop COUNT per cluster,
     stable under replay — the property a training-data pipeline needs)."""
-    from ..stages.joins import broadcast_join, hash_join
-
     pairs = embedding_near_dup(ds, threshold=threshold, id_col=id_col,
                                vec_col=vec_col, method=method, seed=seed)
     comps = connected_components(pairs).materialize()
-    ids = ds.select_columns([id_col])
+    return keep_one_per_cluster(ds.select_columns([id_col]), comps,
+                                id_col=id_col,
+                                broadcast_budget_rows=broadcast_budget_rows)
+
+
+def keep_one_per_cluster(ids: "ray.data.Dataset",
+                         comps: "ray.data.Dataset", id_col: str = "doc_id",
+                         broadcast_budget_rows: int = 2_000_000
+                         ) -> "ray.data.Dataset":
+    """The shared cluster-to-decision finish of every compose-then-decide
+    dedup (semdedup, fuzzy_key_dedup): join the (doc_id, cluster_id)
+    component table back onto the FULL id set — broadcast once under
+    ``broadcast_budget_rows``, coarse-bucket hash join above — and emit
+    (id, cluster_id, kept) for EVERY id, where singletons cluster as
+    themselves and ``kept`` is the deterministic keep-min-id rule."""
+    from ..stages.joins import broadcast_join, hash_join
 
     def finish(t: pa.Table) -> pa.Table:
         mine = pc.cast(t.column(id_col), pa.int64())

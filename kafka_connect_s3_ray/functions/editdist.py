@@ -181,11 +181,16 @@ def edit_distance_join(docs: "ray.data.Dataset", k: int = 4,
                        width: int = 20, id_col: str = "doc_id",
                        text_col: str = "text", n_coarse: int = 64,
                        corpus_broadcast_bytes: int = 1 << 30,
-                       pair_chunk: int = 1 << 20) -> "ray.data.Dataset":
+                       pair_chunk: int = 1 << 20,
+                       keys_ds: "ray.data.Dataset | None" = None
+                       ) -> "ray.data.Dataset":
     """All pairs (left_id < right_id, dist) with Levenshtein distance
     ``<= k`` between the first ``width`` codepoints of ``text_col``; keys
     shorter than ``width`` are excluded (fixed-width fuzzy-key contract,
-    mirrored by the SQL oracle)."""
+    mirrored by the SQL oracle). Pass a pre-materialized ``keys_ds``
+    (``keyed_table`` output for the SAME width) to skip the keying scan —
+    compositions that need the valid-id set anyway (fuzzy_key_dedup) key
+    the corpus once instead of twice."""
     if k < 1 or width < (k + 1):
         raise ValueError("edit_distance_join needs k >= 1 and width > k")
     seg_starts = [round(i * width / (k + 1)) for i in range(k + 1)]
@@ -197,10 +202,10 @@ def edit_distance_join(docs: "ray.data.Dataset", k: int = 4,
     # leading `seg` codepoints (an untouched segment has an untouched prefix)
     del seg_lens
 
-    def keyed(t: pa.Table) -> pa.Table:
-        return keyed_table(t, id_col, text_col, width)
-
-    keys_ds = docs.map_batches(keyed, batch_format="pyarrow").materialize()
+    if keys_ds is None:
+        keys_ds = docs.map_batches(
+            lambda t: keyed_table(t, id_col, text_col, width),
+            batch_format="pyarrow").materialize()
 
     # --- broadcast corpus (codepoints + char-bag) when it fits ------------
     # The bag powers an EXACT in-kernel prefilter: for equal-width strings

@@ -407,8 +407,6 @@ def column_profile(ds, cols: list, numeric: set,
     exchange); NaN-greatest max (DuckDB ordering) rides a partial flag.
     Exact distinct at 100 TB stays bounded because only distinct keys per
     block ever leave a task."""
-    import ray
-
     from ..pipelines.queries import _sum_partials
 
     def stats_partial(t: pa.Table) -> pa.Table:
@@ -492,11 +490,11 @@ def column_profile(ds, cols: list, numeric: set,
     agg.loc[agg["has_nan"], "max_num"] = np.nan
     out = agg.merge(dist.to_pandas(), on="col", how="left")
     out["n_distinct"] = out["n_distinct"].fillna(0)
-    return pa.table({
-        "col": pa.array(out["col"], pa.string()),
-        "n_rows": pa.array(out["n_rows"].astype(np.int64), pa.int64()),
-        "n_nulls": pa.array(out["n_nulls"].astype(np.int64), pa.int64()),
-        "n_distinct": pa.array(out["n_distinct"].astype(np.int64),
-                               pa.int64()),
-        "min_num": pa.array(out["min_num"], pa.float64()),
-        "max_num": pa.array(out["max_num"], pa.float64())})
+    return pa.Table.from_arrays(
+        [pa.array(out["col"], pa.string()),
+         pa.array(out["n_rows"].astype(np.int64), pa.int64()),
+         pa.array(out["n_nulls"].astype(np.int64), pa.int64()),
+         pa.array(out["n_distinct"].astype(np.int64), pa.int64()),
+         pa.array(out["min_num"], pa.float64()),
+         pa.array(out["max_num"], pa.float64())],
+        schema=_PROFILE_OUT)

@@ -3620,25 +3620,26 @@ def q_fuzzy_key_dedup(sf_dir: str):
     chain; the SQL oracle replays the closure with a recursive CTE over
     the identical levenshtein pair set, so hash-green certifies pair
     generation, closure, and the keep rule together."""
-    from ..functions.dedup import connected_components
+    from ..functions.dedup import (connected_components,
+                                   keep_one_per_cluster)
     from ..functions.editdist import edit_distance_join, keyed_table
-    from ..stages.joins import hash_join
 
     docs = _docs(sf_dir, ["doc_id", "text"])
-    pairs = edit_distance_join(docs, k=4, width=20)
-    cc = connected_components(pairs)
+    # key the corpus ONCE: the join consumes it and the decision reuses it
     keys = docs.map_batches(
-        lambda t: keyed_table(t, "doc_id", "text", 20).select(["kid"]),
-        batch_format="pyarrow")
-    joined = hash_join(keys, cc, on="kid", right_on=("doc_id",),
-                       join_type="left", num_partitions=8)
-    out = joined.to_pandas()  # one row per valid-key doc — bounded
-    cid = out["cluster_id"].fillna(out["kid"]).astype(np.int64)
-    out = (pd.DataFrame({"doc_id": out["kid"].astype(np.int64),
-                         "cluster_id": cid,
-                         "kept": cid.to_numpy() == out["kid"].to_numpy()})
-           .sort_values("doc_id").reset_index(drop=True))
-    return pa.table({"doc_id": pa.array(out["doc_id"], pa.int64()),
+        lambda t: keyed_table(t, "doc_id", "text", 20),
+        batch_format="pyarrow").materialize()
+    pairs = edit_distance_join(docs, k=4, width=20, keys_ds=keys)
+    comps = connected_components(pairs).materialize()
+    decided = keep_one_per_cluster(keys.select_columns(["kid"]), comps,
+                                   id_col="kid")
+    out = decided.to_pandas()  # one row per valid-key doc — bounded
+    if out.empty:  # zero valid keys: typed empty, matching the oracle
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "cluster_id": pa.array([], pa.int64()),
+                         "kept": pa.array([], pa.bool_())})
+    out = out.sort_values("kid").reset_index(drop=True)
+    return pa.table({"doc_id": pa.array(out["kid"], pa.int64()),
                      "cluster_id": pa.array(out["cluster_id"], pa.int64()),
                      "kept": pa.array(out["kept"], pa.bool_())})
 

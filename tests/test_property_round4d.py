@@ -142,10 +142,10 @@ def test_fuzzy_key_dedup_random(tmp_path, ray_session, seed):
     sf = str(tmp_path)
     pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
                    os.path.join(sf, "documents.parquet"), row_group_size=9)
-    got = _canon(q_fuzzy_key_dedup(sf).to_pandas())
+    g = q_fuzzy_key_dedup(sf).to_pandas()
+    got = _canon(g)
     exp = _canon(_oracle(sf, "documents", ORACLE_SQL["fuzzy_key_dedup"]))
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
-    g = q_fuzzy_key_dedup(sf).to_pandas()
     # exactly one kept doc per cluster, and it is the cluster minimum
     per = g.groupby("cluster_id")
     assert (per["kept"].sum() == 1).all()

@@ -526,3 +526,29 @@ def test_lev_banded_equals_full_dp():
         np.testing.assert_array_equal(banded, exp)
     # degenerate: empty pair set
     assert len(_lev_banded(A[:0], B[:0], 4)) == 0
+
+
+def test_fuzzy_key_dedup_no_valid_keys(tmp_path, ray_session):
+    """Every text shorter than the key width: the engine returns the typed
+    empty result the oracle returns, instead of a KeyError on the
+    columnless empty join (third review batch)."""
+    from kafka_connect_s3_ray.pipelines.queries import (ORACLE_SQL,
+                                                        q_fuzzy_key_dedup)
+
+    df = pd.DataFrame({"doc_id": np.arange(6, dtype=np.int64),
+                       "text": [f"short {i}" for i in range(6)]})
+    df["lang"], df["source"], df["n_chars"] = "en", "s", df["text"].str.len()
+    sf = str(tmp_path)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(sf, "documents.parquet"))
+    got = q_fuzzy_key_dedup(sf).to_pandas()
+    exp = _oracle_docs(sf, ORACLE_SQL["fuzzy_key_dedup"])
+    assert len(got) == 0 and len(exp) == 0
+    assert list(got.columns) == ["doc_id", "cluster_id", "kept"]
+
+
+def _oracle_docs(sf: str, sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{os.path.join(sf, 'documents.parquet')}'")
+    return con.execute(sql).df()
