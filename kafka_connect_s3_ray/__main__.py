@@ -122,6 +122,21 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("--snapshot", type=int, default=None,
                     help="commit id to time-travel to (negative = from latest)")
 
+    qr = sub.add_parser("query", help="run one catalog pipeline by name "
+                                      "over a testdata directory (list "
+                                      "names with --list)")
+    qr.add_argument("--name", default=None,
+                    help="catalog entry (one of queries()'s keys)")
+    qr.add_argument("--sf", default="/root/testdata/sf0.001",
+                    help="table directory holding the parquet inputs")
+    qr.add_argument("--out", default=None,
+                    help="parquet file for the result (default: print row "
+                         "count + first rows as JSON)")
+    qr.add_argument("--limit", type=int, default=5,
+                    help="rows to include in the printed preview")
+    qr.add_argument("--list", action="store_true",
+                    help="print the catalog names and exit")
+
     pf = sub.add_parser("profile", help="per-column data-quality audit of "
                                         "the committed lake (rows, NULLs, "
                                         "exact distinct, numeric min/max)")
@@ -521,6 +536,39 @@ def main(argv: list[str] | None = None) -> int:
                                  .to_numpy(zero_copy_only=False).sum()),
                 "max_turns": int(turns.max()) if len(t) else 0,
                 "out": args.out, "snapshot": args.snapshot}))
+            return 0
+        if args.cmd == "query":
+            from kafka_connect_s3_ray.pipelines.queries import QUERIES
+
+            if args.list or not args.name:
+                print(json.dumps({"queries": sorted(QUERIES)}))
+                return 0
+            if args.name not in QUERIES:
+                print(json.dumps({"error": f"unknown query {args.name!r}; "
+                                           f"--list shows the catalog"}))
+                return 2
+            import pandas as _pd
+            import pyarrow as pa
+
+            import ray.data
+
+            res = QUERIES[args.name](args.sf)
+            if isinstance(res, ray.data.Dataset):
+                tbl = pa.Table.from_pandas(res.to_pandas(),
+                                           preserve_index=False)
+            elif isinstance(res, _pd.DataFrame):
+                tbl = pa.Table.from_pandas(res, preserve_index=False)
+            else:
+                tbl = res
+            if args.out:
+                import pyarrow.parquet as _pq
+
+                _pq.write_table(tbl, args.out, compression="zstd")
+            head = tbl.slice(0, max(0, args.limit)).to_pylist()
+            print(json.dumps({"name": args.name, "rows": len(tbl),
+                              "columns": tbl.column_names,
+                              "preview": head, "out": args.out},
+                             default=str))
             return 0
         if args.cmd == "profile":
             import pyarrow as pa

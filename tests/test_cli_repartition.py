@@ -131,3 +131,26 @@ def test_cli_profile_lake_audit(committed, capsys, ray_session):
         assert row["n_distinct"] == int(lake[c].dropna().nunique())
     t = pq.read_table(out)
     assert set(t.column("col").to_pylist()) == set(lake.columns)
+
+
+def test_cli_query_catalog_surface(tmp_path, capsys, ray_session):
+    """`query` runs any catalog entry by name over a table directory:
+    --list enumerates the full catalog, a run prints rows/columns/preview
+    and --out writes the parquet result; unknown names exit 2."""
+    import pyarrow.parquet as pq
+
+    assert main(["query", "--list"]) == 0
+    names = json.loads(capsys.readouterr().out.strip())["queries"]
+    assert "lang_id" in names and len(names) >= 140
+
+    out = os.path.join(str(tmp_path), "langid.parquet")
+    assert main(["query", "--name", "lang_id",
+                 "--sf", "/root/testdata/sf0.001", "--out", out,
+                 "--limit", "3"]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    t = pq.read_table(out)
+    assert res["rows"] == len(t) > 0
+    assert res["columns"] == t.column_names
+    assert len(res["preview"]) == 3
+
+    assert main(["query", "--name", "not_a_query"]) == 2
