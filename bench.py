@@ -166,7 +166,7 @@ def run_bench() -> dict:
         "grouping_sets", "gap_fill", "windowed_dedup", "regex_extract",
         "table_profile", "burst_counts", "ewma", "edit_distance_join",
         "triangle_count", "containment_join", "weighted_median",
-        "grouped_mode", "fuzzy_key_dedup",
+        "grouped_mode", "fuzzy_key_dedup", "video_frames",
     ]
     panel_results: dict = {}
     panel_trials = int(os.environ.get("BENCH_PANEL_TRIALS", "2"))

@@ -327,6 +327,34 @@ def synth_real_media(n: int = 32, seed: int = 42) -> pa.Table:
     )
 
 
+def synth_real_video(n: int = 16, seed: int = 43) -> pa.Table:
+    """Deterministic table of REAL MJPM clips: each holds 6-12 gradient+
+    noise frames (PPM, with every 3rd frame JPEG-compressed) whose pixel
+    content drifts linearly frame to frame — decodable end to end by
+    ``FrameSampler`` + ``MediaFeatureExtractor``."""
+    rng = np.random.default_rng(seed)
+    rows = {k: [] for k in MEDIA_SCHEMA.names}
+    for i in range(n):
+        w, h = int(rng.integers(16, 48)), int(rng.integers(16, 48))
+        n_frames = int(rng.integers(6, 13))
+        base = np.linspace(0, 200, w, dtype=np.float32)[None, :, None]
+        noise = rng.integers(0, 40, (h, w, 3)).astype(np.float32)
+        payloads = []
+        for f in range(n_frames):
+            img = (base + noise + 5.0 * f).clip(0, 255).astype(np.uint8)
+            payloads.append(encode_jpeg(img, quality=90, subsample="444")
+                            if f % 3 == 2 else encode_ppm(img))
+        rows["media_id"].append(i)
+        rows["payload"].append(encode_mjpm(payloads, fps=8))
+        rows["media_type"].append("video")
+        rows["width"].append(w)
+        rows["height"].append(h)
+        rows["duration_ms"].append(n_frames * 125)
+    return pa.Table.from_arrays(
+        [pa.array(rows[f.name], f.type) for f in MEDIA_SCHEMA],
+        schema=MEDIA_SCHEMA)
+
+
 def _fake_features(payload: bytes) -> np.ndarray:
     b = np.frombuffer(payload, dtype=np.uint8)
     if len(b) == 0:
@@ -390,10 +418,52 @@ class MediaFeatureExtractor:
         )
 
 
+MJPM_MAGIC = b"MJPM"
+
+
+def encode_mjpm(frame_payloads: list, fps: int = 8) -> bytes:
+    """Motion-image container: magic, frame count, fps, then an absolute
+    per-frame OFFSET TABLE, then the concatenated frame payloads (each a
+    self-describing PPM/PNG/JPEG image). The offset table is the video
+    analogue of the reference's per-block chunk index
+    (common/.../json/ChunksIndex.java:7-37 — chunkContaining(offset) turns
+    a whole-object read into a ranged GET): a frame sampler reads ONLY the
+    selected frames' byte ranges, never the full clip."""
+    import struct
+
+    n = len(frame_payloads)
+    head = MJPM_MAGIC + struct.pack("<II", n, fps)
+    base = len(head) + 8 * (n + 1)
+    offs, pos = [], base
+    for p in frame_payloads:
+        offs.append(pos)
+        pos += len(p)
+    offs.append(pos)  # end sentinel: lengths = diff(offsets)
+    return head + struct.pack(f"<{n + 1}Q", *offs) + b"".join(frame_payloads)
+
+
+def mjpm_index(payload: bytes) -> tuple:
+    """(offsets ndarray incl. end sentinel, fps) from an MJPM header —
+    O(header) work, no frame bytes touched."""
+    import struct
+
+    if not payload.startswith(MJPM_MAGIC):
+        raise ValueError("not an MJPM payload")
+    n, fps = struct.unpack_from("<II", payload, 4)
+    offs = np.frombuffer(payload, dtype="<u8", count=n + 1, offset=12)
+    return offs.astype(np.int64), int(fps)
+
+
 class FrameSampler:
-    """Video frame-sampling stub: emits ``n_frames`` evenly-spaced byte slices
-    per payload (standing in for decoded frames), one output row per frame —
-    a flat-map-shaped stage showing the row-expansion layout."""
+    """Video frame sampling: ``n_frames`` evenly-spaced frames per payload,
+    one output row per frame (the flat-map row-expansion layout). MJPM
+    payloads are REALLY sampled — the header's offset table selects the
+    frames and only those byte ranges are sliced out, each a decodable
+    PPM/PNG/JPEG image for the downstream ``MediaFeatureExtractor``
+    (the pruned-read discipline of the reference's chunk index, see
+    ``encode_mjpm``). Non-MJPM payloads keep the byte-slice stub so the
+    stage stays drivable on opaque formats (H.264 needs av — absent
+    here)."""
 
     def __init__(self, n_frames: int = 4):
         self.n_frames = n_frames
@@ -402,6 +472,18 @@ class FrameSampler:
         ids, frames, idxs = [], [], []
         for mid, payload in zip(batch.column("media_id").to_pylist(),
                                 batch.column("payload").to_pylist()):
+            if payload.startswith(MJPM_MAGIC):
+                offs, _ = mjpm_index(payload)
+                n_avail = len(offs) - 1
+                take = min(self.n_frames, n_avail)
+                # evenly spaced, first frame always included
+                sel = np.unique((np.arange(take) * n_avail)
+                                // max(take, 1)) if take else []
+                for fi in sel:
+                    ids.append(mid)
+                    idxs.append(int(fi))
+                    frames.append(payload[offs[fi]:offs[fi + 1]])
+                continue
             step = max(1, len(payload) // self.n_frames)
             for fi in range(self.n_frames):
                 ids.append(mid)

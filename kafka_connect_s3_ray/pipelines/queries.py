@@ -1723,6 +1723,40 @@ def q_media_features(sf_dir: str):
     )
 
 
+def q_video_frames(sf_dir: str):
+    """Video plumbing through the gate, REAL end to end: seeded MJPM clips
+    (per-frame offset table — the chunk-index discipline,
+    ``functions/multimodal.py::encode_mjpm``) -> ``FrameSampler`` selects 4
+    evenly-spaced frames per clip reading ONLY their byte ranges -> the
+    actor-pool extractor really decodes each PPM/JPEG frame to RGB
+    features. Deterministic (seed=43, size scaled by sf); rows-only (no
+    SQL media codecs) — frame-count/drift/pruned-read invariants live in
+    pytest."""
+    from ..functions.multimodal import (FrameSampler, MediaFeatureExtractor,
+                                        synth_real_video)
+
+    name = os.path.basename(sf_dir.rstrip("/"))
+    n = {"sf0.001": 8, "sf0.01": 16, "sf0.1": 64}.get(name, 16)
+    ds = ray.data.from_arrow(synth_real_video(n))
+    frames = ds.map_batches(FrameSampler(4), batch_format="pyarrow")
+
+    def as_payload(t: pa.Table) -> pa.Table:
+        return pa.table({"media_id": t.column("media_id"),
+                         "frame_idx": t.column("frame_idx"),
+                         "payload": t.column("frame")})
+
+    out = (frames.map_batches(as_payload, batch_format="pyarrow")
+           .map_batches(MediaFeatureExtractor, batch_format="pyarrow",
+                        concurrency=2).to_pandas())
+    feats = np.stack([np.asarray(f, np.float32) for f in out["features"]])
+    return pa.table({
+        "media_id": pa.array(out["media_id"], pa.int64()),
+        "frame_idx": pa.array(out["frame_idx"], pa.int32()),
+        # mean-R / mean-G of the REALLY decoded frame, rounded
+        "f0": pa.array(np.round(feats[:, 0].astype(np.float64), 4)),
+        "f1": pa.array(np.round(feats[:, 1].astype(np.float64), 4))})
+
+
 def q_windowed_distinct(sf_dir: str):
     """EXACT distinct users per hourly tumbling window — the
     distinct_users_by_type pattern on a HIGH-cardinality group (one group
@@ -3910,6 +3944,7 @@ QUERIES = {
     "weighted_median": q_weighted_median,
     "grouped_mode": q_grouped_mode,
     "fuzzy_key_dedup": q_fuzzy_key_dedup,
+    "video_frames": q_video_frames,  # rows-only: real MJPM decode, pytest
 }
 
 _TOKENS_WS_SQL = (

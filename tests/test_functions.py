@@ -408,3 +408,55 @@ def test_embedding_centroids_hand_computed():
     out = embedding_centroids(ds).to_pandas()
     assert out.values.tolist() == [[0, 0, 2.0], [0, 1, 3.0],
                                    [1, 0, 10.0], [1, 1, 20.0]]
+
+
+def test_mjpm_frame_sampling_real_decode(ray_session):
+    """MJPM clips sample REAL frames: the offset table selects evenly-spaced
+    frames whose byte slices decode to the planted images (pruned read ==
+    full parse), the downstream extractor's mean-R drifts with the planted
+    +5/frame brightness ramp, and clips shorter than n_frames emit every
+    frame exactly once."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+    from kafka_connect_s3_ray.functions.multimodal import (
+        FrameSampler, MediaFeatureExtractor, decode_jpeg, decode_ppm,
+        encode_mjpm, encode_ppm, mjpm_index, synth_real_video)
+
+    tbl = synth_real_video(6, seed=7)
+    frames = (ray.data.from_arrow(tbl)
+              .map_batches(FrameSampler(4), batch_format="pyarrow")
+              .to_pandas())
+    # every clip has >= 6 frames, so exactly 4 sampled rows per clip
+    assert (frames.groupby("media_id").size() == 4).all()
+    assert (frames.groupby("media_id")["frame_idx"].min() == 0).all()
+    # each sampled slice IS a decodable image equal to a direct full parse
+    payload = tbl.column("payload").to_pylist()[0]
+    offs, fps = mjpm_index(payload)
+    assert fps == 8
+    sampled = frames[frames["media_id"] == 0].sort_values("frame_idx")
+    for fi, raw in zip(sampled["frame_idx"], sampled["frame"]):
+        direct = payload[offs[fi]:offs[fi + 1]]
+        assert bytes(raw) == direct
+        img = decode_jpeg(direct) if direct.startswith(b"\xff\xd8") \
+            else decode_ppm(direct)
+        assert img.ndim == 3 and img.shape[2] == 3
+    # the planted +5/frame ramp shows up in decoded mean-R (monotone drift)
+    fr = (ray.data.from_arrow(pa.table({
+        "media_id": pa.array(sampled["media_id"], pa.int64()),
+        "frame_idx": pa.array(sampled["frame_idx"], pa.int32()),
+        "payload": pa.array([bytes(b) for b in sampled["frame"]],
+                            pa.binary())}))
+        .map_batches(MediaFeatureExtractor, batch_format="pyarrow",
+                     concurrency=1)
+        .to_pandas().sort_values("frame_idx"))
+    mean_r = np.array([f[0] for f in fr["features"]])
+    assert (np.diff(mean_r) > 0).all()
+    # short clip: every frame once
+    short = encode_mjpm([encode_ppm(np.zeros((4, 4, 3), np.uint8))] * 2)
+    two = (ray.data.from_arrow(pa.table({
+        "media_id": pa.array([9], pa.int64()),
+        "payload": pa.array([short], pa.binary())}))
+        .map_batches(FrameSampler(4), batch_format="pyarrow").to_pandas())
+    assert sorted(two["frame_idx"]) == [0, 1]

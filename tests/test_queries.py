@@ -135,6 +135,8 @@ ROWS_ONLY = [
                        # recall/precision/brute-force oracle in test_imagedup
     "bpe_tokens",  # iterative merge training: not SQL-expressible; quadratic
                    # reference-implementation equality oracle in test_bpe
+    "video_frames",  # binary MJPM decode: not SQL-expressible; frame-count/
+                     # drift/pruned-read invariants in test_functions
 ]
 
 
