@@ -98,3 +98,23 @@ def test_adpcm_roundtrip_any_signal(samples, rate):
         assert back[0] == samples[0]
         err = np.abs(back.astype(np.int64) - samples.astype(np.int64))
         assert err.mean() < 16384  # white noise worst case stays sub-half-scale
+
+
+@given(
+    st.lists(st.binary(min_size=0, max_size=200), min_size=1, max_size=12),
+    st.integers(min_value=1, max_value=60),
+)
+def test_mjpm_container_roundtrip(frames, fps):
+    """encode_mjpm -> mjpm_index byte slices reproduce every input frame
+    exactly (any payload bytes — the container is format-agnostic), fps
+    survives, and the end sentinel equals the container length."""
+    from kafka_connect_s3_ray.functions.multimodal import (encode_mjpm,
+                                                           mjpm_index)
+
+    payload = encode_mjpm(frames, fps=fps)
+    offs, got_fps = mjpm_index(payload)
+    assert got_fps == fps
+    assert len(offs) == len(frames) + 1
+    assert offs[-1] == len(payload)
+    for i, f in enumerate(frames):
+        assert payload[offs[i]:offs[i + 1]] == f
