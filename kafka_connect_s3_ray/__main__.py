@@ -127,8 +127,9 @@ def main(argv: list[str] | None = None) -> int:
                                       "names with --list)")
     qr.add_argument("--name", default=None,
                     help="catalog entry (one of queries()'s keys)")
-    qr.add_argument("--sf", default="/root/testdata/sf0.001",
-                    help="table directory holding the parquet inputs")
+    qr.add_argument("--sf", default=None,
+                    help="table directory holding the parquet inputs "
+                         "(required unless --list)")
     qr.add_argument("--out", default=None,
                     help="parquet file for the result (default: print row "
                          "count + first rows as JSON)")
@@ -547,26 +548,49 @@ def main(argv: list[str] | None = None) -> int:
                 print(json.dumps({"error": f"unknown query {args.name!r}; "
                                            f"--list shows the catalog"}))
                 return 2
+            if not args.sf:
+                print(json.dumps({"error": "--sf <table directory> is "
+                                           "required to run a query"}))
+                return 2
             import pandas as _pd
             import pyarrow as pa
 
             import ray.data
 
-            res = QUERIES[args.name](args.sf)
-            if isinstance(res, ray.data.Dataset):
-                tbl = pa.Table.from_pandas(res.to_pandas(),
-                                           preserve_index=False)
-            elif isinstance(res, _pd.DataFrame):
-                tbl = pa.Table.from_pandas(res, preserve_index=False)
-            else:
-                tbl = res
-            if args.out:
-                import pyarrow.parquet as _pq
+            def _jsafe(v):
+                # bare NaN/Infinity are not valid JSON (the profile verb's
+                # _num contract, applied to arbitrary preview values)
+                if isinstance(v, float) and (v != v or v in
+                                             (float("inf"), float("-inf"))):
+                    return None
+                return v
 
-                _pq.write_table(tbl, args.out, compression="zstd")
-            head = tbl.slice(0, max(0, args.limit)).to_pylist()
-            print(json.dumps({"name": args.name, "rows": len(tbl),
-                              "columns": tbl.column_names,
+            res = QUERIES[args.name](args.sf)
+            if isinstance(res, ray.data.Dataset) and not args.out:
+                # streaming surface: never driver-materialize a big result
+                # just to preview it
+                n_rows = res.count()
+                head_t = pa.Table.from_pandas(
+                    res.limit(max(0, args.limit)).to_pandas(),
+                    preserve_index=False)
+                cols, head = head_t.column_names, head_t.to_pylist()
+            else:
+                if isinstance(res, ray.data.Dataset):
+                    tbl = pa.Table.from_pandas(res.to_pandas(),
+                                               preserve_index=False)
+                elif isinstance(res, _pd.DataFrame):
+                    tbl = pa.Table.from_pandas(res, preserve_index=False)
+                else:
+                    tbl = res
+                if args.out:
+                    import pyarrow.parquet as _pq
+
+                    _pq.write_table(tbl, args.out, compression="zstd")
+                n_rows, cols = len(tbl), tbl.column_names
+                head = tbl.slice(0, max(0, args.limit)).to_pylist()
+            head = [{k: _jsafe(v) for k, v in row.items()} for row in head]
+            print(json.dumps({"name": args.name, "rows": n_rows,
+                              "columns": cols,
                               "preview": head, "out": args.out},
                              default=str))
             return 0

@@ -473,17 +473,27 @@ class FrameSampler:
         for mid, payload in zip(batch.column("media_id").to_pylist(),
                                 batch.column("payload").to_pylist()):
             if payload.startswith(MJPM_MAGIC):
-                offs, _ = mjpm_index(payload)
-                n_avail = len(offs) - 1
-                take = min(self.n_frames, n_avail)
-                # evenly spaced, first frame always included
-                sel = np.unique((np.arange(take) * n_avail)
-                                // max(take, 1)) if take else []
-                for fi in sel:
-                    ids.append(mid)
-                    idxs.append(int(fi))
-                    frames.append(payload[offs[fi]:offs[fi + 1]])
-                continue
+                # a magic-prefixed but corrupt/truncated payload must not
+                # kill the stage (the MediaFeatureExtractor sniff-false-
+                # positive contract): parse defensively, stub on failure
+                try:
+                    offs, _ = mjpm_index(payload)
+                    if (len(offs) < 2 or offs[-1] != len(payload)
+                            or (np.diff(offs) < 0).any()):
+                        raise ValueError("inconsistent MJPM offset table")
+                except Exception:
+                    offs = None
+                if offs is not None:
+                    n_avail = len(offs) - 1
+                    take = min(self.n_frames, n_avail)
+                    # evenly spaced, first frame always included
+                    sel = np.unique((np.arange(take) * n_avail)
+                                    // max(take, 1)) if take else []
+                    for fi in sel:
+                        ids.append(mid)
+                        idxs.append(int(fi))
+                        frames.append(payload[offs[fi]:offs[fi + 1]])
+                    continue
             step = max(1, len(payload) // self.n_frames)
             for fi in range(self.n_frames):
                 ids.append(mid)

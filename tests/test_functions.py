@@ -460,3 +460,20 @@ def test_mjpm_frame_sampling_real_decode(ray_session):
         "payload": pa.array([short], pa.binary())}))
         .map_batches(FrameSampler(4), batch_format="pyarrow").to_pandas())
     assert sorted(two["frame_idx"]) == [0, 1]
+
+
+def test_mjpm_corrupt_payload_falls_back(ray_session):
+    """A magic-prefixed but corrupt payload must NOT kill the stage: the
+    sampler falls back to the byte-slice stub (fourth review batch)."""
+    import pyarrow as pa
+
+    import ray.data
+    from kafka_connect_s3_ray.functions.multimodal import FrameSampler
+
+    bad = [b"MJPMx", b"MJPM" + b"\xff" * 20]
+    out = (ray.data.from_arrow(pa.table({
+        "media_id": pa.array([0, 1], pa.int64()),
+        "payload": pa.array(bad, pa.binary())}))
+        .map_batches(FrameSampler(3), batch_format="pyarrow").to_pandas())
+    # stub path: 3 byte-slices per payload, nothing raised
+    assert (out.groupby("media_id").size() == 3).all()
