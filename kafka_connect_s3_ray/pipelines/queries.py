@@ -3678,6 +3678,40 @@ def q_fuzzy_key_dedup(sf_dir: str):
                      "kept": pa.array(out["kept"], pa.bool_())})
 
 
+def q_gap_quantiles(sf_dir: str):
+    """Median inter-arrival gap per event type — the latency/engagement
+    profile built by COMPOSING two existing engines: the per-user lag
+    derivation (one user-hash exchange, bucket-local shifts ARE the global
+    window — the event_lag_lead shape) feeds ``grouped_exact_quantiles``
+    (histogram refinement, zero shuffle). Each gap is attributed to the
+    LATER event's type; first events per user carry no gap (SQL NULL,
+    excluded by both engines). Gaps are integral microseconds, so
+    quantile_disc parity is exact."""
+    from ..functions.funnel import _user_bucketer
+    from ..functions.quantiles import grouped_exact_quantiles
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+    tagged = ev.map_batches(_user_bucketer("user_id", 64, ts_col="ts"),
+                            batch_format="pyarrow")
+
+    def bucket_gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="stable").reset_index(drop=True)
+        ts_us = pd.Series(
+            g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64))
+        gap = ts_us - ts_us.groupby(g["user_id"], sort=False).shift(1)
+        return pd.DataFrame({"event_type": g["event_type"],
+                             "gap_us": gap.astype(np.float64)})
+
+    gaps = tagged.groupby("bucket").map_groups(
+        bucket_gaps, batch_format="pandas").materialize()
+    med = grouped_exact_quantiles(gaps, "event_type", "gap_us", 0.5)
+    types = sorted(med)
+    return pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "p50_gap_us": pa.array([int(med[t]) for t in types], pa.int64())})
+
+
 def q_grouped_mode(sf_dir: str):
     """Exact most-frequent value per group with a DETERMINISTIC tie-break
     (count desc, then smallest value) — the categorical summary DuckDB's
@@ -3945,6 +3979,7 @@ QUERIES = {
     "grouped_mode": q_grouped_mode,
     "fuzzy_key_dedup": q_fuzzy_key_dedup,
     "video_frames": q_video_frames,  # rows-only: real MJPM decode, pytest
+    "gap_quantiles": q_gap_quantiles,
 }
 
 _TOKENS_WS_SQL = (
@@ -4633,6 +4668,16 @@ ORACLE_SQL = {
         "CAST(coalesce(cl.cid, p.doc_id) AS BIGINT) AS cluster_id, "
         "coalesce(cl.cid, p.doc_id) = p.doc_id AS kept "
         "FROM p LEFT JOIN cl ON cl.node = p.doc_id"
+    ),
+    # median inter-arrival gap per type: the gap rides the LATER event
+    # (lag over the user's (ts, event_id) stream); quantile_disc over
+    # integral microsecond gaps is exact on both engines
+    "gap_quantiles": (
+        "WITH g AS (SELECT event_type, epoch_us(ts) - lag(epoch_us(ts)) "
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap "
+        "FROM events) "
+        "SELECT event_type, CAST(quantile_disc(gap, 0.5) AS BIGINT) "
+        "AS p50_gap_us FROM g WHERE gap IS NOT NULL GROUP BY event_type"
     ),
     # exact grouped mode with the tie-break spelled out (count desc, value
     # asc) — DuckDB's mode() is tie-undefined, so the oracle states the

@@ -118,7 +118,7 @@ SQL_CHECKED = [
     "windowed_dedup", "regex_extract",
     "table_profile", "burst_counts", "ewma", "edit_distance_join",
     "triangle_count", "containment_join", "weighted_median",
-    "grouped_mode", "fuzzy_key_dedup",
+    "grouped_mode", "fuzzy_key_dedup", "gap_quantiles",
 ]
 # the legitimately non-SQL-checkable entries: the quantile sketch's thinning
 # depends on batch boundaries, and media decode is binary.

@@ -552,3 +552,34 @@ def _oracle_docs(sf: str, sql: str) -> pd.DataFrame:
     con.execute(f"CREATE VIEW documents AS SELECT * FROM "
                 f"'{os.path.join(sf, 'documents.parquet')}'")
     return con.execute(sql).df()
+
+
+def test_gap_quantiles_attribution_and_ties(tmp_path, ray_session):
+    """Gaps attribute to the LATER event's type, first events carry no
+    gap, and the quantile_disc tie rule holds on duplicate gaps."""
+    from kafka_connect_s3_ray.pipelines.queries import (ORACLE_SQL,
+                                                        q_gap_quantiles)
+
+    base = pd.Timestamp("2026-03-01")
+    rows = [
+        # user 1: a@0 (no gap), b@10s (gap 10s->b), a@20s (gap 10s->a),
+        # b@50s (gap 30s->b)
+        (0, 1, "a", base),
+        (1, 1, "b", base + pd.Timedelta(seconds=10)),
+        (2, 1, "a", base + pd.Timedelta(seconds=20)),
+        (3, 1, "b", base + pd.Timedelta(seconds=50)),
+        # user 2: only one event -> contributes NO gap anywhere
+        (4, 2, "b", base),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type",
+                                     "ts"])
+    df = df.sample(frac=1.0, random_state=1).reset_index(drop=True)
+    sf = _write_events(tmp_path, df)
+    got = (q_gap_quantiles(sf).to_pandas()
+           .sort_values("event_type").reset_index(drop=True))
+    exp = (_oracle(sf, ORACLE_SQL["gap_quantiles"])
+           .sort_values("event_type").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    m = dict(zip(got["event_type"], got["p50_gap_us"]))
+    # a: single gap 10s; b: gaps {10s, 30s} -> quantile_disc(0.5) = 10s
+    assert m == {"a": 10_000_000, "b": 10_000_000}
