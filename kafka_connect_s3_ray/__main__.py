@@ -567,8 +567,11 @@ def main(argv: list[str] | None = None) -> int:
 
             res = QUERIES[args.name](args.sf)
             if isinstance(res, ray.data.Dataset) and not args.out:
-                # streaming surface: never driver-materialize a big result
-                # just to preview it
+                # execute ONCE into the object store (blocks stay
+                # distributed; nothing big reaches the driver), then count
+                # from metadata and pull only the preview rows — the lazy
+                # plan would otherwise run twice, once per consumer
+                res = res.materialize()
                 n_rows = res.count()
                 head_t = pa.Table.from_pandas(
                     res.limit(max(0, args.limit)).to_pandas(),

@@ -478,7 +478,13 @@ class FrameSampler:
                 # positive contract): parse defensively, stub on failure
                 try:
                     offs, _ = mjpm_index(payload)
+                    # full consistency: first offset lands exactly after the
+                    # header (12-byte head + (n+1) u64 table), monotone from
+                    # there, end sentinel == payload length — a crafted
+                    # table pointing into the header must not pass (ADVICE
+                    # r4)
                     if (len(offs) < 2 or offs[-1] != len(payload)
+                            or offs[0] != 12 + 8 * len(offs)
                             or (np.diff(offs) < 0).any()):
                         raise ValueError("inconsistent MJPM offset table")
                 except Exception:

@@ -3449,9 +3449,13 @@ def q_burst_counts(sf_dir: str):
         # .. CURRENT ROW includes ALL ts-peers of the current row)
         hi = np.searchsorted(key, key, side="right")
         lo = np.searchsorted(key, key - WIN_US, side="left")
-        # clamp lo to the user's segment start (key - WIN_US may cross into
-        # the previous user's range only if span were too small; span >=
-        # t_range + WIN_US + 2 makes that impossible — keep as assertion)
+        # key - WIN_US may cross into the previous user's range only if span
+        # were too small; span >= t_range + WIN_US + 2 makes that impossible.
+        # Cheap O(n) assertion of the invariant: the frame start must still
+        # belong to the current row's user (lo <= i, so urank[lo] is valid).
+        if len(key):
+            assert (urank[lo] == urank).all(), \
+                "burst window frame crossed a user boundary (span too small)"
         return pd.DataFrame({
             "event_id": g["event_id"].astype("int64"),
             "user_id": g["user_id"].astype("int64"),
@@ -3498,6 +3502,16 @@ def q_ewma(sf_dir: str):
                 "ewma: column 'value' holds NULLs — fill or filter them "
                 "first (the oracle's list_dot_product rejects NULL frame "
                 "members, so no shared semantics exists)")
+        # same contract for float NaN: the window kernel below would treat
+        # NaN as a missing frame member and silently renormalize, while the
+        # oracle's list_dot_product propagates it — raise loudly instead of
+        # diverging silently (ADVICE r4)
+        vals = t.column("value").to_numpy(zero_copy_only=False)
+        if np.isnan(vals).any():
+            raise ValueError(
+                "ewma: column 'value' holds NaN — fill or filter first "
+                "(the engine's renormalize-over-missing and the oracle's "
+                "NaN-propagating dot product cannot agree)")
         return t
 
     tagged = ev.map_batches(check_values, batch_format="pyarrow") \

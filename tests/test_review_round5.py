@@ -1,0 +1,120 @@
+"""Regression tests for the round-4 ADVICE findings closed in round 5:
+
+- ewma: float NaN in ``value`` now raises loudly (the NULL contract extended
+  — the engine's renormalize-over-missing and the oracle's NaN-propagating
+  list_dot_product cannot agree, so silence was a latent divergence).
+- FrameSampler: a crafted MJPM offset table that points into the header
+  (offs[0] != 12 + 8*(n+1)) is rejected and falls back to the byte-slice
+  stub instead of yielding header bytes as "frames".
+- CLI ``query`` verb: the streaming preview path executes the lazy plan
+  exactly ONCE (materialize before count + preview), not once per consumer.
+"""
+
+import json
+import os
+import struct
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def test_ewma_raises_on_nan_value(tmp_path, ray_session):
+    from kafka_connect_s3_ray.pipelines.queries import q_ewma
+
+    base = pd.Timestamp("2026-03-01")
+    # built column-wise in Arrow: pandas->Arrow would silently turn the
+    # NaN payload into a NULL, and a TRUE float NaN is the point here
+    tbl = pa.table({
+        "event_id": pa.array([0, 1, 2], pa.int64()),
+        "user_id": pa.array([1, 1, 1], pa.int64()),
+        "ts": pa.array([base + pd.Timedelta(minutes=i) for i in range(3)],
+                       pa.timestamp("us")),
+        "value": pa.array([1.0, float("nan"), 3.0], pa.float64()),
+        "event_type": pa.array(["click"] * 3),
+        "props": pa.array(["{}"] * 3)})
+    assert tbl.column("value").null_count == 0
+    pq.write_table(tbl, os.path.join(str(tmp_path), "events.parquet"))
+    with pytest.raises(Exception, match="NaN"):
+        q_ewma(str(tmp_path)).to_pandas()
+
+
+def test_ewma_still_accepts_clean_values(tmp_path, ray_session):
+    from kafka_connect_s3_ray.pipelines.queries import q_ewma
+
+    base = pd.Timestamp("2026-03-01")
+    df = pd.DataFrame(
+        {"event_id": [0, 1], "user_id": [1, 1],
+         "ts": [base, base + pd.Timedelta(minutes=1)],
+         "value": [1.0, 2.0], "event_type": "click", "props": "{}"})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(str(tmp_path), "events.parquet"))
+    out = q_ewma(str(tmp_path)).to_pandas().sort_values("event_id")
+    assert abs(out["ewma"].iloc[1] - (2 + 0.9) / 1.9) < 1e-12
+
+
+def test_framesampler_rejects_offsets_into_header(ray_session):
+    """A magic-prefixed payload whose offset table points at the header must
+    NOT surface header bytes as frames — it takes the byte-slice stub path
+    (which covers the whole payload, not the frame ranges)."""
+    import ray
+
+    from kafka_connect_s3_ray.functions.multimodal import (MJPM_MAGIC,
+                                                           FrameSampler,
+                                                           encode_mjpm)
+
+    good = encode_mjpm([b"frameAAA", b"frameBBB"], fps=4)
+    # corrupt copy: same length/sentinel, but offsets shifted INTO the header
+    n = 2
+    head = MJPM_MAGIC + struct.pack("<II", n, 4)
+    base = len(head) + 8 * (n + 1)
+    evil_offs = [4, base, len(good)]  # offs[0]=4 points into the header
+    evil = head + struct.pack("<3Q", *evil_offs) + good[base:]
+    assert len(evil) == len(good)
+
+    ds = ray.data.from_arrow(pa.table({
+        "media_id": pa.array([1, 2], pa.int64()),
+        "payload": pa.array([good, evil], pa.binary())}))
+    out = ds.map_batches(FrameSampler(2), batch_format="pyarrow").to_pandas()
+    by_id = {k: g for k, g in out.groupby("media_id")}
+    # good payload: real frames, exactly the encoded bytes
+    assert sorted(by_id[1]["frame"]) == [b"frameAAA", b"frameBBB"]
+    # evil payload fell back to the stub: no frame equals header bytes
+    # sliced at the crafted offsets (the pre-fix failure mode yielded
+    # good[4:base] — header/table bytes — as a "frame")
+    assert not any(f == evil[4:base] for f in by_id[2]["frame"])
+
+
+def test_query_verb_executes_plan_once(tmp_path, ray_session, monkeypatch):
+    """The streaming preview path must run the lazy pipeline exactly once
+    (materialize -> metadata count + bounded preview), not once for count()
+    and again for limit().to_pandas()."""
+    import ray
+
+    import kafka_connect_s3_ray.__main__ as cli
+
+    marker_dir = tmp_path / "runs"
+    marker_dir.mkdir()
+
+    def counting_query(sf_dir):
+        def tag(t: pa.Table) -> pa.Table:
+            # one single-block dataset -> one file per plan EXECUTION
+            fn = marker_dir / f"run-{os.getpid()}-{np.random.randint(1 << 30)}"
+            fn.write_bytes(b"x")
+            return t
+
+        return (ray.data.range(5, override_num_blocks=1)
+                .map_batches(tag, batch_format="pyarrow"))
+
+    # the CLI does `from ...queries import QUERIES` inside main(), so
+    # patching the module dict is sufficient
+    from kafka_connect_s3_ray.pipelines import queries as qmod
+    monkeypatch.setitem(qmod.QUERIES, "_probe", counting_query)
+
+    rc = cli.main(["query", "--name", "_probe", "--sf", str(tmp_path),
+                   "--limit", "3"])
+    assert rc == 0
+    runs = list(marker_dir.iterdir())
+    assert len(runs) == 1, f"plan executed {len(runs)} times, want 1"
