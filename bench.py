@@ -264,29 +264,32 @@ def run_bench() -> dict:
             zip(approx["query_id"], approx["vec_id"])
         )
         out["ivf_recall_at_10"] = round(len(hits) / max(1, len(exact)), 3)
-        # kNN-graph recall of the approximate IVF graph (nprobe=6/16) vs the
-        # exact full-corpus graph — both sides reuse the panel loop's results
+        # kNN-graph recall vs the exact full-corpus graph. PRIMARY figure is
+        # the DEFAULT dial — nprobe="auto", the sampled recall probe
+        # (similarity._auto_nprobe) that picks the smallest nprobe whose
+        # estimated recall@k meets 0.9, no hand tuning (round-4 verdict #3).
+        # On the driver's weakly-clusterable corpus (random directions) that
+        # self-selects ~10/16; the fixed nprobe=6 panel entry stays as the
+        # secondary dial point so the recall/compute tradeoff stays honest
+        # (measured 0.60/0.73/0.83/0.90/0.95 at nprobe 4/6/8/10/12).
         g_exact = panel_results.get("knn_graph")
         g_ivf = panel_results.get("knn_graph_ivf_nprobe6")
         if g_exact is not None and g_ivf is not None:
             want = set(zip(g_exact["vec_id"], g_exact["neighbor_id"]))
-            got = set(zip(g_ivf["vec_id"], g_ivf["neighbor_id"]))
-            out["knn_graph_ivf_recall_at_3"] = round(
-                len(want & got) / max(1, len(want)), 3)
-            # second dial point: the driver's synthetic embeddings are
-            # weakly clusterable (random directions), so 0.9 graph recall
-            # needs nprobe=10/16 here (measured 0.60/0.73/0.83/0.90/0.95 at
-            # nprobe 4/6/8/10/12); on real clustered corpora nprobe=6
-            # reaches the pytest-pinned >= 0.9. Publishing both keeps the
-            # recall/compute tradeoff honest.
+            got6 = set(zip(g_ivf["vec_id"], g_ivf["neighbor_id"]))
+            out["knn_graph_ivf_recall_at_3_nprobe6"] = round(
+                len(got6 & want) / max(1, len(want)), 3)
             from kafka_connect_s3_ray.functions.similarity import \
                 knn_graph_ivf as _kgi
 
-            g10 = _kgi(Q._emb(SF_DIR), k=3, n_clusters=16,
-                       nprobe=10).to_pandas()
-            got10 = set(zip(g10["vec_id"], g10["neighbor_id"]))
-            out["knn_graph_ivf_recall_at_3_nprobe10"] = round(
-                len(want & got10) / max(1, len(want)), 3)
+            sec, g_auto = _timed(
+                lambda: _kgi(Q._emb(SF_DIR), k=3, n_clusters=16).to_pandas())
+            timings["knn_graph_ivf_auto"] = round(sec, 3)
+            out["knn_graph_ivf_auto_nprobe"] = getattr(
+                _kgi, "last_auto_nprobe", None)
+            got_a = set(zip(g_auto["vec_id"], g_auto["neighbor_id"]))
+            out["knn_graph_ivf_recall_at_3"] = round(
+                len(got_a & want) / max(1, len(want)), 3)
     ray.shutdown()
     return out
 

@@ -509,8 +509,41 @@ def _ivf_cluster_topk(g: pa.Table, k: int, id_col: str,
     return pa.concat_tables(out) if out else out_schema.empty_table()
 
 
+def _auto_nprobe(sample_mat: np.ndarray, cents: np.ndarray, k: int,
+                 target: float = 0.9) -> int:
+    """Pick nprobe from a SAMPLED RECALL PROBE — no hand dial.
+
+    IVF graph recall has a precise mechanism: a true neighbor n of query q is
+    findable iff n's HOME cluster is among q's nprobe closest clusters. So on
+    the (already-pulled) driver sample we compute the exact top-k neighbor
+    pairs, find for each pair the rank of the neighbor's home cluster in the
+    query's cluster ordering, and return the smallest nprobe whose estimated
+    recall@k (the rank CDF) meets ``target``. Cost is two small matmuls on
+    the sample (n~2k); deterministic (seeded sample, pure numpy). Sample
+    neighbors are slightly FARTHER than true corpus neighbors, so their home
+    clusters spread a little wider — the estimate errs toward a larger
+    nprobe, the safe direction for a recall floor."""
+    n = len(sample_mat)
+    C = len(cents)
+    if n < 2 or C <= 1:
+        return C
+    sims_c = sample_mat @ cents.T                      # (n, C)
+    home = sims_c.argmax(axis=1)
+    sims = sample_mat @ sample_mat.T
+    np.fill_diagonal(sims, -np.inf)
+    k_eff = min(k, n - 1)
+    nbr = np.argpartition(-sims, k_eff - 1, axis=1)[:, :k_eff]   # (n, k)
+    order = np.argsort(-sims_c, axis=1, kind="stable")           # (n, C)
+    rank_of = np.empty_like(order)
+    rows = np.arange(n)[:, None]
+    rank_of[rows, order] = np.arange(C)[None, :]
+    ranks = rank_of[rows, home[nbr]]                   # (n, k)
+    cdf = np.cumsum(np.bincount(ranks.ravel(), minlength=C)) / ranks.size
+    return int(min(np.searchsorted(cdf, target) + 1, C))
+
+
 def knn_graph_ivf(ds: "ray.data.Dataset", k: int = 3, n_clusters: int = 16,
-                  nprobe: int = 4, sample_size: int = 2048,
+                  nprobe="auto", sample_size: int = 2048,
                   id_col: str = "vec_id", vec_col: str = "embedding",
                   seed: int = 42, n_final_buckets: int = 64) -> "ray.data.Dataset":
     """IVF-blocked approximate cosine kNN graph — the 100 TB path for the
@@ -537,13 +570,23 @@ def knn_graph_ivf(ds: "ray.data.Dataset", k: int = 3, n_clusters: int = 16,
     ``nprobe == n_clusters`` (exhaustive probe) the output equals
     ``knn_graph`` bit-for-bit — that mode anchors the SQL oracle, while
     realistic nprobe trades recall (>= 0.9 at nprobe=6/16 on the test
-    corpus, see test_repetition_knn) for a ~n_clusters/nprobe compute cut."""
+    corpus, see test_repetition_knn) for a ~n_clusters/nprobe compute cut.
+
+    ``nprobe="auto"`` (the default) replaces the hand dial with a sampled
+    recall probe (``_auto_nprobe``): the smallest nprobe whose estimated
+    recall@k on the driver sample meets 0.9 — ~10/16 on a weakly-clusterable
+    corpus (random directions), lower on genuinely clustered ones."""
     from ..functions.dedup import _splitmix64_mix
 
     # keep >= ~32 fit points per requested cluster so centroids summarize
     # the sample rather than memorize it (see _embedding_near_dup_ivf)
     sample = ds.limit(max(sample_size, 32 * n_clusters)).to_pandas()[vec_col]
+    smat = _normalize(np.stack(sample.to_list()).astype(np.float64))
     cents = kmeans_fit(np.stack(sample.to_list()), n_clusters, seed=seed)
+    if nprobe == "auto":
+        nprobe = _auto_nprobe(smat, cents, k)
+        # driver-side observability: bench/tests read back the chosen dial
+        knn_graph_ivf.last_auto_nprobe = nprobe
     cents_ref = ray.put(cents)
     staged = ds.map_batches(
         _IvfGraphAssign(cents_ref, nprobe, id_col, vec_col),

@@ -193,3 +193,38 @@ def test_knn_graph_ivf_visitor_rows_rank_without_self_hit(ray_session):
         nb = set(out[out["vec_id"] == qid]["neighbor_id"])
         same = {1, 2, 3} if qid < 10 else {11, 12, 13}
         assert nb == same - {qid}, (qid, nb)
+
+
+def test_knn_graph_ivf_auto_nprobe_meets_recall_floor(ray_session):
+    """nprobe='auto' (the default) self-selects a dial whose true recall vs
+    the exact graph meets the 0.9 floor — on a clustered corpus it should
+    pick a SMALL nprobe (the probe CDF saturates fast), on a hard
+    random-direction corpus a larger one; in both regimes no hand tuning."""
+    from kafka_connect_s3_ray.functions.similarity import knn_graph_ivf
+
+    for seed, kind in [(3, "clustered"), (7, "random")]:
+        if kind == "clustered":
+            ids, vecs = _graphs(seed=seed)
+        else:
+            rng = np.random.default_rng(seed)
+            n = 300
+            ids, vecs = list(range(n)), rng.normal(size=(n, 12))
+        exact = knn_graph(_emb_ds(ids, vecs), k=3).to_pandas()
+        ivf = knn_graph_ivf(_emb_ds(ids, vecs), k=3,
+                            n_clusters=16).to_pandas()  # nprobe defaults auto
+        chosen = knn_graph_ivf.last_auto_nprobe
+        assert 1 <= chosen <= 16, chosen
+        want = set(zip(exact["vec_id"], exact["neighbor_id"]))
+        got = set(zip(ivf["vec_id"], ivf["neighbor_id"]))
+        recall = len(want & got) / len(want)
+        assert recall >= 0.88, (kind, chosen, recall)
+    # and the probe is monotone in its target: asking for near-exhaustive
+    # recall must not pick a smaller dial than the 0.9 floor did
+    from kafka_connect_s3_ray.functions.similarity import (_auto_nprobe,
+                                                           _normalize,
+                                                           kmeans_fit)
+    rng = np.random.default_rng(11)
+    smat = _normalize(rng.normal(size=(400, 12)))
+    cents = kmeans_fit(smat, 16)
+    assert (_auto_nprobe(smat, cents, 3, target=0.99)
+            >= _auto_nprobe(smat, cents, 3, target=0.9))
