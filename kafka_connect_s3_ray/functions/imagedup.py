@@ -67,6 +67,59 @@ def decode_image(payload: bytes) -> np.ndarray:
     raise ValueError("undecodable image payload (not PPM/PNG/JPEG)")
 
 
+def _thumb_scale(h: int, w: int) -> int:
+    """Largest block-mean factor in {8, 4, 1} whose thumbnail still covers
+    the 9x8 dHash grid (ceil(h/s) >= 8 rows, ceil(w/s) >= 9 cols). The rule
+    depends only on (h, w) — re-encode invariant — so every member of a
+    near-dup clique hashes through the SAME downsample geometry regardless
+    of format. Below (29, 33) even 4x is too coarse (too few degrees of
+    freedom -> unrelated images would collide) and we hash full-res."""
+    for s in (8, 4):
+        if -(-h // s) >= 8 and -(-w // s) >= 9:
+            return s
+    return 1
+
+
+def luma_thumb(payload: bytes) -> np.ndarray:
+    """Adaptive-scale float32 luma plane — the ONE decode the hash pipeline
+    needs. JPEGs at scale 8/4 never leave the entropy layer
+    (``decode_jpeg_luma_dc`` / ``decode_jpeg_luma_quad``: block / quadrant
+    means fall out of the DC and three lowest ACs — no IDCT, no AC storage,
+    no chroma, ~6-7x faster than full decode); PPM/PNG decode fully (cheap)
+    and take the same edge-padded block means, so a JPEG re-encode of a PPM
+    lands on (numerically) the same thumbnail up to quantization (<= ~2 luma
+    levels). Tiny images (scale 1) hash the full-res luma in every
+    format."""
+    from .jpeg import _parse_headers, decode_jpeg_luma_dc, decode_jpeg_luma_quad
+
+    if payload.startswith(JPEG_SIG):
+        fh, fw, _ = _parse_headers(payload)[0]
+        s = _thumb_scale(fh, fw)
+        if s == 8:
+            return decode_jpeg_luma_dc(payload)
+        if s == 4:
+            return decode_jpeg_luma_quad(payload)
+    img = decode_image(payload)
+    y = img[:, :, :3].astype(np.float32) @ _LUMA
+    h, w = y.shape
+    s = _thumb_scale(h, w)
+    if s == 1:
+        return y
+    ph, pw = (-h) % s, (-w) % s
+    if ph or pw:
+        y = np.pad(y, ((0, ph), (0, pw)), mode="edge")
+    return (y.reshape(y.shape[0] // s, s, y.shape[1] // s, s)
+            .mean(axis=(1, 3)))
+
+
+def dhash64_payload(payload: bytes) -> np.uint64:
+    """64-bit dHash of a payload via the adaptive block-mean luma thumbnail
+    — the hash the ``ImageHasher`` pipeline computes (brute-force oracles
+    must use THIS, not ``dhash64(decode_image(p))``, to reproduce pipeline
+    hashes)."""
+    return dhash64_stack(_resample(luma_thumb(payload), 9, 8)[None])[0]
+
+
 def dhash64(img: np.ndarray) -> np.uint64:
     """64-bit difference hash of one decoded (h, w, 3|4) uint8 image."""
     return dhash64_stack(
@@ -87,10 +140,12 @@ def dhash64_stack(lumastack_or_rgb: np.ndarray) -> np.ndarray:
 class ImageHasher:
     """Actor-pool stage: (id, payload) -> (id, dhash uint64).
 
-    Decode is per-image (formats vary within a batch); the resampled 9x8
-    planes are stacked so the hash itself is one vectorized pass over the
-    batch. ``on_error="skip"`` drops undecodable payloads (row vanishes —
-    the curation-filter contract); default raises, naming the id."""
+    Decode is per-image (formats vary within a batch) through ``luma_thumb``
+    — JPEGs take the DC-only path (no IDCT/chroma; ~7x cheaper), PPM/PNG
+    take identical block means — and the resampled 9x8 planes are stacked so
+    the hash itself is one vectorized pass over the batch.
+    ``on_error="skip"`` drops undecodable payloads (row vanishes — the
+    curation-filter contract); default raises, naming the id."""
 
     def __init__(self, id_col: str = "media_id", payload_col: str = "payload",
                  on_error: str = "raise"):
@@ -107,8 +162,7 @@ class ImageHasher:
             try:
                 if p is None:
                     raise ValueError("NULL image payload")
-                img = decode_image(p)
-                planes.append(_resample(img[:, :, :3], 9, 8).astype(np.float32))
+                planes.append(_resample(luma_thumb(p), 9, 8))
                 keep_ids.append(i)
             except Exception as e:
                 if self.on_error == "raise":

@@ -395,17 +395,17 @@ def _extend(code: int, size: int) -> int:
     return code
 
 
-def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JFIF/JPEG bytes -> (h, w, 3) uint8 RGB (grayscale input
-    replicates to 3 channels). Sampling factors up to 2x2, restart
-    intervals, stream-carried DQT/DHT. Progressive (SOF2) and arithmetic
-    coding raise ``NotImplementedError``."""
-    d = payload
+def _parse_headers(d: bytes):
+    """Marker walk up to (and including) SOS. Returns
+    ``(frame, scan, qtables, htables_raw, restart, scan_pos)`` where
+    ``htables_raw`` maps (class, id) -> (bits, vals) and ``scan_pos`` is the
+    byte offset of the entropy-coded data. Shared by the full decoder and
+    the DC-only thumbnail path."""
     if d[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
-    htables: dict[tuple[int, int], dict] = {}
+    htables_raw: dict[tuple[int, int], tuple[list[int], list[int]]] = {}
     frame = None
     restart = 0
     while pos + 4 <= len(d):
@@ -433,7 +433,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 bits = list(body[i + 1:i + 17])
                 nv = sum(bits)
                 vals = list(body[i + 17:i + 17 + nv])
-                htables[(cls, tid)] = _decode_map(bits, vals)
+                htables_raw[(cls, tid)] = (bits, vals)
                 i += 17 + nv
         elif tag in (0xC0, 0xC1):  # baseline / extended sequential SOF
             prec = body[0]
@@ -470,12 +470,21 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cs, tt = body[1 + 2 * s], body[2 + 2 * s]
                 ci = next(i for i, c in enumerate(frame[2]) if c[0] == cs)
                 scan.append((ci, tt >> 4, tt & 0xF))
-            return _decode_scan(d, pos + 2 + ln, frame, scan, qtables,
-                                htables, restart)
+            return frame, scan, qtables, htables_raw, restart, pos + 2 + ln
         elif tag == 0xD9:  # EOI before SOS
             break
         pos += 2 + ln
     raise ValueError("no SOS scan found")
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JFIF/JPEG bytes -> (h, w, 3) uint8 RGB (grayscale input
+    replicates to 3 channels). Sampling factors up to 2x2, restart
+    intervals, stream-carried DQT/DHT. Progressive (SOF2) and arithmetic
+    coding raise ``NotImplementedError``."""
+    frame, scan, qtables, htables_raw, restart, pos = _parse_headers(payload)
+    htables = {k: _decode_map(b, v) for k, (b, v) in htables_raw.items()}
+    return _decode_scan(payload, pos, frame, scan, qtables, htables, restart)
 
 
 def _decode_scan(d: bytes, pos: int, frame, scan, qtables, htables,
@@ -554,3 +563,247 @@ def _decode_scan(d: bytes, pos: int, frame, scan, qtables, htables,
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)
     return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
+
+
+# --- DC-only luma thumbnail path -------------------------------------------
+# The classic JPEG thumbnail trick: each 8x8 block's dequantized DC
+# coefficient IS 8x the block's pixel mean, so an 8x-downsampled luma plane
+# falls out of the entropy walk with no IDCT, no AC storage, no chroma math,
+# and no color conversion. T.81 still forces a full Huffman walk (AC symbols
+# must be decoded to find block boundaries), so the speed comes from a
+# 16-bit LUT Huffman reader over a pre-destuffed buffer (one list index per
+# symbol instead of up-to-16 dict probes) in one tight local-variable loop.
+# This is what a 100 TB image-dedup pipeline does: dHash needs a 9x8 luma
+# grid, so decoding anything beyond block means is wasted work.
+
+_LUT_CACHE: dict = {}
+
+
+def _lut16(bits: list[int], vals: list[int]) -> list[int]:
+    """BITS/HUFFVAL -> 65536-entry lookup: lut[peek16] = (symbol << 5) | len,
+    0 where no code matches. Cached — canonical tables recur across files."""
+    key = (bytes(bits), bytes(vals))
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    lut = [0] * 65536
+    code, k = 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            sym = vals[k]
+            k += 1
+            base = code << (16 - ln)
+            packed = (sym << 5) | ln
+            lut[base:base + (1 << (16 - ln))] = \
+                [packed] * (1 << (16 - ln))
+            code += 1
+        code <<= 1
+    _LUT_CACHE[key] = lut
+    return lut
+
+
+def _destuff_segments(d: bytes, pos: int) -> list[bytes]:
+    """Entropy bytes from ``pos``: remove 0xFF00 stuffing, split at RSTn
+    markers (each segment restarts byte-aligned), stop at the first other
+    marker (EOI). Vectorized over the whole scan."""
+    arr = np.frombuffer(d, np.uint8, len(d) - pos, pos)
+    ff = np.nonzero(arr[:-1] == 0xFF)[0]
+    nxt = arr[ff + 1] if len(ff) else np.empty(0, np.uint8)
+    # scan end: first 0xFF followed by neither 0x00 nor RSTn
+    hard = ff[(nxt != 0x00) & ((nxt < 0xD0) | (nxt > 0xD7))]
+    end = int(hard[0]) if len(hard) else len(arr)
+    keep = np.ones(end, bool)
+    stuffed = ff[(ff < end - 1) & (arr[np.minimum(ff + 1, len(arr) - 1)] == 0)]
+    keep[stuffed + 1] = False  # drop the stuffed 0x00, keep the 0xFF
+    rst = ff[(ff < end - 1)
+             & (arr[np.minimum(ff + 1, len(arr) - 1)] >= 0xD0)
+             & (arr[np.minimum(ff + 1, len(arr) - 1)] <= 0xD7)]
+    segs, start = [], 0
+    for r in rst:
+        r = int(r)
+        segs.append(arr[start:r][keep[start:r]].tobytes())
+        start = r + 2
+    segs.append(arr[start:end][keep[start:end]].tobytes())
+    return segs
+
+
+def _walk_scan_luma(payload: bytes, want_lowac: bool):
+    """Single LUT-Huffman pass over the entropy stream collecting the luma
+    component's low-frequency coefficients: DC always; with ``want_lowac``
+    also scan-order coefficients 1, 2, 4 — (0,1), (1,0), (1,1) — the three
+    ACs the 2x2 scaled reconstruction needs. Chroma and higher ACs are
+    decoded-and-skipped (T.81 gives no way around walking every symbol).
+    Returns ``(dc, a01, a10, a11, geometry)`` where geometry is
+    ``(fh, fw, rows, cols, qtable)`` for the luma block grid."""
+    frame, scan, qtables, htables_raw, restart, pos = _parse_headers(payload)
+    fh, fw, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax > 2 or vmax > 2:
+        raise NotImplementedError("sampling factors above 2 unsupported")
+    mcus_x = -(-fw // (8 * hmax))
+    mcus_y = -(-fh // (8 * vmax))
+
+    # per scan member: (is_luma, blocks_per_mcu, h_sampling, dc_lut, ac_lut)
+    members = []
+    for (ci, tdc, tac) in scan:
+        _, ch, cv, _ = comps[ci]
+        members.append((ci == 0, ch * cv, ch,
+                        _lut16(*htables_raw[(0, tdc)]),
+                        _lut16(*htables_raw[(1, tac)])))
+    ch0, cv0 = comps[0][1], comps[0][2]
+    luma_bw = mcus_x * ch0
+    nblk = mcus_y * cv0 * luma_bw
+    dc_grid = np.zeros(nblk, np.int32)
+    if want_lowac:
+        a01 = np.zeros(nblk, np.int32)
+        a10 = np.zeros(nblk, np.int32)
+        a11 = np.zeros(nblk, np.int32)
+    else:
+        a01 = a10 = a11 = None
+
+    segs = _destuff_segments(payload, pos)
+    seg_i = 0
+    buf = segs[0]
+    L = len(buf)
+    bp = acc = n = 0
+    pred0 = 0
+    mcu_total = mcus_x * mcus_y
+    for mcu_i in range(mcu_total):
+        if restart and mcu_i and mcu_i % restart == 0:
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise ValueError("expected restart marker")
+            buf = segs[seg_i]
+            L = len(buf)
+            bp = acc = n = 0
+            pred0 = 0
+        my, mx = divmod(mcu_i, mcus_x)
+        for is_luma, nblocks, ch, dc_lut, ac_lut in members:
+            for b in range(nblocks):
+                # --- DC symbol ---
+                while n < 16 and bp < L:
+                    acc = (acc << 8) | buf[bp]
+                    bp += 1
+                    n += 8
+                peek = (acc << (16 - n)) if n < 16 else (acc >> (n - 16))
+                e = dc_lut[peek & 0xFFFF]
+                if e == 0:
+                    raise ValueError("invalid Huffman code in scan")
+                ln = e & 31
+                size = e >> 5
+                n -= ln
+                need = size + 16  # extras + headroom for next peek
+                while n < need and bp < L:
+                    acc = (acc << 8) | buf[bp]
+                    bp += 1
+                    n += 8
+                if size:
+                    extra = (acc >> max(n - size, 0)) & ((1 << size) - 1)
+                    n -= size
+                    if is_luma:
+                        if extra < (1 << (size - 1)):
+                            extra += 1 - (1 << size)
+                        pred0 += extra
+                if is_luma:
+                    by, bx = divmod(b, ch)
+                    row = (my * cv0 + by) * luma_bw + mx * ch + bx
+                    dc_grid[row] = pred0
+                # --- AC run (capture scan 1/2/4 for luma if asked; skip
+                # everything else to the block boundary) ---
+                k = 1
+                while k < 64:
+                    while n < 16 and bp < L:
+                        acc = (acc << 8) | buf[bp]
+                        bp += 1
+                        n += 8
+                    peek = (acc << (16 - n)) if n < 16 else (acc >> (n - 16))
+                    e = ac_lut[peek & 0xFFFF]
+                    if e == 0:
+                        raise ValueError("invalid Huffman code in scan")
+                    ln = e & 31
+                    sym = e >> 5
+                    n -= ln
+                    if sym == 0x00:  # EOB
+                        break
+                    run = sym >> 4
+                    size = sym & 0xF
+                    if size == 0:
+                        if run != 15:
+                            raise ValueError("bad AC symbol")
+                        k += 16
+                        continue
+                    k += run + 1
+                    if k > 64:
+                        raise ValueError("AC run past block end")
+                    while n < size and bp < L:
+                        acc = (acc << 8) | buf[bp]
+                        bp += 1
+                        n += 8
+                    if want_lowac and is_luma and k <= 5:
+                        kc = k - 1  # scan index of this coefficient
+                        if kc == 1 or kc == 2 or kc == 4:
+                            extra = ((acc >> max(n - size, 0))
+                                     & ((1 << size) - 1))
+                            if extra < (1 << (size - 1)):
+                                extra += 1 - (1 << size)
+                            if kc == 1:
+                                a01[row] = extra
+                            elif kc == 2:
+                                a10[row] = extra
+                            else:
+                                a11[row] = extra
+                    n -= size
+                acc &= (1 << max(n, 0)) - 1 if n > 0 else 0
+                if n < 0:
+                    n = 0
+
+    geom = (fh, fw, mcus_y * cv0, luma_bw, qtables[comps[0][3]])
+    return dc_grid, a01, a10, a11, geom
+
+
+def decode_jpeg_luma_dc(payload: bytes) -> np.ndarray:
+    """Baseline JPEG bytes -> (ceil(h/8), ceil(w/8)) float32 plane of 8x8
+    block-mean luma (the DC thumbnail: the dequantized DC coefficient is 8x
+    the block's pixel mean — no IDCT, no chroma). Same stream support as
+    ``decode_jpeg``; same loud ``NotImplementedError`` for
+    progressive/12-bit."""
+    dc, _, _, _, (fh, fw, rows, cols, qt) = _walk_scan_luma(payload, False)
+    thumb = dc.astype(np.float32).reshape(rows, cols)
+    thumb = thumb * (int(qt[0, 0]) / 8.0) + 128.0
+    return np.clip(thumb[: -(-fh // 8), : -(-fw // 8)], 0.0, 255.0)
+
+
+# quadrant half-means of the 8-point DCT basis rows 0 and 1:
+# _HM[u, q] = mean(DCT_M[u, 4q:4q+4]) — all that survives 4x4 box-averaging
+# of a DC + (0,1)/(1,0)/(1,1) reconstruction
+_HM = np.stack([DCT_M[0, :4].mean() * np.ones(2),
+                np.array([DCT_M[1, :4].mean(), DCT_M[1, 4:].mean()])])
+
+
+def decode_jpeg_luma_quad(payload: bytes) -> np.ndarray:
+    """Baseline JPEG bytes -> (ceil(h/4), ceil(w/4)) float32 plane of 4x4
+    quadrant-mean luma — the libjpeg-style 1/4-scale decode: per block the
+    DC plus the three lowest ACs ((0,1), (1,0), (1,1)) reconstruct the 2x2
+    quadrant means exactly up to odd-frequency leakage (u,v >= 2 terms with
+    nonzero half-means), which natural quantized content keeps small. Costs
+    the same entropy walk as the DC path plus three captured
+    coefficients."""
+    dc, a01, a10, a11, (fh, fw, rows, cols, qt) = \
+        _walk_scan_luma(payload, True)
+    dcq = dc.astype(np.float32) * float(qt[0, 0])
+    c01 = a01.astype(np.float32) * float(qt[0, 1])
+    c10 = a10.astype(np.float32) * float(qt[1, 0])
+    c11 = a11.astype(np.float32) * float(qt[1, 1])
+    # quad[n, qy, qx] = dc*HM00^2 + c10*HM[1,qy]*HM00 + c01*HM00*HM[1,qx]
+    #                   + c11*HM[1,qy]*HM[1,qx]
+    hm0 = float(_HM[0, 0])
+    hmy = _HM[1][None, :, None]  # (1, 2, 1) over qy
+    hmx = _HM[1][None, None, :]  # (1, 1, 2) over qx
+    quad = (dcq[:, None, None] * (hm0 * hm0)
+            + c10[:, None, None] * hmy * hm0
+            + c01[:, None, None] * hmx * hm0
+            + c11[:, None, None] * hmy * hmx) + 128.0
+    plane = (quad.reshape(rows, cols, 2, 2)
+             .transpose(0, 2, 1, 3).reshape(rows * 2, cols * 2))
+    return np.clip(plane[: -(-fh // 4), : -(-fw // 4)], 0.0, 255.0)

@@ -2689,8 +2689,11 @@ def q_image_near_dup(sf_dir: str):
 
     name = os.path.basename(sf_dir.rstrip("/"))
     n = {"sf0.001": 48, "sf0.01": 96, "sf0.1": 384}.get(name, 96)
-    ds = ray.data.from_arrow(_image_corpus_cached(n))
-    out = image_near_dup(ds, max_hamming=10).to_pandas()
+    # from_arrow yields ONE block; split so the decode stage (the dominant
+    # cost even on the DC-only path) fans out across the pool
+    ds = ray.data.from_arrow(_image_corpus_cached(n)).repartition(
+        max(2, min(16, n // 24)))
+    out = image_near_dup(ds, max_hamming=10, concurrency=8).to_pandas()
     out["hamming"] = out["hamming"].astype(np.int64)
     return out.sort_values(["left_id", "right_id"]).reset_index(drop=True)
 

@@ -12,6 +12,7 @@ from kafka_connect_s3_ray.functions.imagedup import (
     _band_layout,
     decode_image,
     dhash64,
+    dhash64_payload,
     hamming_pairs,
     image_near_dup,
     planted_cliques,
@@ -71,8 +72,10 @@ def test_exact_dup_hamming_zero(detected):
 
 def test_brute_force_equality(corpus):
     # pigeonhole banding finds EXACTLY the pairs a full O(N^2) popcount does
+    # (hashes via dhash64_payload — the block-mean-thumbnail hash the
+    # pipeline's ImageHasher computes, with JPEGs on the DC-only path)
     payloads = corpus.column("payload").to_pylist()
-    hs = np.array([dhash64(decode_image(p)) for p in payloads], np.uint64)
+    hs = np.array([dhash64_payload(p) for p in payloads], np.uint64)
     truth = set()
     for a in range(N):
         for b in range(a + 1, N):
@@ -102,6 +105,15 @@ def test_hash_invariances():
     assert bin(h0 ^ int(dhash64(requant))).count("1") <= MAXH
     png_roundtrip = decode_image(encode_png(img))
     assert int(dhash64(png_roundtrip)) == h0  # PNG is lossless
+    # payload-level hash (the pipeline's): same invariances on the
+    # block-mean thumbnail geometry, and the JPEG DC path must land on the
+    # PPM/PNG block means up to DC quantization
+    p0 = int(dhash64_payload(encode_ppm(img)))
+    assert int(dhash64_payload(encode_png(img))) == p0
+    pj = int(dhash64_payload(encode_jpeg(img, quality=90)))
+    assert bin(p0 ^ pj).count("1") <= MAXH
+    pb = int(dhash64_payload(encode_ppm(bright)))
+    assert bin(p0 ^ pb).count("1") <= 2
 
 
 def test_band_layout():
