@@ -182,17 +182,48 @@ def edit_distance_join(docs: "ray.data.Dataset", k: int = 4,
                        text_col: str = "text", n_coarse: int = 64,
                        corpus_broadcast_bytes: int = 1 << 30,
                        pair_chunk: int = 1 << 20,
-                       keys_ds: "ray.data.Dataset | None" = None
-                       ) -> "ray.data.Dataset":
+                       keys_ds: "ray.data.Dataset | None" = None,
+                       max_pairs: "int | None" = None,
+                       on_budget: str = "raise") -> "ray.data.Dataset":
     """All pairs (left_id < right_id, dist) with Levenshtein distance
     ``<= k`` between the first ``width`` codepoints of ``text_col``; keys
     shorter than ``width`` are excluded (fixed-width fuzzy-key contract,
     mirrored by the SQL oracle). Pass a pre-materialized ``keys_ds``
     (``keyed_table`` output for the SAME width) to skip the keying scan —
     compositions that need the valid-id set anyway (fuzzy_key_dedup) key
-    the corpus once instead of twice."""
+    the corpus once instead of twice.
+
+    ``max_pairs`` is the output guard rail every other join here has: this
+    is the one operator whose result size is a property of the DATA (a
+    template-heavy corpus can emit quadratically many true pairs), so a
+    100 TB run wants an explicit ceiling. ``on_budget="raise"`` (default)
+    fails loudly naming the overflow; ``"truncate"`` keeps the
+    deterministic (left_id, right_id)-sorted prefix and logs how many pairs
+    were dropped."""
     if k < 1 or width < (k + 1):
         raise ValueError("edit_distance_join needs k >= 1 and width > k")
+    if on_budget not in ("raise", "truncate"):
+        raise ValueError(f"unknown on_budget: {on_budget!r}")
+
+    def enforce_budget(pairs_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+        if max_pairs is None:
+            return pairs_ds
+        pairs_ds = pairs_ds.materialize()
+        n = pairs_ds.count()
+        if n <= max_pairs:
+            return pairs_ds
+        if on_budget == "raise":
+            raise ValueError(
+                f"edit_distance_join: {n} result pairs exceed "
+                f"max_pairs={max_pairs} — raise the budget, tighten k, or "
+                f"pass on_budget='truncate'")
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "edit_distance_join: truncating %d of %d result pairs to "
+            "max_pairs=%d (deterministic (left_id, right_id) order)",
+            n - max_pairs, n, max_pairs)
+        return pairs_ds.sort(["left_id", "right_id"]).limit(max_pairs)
     seg_starts = [round(i * width / (k + 1)) for i in range(k + 1)]
     seg_lens = [seg_starts[i + 1] - seg_starts[i] for i in range(k)] + \
         [width - seg_starts[k]]
@@ -356,7 +387,7 @@ def edit_distance_join(docs: "ray.data.Dataset", k: int = 4,
                                batch_size=64 * 1024).materialize()
         if out.count() == 0:
             return ray.data.from_arrow(_PAIR_OUT.empty_table())
-        return out
+        return enforce_budget(out)
 
     # scale path: ship each pair's two keys through the payload exchange
     def as_payload(t: pa.Table) -> pa.Table:
@@ -371,6 +402,6 @@ def edit_distance_join(docs: "ray.data.Dataset", k: int = 4,
             lt.column("left_id").to_numpy(zero_copy_only=False),
             lt.column("right_id").to_numpy(zero_copy_only=False))
 
-    return _pair_payload_exchange(
+    return enforce_budget(_pair_payload_exchange(
         cand, keys_ds.map_batches(as_payload, batch_format="pyarrow"),
-        ["key"], [pa.string()], combine, _PAIR_OUT, n_coarse)
+        ["key"], [pa.string()], combine, _PAIR_OUT, n_coarse))

@@ -118,3 +118,48 @@ def test_query_verb_executes_plan_once(tmp_path, ray_session, monkeypatch):
     assert rc == 0
     runs = list(marker_dir.iterdir())
     assert len(runs) == 1, f"plan executed {len(runs)} times, want 1"
+
+
+def _editdist_docs_ds(ray_session):
+    import ray
+
+    base = "the quick brown fox jumps over it"
+    docs = [(0, base), (1, base), (2, "thX quick brown fox jumps"),
+            (3, "he quick brown fox Zjumps"), (4, base + " again")]
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+        "text": pa.array([t for _, t in docs], pa.string())}))
+
+
+def test_edit_distance_join_pair_budget(ray_session):
+    """max_pairs: generous budget changes nothing; a tight budget raises
+    loudly by default and truncates to the deterministic sorted prefix with
+    on_budget='truncate'."""
+    from kafka_connect_s3_ray.functions.editdist import edit_distance_join
+
+    full = (edit_distance_join(_editdist_docs_ds(ray_session), k=4, width=20)
+            .to_pandas().sort_values(["left_id", "right_id"])
+            .reset_index(drop=True))
+    n = len(full)
+    assert n >= 3  # planted dups guarantee pairs
+
+    same = (edit_distance_join(_editdist_docs_ds(ray_session), k=4, width=20,
+                               max_pairs=n)
+            .to_pandas().sort_values(["left_id", "right_id"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(same, full, check_dtype=False)
+
+    with pytest.raises(ValueError, match="max_pairs"):
+        edit_distance_join(_editdist_docs_ds(ray_session), k=4, width=20,
+                           max_pairs=n - 1)
+
+    trunc = (edit_distance_join(_editdist_docs_ds(ray_session), k=4,
+                                width=20, max_pairs=n - 1,
+                                on_budget="truncate")
+             .to_pandas().reset_index(drop=True))
+    pd.testing.assert_frame_equal(trunc, full.iloc[: n - 1],
+                                  check_dtype=False)
+
+    with pytest.raises(ValueError, match="on_budget"):
+        edit_distance_join(_editdist_docs_ds(ray_session), k=4, width=20,
+                           max_pairs=1, on_budget="bogus")
