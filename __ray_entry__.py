@@ -40,9 +40,12 @@ def oracle_sql() -> dict[str, str]:
         conversation_rebuild_oracle_sql,
         conversation_stats_oracle_sql,
         dialog_integrity_oracle_sql,
+        media_features_oracle_sql,
+        media_oracle_fixture,
         sft_curation_oracle_sql,
         turn_pairs_oracle_sql,
         transcripts_fixture,
+        video_frames_oracle_sql,
     )
 
     # The cdc_transcripts oracle (and the conversation_stats rollup over the
@@ -60,4 +63,11 @@ def oracle_sql() -> dict[str, str]:
     out["dialog_integrity"] = dialog_integrity_oracle_sql(fx["root"])
     out["turn_pairs"] = turn_pairs_oracle_sql(fx["root"])
     out["sft_curation"] = sft_curation_oracle_sql(fx["root"])
+    # multimodal oracles: driver-side sequential decode of the deterministic
+    # sf0.01 media corpora to per-unit integer rows (pure numpy, cached in
+    # /tmp); the SQL aggregates — and for video, re-derives the frame
+    # selection — independently, comparing integer-exact decode sums
+    mx = media_oracle_fixture()
+    out["media_features"] = media_features_oracle_sql(mx)
+    out["video_frames"] = video_frames_oracle_sql(mx)
     return out

@@ -23,6 +23,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 import ray.data
 
@@ -1698,29 +1699,177 @@ def q_curation_chain(sf_dir: str):
                      "n": pa.array([int(report[s]) for s in stages], pa.int64())})
 
 
+_MEDIA_N = {"sf0.001": 32, "sf0.01": 64, "sf0.1": 256}
+_VIDEO_N = {"sf0.001": 8, "sf0.01": 16, "sf0.1": 64}
+
+
+def _media_sums_batch(t: pa.Table) -> pa.Table:
+    """Exact int64 decode sums per media payload: audio -> (sum(sample),
+    sum(|sample|), n_samples); image -> (sum R, sum G, n_pixels). Integer
+    arithmetic end to end, so the DuckDB oracle's SUM over the per-unit
+    fixture rows matches value-for-value — no float-rounding coin flips."""
+    from ..functions.imagedup import decode_image
+    from ..functions.multimodal import decode_wav
+
+    ids, types, v0, v1, nu = [], [], [], [], []
+    for mid, mtype, p in zip(t.column("media_id").to_pylist(),
+                             t.column("media_type").to_pylist(),
+                             t.column("payload").to_pylist()):
+        if mtype == "audio":
+            samples, _ = decode_wav(p)
+            s = samples.astype(np.int64)
+            v0.append(int(s.sum()))
+            v1.append(int(np.abs(s).sum()))
+            nu.append(len(s))
+        else:
+            img = decode_image(p)[:, :, :3].astype(np.int64)
+            v0.append(int(img[:, :, 0].sum()))
+            v1.append(int(img[:, :, 1].sum()))
+            nu.append(int(img.shape[0] * img.shape[1]))
+        ids.append(mid)
+        types.append(mtype)
+    return pa.table({"media_id": pa.array(ids, pa.int64()),
+                     "media_type": pa.array(types, pa.string()),
+                     "sum_v0": pa.array(v0, pa.int64()),
+                     "sum_v1": pa.array(v1, pa.int64()),
+                     "n_units": pa.array(nu, pa.int64())})
+
+
+def media_oracle_fixture(tmp_root: str = "/tmp/kcs3_ray") -> str:
+    """Driver-side (pure numpy, no Ray) decode of the deterministic sf0.01
+    media corpora into per-unit integer rows, cached on disk:
+
+    - ``media_units.parquet``: one row per audio SAMPLE (v0=sample,
+      v1=|sample|) / image PIXEL (v0=R, v1=G) — seed-42 corpus, n=64;
+    - ``video_pixels.parquet``: one row per (clip, frame, pixel) with
+      (r, g) — seed-43 MJPM corpus, n=16, EVERY frame (the oracle SQL
+      re-derives the sampler's evenly-spaced selection itself).
+
+    Gives the multimodal entries a real value-level oracle: the engine's
+    distributed decode (actor pools, frame-range reads) must reproduce,
+    unit for unit, what a sequential driver-side decode of the same
+    deterministic payloads yields, with DuckDB doing the aggregation and
+    frame selection independently."""
+    from ..functions.imagedup import decode_image
+    from ..functions.multimodal import (decode_wav, mjpm_index,
+                                        synth_real_media, synth_real_video)
+
+    root = os.path.join(tmp_root, "media_oracle_sf0.01")
+    marker = os.path.join(root, ".complete")
+    stamp = "media64,video16,v2-int-sums"
+    if os.path.exists(marker) and open(marker).read() == stamp:
+        return root
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+
+    media = synth_real_media(_MEDIA_N["sf0.01"])
+    mid_col, mt_col, v0_col, v1_col = [], [], [], []
+    for mid, mtype, p in zip(media.column("media_id").to_pylist(),
+                             media.column("media_type").to_pylist(),
+                             media.column("payload").to_pylist()):
+        if mtype == "audio":
+            samples, _ = decode_wav(p)
+            s = samples.astype(np.int64)
+            v0, v1 = s, np.abs(s)
+        else:
+            img = decode_image(p)[:, :, :3].astype(np.int64)
+            v0 = img[:, :, 0].reshape(-1)
+            v1 = img[:, :, 1].reshape(-1)
+        mid_col.append(np.full(len(v0), mid, np.int64))
+        mt_col.extend([mtype] * len(v0))
+        v0_col.append(v0)
+        v1_col.append(v1)
+    pq.write_table(
+        pa.table({"media_id": pa.array(np.concatenate(mid_col)),
+                  "media_type": pa.array(mt_col, pa.string()),
+                  "v0": pa.array(np.concatenate(v0_col)),
+                  "v1": pa.array(np.concatenate(v1_col))}),
+        os.path.join(root, "media_units.parquet"))
+
+    video = synth_real_video(_VIDEO_N["sf0.01"])
+    vid_col, fi_col, r_col, g_col = [], [], [], []
+    for mid, p in zip(video.column("media_id").to_pylist(),
+                      video.column("payload").to_pylist()):
+        offs, _ = mjpm_index(p)
+        for fi in range(len(offs) - 1):
+            img = decode_image(p[offs[fi]:offs[fi + 1]])[:, :, :3]
+            img = img.astype(np.int64)
+            npx = img.shape[0] * img.shape[1]
+            vid_col.append(np.full(npx, mid, np.int64))
+            fi_col.append(np.full(npx, fi, np.int64))
+            r_col.append(img[:, :, 0].reshape(-1))
+            g_col.append(img[:, :, 1].reshape(-1))
+    pq.write_table(
+        pa.table({"media_id": pa.array(np.concatenate(vid_col)),
+                  "frame_idx": pa.array(np.concatenate(fi_col)),
+                  "r": pa.array(np.concatenate(r_col)),
+                  "g": pa.array(np.concatenate(g_col))}),
+        os.path.join(root, "video_pixels.parquet"))
+    open(marker, "w").write(stamp)
+    return root
+
+
+def media_features_oracle_sql(fix_root: str) -> str:
+    from ..functions.multimodal import FEATURE_DIM
+
+    return (
+        "SELECT media_id, any_value(media_type) AS media_type, "
+        f"CAST({FEATURE_DIM} AS BIGINT) AS n_feat, "
+        "SUM(v0) AS sum_v0, SUM(v1) AS sum_v1, COUNT(*) AS n_units "
+        f"FROM '{os.path.join(fix_root, 'media_units.parquet')}' "
+        "GROUP BY media_id")
+
+
+def video_frames_oracle_sql(fix_root: str) -> str:
+    from ..functions.multimodal import FEATURE_DIM
+
+    path = os.path.join(fix_root, "video_pixels.parquet")
+    # the sampler's selection, re-derived in SQL: take = min(4, n_frames),
+    # indices = distinct (i * n_frames) // take for i in 0..take-1
+    return (
+        f"WITH fx AS (SELECT * FROM '{path}'), "
+        "nf AS (SELECT media_id, COUNT(DISTINCT frame_idx) AS n "
+        "FROM fx GROUP BY media_id), "
+        "sel AS (SELECT DISTINCT nf.media_id, "
+        "(i.i * nf.n) // LEAST(4, nf.n) AS frame_idx "
+        "FROM nf, generate_series(0, 3) AS i(i) "
+        "WHERE i.i < LEAST(4, nf.n)) "
+        "SELECT fx.media_id, fx.frame_idx, "
+        f"CAST({FEATURE_DIM} AS BIGINT) AS n_feat, "
+        "SUM(fx.r) AS sum_r, SUM(fx.g) AS sum_g, COUNT(*) AS n_px "
+        "FROM fx JOIN sel ON fx.media_id = sel.media_id "
+        "AND fx.frame_idx = sel.frame_idx "
+        "GROUP BY fx.media_id, fx.frame_idx")
+
+
 def q_media_features(sf_dir: str):
     """Multimodal pipeline through the gate: REAL dependency-free decode of
-    seeded WAV/PPM/PNG/JPEG payloads (stdlib wave, numpy PPM parse, zlib
-    PNG, pure-numpy baseline JPEG) -> actor-pool feature extraction;
-    features replace the heavy bytes. Deterministic (seed=42, size scaled
-    by sf); rows-only (no SQL media codecs)."""
+    seeded WAV/ADPCM/PPM/PNG/JPEG payloads (stdlib wave, pure-numpy IMA
+    ADPCM, numpy PPM parse, zlib PNG, pure-numpy baseline JPEG) ->
+    actor-pool feature extraction (``MediaFeatureExtractor`` — its
+    FEATURE_DIM vector length rides along as ``n_feat``) + exact int64
+    decode sums. Deterministic (seed=42, size scaled by sf); the sums are
+    integer-exact, so the DuckDB oracle over the driver-side-decoded
+    per-unit fixture (``media_oracle_fixture``) checks them
+    value-for-value."""
     from ..functions.multimodal import MediaFeatureExtractor, synth_real_media
 
     name = os.path.basename(sf_dir.rstrip("/"))
-    n = {"sf0.001": 32, "sf0.01": 64, "sf0.1": 256}.get(name, 64)
+    n = _MEDIA_N.get(name, 64)
     ds = ray.data.from_arrow(synth_real_media(n))
-    out = ds.map_batches(MediaFeatureExtractor, batch_format="pyarrow",
-                         concurrency=2).to_pandas()
-    feats = np.stack([np.asarray(f, np.float32) for f in out["features"]])
-    return pa.table(
-        {
-            "media_id": pa.array(out["media_id"], pa.int64()),
-            "media_type": pa.array(out["media_type"], pa.string()),
-            # first feature: duration_ms (audio) / mean-R (image) — rounded
-            "f0": pa.array(np.round(feats[:, 0].astype(np.float64), 4)),
-            "f1": pa.array(np.round(feats[:, 1].astype(np.float64), 4)),
-        }
-    )
+    feats = (ds.map_batches(MediaFeatureExtractor, batch_format="pyarrow",
+                            concurrency=2).to_pandas())
+    n_feat = feats.set_index("media_id")["features"].map(len)
+    sums = (ds.map_batches(_media_sums_batch, batch_format="pyarrow")
+            .to_pandas().sort_values("media_id").reset_index(drop=True))
+    return pa.table({
+        "media_id": pa.array(sums["media_id"], pa.int64()),
+        "media_type": pa.array(sums["media_type"], pa.string()),
+        "n_feat": pa.array(n_feat.loc[sums["media_id"]].to_numpy(),
+                           pa.int64()),
+        "sum_v0": pa.array(sums["sum_v0"], pa.int64()),
+        "sum_v1": pa.array(sums["sum_v1"], pa.int64()),
+        "n_units": pa.array(sums["n_units"], pa.int64())})
 
 
 def q_video_frames(sf_dir: str):
@@ -1728,33 +1877,64 @@ def q_video_frames(sf_dir: str):
     (per-frame offset table — the chunk-index discipline,
     ``functions/multimodal.py::encode_mjpm``) -> ``FrameSampler`` selects 4
     evenly-spaced frames per clip reading ONLY their byte ranges -> the
-    actor-pool extractor really decodes each PPM/JPEG frame to RGB
-    features. Deterministic (seed=43, size scaled by sf); rows-only (no
-    SQL media codecs) — frame-count/drift/pruned-read invariants live in
-    pytest."""
+    actor-pool extractor really decodes each PPM/JPEG frame (``n_feat``
+    rides along) + exact int64 pixel sums per sampled frame. Deterministic
+    (seed=43, size scaled by sf); the DuckDB oracle
+    (``video_frames_oracle_sql``) re-derives the evenly-spaced frame
+    selection itself over the per-pixel fixture and checks the sums
+    value-for-value — certifying ranged-read frame extraction AND
+    selection logic against an independent aggregation."""
+    from ..functions.imagedup import decode_image
     from ..functions.multimodal import (FrameSampler, MediaFeatureExtractor,
                                         synth_real_video)
 
     name = os.path.basename(sf_dir.rstrip("/"))
-    n = {"sf0.001": 8, "sf0.01": 16, "sf0.1": 64}.get(name, 16)
+    n = _VIDEO_N.get(name, 16)
     ds = ray.data.from_arrow(synth_real_video(n))
-    frames = ds.map_batches(FrameSampler(4), batch_format="pyarrow")
+    frames = ds.map_batches(FrameSampler(4),
+                            batch_format="pyarrow").materialize()
 
     def as_payload(t: pa.Table) -> pa.Table:
         return pa.table({"media_id": t.column("media_id"),
                          "frame_idx": t.column("frame_idx"),
                          "payload": t.column("frame")})
 
-    out = (frames.map_batches(as_payload, batch_format="pyarrow")
-           .map_batches(MediaFeatureExtractor, batch_format="pyarrow",
-                        concurrency=2).to_pandas())
-    feats = np.stack([np.asarray(f, np.float32) for f in out["features"]])
+    feats = (frames.map_batches(as_payload, batch_format="pyarrow")
+             .map_batches(MediaFeatureExtractor, batch_format="pyarrow",
+                          concurrency=2).to_pandas())
+    feats["n_feat"] = feats["features"].map(len)
+
+    def frame_sums(t: pa.Table) -> pa.Table:
+        ids, fis, sr, sg, npx = [], [], [], [], []
+        for mid, fi, fb in zip(t.column("media_id").to_pylist(),
+                               t.column("frame_idx").to_pylist(),
+                               t.column("frame").to_pylist()):
+            img = decode_image(fb)[:, :, :3].astype(np.int64)
+            ids.append(mid)
+            fis.append(fi)
+            sr.append(int(img[:, :, 0].sum()))
+            sg.append(int(img[:, :, 1].sum()))
+            npx.append(int(img.shape[0] * img.shape[1]))
+        return pa.table({"media_id": pa.array(ids, pa.int64()),
+                         "frame_idx": pa.array(fis, pa.int64()),
+                         "sum_r": pa.array(sr, pa.int64()),
+                         "sum_g": pa.array(sg, pa.int64()),
+                         "n_px": pa.array(npx, pa.int64())})
+
+    sums = (frames.map_batches(frame_sums, batch_format="pyarrow")
+            .to_pandas())
+    out = sums.merge(
+        feats[["media_id", "frame_idx", "n_feat"]].astype(
+            {"frame_idx": np.int64}),
+        on=["media_id", "frame_idx"], how="left", validate="1:1")
+    out = out.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
     return pa.table({
         "media_id": pa.array(out["media_id"], pa.int64()),
-        "frame_idx": pa.array(out["frame_idx"], pa.int32()),
-        # mean-R / mean-G of the REALLY decoded frame, rounded
-        "f0": pa.array(np.round(feats[:, 0].astype(np.float64), 4)),
-        "f1": pa.array(np.round(feats[:, 1].astype(np.float64), 4))})
+        "frame_idx": pa.array(out["frame_idx"], pa.int64()),
+        "n_feat": pa.array(out["n_feat"], pa.int64()),
+        "sum_r": pa.array(out["sum_r"], pa.int64()),
+        "sum_g": pa.array(out["sum_g"], pa.int64()),
+        "n_px": pa.array(out["n_px"], pa.int64())})
 
 
 def q_windowed_distinct(sf_dir: str):
@@ -4063,8 +4243,10 @@ _R5_GATE_WINDOW = [
     "curation_chain",
     "change_data_feed",
     "decontaminate",
-    "json_props_agg",
-    "unigram_logprob",
+    # first-ever hash-checkable multimodal coverage (round-5 int-sum
+    # oracles, media_oracle_fixture) — worth two re-cert slots
+    "media_features",
+    "video_frames",
 ]
 assert len(_R5_GATE_WINDOW) == 50 and len(set(_R5_GATE_WINDOW)) == 50
 QUERIES = {

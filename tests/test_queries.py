@@ -119,11 +119,15 @@ SQL_CHECKED = [
     "table_profile", "burst_counts", "ewma", "edit_distance_join",
     "triangle_count", "containment_join", "weighted_median",
     "grouped_mode", "fuzzy_key_dedup", "gap_quantiles",
+    # multimodal: decode stays binary, but the compared values are exact
+    # int64 decode sums checked against a driver-side-decoded per-unit
+    # fixture (media_oracle_fixture) — SQL does aggregation + (for video)
+    # the frame selection independently
+    "media_features", "video_frames",
 ]
 # the legitimately non-SQL-checkable entries: the quantile sketch's thinning
 # depends on batch boundaries, and media decode is binary.
 ROWS_ONLY = [
-    "media_features",
     "approx_quantiles",
     "pca_projection",  # eigendecomposition: not SQL-expressible; pytest
                        # asserts equality with single-machine numpy PCA
@@ -135,8 +139,6 @@ ROWS_ONLY = [
                        # recall/precision/brute-force oracle in test_imagedup
     "bpe_tokens",  # iterative merge training: not SQL-expressible; quadratic
                    # reference-implementation equality oracle in test_bpe
-    "video_frames",  # binary MJPM decode: not SQL-expressible; frame-count/
-                     # drift/pruned-read invariants in test_functions
 ]
 
 
@@ -149,7 +151,10 @@ def test_query_matches_oracle(name):
           if name in ("cdc_transcripts", "conversation_stats",
                       "incremental_view", "conversation_rebuild",
                       "dialog_integrity", "turn_pairs",
-                      "sft_curation") else SF)
+                      "sft_curation",
+                      # media oracles are built from the sf0.01 corpora
+                      # (the scale the driver gate runs at)
+                      "media_features", "video_frames") else SF)
     got = _canon(_to_pandas(queries[name](sf)))
     exp = _canon(_oracle(oracles[name]))
     assert list(got.columns) == list(exp.columns), (
