@@ -40,6 +40,7 @@ def oracle_sql() -> dict[str, str]:
         conversation_rebuild_oracle_sql,
         conversation_stats_oracle_sql,
         dialog_integrity_oracle_sql,
+        image_near_dup_oracle_sql,
         media_features_oracle_sql,
         media_oracle_fixture,
         sft_curation_oracle_sql,
@@ -70,4 +71,5 @@ def oracle_sql() -> dict[str, str]:
     mx = media_oracle_fixture()
     out["media_features"] = media_features_oracle_sql(mx)
     out["video_frames"] = video_frames_oracle_sql(mx)
+    out["image_near_dup"] = image_near_dup_oracle_sql(mx)
     return out

@@ -1756,7 +1756,7 @@ def media_oracle_fixture(tmp_root: str = "/tmp/kcs3_ray") -> str:
 
     root = os.path.join(tmp_root, "media_oracle_sf0.01")
     marker = os.path.join(root, ".complete")
-    stamp = "media64,video16,v2-int-sums"
+    stamp = "media64,video16,img96,v3-int-sums-dhash"
     if os.path.exists(marker) and open(marker).read() == stamp:
         return root
     shutil.rmtree(root, ignore_errors=True)
@@ -1785,6 +1785,22 @@ def media_oracle_fixture(tmp_root: str = "/tmp/kcs3_ray") -> str:
                   "v0": pa.array(np.concatenate(v0_col)),
                   "v1": pa.array(np.concatenate(v1_col))}),
         os.path.join(root, "media_units.parquet"))
+
+    # image_near_dup oracle side: the per-payload dHash (common-code with
+    # the pipeline's ImageHasher — decode goldens live in pytest), computed
+    # SEQUENTIALLY driver-side; the SQL then finds near-dup pairs by an
+    # independent brute-force O(N^2) popcount join, certifying the
+    # distributed pigeonhole band exchange value-for-value
+    from ..functions.imagedup import dhash64_payload
+
+    img = _image_corpus_cached(96)  # the sf0.01 corpus size
+    hashes = np.array([dhash64_payload(p)
+                       for p in img.column("payload").to_pylist()],
+                      np.uint64)
+    pq.write_table(
+        pa.table({"media_id": img.column("media_id"),
+                  "dhash": pa.array(hashes, pa.uint64())}),
+        os.path.join(root, "image_hashes.parquet"))
 
     video = synth_real_video(_VIDEO_N["sf0.01"])
     vid_col, fi_col, r_col, g_col = [], [], [], []
@@ -1840,6 +1856,16 @@ def video_frames_oracle_sql(fix_root: str) -> str:
         "FROM fx JOIN sel ON fx.media_id = sel.media_id "
         "AND fx.frame_idx = sel.frame_idx "
         "GROUP BY fx.media_id, fx.frame_idx")
+
+
+def image_near_dup_oracle_sql(fix_root: str) -> str:
+    path = os.path.join(fix_root, "image_hashes.parquet")
+    return (
+        f"WITH h AS (SELECT * FROM '{path}') "
+        "SELECT a.media_id AS left_id, b.media_id AS right_id, "
+        "CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming "
+        "FROM h a JOIN h b ON a.media_id < b.media_id "
+        "WHERE bit_count(xor(a.dhash, b.dhash)) <= 10")
 
 
 def q_media_features(sf_dir: str):
@@ -2859,12 +2885,14 @@ def _image_corpus_cached(n: int):
 
 def q_image_near_dup(sf_dir: str):
     """Image near-dup pairs via perceptual dHash over REAL decoded payloads
-    (PPM/PNG/JPEG through the dependency-free codecs) + pigeonhole band
-    exchange — the LAION-style image dedup tier. Deterministic planted
-    corpus (seed 1234, size scaled by sf); rows-only (binary decode is not
-    SQL-expressible; recall/precision oracle lives in test_imagedup.py:
-    every planted base-variant pair found at hamming<=10, zero cross-clique
-    pairs, brute-force popcount equality)."""
+    (PPM/PNG/JPEG through the dependency-free codecs, JPEGs on the DC/quad
+    entropy-only path) + pigeonhole band exchange — the LAION-style image
+    dedup tier. Deterministic planted corpus (seed 1234, size scaled by
+    sf). Oracle (``image_near_dup_oracle_sql``): DuckDB brute-force O(N^2)
+    ``bit_count(xor(...))`` join over the driver-side-hashed fixture —
+    the distributed band exchange must find EXACTLY the brute-force pair
+    set, value-for-value (decode goldens + recall/precision invariants
+    stay in test_imagedup.py)."""
     from ..functions.imagedup import image_near_dup
 
     name = os.path.basename(sf_dir.rstrip("/"))
@@ -4242,11 +4270,12 @@ _R5_GATE_WINDOW = [
     "minhash_near_dup",
     "curation_chain",
     "change_data_feed",
-    "decontaminate",
-    # first-ever hash-checkable multimodal coverage (round-5 int-sum
-    # oracles, media_oracle_fixture) — worth two re-cert slots
+    # first-ever hash-checkable multimodal coverage (round-5 oracles over
+    # the driver-side-decoded fixture, media_oracle_fixture) — worth three
+    # re-cert slots
     "media_features",
     "video_frames",
+    "image_near_dup",
 ]
 assert len(_R5_GATE_WINDOW) == 50 and len(set(_R5_GATE_WINDOW)) == 50
 QUERIES = {

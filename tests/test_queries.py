@@ -124,6 +124,9 @@ SQL_CHECKED = [
     # fixture (media_oracle_fixture) — SQL does aggregation + (for video)
     # the frame selection independently
     "media_features", "video_frames",
+    # banded pair discovery vs an independent DuckDB brute-force popcount
+    # join over the driver-side-hashed fixture
+    "image_near_dup",
 ]
 # the legitimately non-SQL-checkable entries: the quantile sketch's thinning
 # depends on batch boundaries, and media decode is binary.
@@ -135,8 +138,6 @@ ROWS_ONLY = [
                               # pinned by test_repetition_knn + bench figure
     "ivfpq_topk",  # approximate by construction (residual byte codes +
                    # probe pruning); recall pinned by test_pq
-    "image_near_dup",  # binary decode + perceptual hash: not SQL-expressible;
-                       # recall/precision/brute-force oracle in test_imagedup
     "bpe_tokens",  # iterative merge training: not SQL-expressible; quadratic
                    # reference-implementation equality oracle in test_bpe
 ]
@@ -154,7 +155,8 @@ def test_query_matches_oracle(name):
                       "sft_curation",
                       # media oracles are built from the sf0.01 corpora
                       # (the scale the driver gate runs at)
-                      "media_features", "video_frames") else SF)
+                      "media_features", "video_frames",
+                      "image_near_dup") else SF)
     got = _canon(_to_pandas(queries[name](sf)))
     exp = _canon(_oracle(oracles[name]))
     assert list(got.columns) == list(exp.columns), (
