@@ -131,3 +131,48 @@ def test_decoder_reads_tables_from_the_stream_not_module_constants():
     err_lo = np.abs(decode_jpeg(lo).astype(int) - img).mean()
     err_hi = np.abs(decode_jpeg(hi).astype(int) - img).mean()
     assert err_hi < err_lo < 40.0
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_dc_thumb_equals_full_decode_block_means(seed):
+    """The DC-only entropy walk must agree with the FULL decoder: every 8x8
+    AC basis function has zero mean over the block, so the block means of
+    the full IDCT reconstruction ARE the DC terms — the thumb and the
+    full-decode luma block means may differ only by the uint8
+    rounding/clip + RGB<->YCbCr roundtrip (~2 levels). Randomized across
+    sizes (incl. non-multiples of 8), quality, 4:2:0, and restarts."""
+    from kafka_connect_s3_ray.functions.jpeg import decode_jpeg_luma_dc
+
+    rng = np.random.default_rng(seed)
+    h, w = int(rng.integers(17, 90)), int(rng.integers(17, 90))
+    # mid-range content: keeps the IDCT away from the 0/255 clip, which
+    # would shift block means asymmetrically
+    img = (rng.uniform(40, 215, (h, w, 3))).astype(np.uint8)
+    cases = [dict(quality=90), dict(quality=60),
+             dict(subsample="420"), dict(restart_interval=2)]
+    for kw in cases:
+        jp = encode_jpeg(img, **kw)
+        th = decode_jpeg_luma_dc(jp)
+        assert th.shape == (-(-h // 8), -(-w // 8))
+        full = decode_jpeg(jp).astype(np.float64) @ [0.299, 0.587, 0.114]
+        bh, bw = h // 8, w // 8
+        if bh and bw:  # compare only blocks fully inside the image
+            bm = (full[: bh * 8, : bw * 8]
+                  .reshape(bh, 8, bw, 8).mean(axis=(1, 3)))
+            err = np.abs(th[:bh, :bw] - bm).max()
+            assert err <= 2.5, (kw, err)
+
+
+def test_quad_thumb_tracks_4x4_box_means():
+    """The 2x2 scaled decode (DC + three lowest ACs) reconstructs quadrant
+    means up to odd-frequency leakage — on smooth content it must track the
+    true 4x4 box means of the source closely."""
+    from kafka_connect_s3_ray.functions.jpeg import decode_jpeg_luma_quad
+
+    img = _test_image(h=40, w=56, seed=3)
+    jp = encode_jpeg(img, quality=90)
+    q = decode_jpeg_luma_quad(jp)
+    assert q.shape == (10, 14)
+    y = img.astype(np.float64) @ [0.299, 0.587, 0.114]
+    bm = y.reshape(10, 4, 14, 4).mean(axis=(1, 3))
+    assert np.abs(q - bm).max() <= 6.0
