@@ -567,16 +567,20 @@ def main(argv: list[str] | None = None) -> int:
 
             res = QUERIES[args.name](args.sf)
             if isinstance(res, ray.data.Dataset) and not args.out:
-                # execute ONCE into the object store (blocks stay
-                # distributed; nothing big reaches the driver), then count
-                # from metadata and pull only the preview rows — the lazy
-                # plan would otherwise run twice, once per consumer
-                res = res.materialize()
-                n_rows = res.count()
-                head_t = pa.Table.from_pandas(
-                    res.limit(max(0, args.limit)).to_pandas(),
-                    preserve_index=False)
-                cols, head = head_t.column_names, head_t.to_pylist()
+                # ONE streaming pass: count rows while keeping only the
+                # first --limit for the preview. Never materializes the
+                # result (this surface exists for results bigger than the
+                # object store) and never runs the lazy plan twice.
+                limit = max(0, args.limit)
+                n_rows, head, cols = 0, [], []
+                for b in res.iter_batches(batch_format="pyarrow"):
+                    n_rows += len(b)
+                    cols = cols or b.column_names
+                    if len(head) < limit:
+                        head.extend(
+                            b.slice(0, limit - len(head)).to_pylist())
+                if not cols:  # empty result: names from the (now known) plan
+                    cols = res.schema().names
             else:
                 if isinstance(res, ray.data.Dataset):
                     tbl = pa.Table.from_pandas(res.to_pandas(),

@@ -82,23 +82,25 @@ def _thumb_scale(h: int, w: int) -> int:
 
 def luma_thumb(payload: bytes) -> np.ndarray:
     """Adaptive-scale float32 luma plane — the ONE decode the hash pipeline
-    needs. JPEGs at scale 8/4 never leave the entropy layer
-    (``decode_jpeg_luma_dc`` / ``decode_jpeg_luma_quad``: block / quadrant
-    means fall out of the DC and three lowest ACs — no IDCT, no AC storage,
-    no chroma, ~6-7x faster than full decode); PPM/PNG decode fully (cheap)
-    and take the same edge-padded block means, so a JPEG re-encode of a PPM
-    lands on (numerically) the same thumbnail up to quantization (<= ~2 luma
-    levels). Tiny images (scale 1) hash the full-res luma in every
-    format."""
-    from .jpeg import _parse_headers, decode_jpeg_luma_dc, decode_jpeg_luma_quad
+    needs. JPEGs large enough for the 8x grid (h >= 57, w >= 65 — i.e.
+    every real-scale image) never leave the entropy layer
+    (``decode_jpeg_luma_dc``: block means ARE the DC coefficients — no
+    IDCT, no AC storage, no chroma, ~7x faster than full decode, and exact
+    for ANY content up to DC quantization, <= ~1 luma level at q90).
+    Mid-band JPEGs (scale 4) decode fully and take TRUE box means like
+    PPM/PNG — the 2x2 scaled decode (``decode_jpeg_luma_quad``) is NOT used
+    for hashing because its odd-frequency leakage diverges from true box
+    means on noisy content (measured up to ~15 luma levels), which would
+    break the cross-format near-dup contract exactly where images are
+    cheap to decode anyway. Tiny images (scale 1) hash the full-res
+    luma in every format."""
+    from .jpeg import _parse_headers, decode_jpeg_luma_dc
 
     if payload.startswith(JPEG_SIG):
-        fh, fw, _ = _parse_headers(payload)[0]
-        s = _thumb_scale(fh, fw)
-        if s == 8:
-            return decode_jpeg_luma_dc(payload)
-        if s == 4:
-            return decode_jpeg_luma_quad(payload)
+        parsed = _parse_headers(payload)
+        fh, fw, _ = parsed[0]
+        if _thumb_scale(fh, fw) == 8:
+            return decode_jpeg_luma_dc(payload, _parsed=parsed)
     img = decode_image(payload)
     y = img[:, :, :3].astype(np.float32) @ _LUMA
     h, w = y.shape

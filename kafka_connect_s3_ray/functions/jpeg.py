@@ -577,11 +577,15 @@ def _decode_scan(d: bytes, pos: int, frame, scan, qtables, htables,
 # grid, so decoding anything beyond block means is wasted work.
 
 _LUT_CACHE: dict = {}
+_LUT_CACHE_CAP = 32  # ~0.5 MB per LUT; real corpora carry per-file optimized
+#                      tables (mozjpeg/Pillow optimize=True), so an unbounded
+#                      cache would grow with corpus size in long-lived actors
 
 
 def _lut16(bits: list[int], vals: list[int]) -> list[int]:
     """BITS/HUFFVAL -> 65536-entry lookup: lut[peek16] = (symbol << 5) | len,
-    0 where no code matches. Cached — canonical tables recur across files."""
+    0 where no code matches. LRU-cached (bounded): the Annex-K tables recur
+    across files, per-file optimized tables cycle through the cap."""
     key = (bytes(bits), bytes(vals))
     hit = _LUT_CACHE.get(key)
     if hit is not None:
@@ -598,6 +602,8 @@ def _lut16(bits: list[int], vals: list[int]) -> list[int]:
                 [packed] * (1 << (16 - ln))
             code += 1
         code <<= 1
+    if len(_LUT_CACHE) >= _LUT_CACHE_CAP:  # evict oldest (insertion order)
+        _LUT_CACHE.pop(next(iter(_LUT_CACHE)))
     _LUT_CACHE[key] = lut
     return lut
 
@@ -627,15 +633,18 @@ def _destuff_segments(d: bytes, pos: int) -> list[bytes]:
     return segs
 
 
-def _walk_scan_luma(payload: bytes, want_lowac: bool):
+def _walk_scan_luma(payload: bytes, want_lowac: bool, _parsed=None):
     """Single LUT-Huffman pass over the entropy stream collecting the luma
     component's low-frequency coefficients: DC always; with ``want_lowac``
     also scan-order coefficients 1, 2, 4 — (0,1), (1,0), (1,1) — the three
     ACs the 2x2 scaled reconstruction needs. Chroma and higher ACs are
     decoded-and-skipped (T.81 gives no way around walking every symbol).
+    Pass ``_parsed`` (a ``_parse_headers`` result) to skip re-walking the
+    marker stream when the caller already parsed it for the size check.
     Returns ``(dc, a01, a10, a11, geometry)`` where geometry is
     ``(fh, fw, rows, cols, qtable)`` for the luma block grid."""
-    frame, scan, qtables, htables_raw, restart, pos = _parse_headers(payload)
+    frame, scan, qtables, htables_raw, restart, pos = (
+        _parsed if _parsed is not None else _parse_headers(payload))
     fh, fw, comps = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -762,13 +771,14 @@ def _walk_scan_luma(payload: bytes, want_lowac: bool):
     return dc_grid, a01, a10, a11, geom
 
 
-def decode_jpeg_luma_dc(payload: bytes) -> np.ndarray:
+def decode_jpeg_luma_dc(payload: bytes, _parsed=None) -> np.ndarray:
     """Baseline JPEG bytes -> (ceil(h/8), ceil(w/8)) float32 plane of 8x8
     block-mean luma (the DC thumbnail: the dequantized DC coefficient is 8x
     the block's pixel mean — no IDCT, no chroma). Same stream support as
     ``decode_jpeg``; same loud ``NotImplementedError`` for
     progressive/12-bit."""
-    dc, _, _, _, (fh, fw, rows, cols, qt) = _walk_scan_luma(payload, False)
+    dc, _, _, _, (fh, fw, rows, cols, qt) = \
+        _walk_scan_luma(payload, False, _parsed)
     thumb = dc.astype(np.float32).reshape(rows, cols)
     thumb = thumb * (int(qt[0, 0]) / 8.0) + 128.0
     return np.clip(thumb[: -(-fh // 8), : -(-fw // 8)], 0.0, 255.0)

@@ -582,7 +582,9 @@ def knn_graph_ivf(ds: "ray.data.Dataset", k: int = 3, n_clusters: int = 16,
     # the sample rather than memorize it (see _embedding_near_dup_ivf)
     sample = ds.limit(max(sample_size, 32 * n_clusters)).to_pandas()[vec_col]
     smat = _normalize(np.stack(sample.to_list()).astype(np.float64))
-    cents = kmeans_fit(np.stack(sample.to_list()), n_clusters, seed=seed)
+    # kmeans_fit re-normalizes internally, so feeding the normalized matrix
+    # is equivalent and skips a second stack+normalize of the sample
+    cents = kmeans_fit(smat, n_clusters, seed=seed)
     if nprobe == "auto":
         nprobe = _auto_nprobe(smat, cents, k)
         # driver-side observability: bench/tests read back the chosen dial

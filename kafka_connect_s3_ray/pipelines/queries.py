@@ -1756,7 +1756,7 @@ def media_oracle_fixture(tmp_root: str = "/tmp/kcs3_ray") -> str:
 
     root = os.path.join(tmp_root, "media_oracle_sf0.01")
     marker = os.path.join(root, ".complete")
-    stamp = "media64,video16,img96,v3-int-sums-dhash"
+    stamp = "media64,video16,img96,v4-midband-boxmean-dhash"
     if os.path.exists(marker) and open(marker).read() == stamp:
         return root
     shutil.rmtree(root, ignore_errors=True)

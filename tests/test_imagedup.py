@@ -145,3 +145,17 @@ def test_empty_and_single():
     one = synth_image_corpus(1)
     out = image_near_dup(ray.data.from_arrow(one), max_hamming=MAXH).to_pandas()
     assert len(out) == 0
+
+
+def test_noisy_midband_jpeg_reencode_still_near_dup():
+    """Regression (round-5 review): mid-band (29-64 px) JPEGs must hash
+    through TRUE box means, not the 2x2 scaled decode — its odd-frequency
+    leakage on noisy content pushed genuine re-encode pairs past the
+    10-bit threshold. High-detail images across the size bands: a q90
+    re-encode of a stored PPM stays a near-dup."""
+    rng = np.random.default_rng(17)
+    for h, w in [(37, 36), (44, 59), (30, 90), (80, 80), (25, 40)]:
+        img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        p0 = int(dhash64_payload(encode_ppm(img)))
+        pj = int(dhash64_payload(encode_jpeg(img, quality=90)))
+        assert bin(p0 ^ pj).count("1") <= MAXH, (h, w)
