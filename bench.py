@@ -167,7 +167,7 @@ def run_bench() -> dict:
         "table_profile", "burst_counts", "ewma", "edit_distance_join",
         "triangle_count", "containment_join", "weighted_median",
         "grouped_mode", "fuzzy_key_dedup", "video_frames",
-        "gap_quantiles",
+        "gap_quantiles", "media_features",
     ]
     panel_results: dict = {}
     panel_trials = int(os.environ.get("BENCH_PANEL_TRIALS", "2"))

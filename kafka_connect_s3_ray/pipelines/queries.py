@@ -1882,9 +1882,11 @@ def q_media_features(sf_dir: str):
 
     name = os.path.basename(sf_dir.rstrip("/"))
     n = _MEDIA_N.get(name, 64)
-    ds = ray.data.from_arrow(synth_real_media(n))
+    # from_arrow yields ONE block; split so decode fans out across the pool
+    ds = ray.data.from_arrow(synth_real_media(n)).repartition(
+        max(2, min(16, n // 16))).materialize()
     feats = (ds.map_batches(MediaFeatureExtractor, batch_format="pyarrow",
-                            concurrency=2).to_pandas())
+                            concurrency=8).to_pandas())
     n_feat = feats.set_index("media_id")["features"].map(len)
     sums = (ds.map_batches(_media_sums_batch, batch_format="pyarrow")
             .to_pandas().sort_values("media_id").reset_index(drop=True))
@@ -1916,7 +1918,9 @@ def q_video_frames(sf_dir: str):
 
     name = os.path.basename(sf_dir.rstrip("/"))
     n = _VIDEO_N.get(name, 16)
-    ds = ray.data.from_arrow(synth_real_video(n))
+    # from_arrow yields ONE block; split so frame extraction + decode fan out
+    ds = ray.data.from_arrow(synth_real_video(n)).repartition(
+        max(2, min(16, n // 4)))
     frames = ds.map_batches(FrameSampler(4),
                             batch_format="pyarrow").materialize()
 
