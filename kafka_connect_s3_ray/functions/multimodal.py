@@ -234,6 +234,14 @@ def _wav_features(payload: bytes) -> np.ndarray:
     """Real audio features: duration, RMS, zero-crossing rate, peak, + a
     16-bin amplitude histogram — padded to FEATURE_DIM."""
     samples, rate = decode_wav(payload)
+    return _pcm_features(samples, rate)
+
+
+def _pcm_features(samples: np.ndarray, rate: int) -> np.ndarray:
+    """Audio feature math over ALREADY-DECODED int16 samples — split out so
+    stages that need both features and other per-sample derivations (e.g.
+    the exact decode sums the gate oracle checks) decode each payload
+    once."""
     x = samples.astype(np.float64) / 32768.0
     if len(x) == 0:  # zero-frame WAV is valid; means on empty slices are NaN
         return np.zeros(FEATURE_DIM, np.float32)

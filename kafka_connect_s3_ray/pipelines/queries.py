@@ -1703,36 +1703,94 @@ _MEDIA_N = {"sf0.001": 32, "sf0.01": 64, "sf0.1": 256}
 _VIDEO_N = {"sf0.001": 8, "sf0.01": 16, "sf0.1": 64}
 
 
-def _media_sums_batch(t: pa.Table) -> pa.Table:
-    """Exact int64 decode sums per media payload: audio -> (sum(sample),
-    sum(|sample|), n_samples); image -> (sum R, sum G, n_pixels). Integer
-    arithmetic end to end, so the DuckDB oracle's SUM over the per-unit
-    fixture rows matches value-for-value — no float-rounding coin flips."""
-    from ..functions.imagedup import decode_image
-    from ..functions.multimodal import decode_wav
+@functools.lru_cache(maxsize=4)
+def _media_corpus_cached(n: int):
+    """Deterministic real-media corpus, cached per size: the driver-side
+    synth (pure-python WAV/ADPCM/PNG/JPEG ENCODE) is fixture construction,
+    not pipeline work — same discipline as ``_image_corpus_cached``."""
+    from ..functions.multimodal import synth_real_media
 
-    ids, types, v0, v1, nu = [], [], [], [], []
-    for mid, mtype, p in zip(t.column("media_id").to_pylist(),
-                             t.column("media_type").to_pylist(),
-                             t.column("payload").to_pylist()):
-        if mtype == "audio":
-            samples, _ = decode_wav(p)
-            s = samples.astype(np.int64)
-            v0.append(int(s.sum()))
-            v1.append(int(np.abs(s).sum()))
-            nu.append(len(s))
-        else:
-            img = decode_image(p)[:, :, :3].astype(np.int64)
-            v0.append(int(img[:, :, 0].sum()))
-            v1.append(int(img[:, :, 1].sum()))
-            nu.append(int(img.shape[0] * img.shape[1]))
-        ids.append(mid)
-        types.append(mtype)
-    return pa.table({"media_id": pa.array(ids, pa.int64()),
-                     "media_type": pa.array(types, pa.string()),
-                     "sum_v0": pa.array(v0, pa.int64()),
-                     "sum_v1": pa.array(v1, pa.int64()),
-                     "n_units": pa.array(nu, pa.int64())})
+    return synth_real_media(n)
+
+
+@functools.lru_cache(maxsize=4)
+def _video_corpus_cached(n: int):
+    """Deterministic MJPM clip corpus, cached per size (see above)."""
+    from ..functions.multimodal import synth_real_video
+
+    return synth_real_video(n)
+
+
+class _MediaFeatSums:
+    """Actor-pool stage decoding each payload ONCE for both outputs: the
+    extractor's FEATURE_DIM vector (feature math over the decoded
+    samples/pixels — ``_pcm_features`` / ``_rgb_features``) and the exact
+    int64 decode sums the gate oracle checks (audio -> sum(sample),
+    sum(|sample|), n_samples; image -> sum R, sum G, n_pixels). Integer
+    arithmetic for the sums end to end, so the DuckDB oracle's SUM over the
+    per-unit fixture rows matches value-for-value — no float-rounding coin
+    flips."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..functions.imagedup import decode_image
+        from ..functions.multimodal import (_pcm_features, _rgb_features,
+                                            decode_wav)
+
+        ids, types, nf, v0, v1, nu = [], [], [], [], [], []
+        for mid, mtype, p in zip(t.column("media_id").to_pylist(),
+                                 t.column("media_type").to_pylist(),
+                                 t.column("payload").to_pylist()):
+            if mtype == "audio":
+                samples, rate = decode_wav(p)
+                nf.append(len(_pcm_features(samples, rate)))
+                s = samples.astype(np.int64)
+                v0.append(int(s.sum()))
+                v1.append(int(np.abs(s).sum()))
+                nu.append(len(s))
+            else:
+                img = decode_image(p)
+                nf.append(len(_rgb_features(img)))
+                ii = img[:, :, :3].astype(np.int64)
+                v0.append(int(ii[:, :, 0].sum()))
+                v1.append(int(ii[:, :, 1].sum()))
+                nu.append(int(ii.shape[0] * ii.shape[1]))
+            ids.append(mid)
+            types.append(mtype)
+        return pa.table({"media_id": pa.array(ids, pa.int64()),
+                         "media_type": pa.array(types, pa.string()),
+                         "n_feat": pa.array(nf, pa.int64()),
+                         "sum_v0": pa.array(v0, pa.int64()),
+                         "sum_v1": pa.array(v1, pa.int64()),
+                         "n_units": pa.array(nu, pa.int64())})
+
+
+class _FrameFeatSums:
+    """Actor-pool stage: decode each sampled frame ONCE for both the
+    feature-vector length (``_rgb_features`` — the extractor's math) and
+    the exact int64 pixel sums the oracle checks."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..functions.imagedup import decode_image
+        from ..functions.multimodal import _rgb_features
+
+        ids, fis, nf, sr, sg, npx = [], [], [], [], [], []
+        for mid, fi, fb in zip(t.column("media_id").to_pylist(),
+                               t.column("frame_idx").to_pylist(),
+                               t.column("frame").to_pylist()):
+            img = decode_image(fb)
+            nf.append(len(_rgb_features(img)))
+            ii = img[:, :, :3].astype(np.int64)
+            ids.append(mid)
+            fis.append(fi)
+            sr.append(int(ii[:, :, 0].sum()))
+            sg.append(int(ii[:, :, 1].sum()))
+            npx.append(int(ii.shape[0] * ii.shape[1]))
+        return pa.table({"media_id": pa.array(ids, pa.int64()),
+                         "frame_idx": pa.array(fis, pa.int64()),
+                         "n_feat": pa.array(nf, pa.int64()),
+                         "sum_r": pa.array(sr, pa.int64()),
+                         "sum_g": pa.array(sg, pa.int64()),
+                         "n_px": pa.array(npx, pa.int64())})
 
 
 def media_oracle_fixture(tmp_root: str = "/tmp/kcs3_ray") -> str:
@@ -1872,32 +1930,28 @@ def q_media_features(sf_dir: str):
     """Multimodal pipeline through the gate: REAL dependency-free decode of
     seeded WAV/ADPCM/PPM/PNG/JPEG payloads (stdlib wave, pure-numpy IMA
     ADPCM, numpy PPM parse, zlib PNG, pure-numpy baseline JPEG) ->
-    actor-pool feature extraction (``MediaFeatureExtractor`` — its
-    FEATURE_DIM vector length rides along as ``n_feat``) + exact int64
-    decode sums. Deterministic (seed=42, size scaled by sf); the sums are
-    integer-exact, so the DuckDB oracle over the driver-side-decoded
-    per-unit fixture (``media_oracle_fixture``) checks them
-    value-for-value."""
-    from ..functions.multimodal import MediaFeatureExtractor, synth_real_media
-
+    one actor-pool stage (``_MediaFeatSums``) decoding each payload ONCE for
+    both the extractor's feature vector (length rides along as ``n_feat``,
+    same ``_pcm_features``/``_rgb_features`` math as
+    ``MediaFeatureExtractor``) and the exact int64 decode sums.
+    Deterministic (seed=42, size scaled by sf); the sums are integer-exact,
+    so the DuckDB oracle over the driver-side-decoded per-unit fixture
+    (``media_oracle_fixture``) checks them value-for-value."""
     name = os.path.basename(sf_dir.rstrip("/"))
     n = _MEDIA_N.get(name, 64)
     # from_arrow yields ONE block; split so decode fans out across the pool
-    ds = ray.data.from_arrow(synth_real_media(n)).repartition(
-        max(2, min(16, n // 16))).materialize()
-    feats = (ds.map_batches(MediaFeatureExtractor, batch_format="pyarrow",
-                            concurrency=8).to_pandas())
-    n_feat = feats.set_index("media_id")["features"].map(len)
-    sums = (ds.map_batches(_media_sums_batch, batch_format="pyarrow")
-            .to_pandas().sort_values("media_id").reset_index(drop=True))
+    ds = ray.data.from_arrow(_media_corpus_cached(n)).repartition(
+        max(2, min(16, n // 16)))
+    out = (ds.map_batches(_MediaFeatSums, batch_format="pyarrow",
+                          concurrency=(1, 8))
+           .to_pandas().sort_values("media_id").reset_index(drop=True))
     return pa.table({
-        "media_id": pa.array(sums["media_id"], pa.int64()),
-        "media_type": pa.array(sums["media_type"], pa.string()),
-        "n_feat": pa.array(n_feat.loc[sums["media_id"]].to_numpy(),
-                           pa.int64()),
-        "sum_v0": pa.array(sums["sum_v0"], pa.int64()),
-        "sum_v1": pa.array(sums["sum_v1"], pa.int64()),
-        "n_units": pa.array(sums["n_units"], pa.int64())})
+        "media_id": pa.array(out["media_id"], pa.int64()),
+        "media_type": pa.array(out["media_type"], pa.string()),
+        "n_feat": pa.array(out["n_feat"], pa.int64()),
+        "sum_v0": pa.array(out["sum_v0"], pa.int64()),
+        "sum_v1": pa.array(out["sum_v1"], pa.int64()),
+        "n_units": pa.array(out["n_units"], pa.int64())})
 
 
 def q_video_frames(sf_dir: str):
@@ -1912,52 +1966,18 @@ def q_video_frames(sf_dir: str):
     selection itself over the per-pixel fixture and checks the sums
     value-for-value — certifying ranged-read frame extraction AND
     selection logic against an independent aggregation."""
-    from ..functions.imagedup import decode_image
-    from ..functions.multimodal import (FrameSampler, MediaFeatureExtractor,
-                                        synth_real_video)
+    from ..functions.multimodal import FrameSampler
 
     name = os.path.basename(sf_dir.rstrip("/"))
     n = _VIDEO_N.get(name, 16)
     # from_arrow yields ONE block; split so frame extraction + decode fan out
-    ds = ray.data.from_arrow(synth_real_video(n)).repartition(
+    ds = ray.data.from_arrow(_video_corpus_cached(n)).repartition(
         max(2, min(16, n // 4)))
-    frames = ds.map_batches(FrameSampler(4),
-                            batch_format="pyarrow").materialize()
-
-    def as_payload(t: pa.Table) -> pa.Table:
-        return pa.table({"media_id": t.column("media_id"),
-                         "frame_idx": t.column("frame_idx"),
-                         "payload": t.column("frame")})
-
-    feats = (frames.map_batches(as_payload, batch_format="pyarrow")
-             .map_batches(MediaFeatureExtractor, batch_format="pyarrow",
-                          concurrency=2).to_pandas())
-    feats["n_feat"] = feats["features"].map(len)
-
-    def frame_sums(t: pa.Table) -> pa.Table:
-        ids, fis, sr, sg, npx = [], [], [], [], []
-        for mid, fi, fb in zip(t.column("media_id").to_pylist(),
-                               t.column("frame_idx").to_pylist(),
-                               t.column("frame").to_pylist()):
-            img = decode_image(fb)[:, :, :3].astype(np.int64)
-            ids.append(mid)
-            fis.append(fi)
-            sr.append(int(img[:, :, 0].sum()))
-            sg.append(int(img[:, :, 1].sum()))
-            npx.append(int(img.shape[0] * img.shape[1]))
-        return pa.table({"media_id": pa.array(ids, pa.int64()),
-                         "frame_idx": pa.array(fis, pa.int64()),
-                         "sum_r": pa.array(sr, pa.int64()),
-                         "sum_g": pa.array(sg, pa.int64()),
-                         "n_px": pa.array(npx, pa.int64())})
-
-    sums = (frames.map_batches(frame_sums, batch_format="pyarrow")
-            .to_pandas())
-    out = sums.merge(
-        feats[["media_id", "frame_idx", "n_feat"]].astype(
-            {"frame_idx": np.int64}),
-        on=["media_id", "frame_idx"], how="left", validate="1:1")
-    out = out.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+    frames = ds.map_batches(FrameSampler(4), batch_format="pyarrow")
+    out = (frames.map_batches(_FrameFeatSums, batch_format="pyarrow",
+                              concurrency=(1, 8))
+           .to_pandas().sort_values(["media_id", "frame_idx"])
+           .reset_index(drop=True))
     return pa.table({
         "media_id": pa.array(out["media_id"], pa.int64()),
         "frame_idx": pa.array(out["frame_idx"], pa.int64()),
