@@ -110,7 +110,8 @@ def curate(ds: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text
             pred = batch.column("lang_pred").to_numpy(zero_copy_only=False)
             return batch.filter(pa.array(np.isin(pred, list(langs))))
 
-        ds = ds.map_batches(LanguageId, batch_format="pyarrow", concurrency=2)
+        ds = ds.map_batches(LanguageId, batch_format="pyarrow",
+                            concurrency=(1, 2))
         ds = ds.map_batches(lang_gate, batch_format="pyarrow")
         ds = ds.drop_columns(["lang_pred"])
         report["after_language"] = ds.count()

@@ -1476,7 +1476,8 @@ def embedding_near_dup(ds: "ray.data.Dataset", threshold: float = 0.95,
         mat = np.stack(g["normed"].to_list())
         return pairs_recursive(ids, mat, 0)
 
-    bucketed = ds.map_batches(Bucket, batch_format="pyarrow", concurrency=2)
+    bucketed = ds.map_batches(Bucket, batch_format="pyarrow",
+                              concurrency=(1, 2))
     return bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")
 
 
@@ -1533,8 +1534,8 @@ def _embedding_near_dup_exact(ds: "ray.data.Dataset", threshold: float,
                 }
             )
 
-    return ds.map_batches(PairsVsCorpus, batch_format="pyarrow", concurrency=2,
-                          batch_size=8 * 1024)
+    return ds.map_batches(PairsVsCorpus, batch_format="pyarrow",
+                          concurrency=(1, 2), batch_size=8 * 1024)
 
 
 # ---------------------------------------------------------------------------

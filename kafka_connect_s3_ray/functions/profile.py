@@ -277,7 +277,7 @@ def pca_project(ds, q: int, vec_col: str = "embedding",
                 cols[f"pc_{k}"] = pa.array(proj[:, k], pa.float64())
             return pa.table(cols)
 
-    return ds.map_batches(Project, batch_format="pyarrow", concurrency=2,
+    return ds.map_batches(Project, batch_format="pyarrow", concurrency=(1, 2),
                           fn_constructor_kwargs={"ref": ref})
 
 

@@ -1374,7 +1374,8 @@ def q_decontaminate(sf_dir: str):
 
 
 def q_lang_id(sf_dir: str):
-    out = _docs(sf_dir).map_batches(LanguageId, batch_format="pyarrow", concurrency=2)
+    out = _docs(sf_dir).map_batches(LanguageId, batch_format="pyarrow",
+                                    concurrency=(1, 2))
     return out.select_columns(["doc_id", "lang_pred"])
 
 

@@ -50,7 +50,10 @@ def broadcast_join(ds: "ray.data.Dataset", small: pd.DataFrame, on: str | list[s
             return batch.merge(self.small, how=how, left_on=on,
                                right_on=right_on or on)
 
-    return ds.map_batches(Joiner, batch_format="pandas", concurrency=concurrency)
+    # autoscale from 1: a fixed-size pool (plain int) may never form on a
+    # session with fewer CPUs than `concurrency` — a scheduler race
+    return ds.map_batches(Joiner, batch_format="pandas",
+                          concurrency=(1, max(1, concurrency)))
 
 
 def semi_join(ds: "ray.data.Dataset", keys, on: str, anti: bool = False,
