@@ -197,4 +197,4 @@ def bpe_token_counts(docs: "ray.data.Dataset", text_col: str = "text",
     ref = ray.put(merges)
     return docs.map_batches(
         BPEEncoder, fn_constructor_args=(ref, text_col, id_col),
-        batch_format="pyarrow", concurrency=concurrency)
+        batch_format="pyarrow", concurrency=(1, max(1, concurrency)))

@@ -174,6 +174,7 @@ def nb_classify(docs, model: dict, text_col: str = "text",
 
     ref = ray.put(model)
     return docs.map_batches(
-        NBScorer, batch_format="pyarrow", concurrency=concurrency,
+        NBScorer, batch_format="pyarrow",
+        concurrency=(1, max(1, concurrency)),
         fn_constructor_kwargs={"model_ref": ref, "text_col": text_col,
                                "id_col": id_col})

@@ -810,7 +810,8 @@ def jaccard_verify(pairs: "ray.data.Dataset", docs: "ray.data.Dataset",
     # near-dup-heavy corpora produce candidate sets ~ O(corpus): size the
     # actor pool for it, and bound the per-batch kernel (pairs x shingles)
     return pairs.map_batches(Verify, batch_format="pyarrow",
-                             concurrency=concurrency, batch_size=4096)
+                             concurrency=(1, max(1, concurrency)),
+                             batch_size=4096)
 
 
 def _sig_agreement(lt: pa.Table, rt: pa.Table, num_perm: int) -> np.ndarray:

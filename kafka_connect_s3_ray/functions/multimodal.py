@@ -363,6 +363,33 @@ def synth_real_video(n: int = 16, seed: int = 43) -> pa.Table:
         schema=MEDIA_SCHEMA)
 
 
+def sniff_decode(payload: bytes):
+    """The extractor's sniff-and-dispatch, shared so every consumer (the
+    extractor, the gate's fused feature+sum stages) exercises the SAME
+    signature checks and decode paths: ``("pcm", (samples, rate))`` for
+    RIFF/WAVE, ``("img", ndarray)`` for P6/PNG/JPEG, ``("bytes", payload)``
+    for anything unrecognized. Raises whatever the codec raises on a
+    corrupt magic-prefixed payload — the caller picks the error policy."""
+    if payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
+        return "pcm", decode_wav(payload)
+    if payload.startswith(b"P6"):
+        return "img", decode_ppm(payload)
+    if payload.startswith(PNG_SIG):
+        return "img", decode_png(payload)
+    if payload.startswith(JPEG_SIG):
+        return "img", decode_jpeg(payload)
+    return "bytes", payload
+
+
+def _img_int_sums(img: np.ndarray) -> tuple:
+    """(sum R, sum G, n_pixels) as exact int64 — the gate-oracle sums,
+    shared by the media and video fused stages so channel handling can
+    never silently diverge between them."""
+    ii = img[:, :, :3].astype(np.int64)
+    return (int(ii[:, :, 0].sum()), int(ii[:, :, 1].sum()),
+            int(ii.shape[0] * ii.shape[1]))
+
+
 def _fake_features(payload: bytes) -> np.ndarray:
     b = np.frombuffer(payload, dtype=np.uint8)
     if len(b) == 0:
@@ -398,18 +425,15 @@ class MediaFeatureExtractor:
     def _features(self, p: bytes) -> np.ndarray:
         if self.decoder != "fake":
             try:
-                if p.startswith(b"RIFF") and p[8:12] == b"WAVE":
-                    return _wav_features(p)
-                if p.startswith(b"P6"):
-                    return _rgb_features(decode_ppm(p))
-                if p.startswith(PNG_SIG):
-                    return _rgb_features(decode_png(p))
-                if p.startswith(JPEG_SIG):
-                    return _rgb_features(decode_jpeg(p))
+                kind, obj = sniff_decode(p)
             except Exception:
                 if self.decoder == "real":
                     raise  # a corrupt payload must fail loudly in real mode
                 return _fake_features(p)  # auto: sniff false-positive
+            if kind == "pcm":
+                return _pcm_features(*obj)
+            if kind == "img":
+                return _rgb_features(obj)
             if self.decoder == "real":
                 raise NotImplementedError(
                     "MP3/FLAC/H.264 decoding needs librosa/av — not "

@@ -465,7 +465,8 @@ def decontaminate(docs, bench, n: int = 3, id_col: str = "doc_id",
 
     ref = ray.put(benchmark_ngram_set(bench, n=n, text_col=text_col))
     return docs.map_batches(
-        ContaminationScorer, batch_format="pyarrow", concurrency=concurrency,
+        ContaminationScorer, batch_format="pyarrow",
+        concurrency=(1, max(1, concurrency)),
         fn_constructor_kwargs={"bench_ref": ref, "n": n, "id_col": id_col,
                                "text_col": text_col})
 
@@ -568,7 +569,8 @@ def unigram_logprob(docs, text_col: str = "text", id_col: str = "doc_id",
     ref = ray.put((lm["token"].to_numpy(object),
                    lm["n"].to_numpy().astype(np.float64)))
     return docs.map_batches(
-        UnigramLogProb, batch_format="pyarrow", concurrency=concurrency,
+        UnigramLogProb, batch_format="pyarrow",
+        concurrency=(1, max(1, concurrency)),
         fn_constructor_kwargs={"lm_ref": ref, "text_col": text_col,
                                "id_col": id_col})
 
@@ -749,7 +751,8 @@ def bigram_logprob(docs, lam: float = 0.7, text_col: str = "text",
                    uni["n"].to_numpy().astype(np.float64),
                    pair_code[order], pair_n, ctx_n.astype(np.float64)))
     return docs.map_batches(
-        BigramLogProb, batch_format="pyarrow", concurrency=concurrency,
+        BigramLogProb, batch_format="pyarrow",
+        concurrency=(1, max(1, concurrency)),
         fn_constructor_kwargs={"lm_ref": ref, "lam": lam,
                                "text_col": text_col, "id_col": id_col})
 

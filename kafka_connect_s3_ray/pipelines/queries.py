@@ -1733,28 +1733,34 @@ class _MediaFeatSums:
     flips."""
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        from ..functions.imagedup import decode_image
-        from ..functions.multimodal import (_pcm_features, _rgb_features,
-                                            decode_wav)
+        from ..functions.multimodal import (_img_int_sums, _pcm_features,
+                                            _rgb_features, sniff_decode)
 
         ids, types, nf, v0, v1, nu = [], [], [], [], [], []
         for mid, mtype, p in zip(t.column("media_id").to_pylist(),
                                  t.column("media_type").to_pylist(),
                                  t.column("payload").to_pylist()):
-            if mtype == "audio":
-                samples, rate = decode_wav(p)
+            # dispatch by SNIFFING the payload (the extractor's shared
+            # sniff_decode), not by the media_type column — a broken
+            # signature check lands on the bytes path, whose sums diverge
+            # from the oracle's decoded fixture, so the gate catches it
+            kind, obj = sniff_decode(p)
+            if kind == "pcm":
+                samples, rate = obj
                 nf.append(len(_pcm_features(samples, rate)))
                 s = samples.astype(np.int64)
                 v0.append(int(s.sum()))
                 v1.append(int(np.abs(s).sum()))
                 nu.append(len(s))
-            else:
-                img = decode_image(p)
-                nf.append(len(_rgb_features(img)))
-                ii = img[:, :, :3].astype(np.int64)
-                v0.append(int(ii[:, :, 0].sum()))
-                v1.append(int(ii[:, :, 1].sum()))
-                nu.append(int(ii.shape[0] * ii.shape[1]))
+            elif kind == "img":
+                nf.append(len(_rgb_features(obj)))
+                sr, sg, npx = _img_int_sums(obj)
+                v0.append(sr)
+                v1.append(sg)
+                nu.append(npx)
+            else:  # unrecognized payload: loud — the corpus is all decodable
+                raise ValueError(
+                    f"media_id={mid}: payload not WAV/PPM/PNG/JPEG")
             ids.append(mid)
             types.append(mtype)
         return pa.table({"media_id": pa.array(ids, pa.int64()),
@@ -1771,21 +1777,24 @@ class _FrameFeatSums:
     the exact int64 pixel sums the oracle checks."""
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        from ..functions.imagedup import decode_image
-        from ..functions.multimodal import _rgb_features
+        from ..functions.multimodal import (_img_int_sums, _rgb_features,
+                                            sniff_decode)
 
         ids, fis, nf, sr, sg, npx = [], [], [], [], [], []
         for mid, fi, fb in zip(t.column("media_id").to_pylist(),
                                t.column("frame_idx").to_pylist(),
                                t.column("frame").to_pylist()):
-            img = decode_image(fb)
+            kind, img = sniff_decode(fb)  # the extractor's shared dispatch
+            if kind != "img":
+                raise ValueError(
+                    f"media_id={mid} frame={fi}: frame not PPM/PNG/JPEG")
             nf.append(len(_rgb_features(img)))
-            ii = img[:, :, :3].astype(np.int64)
+            s_r, s_g, n_px = _img_int_sums(img)
             ids.append(mid)
             fis.append(fi)
-            sr.append(int(ii[:, :, 0].sum()))
-            sg.append(int(ii[:, :, 1].sum()))
-            npx.append(int(ii.shape[0] * ii.shape[1]))
+            sr.append(s_r)
+            sg.append(s_g)
+            npx.append(n_px)
         return pa.table({"media_id": pa.array(ids, pa.int64()),
                          "frame_idx": pa.array(fis, pa.int64()),
                          "n_feat": pa.array(nf, pa.int64()),
