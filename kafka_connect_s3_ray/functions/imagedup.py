@@ -43,7 +43,7 @@ import ray
 import ray.data
 
 from .dedup import N_COARSE, _popcount64
-from .multimodal import JPEG_SIG, PNG_SIG, decode_jpeg, decode_png, decode_ppm
+from .multimodal import JPEG_SIG
 
 _LUMA = np.array([0.299, 0.587, 0.114], np.float32)
 
@@ -57,14 +57,15 @@ def _resample(img: np.ndarray, tw: int, th: int) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Sniff-and-decode through the real codecs (PPM / PNG / JPEG)."""
-    if payload.startswith(b"P6"):
-        return decode_ppm(payload)
-    if payload.startswith(PNG_SIG):
-        return decode_png(payload)
-    if payload.startswith(JPEG_SIG):
-        return decode_jpeg(payload)
-    raise ValueError("undecodable image payload (not PPM/PNG/JPEG)")
+    """Sniff-and-decode through the real codecs (PPM / PNG / JPEG) — one
+    shared dispatch (``multimodal.sniff_decode``), so a signature fix can
+    never diverge between the hash pipeline and the feature extractor."""
+    from .multimodal import sniff_decode
+
+    kind, obj = sniff_decode(payload)
+    if kind != "img":
+        raise ValueError("undecodable image payload (not PPM/PNG/JPEG)")
+    return obj
 
 
 def _thumb_scale(h: int, w: int) -> int:

@@ -587,9 +587,11 @@ def _lut16(bits: list[int], vals: list[int]) -> list[int]:
     0 where no code matches. LRU-cached (bounded): the Annex-K tables recur
     across files, per-file optimized tables cycle through the cap."""
     key = (bytes(bits), bytes(vals))
-    hit = _LUT_CACHE.get(key)
+    hit = _LUT_CACHE.pop(key, None)
     if hit is not None:
-        return hit
+        _LUT_CACHE[key] = hit  # true LRU: a hit refreshes recency, so the
+        return hit             # recurring standard tables outlive per-file
+        #                        optimized ones cycling through the cap
     lut = [0] * 65536
     code, k = 0, 0
     for ln in range(1, 17):

@@ -523,6 +523,12 @@ def _auto_nprobe(sample_mat: np.ndarray, cents: np.ndarray, k: int,
     neighbors are slightly FARTHER than true corpus neighbors, so their home
     clusters spread a little wider — the estimate errs toward a larger
     nprobe, the safe direction for a recall floor."""
+    # cap the PROBE sample independently of the kmeans sample: the
+    # estimator pays an n x n matmul, so a caller raising sample_size for
+    # better centroids (legitimate at scale) must not turn the dial probe
+    # into an O(n^2) driver blowup — 2048 rows estimate the rank CDF fine
+    if len(sample_mat) > 2048:
+        sample_mat = sample_mat[:2048]
     n = len(sample_mat)
     C = len(cents)
     if n < 2 or C <= 1:
@@ -585,9 +591,13 @@ def knn_graph_ivf(ds: "ray.data.Dataset", k: int = 3, n_clusters: int = 16,
     # kmeans_fit re-normalizes internally, so feeding the normalized matrix
     # is equivalent and skips a second stack+normalize of the sample
     cents = kmeans_fit(smat, n_clusters, seed=seed)
+    # driver-side observability: bench/tests read back the chosen dial.
+    # Reset on EVERY call so a reader after a fixed-dial run sees None, not
+    # a stale value from an earlier auto run (single-driver channel; not
+    # meaningful under concurrent graph builds).
+    knn_graph_ivf.last_auto_nprobe = None
     if nprobe == "auto":
         nprobe = _auto_nprobe(smat, cents, k)
-        # driver-side observability: bench/tests read back the chosen dial
         knn_graph_ivf.last_auto_nprobe = nprobe
     cents_ref = ray.put(cents)
     staged = ds.map_batches(

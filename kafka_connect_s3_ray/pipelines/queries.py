@@ -3696,11 +3696,13 @@ def q_burst_counts(sf_dir: str):
         lo = np.searchsorted(key, key - WIN_US, side="left")
         # key - WIN_US may cross into the previous user's range only if span
         # were too small; span >= t_range + WIN_US + 2 makes that impossible.
-        # Cheap O(n) assertion of the invariant: the frame start must still
+        # Cheap O(n) check of the invariant: the frame start must still
         # belong to the current row's user (lo <= i, so urank[lo] is valid).
-        if len(key):
-            assert (urank[lo] == urank).all(), \
-                "burst window frame crossed a user boundary (span too small)"
+        # An explicit raise, not `assert` — the guard must survive
+        # python -O, or the cross-user leak it exists to catch goes silent.
+        if len(key) and not (urank[lo] == urank).all():
+            raise AssertionError(
+                "burst window frame crossed a user boundary (span too small)")
         return pd.DataFrame({
             "event_id": g["event_id"].astype("int64"),
             "user_id": g["user_id"].astype("int64"),
@@ -4248,12 +4250,15 @@ QUERIES = {
 # --- Round-5 driver-gate window rotation -----------------------------------
 # The driver's correctness gate checks only the FIRST 50 dict entries per
 # round.  Rounds 1-4 verified 106 distinct entries; this ordering leads with
-# the 32 never-driver-verified SQL-hash-checkable entries, then the 18
-# longest-unverified SQL entries (last driver-green in r2/r3 — includes the
-# flagship ``cdc_transcripts``), so CORRECTNESS_r05 completes hash-green
-# driver coverage of every SQL-checkable catalog entry across r1-r5 with
-# zero wasted (rows-only) slots.  Entries beyond the window keep their prior
-# relative order; nothing is added or removed.
+# the 32 never-driver-verified SQL-hash-checkable entries, then 15
+# longest-unverified re-certs (last driver-green in r2/r3 — includes the
+# flagship ``cdc_transcripts``), then the 3 multimodal entries that gained
+# value-level oracles IN round 5 (media_features / video_frames /
+# image_near_dup — never SQL-verified before; rows-only in r1-r4), so
+# CORRECTNESS_r05 completes hash-green driver coverage of every
+# SQL-checkable catalog entry across r1-r5 with zero wasted (rows-only)
+# slots.  Entries beyond the window keep their prior relative order;
+# nothing is added or removed.
 _R5_GATE_WINDOW = [
     # never driver-verified (32, all SQL-hash-checkable)
     "cube_summary",
@@ -4288,7 +4293,7 @@ _R5_GATE_WINDOW = [
     "grouped_mode",
     "fuzzy_key_dedup",
     "gap_quantiles",
-    # longest-unverified SQL entries (driver-green last in r2/r3)
+    # 15 longest-unverified re-certs (driver-green last in r2/r3)
     "cdc_transcripts",
     "approx_distinct",
     "cosine_topk",

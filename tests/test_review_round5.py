@@ -196,18 +196,29 @@ def test_lut_cache_bounded():
     from kafka_connect_s3_ray.functions import jpeg as J
 
     J._LUT_CACHE.clear()
-    # synthesize many DISTINCT valid table shapes: single-code tables over
-    # varying symbol values (canonical-valid: one 2-bit code)
-    for sym in range(2 * J._LUT_CACHE_CAP):
-        bits = [0, 1] + [0] * 14
-        lut = J._lut16(bits, [sym % 12])
+    # synthesize MORE distinct valid tables than the cap: single-code
+    # tables over distinct byte symbols (canonical-valid: one 2-bit code)
+    bits = [0, 1] + [0] * 14
+    n_keys = 2 * J._LUT_CACHE_CAP  # 64 distinct keys > cap
+    for sym in range(n_keys):
+        lut = J._lut16(bits, [sym])
         assert lut[0] != 0
-        assert len(J._LUT_CACHE) <= J._LUT_CACHE_CAP
-    # and re-requesting a cached key is a hit (same object back)
-    key_bits = [0, 1] + [0] * 14
-    a = J._lut16(key_bits, [3])
-    b = J._lut16(key_bits, [3])
+    assert len(J._LUT_CACHE) == J._LUT_CACHE_CAP  # eviction actually ran
+    # the earliest keys were evicted, the latest survive
+    assert (bytes(bits), bytes([0])) not in J._LUT_CACHE
+    assert (bytes(bits), bytes([n_keys - 1])) in J._LUT_CACHE
+    # re-requesting a cached key is a hit (same object back)...
+    a = J._lut16(bits, [n_keys - 1])
+    b = J._lut16(bits, [n_keys - 1])
     assert a is b
+    # ...and a hit REFRESHES recency (LRU, not FIFO): touch the oldest
+    # surviving key, insert fresh keys to evict all its cohort, and it
+    # must still be cached
+    oldest = n_keys - J._LUT_CACHE_CAP
+    J._lut16(bits, [oldest])
+    for sym in range(n_keys, n_keys + J._LUT_CACHE_CAP - 1):
+        J._lut16(bits, [sym])
+    assert (bytes(bits), bytes([oldest])) in J._LUT_CACHE
 
 
 def test_destuff_segments_roundtrip_many_restarts():
