@@ -246,3 +246,54 @@ def test_destuff_segments_roundtrip_many_restarts():
         y = full.astype(np.float64) @ [0.299, 0.587, 0.114]
         bm = y.reshape(8, 8, 9, 8).mean(axis=(1, 3))
         assert np.abs(th - bm).max() <= 2.5
+
+
+def test_lut_huffman_equals_dict_walk_on_random_tables():
+    """The 16-bit-LUT reader and the reference dict-walk decoder must agree
+    symbol-for-symbol on RANDOM canonical Huffman tables — the invariant the
+    fast DC path rests on. We encode random symbol streams with the
+    canonical codes and decode them back through the LUT."""
+    from kafka_connect_s3_ray.functions.jpeg import _canonical_codes, _lut16
+
+    rng = np.random.default_rng(31)
+    for trial in range(10):
+        # random valid BITS shape: distribute n_syms codes over lengths
+        # 2..12 such that the Kraft sum stays <= 1 (build greedily)
+        bits = [0] * 16
+        vals = []
+        budget = 1.0
+        next_sym = 0
+        for ln in range(2, 13):
+            cap = int(budget / (2.0 ** -ln))
+            take = int(rng.integers(0, min(cap, 5) + 1))
+            bits[ln - 1] = take
+            budget -= take * (2.0 ** -ln)
+            for _ in range(take):
+                vals.append(next_sym)
+                next_sym += 1
+        if not vals:
+            continue
+        codes = _canonical_codes(bits, vals)
+        lut = _lut16(bits, vals)
+        # random symbol stream -> bit string -> LUT decode
+        stream = rng.choice(vals, size=50)
+        acc, n = 0, 0
+        for s in stream:
+            code, ln = codes[int(s)]
+            acc = (acc << ln) | code
+            n += ln
+        # pad to a whole number of bits for the reader (1-bits, like T.81)
+        pad = (-n) % 8
+        acc = (acc << pad) | ((1 << pad) - 1)
+        n += pad
+        decoded = []
+        while len(decoded) < len(stream):
+            peek = (acc >> (n - 16)) & 0xFFFF if n >= 16 else \
+                (acc << (16 - n)) & 0xFFFF
+            e = lut[peek]
+            assert e != 0, "LUT missed a valid code"
+            ln = e & 31
+            decoded.append(e >> 5)
+            n -= ln
+            acc &= (1 << max(n, 0)) - 1 if n > 0 else 0
+        np.testing.assert_array_equal(np.array(decoded), stream)
